@@ -1,0 +1,3 @@
+from .crawl import CrawlEngine, CrawlResult  # noqa: F401
+from .scheduler import schedule_wave  # noqa: F401
+from .seen import BloomSeenSet, ExactSeenSet  # noqa: F401

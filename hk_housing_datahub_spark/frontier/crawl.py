@@ -1,0 +1,275 @@
+"""The crawl engine: an iterative, resumable, politeness-budgeted wave loop.
+
+Generalizes the reference's two-wave pipeline
+(/root/reference/src/orchestrators/agency.py:48-102: seed scan → estate wave
+→ building wave, flush-and-clear per 100-id partition) to depth-K waves over
+a Common-Crawl-style pages table. One wave =
+
+    frontier ──anti-join seen──► unseen
+           ──robots ⋈ + per-host rank-and-cut──► scheduled | backlog
+    scheduled ──join pages on url_canon──► fetched        ("fetch" = corpus
+    fetched ──vectorized extract UDF──► listings (+ outlinks)       lookup)
+    seen ∪= scheduled;  frontier' = dedup(backlog ∪ outlinks) \\ seen
+    checkpoint: frontier/seen/listings + atomic manifest (resume point)
+
+Scale notes (the 1000-executor story):
+- the only driver-side loop is over *waves* (bounded by crawl depth), never
+  over rows; every arrow above is a single distributed DataFrame op.
+- per-wave state is checkpointed to parquet and re-read, cutting logical-plan
+  lineage so wave N's plan does not embed waves 0..N-1.
+- the frontier/seen shuffles key on url_hash (uniform); only the politeness
+  window keys on host (Zipf) — that window is rank-only (no global sort) and
+  AQE skew-join handling is enabled session-wide.
+- fetch is an equi-join on url_canon; at 10^10 rows both sides shuffle
+  co-partitioned, or the wave side broadcasts when small (Catalyst decides;
+  AQE re-plans at runtime).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..datagen.pages import EPOCH0
+from ..extract.vectorized import extract_df
+from ..functions.urls import with_url_columns
+from .checkpoint import Manifest, WaveLineage, read_manifest, write_manifest
+from .scheduler import schedule_wave
+from .seen import BloomSeenSet, ExactSeenSet
+
+FRONTIER_COLS = [
+    "url_canon",
+    "host",
+    "url_hash",
+    "bucket",
+    "priority",
+    "discovered_ts",
+    "depth",
+]
+
+DISCOVERED_PRIORITY = 2  # outlinks rank below explicit seeds by default
+
+
+@dataclass
+class CrawlResult:
+    checkpoint_dir: str
+    waves_run: int
+    n_extracted: int
+    n_seen: int
+
+    def listings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.checkpoint_dir, "listings"))
+
+    def schedule_log(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.checkpoint_dir, "schedule"))
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame | None,
+        checkpoint_dir: str,
+        seen_mode: str = "exact",
+        n_buckets: int = 256,
+        bloom_bits: int = 1 << 20,
+        wave_ms: int = 1_000,
+        max_depth: int = 3,
+    ):
+        self.spark = spark
+        self.robots = robots
+        self.dir = checkpoint_dir
+        self.seen_mode = seen_mode
+        self.n_buckets = n_buckets
+        self.bloom_bits = bloom_bits
+        self.wave_ms = wave_ms
+        self.max_depth = max_depth
+        # Derive join keys for the corpus once; html stays column-pruned out
+        # of every stage except extraction (check ReadSchema in the plan).
+        self.pages = with_url_columns(pages, n_buckets=n_buckets).select(
+            "url_canon", "warc_ts", "html", "lang"
+        )
+
+    # ---------------------------------------------------------------- state
+    def _new_seen(self):
+        if self.seen_mode == "bloom":
+            return BloomSeenSet(
+                self.spark, None, self.n_buckets, self.bloom_bits
+            )
+        return ExactSeenSet(self.spark)
+
+    def _restore_seen(self, path: str):
+        if self.seen_mode == "bloom":
+            return BloomSeenSet.restore(
+                self.spark, path, self.n_buckets, self.bloom_bits, 7
+            )
+        return ExactSeenSet.restore(self.spark, path)
+
+    def _seed_frontier(self, seeds: DataFrame) -> DataFrame:
+        return (
+            with_url_columns(seeds, n_buckets=self.n_buckets)
+            .withColumn("discovered_ts", F.timestamp_seconds(F.lit(EPOCH0)))
+            .withColumn("depth", F.lit(0))
+            .select(*FRONTIER_COLS)
+        )
+
+    @staticmethod
+    def _dedup_frontier(frontier: DataFrame) -> DataFrame:
+        """One row per url_hash, keeping the best (priority, ts, url) entry —
+        deterministic under any partitioning."""
+        w = W.partitionBy("url_hash").orderBy(
+            "priority", "discovered_ts", "url_canon", "depth"
+        )
+        return (
+            frontier.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    # ----------------------------------------------------------------- run
+    def run(self, seeds: DataFrame, max_waves: int = 10) -> CrawlResult:
+        """Run (or resume) the crawl until the frontier drains or max_waves.
+
+        Resume: if a committed manifest exists in the checkpoint dir, state is
+        loaded from it and the loop continues at the next wave — re-running
+        after a crash never double-extracts a committed wave.
+        """
+        m = read_manifest(self.dir)
+        if m is None:
+            frontier = self._dedup_frontier(self._seed_frontier(seeds))
+            seen = self._new_seen()
+            start_wave, total_extracted = 0, 0
+            waves_done: list[int] = []
+        else:
+            # State files are versioned per wave: a lazy plan for wave N+1
+            # reads wave N's files while writing wave N+1's — never the same
+            # path (Spark cannot safely overwrite a path it is reading).
+            frontier = self.spark.read.parquet(
+                os.path.join(self.dir, f"frontier_v{m.wave}")
+            )
+            seen = self._restore_seen(os.path.join(self.dir, f"seen_v{m.wave}"))
+            start_wave = m.wave + 1
+            total_extracted = m.n_extracted
+            waves_done = list(m.waves_done)
+
+        wave = start_wave - 1
+        for wave in range(start_wave, start_wave + max_waves):
+            unseen = seen.filter_unseen(frontier)
+            sched = schedule_wave(unseen, self.robots, self.wave_ms).persist()
+            wave_rows = sched.filter(F.col("scheduled"))
+            n_sched = wave_rows.count()
+            if n_sched == 0:
+                sched.unpersist()
+                wave -= 1
+                break
+
+            # Schedule log — the deterministic ordering evidence.
+            (
+                wave_rows.select(
+                    F.lit(wave).alias("wave"), "host", "host_rank", "url_canon"
+                )
+                .repartition(1)
+                .write.mode("append")
+                .parquet(os.path.join(self.dir, "schedule"))
+            )
+
+            # "Fetch": equi-join of the wave against the corpus.
+            fetched = wave_rows.select(
+                "url_canon", "host", "priority", "depth"
+            ).join(self.pages, "url_canon", "inner")
+
+            extracted = extract_df(fetched).withColumn("wave", F.lit(wave))
+            listings = extracted.select(
+                "url_canon",
+                "host",
+                "lang",
+                "warc_ts",
+                "wave",
+                "depth",
+                "extracted_text",
+                "price",
+                "address",
+                "floor_area",
+                "transaction_date",
+                F.size("outlinks").alias("n_outlinks"),
+                "outlinks",
+            ).persist()
+            listings.drop("outlinks").write.mode("append").parquet(
+                os.path.join(self.dir, "listings", f"wave={wave}")
+            )
+
+            # Per-partition lineage: (partition_id, watermark, rows_emitted).
+            lineage_rows = (
+                listings.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(
+                    F.max("warc_ts").alias("wm"),
+                    F.count(F.lit(1)).alias("rows"),
+                )
+                .collect()
+            )
+            n_extracted = int(sum(r["rows"] for r in lineage_rows))
+            total_extracted += n_extracted
+
+            # Mark everything scheduled this wave as seen (fetched or dead).
+            seen.add(wave_rows.select("bucket", "url_hash"))
+
+            # Frontier for the next wave: politeness backlog ∪ fresh outlinks.
+            backlog = sched.filter(~F.col("scheduled")).select(*FRONTIER_COLS)
+            outlinks = (
+                listings.filter(F.col("depth") < self.max_depth)
+                .select(
+                    F.explode("outlinks").alias("url"),
+                    F.col("warc_ts").alias("discovered_ts"),
+                    (F.col("depth") + 1).alias("depth"),
+                )
+                .withColumn("priority", F.lit(DISCOVERED_PRIORITY))
+            )
+            out_frontier = with_url_columns(
+                outlinks, n_buckets=self.n_buckets
+            ).select(*FRONTIER_COLS)
+            frontier = self._dedup_frontier(backlog.unionByName(out_frontier))
+            frontier = seen.filter_unseen(frontier)
+
+            # ---- checkpoint commit (manifest last → atomic resume point)
+            fpath = os.path.join(self.dir, f"frontier_v{wave}")
+            frontier.write.mode("overwrite").parquet(fpath)
+            frontier = self.spark.read.parquet(fpath)
+            seen.checkpoint(os.path.join(self.dir, f"seen_v{wave}"))
+            waves_done.append(wave)
+            write_manifest(
+                self.dir,
+                Manifest(
+                    wave=wave,
+                    seen_mode=self.seen_mode,
+                    n_scheduled=n_sched,
+                    n_extracted=total_extracted,
+                    frontier_size=frontier.count(),
+                    seen_count=seen.count(),
+                    lineage=[
+                        vars(
+                            WaveLineage(
+                                int(r["pid"]),
+                                r["wm"].isoformat() if r["wm"] else None,
+                                int(r["rows"]),
+                            )
+                        )
+                        for r in lineage_rows
+                    ],
+                    waves_done=waves_done,
+                ),
+            )
+            listings.unpersist()
+            sched.unpersist()
+
+        final = read_manifest(self.dir)
+        return CrawlResult(
+            checkpoint_dir=self.dir,
+            waves_run=(final.wave + 1) if final else 0,
+            n_extracted=total_extracted,
+            n_seen=final.seen_count if final else 0,
+        )
