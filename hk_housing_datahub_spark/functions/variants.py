@@ -28,6 +28,24 @@ def cjk_dot_swaps(title: Column) -> Column:
     return F.translate(title, "．.", "··")
 
 
+def title_variants_basic(title: Column) -> Column:
+    """ANSI-mirrorable variant subset (no initcap/CJK-dot — DuckDB lacks
+    initcap): [base, upper, lower, roman-stripped, upper(s), lower(s)],
+    ordered-deduped keeping first occurrence. Used by the oracle-checked
+    lookup query; ``title_variants`` below is the full reference set."""
+    base = F.trim(title)
+    stripped = strip_roman_suffix(base)
+    raw = F.array(
+        base, F.upper(base), F.lower(base),
+        stripped, F.upper(stripped), F.lower(stripped),
+    )
+    with_idx = F.transform(raw, lambda v, i: F.struct(v.alias("v"), i.alias("i")))
+    firsts = F.filter(
+        with_idx, lambda s: F.array_position(raw, s["v"]) == s["i"] + 1
+    )
+    return F.transform(firsts, lambda s: s["v"])
+
+
 def title_variants(title: Column) -> Column:
     """Ordered array of lookup variants; order encodes priority (first wins).
 

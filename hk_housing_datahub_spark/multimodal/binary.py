@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a struct of metadata —
+the same pattern the pages table uses for ``html:binary``. The Spark-side
+plumbing (schema, Arrow batch shape, mapInPandas signature, partitioning)
+is real and tested; the actual media decode is STUBBED because no
+image/audio libraries exist in this container:
+
+- if PIL/librosa were importable, ``_decode_real`` would run them;
+- otherwise a deterministic fake decoder derives metadata from the bytes
+  (so tests exercise the full distributed path with stable outputs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # type: ignore  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a binary payload column (UTF-8 bytes of the text — a
+    deterministic stand-in for image bytes) + media_type."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "media_type",
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, "image/png")
+        .when(F.pmod("doc_id", F.lit(3)) == 1, "audio/wav")
+        .otherwise("video/mp4"),
+    )
+
+
+def _decode_real(payload: bytes, media_type: str) -> tuple[int, int]:  # pragma: no cover
+    raise NotImplementedError(
+        "media decode requires PIL/librosa/ffmpeg — not available in this "
+        "container; the deterministic fake below exercises the same "
+        "distributed plumbing"
+    )
+
+
+def _decode_fake(n_bytes: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Deterministic fake dimensions derived from payload size."""
+    width = (n_bytes % 1920 + 16).astype("int32")
+    height = (n_bytes * 7 % 1080 + 16).astype("int32")
+    return width, height
+
+
+def decode_payload_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """mapInPandas media "decode": binary in → typed metadata out.
+
+    Batch shape: each Arrow batch is a pandas DataFrame with the payload
+    column as bytes objects; output conforms to PAYLOAD_META_SCHEMA. The
+    real decoder would drop in at the marked call without touching the
+    distributed plumbing.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(
+                lambda b: len(b) if b is not None else 0
+            ).astype("int64")
+            if _HAVE_PIL:  # pragma: no cover
+                raise NotImplementedError("real decode path not wired in v1")
+            width, height = _decode_fake(n_bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "checksum": pdf["payload"].map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
+                    ),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload", "media_type").mapInPandas(
+        op, PAYLOAD_META_SCHEMA
+    )

@@ -1,0 +1,236 @@
+"""Deduplication operators — exact through approximate, all scale paths.
+
+The reference's dedup is the exact PK-seen-set
+(/root/reference/src/processors/agency/estates.py:87-93). A web-scale
+training-data pipeline additionally needs *near*-dup detection; this module
+provides the standard ladder:
+
+- exact (normalized-hash groupBy)          — one shuffle, map-side combine
+- n-gram Jaccard (inverted-index join)     — exact pairwise, oracle-able
+- MinHash + LSH banding                    — sub-quadratic candidate gen
+- SimHash (hamming-banded)                 — bit-level near-dup
+- embedding cosine near-dup                — see similarity.py
+
+Everything is built from JVM expressions (xxhash64, explode, groupBy); no
+Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, normalize_text, tokens, word_shingles
+
+
+def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per lang: total docs vs distinct normalized fingerprints."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+    )
+
+
+def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id doc per normalized fingerprint (deterministic)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index input."""
+    return (
+        docs.select(
+            F.col(id_col).alias("did"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via a shingle inverted index.
+
+    shuffle 1: distinct (doc, shingle); shuffle 2: self-join on shingle →
+    co-occurrence counts; sizes broadcast back. Exact but quadratic in the
+    worst case — the correctness oracle for MinHash-LSH below (which is the
+    scale path). Output: (a, b, jaccard) with a < b, jaccard ≥ threshold.
+    """
+    sh = _shingled(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    co = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .filter(F.col("l.did") < F.col("r.did"))
+        .groupBy(F.col("l.did").alias("a"), F.col("r.did").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        co.join(sizes.withColumnRenamed("did", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("did", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """64-permutation MinHash signatures, fully JVM-side.
+
+    Each "permutation" j is min(xxhash64(shingle, j)) — one exploded pass,
+    one groupBy with 64 min-aggregates (map-side combined, single shuffle).
+    No Python: this is the 10^10-document scale path.
+    """
+    sh = _shingled(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}")
+        for j in range(num_perm)
+    ]
+    return sh.groupBy("did").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs by LSH banding over MinHash signatures.
+
+    bands×rows = num_perm; a pair collides if any band's row-slice matches
+    exactly. Band keys are hashed to one long → explode(bands) + groupBy-join
+    on (band, key). Candidates are NOT verified here (compose with
+    ngram_jaccard_pairs on the candidate set for verified output).
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_perm)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "did", F.explode(band_structs).alias("bk")
+    ).select("did", "bk.band", "bk.key")
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "key"])
+        .filter(F.col("l.did") < F.col("r.did"))
+        .select(F.col("l.did").alias("a"), F.col("r.did").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, JVM-side.
+
+    Token hash bit votes: per bit i, sum(±1) over tokens; fingerprint bit i
+    set iff the vote is positive. One explode + one groupBy with 64 sums.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("did").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return votes.select("did", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidate generation by 4×16-bit block banding (pigeonhole: ≤3 differing
+    bits → at least one 16-bit block equal), then exact hamming via
+    bit_count(xor). Sub-quadratic; no Python.
+    """
+    sig = simhash(docs, id_col, text_col)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col("simhash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sig.select("did", "simhash", F.explode(blocks).alias("bk")).select(
+        "did", "simhash", "bk.blk", "bk.key"
+    )
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["blk", "key"])
+        .filter(F.col("l.did") < F.col("r.did"))
+        .select(
+            F.col("l.did").alias("a"),
+            F.col("r.did").alias("b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

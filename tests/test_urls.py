@@ -1,0 +1,79 @@
+"""URL canonicalization: Spark Column impl vs pure-Python twin, properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.frontier.simulator import canonicalize
+from hk_housing_datahub_spark.functions.urls import (
+    canonicalize_url,
+    seen_bucket,
+    url_hash,
+    url_host,
+    with_url_columns,
+)
+
+CASES = [
+    "https://Example.COM/path",
+    "HTTP://EXAMPLE.com:80/a?b=2&a=1#frag",
+    "https://example.com:443/",
+    "https://example.com",
+    "http://example.com:8080/x?z=1&y=2&z=0",
+    "https://h0.example.com/listing/5?lang=zh-hk",
+    "HTTPS://H0.EXAMPLE.COM:443/listing/5?lang=zh-hk#top",
+    "https://example.com/p?&&a=1&",
+    "  https://spacey.com/x  ",
+    "https://example.com/p?",
+]
+
+EXPECTED = {
+    "https://Example.COM/path": "https://example.com/path",
+    "HTTP://EXAMPLE.com:80/a?b=2&a=1#frag": "http://example.com/a?a=1&b=2",
+    "https://example.com:443/": "https://example.com/",
+    "https://example.com": "https://example.com/",
+    "http://example.com:8080/x?z=1&y=2&z=0": "http://example.com:8080/x?y=2&z=0&z=1",
+}
+
+
+def test_canonicalize_spark_matches_python(spark):
+    df = spark.createDataFrame([(u,) for u in CASES], ["url"])
+    got = {
+        r["url"]: r["canon"]
+        for r in df.select("url", canonicalize_url(F.col("url")).alias("canon")).collect()
+    }
+    for u in CASES:
+        assert got[u] == canonicalize(u), u
+
+
+def test_known_canonical_forms(spark):
+    df = spark.createDataFrame([(u,) for u in EXPECTED], ["url"])
+    got = {
+        r["url"]: r["canon"]
+        for r in df.select("url", canonicalize_url(F.col("url")).alias("canon")).collect()
+    }
+    for u, want in EXPECTED.items():
+        assert got[u] == want, (u, got[u])
+
+
+def test_canonicalization_idempotent(spark):
+    df = spark.createDataFrame([(u,) for u in CASES], ["url"])
+    once = df.select(canonicalize_url(F.col("url")).alias("url"))
+    twice = once.select(
+        F.col("url").alias("c1"), canonicalize_url(F.col("url")).alias("c2")
+    )
+    for r in twice.collect():
+        assert r["c1"] == r["c2"]
+
+
+def test_bucket_stability_and_host(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://A.B.C:443/x#f",), ("https://a.b.c/x",)], ["url"]
+    )
+    out = with_url_columns(df).select("url_canon", "host", "url_hash", "bucket")
+    rows = out.collect()
+    # alias forms collapse to identical canon/hash/bucket
+    assert rows[0]["url_canon"] == rows[1]["url_canon"]
+    assert rows[0]["url_hash"] == rows[1]["url_hash"]
+    assert rows[0]["bucket"] == rows[1]["bucket"]
+    assert rows[0]["host"] == "a.b.c"
+    assert 0 <= rows[0]["bucket"] < 8192
