@@ -375,7 +375,7 @@ def _lsh_ann_topk(spark, sf):
     q = e.filter(F.pmod("vec_id", F.lit(25)) == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    return SIM.lsh_topk(e, q, dim=64, k=5, n_planes=8).select(
+    return SIM.lsh_topk(e, q, dim=64, k=5).select(
         "qid", "nid", "cos_sim", "rnk"
     )
 

@@ -1,0 +1,120 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Headline: frontier throughput (URLs scheduled+extracted/sec) on a
+deterministic Common-Crawl-style pages corpus (BASELINE.json metric),
+plus wall-clock for each headline operator query at $SPARK_GRAFT_SF_DIR.
+
+Environment:
+  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_PAGES         crawl corpus size (default 120000)
+
+Scaling evidence (north rule, N vs 4N): run twice —
+  SPARK_GRAFT_CPUS=8 python bench.py   and   SPARK_GRAFT_CPUS=32 python bench.py
+and compare `frontier_urls_per_sec` (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "120000"))
+N_HOSTS = 200
+
+
+def main() -> None:
+    from hk_housing_datahub_spark.session import get_spark
+
+    spark = get_spark(app_name="hk_bench", cores=CPUS, shuffle_partitions=max(8, CPUS))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    import __spark_entry__ as E
+    from hk_housing_datahub_spark.datagen import (
+        generate_pages,
+        generate_robots,
+        generate_seeds,
+    )
+    from hk_housing_datahub_spark.frontier import CrawlEngine
+
+    timings: dict[str, float] = {}
+    tmp_root = tempfile.mkdtemp(prefix="hk_bench_")
+
+    # ---- corpus materialization (untimed: stands in for the stored table)
+    pages_path = os.path.join(tmp_root, "pages")
+    generate_pages(spark, N_PAGES, n_hosts=N_HOSTS, partitions=CPUS).write.mode(
+        "overwrite"
+    ).parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    robots = generate_robots(spark, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, 3000, N_PAGES, n_hosts=N_HOSTS)
+
+    # ---- headline: frontier crawl throughput
+    ckpt = os.path.join(tmp_root, "crawl")
+    t0 = time.perf_counter()
+    eng = CrawlEngine(
+        spark, pages, robots, ckpt,
+        seen_mode="exact", wave_ms=120_000, max_depth=2, n_buckets=1024,
+    )
+    res = eng.run(seeds, max_waves=3)
+    crawl_sec = time.perf_counter() - t0
+    n_urls = res.n_seen  # scheduled (incl. dead links) — extraction ⊆ this
+    timings["crawl_frontier"] = round(crawl_sec, 3)
+    urls_per_sec = round(n_urls / crawl_sec, 1)
+
+    # ---- pure extraction throughput (vectorized UDF over the corpus)
+    from hk_housing_datahub_spark.extract import extract_df
+    import pyspark.sql.functions as F
+
+    t0 = time.perf_counter()
+    n_ex = extract_df(pages).filter(F.col("price").isNotNull()).count()
+    timings["extract_corpus"] = round(time.perf_counter() - t0, 3)
+
+    # ---- operator headline queries at SF_DIR
+    bench_queries = [
+        "q1_pricing_summary",
+        "monthly_rollup",
+        "topk_orders_per_customer",
+        "sessionize_events",
+        "ngram_jaccard_pairs",
+        "minhash_lsh_candidates",
+        "dedup_exact_stats",
+        "ann_topk_cosine",
+        "quality_by_source",
+        "chunk_documents",
+    ]
+    qs = E.queries()
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "frontier throughput (URLs scheduled+extracted/sec) + operator suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "pages": N_PAGES,
+        "frontier_urls_per_sec": urls_per_sec,
+        "frontier_urls": n_urls,
+        "extract_rows": n_ex,
+    }
+    print(json.dumps(out))
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -62,8 +62,11 @@ def extract_one(html: bytes | None) -> dict:
         out["floor_area"] = float(m.group(1))
     m = _RE_DATE.search(s)
     if m and _RE_ISO.match(m.group(1)):
-        out["transaction_date"] = datetime.strptime(
-            m.group(1), "%Y-%m-%d"
-        ).replace(tzinfo=timezone.utc)
+        try:  # ISO-shaped but impossible dates (2024-02-30) → None, never raise
+            out["transaction_date"] = datetime.strptime(
+                m.group(1), "%Y-%m-%d"
+            ).replace(tzinfo=timezone.utc)
+        except ValueError:
+            pass
     out["outlinks"] = _RE_HREF.findall(s)
     return out

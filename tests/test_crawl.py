@@ -1,0 +1,150 @@
+"""Crawl-semantics parity per the north rule: the distributed engine must
+reproduce the sequential reference simulation's crawl ordering and final
+URL-seen set under the same seed list + politeness budget, and resume from
+a mid-crawl checkpoint to the identical final state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from hk_housing_datahub_spark.datagen import (
+    generate_pages,
+    generate_robots,
+    generate_seeds,
+)
+from hk_housing_datahub_spark.frontier import CrawlEngine
+from hk_housing_datahub_spark.frontier.simulator import simulate_crawl
+
+N, H = 800, 12
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = generate_pages(spark, N, n_hosts=H).cache()
+    seeds = generate_seeds(spark, 12, N, n_hosts=H)
+    robots = generate_robots(spark, n_hosts=H)
+    pages.count()
+    return pages, seeds, robots
+
+
+@pytest.fixture(scope="module")
+def sim_result(corpus):
+    pages, seeds, robots = corpus
+    rows = [
+        {"url": r.url, "warc_ts": r.warc_ts, "html": bytes(r.html), "lang": r.lang}
+        for r in pages.collect()
+    ]
+    return simulate_crawl(
+        rows,
+        [(r.url, r.priority) for r in seeds.collect()],
+        [r.asDict() for r in robots.collect()],
+        wave_ms=1000,
+        max_waves=4,
+        max_depth=2,
+    )
+
+
+def _run(spark, corpus, tmp, **kw):
+    pages, seeds, robots = corpus
+    eng = CrawlEngine(
+        spark, pages, robots, tmp, wave_ms=1000, max_depth=2, **kw
+    )
+    return eng, eng.run(seeds, max_waves=4)
+
+
+def _schedule(spark, res):
+    return [
+        (r.wave, r.host, r.host_rank, r.url_canon)
+        for r in res.schedule_log(spark).orderBy("wave", "host", "host_rank").collect()
+    ]
+
+
+def test_schedule_and_seen_match_sequential_reference(spark, corpus, sim_result):
+    tmp = tempfile.mkdtemp(prefix="crawl_t1_")
+    try:
+        _, res = _run(spark, corpus, tmp, seen_mode="exact")
+        assert _schedule(spark, res) == sorted(sim_result.schedule)
+        seen_spark = {
+            r.url_canon
+            for r in res.schedule_log(spark).select("url_canon").collect()
+        }
+        assert seen_spark == sim_result.seen
+    finally:
+        shutil.rmtree(tmp)
+
+
+def test_resume_midcrawl_reaches_identical_state(spark, corpus, sim_result):
+    pages, seeds, robots = corpus
+    tmp = tempfile.mkdtemp(prefix="crawl_t2_")
+    try:
+        # run 2 waves, "crash", then resume with a fresh engine for 2 more
+        eng1 = CrawlEngine(spark, pages, robots, tmp, wave_ms=1000, max_depth=2)
+        eng1.run(seeds, max_waves=2)
+        eng2 = CrawlEngine(spark, pages, robots, tmp, wave_ms=1000, max_depth=2)
+        res = eng2.run(seeds, max_waves=2)
+        assert _schedule(spark, res) == sorted(sim_result.schedule)
+    finally:
+        shutil.rmtree(tmp)
+
+
+def test_bloom_mode_close_to_exact(spark, corpus):
+    """Bloom seen-set may only *skip* urls (false positives), never re-crawl;
+    with test-sized filters it should match exact mode exactly."""
+    t1, t2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        _, r_exact = _run(spark, corpus, t1, seen_mode="exact")
+        _, r_bloom = _run(
+            spark, corpus, t2, seen_mode="bloom", n_buckets=64,
+            bloom_bits=1 << 18,
+        )
+        s_exact = _schedule(spark, r_exact)
+        s_bloom = _schedule(spark, r_bloom)
+        assert set(s_bloom) <= set(s_exact)
+        assert len(s_bloom) >= 0.98 * len(s_exact)
+    finally:
+        shutil.rmtree(t1)
+        shutil.rmtree(t2)
+
+
+def test_extraction_parity_with_simulator(spark, corpus, sim_result):
+    tmp = tempfile.mkdtemp(prefix="crawl_t3_")
+    try:
+        _, res = _run(spark, corpus, tmp, seen_mode="exact")
+        listings = {
+            r.url_canon: (r.extracted_text, r.price)
+            for r in res.listings(spark).collect()
+        }
+        sim_map = {
+            e["url_canon"]: (e["text"], e["price"]) for e in sim_result.extracted
+        }
+        assert set(listings) == set(sim_map)
+        for k, (t, p) in listings.items():
+            st, sp = sim_map[k]
+            assert (t is None) == (st is None)
+            if t is not None:
+                assert t.encode() == st.encode(), k
+            assert (p is None) == (sp is None) and (p == sp or p is None), k
+    finally:
+        shutil.rmtree(tmp)
+
+
+def test_manifest_lineage_recorded(spark, corpus):
+    from hk_housing_datahub_spark.frontier.checkpoint import read_manifest
+
+    tmp = tempfile.mkdtemp(prefix="crawl_t4_")
+    try:
+        _, res = _run(spark, corpus, tmp, seen_mode="exact")
+        m = read_manifest(tmp)
+        assert m is not None and m.waves_done
+        assert all(
+            set(l) == {"partition_id", "watermark", "rows_emitted"}
+            for l in m.lineage
+        )
+        assert sum(l["rows_emitted"] for l in m.lineage) > 0
+    finally:
+        shutil.rmtree(tmp)

@@ -1,0 +1,64 @@
+"""Dedup ladder properties: LSH recall vs the exact Jaccard oracle,
+SimHash symmetry/sanity, exact dedup correctness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_med):
+    return spark.read.parquet(f"{sf_med}/documents.parquet").cache()
+
+
+def test_exact_dedup_drops_only_dups(spark, docs):
+    kept = DD.drop_exact_dups(docs)
+    stats = DD.exact_dedup_stats(docs).collect()
+    assert kept.count() == sum(r["n_distinct"] for r in stats)
+    # deterministic: lowest doc_id kept per fingerprint
+    kept2 = DD.drop_exact_dups(docs)
+    assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in kept2.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
+    """With 64 perms / 16 bands (r=4), P[collide | j=0.8] = 1-(1-0.8^4)^16
+    ≈ 0.9997 — every j≥0.8 pair must appear among LSH candidates here."""
+    exact = {
+        (r.a, r.b)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    cands = {(r.a, r.b) for r in DD.minhash_lsh_pairs(docs).collect()}
+    assert exact, "test corpus should contain near-dup pairs"
+    missed = exact - cands
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_minhash_identical_docs_always_collide(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words entirely here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.a, r.b) for r in DD.minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_pairs_are_exact_dups_superset(spark, docs):
+    """Exact duplicates have hamming 0 → must be found by simhash blocking."""
+    exact = {
+        (r.a, r.b)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.999).collect()
+    }
+    sh = {(r.a, r.b) for r in DD.simhash_pairs(docs, max_hamming=3).collect()}
+    assert exact <= sh
+    for r in DD.simhash_pairs(docs, max_hamming=3).collect():
+        assert 0 <= r.hamming <= 3
+
+
+def test_jaccard_bounds(spark, docs):
+    for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect():
+        assert 0.5 <= r.jaccard <= 1.0
+        assert r.a < r.b

@@ -1,0 +1,133 @@
+"""Operator unit tests: chunking semantics, similarity recall, variants,
+text functions, multimodal plumbing, streaming-vs-batch equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.functions.chunking import (
+    CHUNK_SIZE,
+    OVERLAP,
+    chunk_documents,
+    chunk_text_py,
+)
+from hk_housing_datahub_spark.functions.variants import title_variants
+from hk_housing_datahub_spark.multimodal import attach_payload, decode_payload_meta
+from hk_housing_datahub_spark.operators import similarity as SIM
+from hk_housing_datahub_spark.operators.rollups import tumbling_counts
+from hk_housing_datahub_spark.streaming import run_windowed_counts
+
+
+# ----------------------------------------------------------------- chunking
+def test_chunker_reconstructs_text():
+    text = "句子一。句子二！句子三？" + "x" * 1200 + "。尾段文字"
+    chunks = chunk_text_py(text)
+    assert all(len(c) <= CHUNK_SIZE for c in chunks)
+    # overlap-stripped concatenation covers the document
+    assert chunks[0].startswith("句子一。")
+    joined = chunks[0] + "".join(c[OVERLAP:] if len(c) > OVERLAP else c for c in chunks[1:])
+    assert text in joined or len(joined) >= len(text) * 0.95
+
+
+def test_chunker_edge_cases():
+    assert chunk_text_py("") == []
+    assert chunk_text_py(None) == []
+    assert chunk_text_py("short") == ["short"]
+    many = chunk_text_py("a" * 2000)
+    assert len(many) >= 4
+
+
+def test_chunk_documents_spark_matches_python(spark, sf_med):
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet").limit(50)
+    got = chunk_documents(docs).collect()
+    pdf = docs.toPandas()
+    want = {}
+    for _, row in pdf.iterrows():
+        for i, c in enumerate(chunk_text_py(row["text"])):
+            want[(row["doc_id"], i)] = c
+    assert {(r.doc_id, r.chunk_index): r.chunk for r in got} == want
+    for r in got:
+        assert r.chunk_id == f"{r.doc_id}_{r.chunk_index}"
+
+
+# --------------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def emb(spark, sf_med):
+    return spark.read.parquet(f"{sf_med}/embeddings.parquet").cache()
+
+
+def test_brute_force_topk_shape(spark, emb):
+    q = emb.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = SIM.brute_force_topk(emb, q, k=5).collect()
+    n_q = q.count()
+    assert len(out) == 5 * n_q
+    for r in out:
+        assert r.nid != r.qid and -1.0 <= r.cos_sim <= 1.0
+
+
+def test_lsh_ann_recall(spark, emb):
+    q = emb.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = SIM.brute_force_topk(emb, q, k=5).collect()
+    approx = SIM.lsh_topk(emb, q, dim=64, k=5).collect()
+    exact_at1 = {r.qid: r.nid for r in exact if r.rnk == 1}
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.qid, set()).add(r.nid)
+    hits = sum(
+        1 for qid, nid in exact_at1.items() if nid in approx_sets.get(qid, set())
+    )
+    # multi-table LSH (L=12, m=5): expected recall@1 ≈ 0.8 on this corpus
+    assert hits >= 0.5 * len(exact_at1), (hits, len(exact_at1))
+
+
+def test_cosine_self_is_one(spark, emb):
+    row = emb.limit(1).select(
+        SIM.cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).first()
+    assert abs(row["c"] - 1.0) < 1e-9
+
+
+# ----------------------------------------------------------------- variants
+def test_title_variants_order_and_dedup(spark):
+    df = spark.createDataFrame([("Tai Koo Shing II",), ("abc",)], ["t"])
+    rows = df.select(title_variants(F.col("t")).alias("v")).collect()
+    v1 = rows[0]["v"]
+    assert v1[0] == "Tai Koo Shing II"
+    assert "TAI KOO SHING II" in v1 and "Tai Koo Shing" in v1
+    assert len(v1) == len(set(v1))  # ordered-dedup
+    v2 = rows[1]["v"]
+    assert v2[0] == "abc" and v2[1] == "ABC" and "Abc" in v2
+    assert len(v2) == len(set(v2))
+
+
+# --------------------------------------------------------------- multimodal
+def test_multimodal_meta_deterministic(spark, sf_med):
+    docs = spark.read.parquet(f"{sf_med}/documents.parquet").limit(30)
+    out1 = decode_payload_meta(attach_payload(docs)).orderBy("doc_id").collect()
+    out2 = decode_payload_meta(attach_payload(docs)).orderBy("doc_id").collect()
+    assert out1 == out2
+    for r in out1:
+        assert r.n_bytes > 0 and r.width >= 16 and r.height >= 16
+        assert len(r.checksum) == 32
+        assert r.media_type in ("image/png", "audio/wav", "video/mp4")
+
+
+# ---------------------------------------------------------------- streaming
+def test_streaming_equals_batch(spark, sf_med):
+    stream_out = run_windowed_counts(
+        spark, f"{sf_med}/events.parquet", query_name="t_ev"
+    )
+    ev = spark.read.parquet(f"{sf_med}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = tumbling_counts(ev).select(
+        F.col("win").alias("win_start"), "event_type", "n", "total_value"
+    )
+    a = {(str(r.win_start), r.event_type): (r.n, r.total_value) for r in stream_out.collect()}
+    b = {(str(r.win_start), r.event_type): (r.n, r.total_value) for r in batch.collect()}
+    assert a == b
