@@ -36,8 +36,11 @@ from hk_housing_datahub_spark.functions import text as TX
 from hk_housing_datahub_spark.functions import urls as U
 from hk_housing_datahub_spark.functions.chunking import chunk_documents
 from hk_housing_datahub_spark.functions.variants import title_variants_basic
+from hk_housing_datahub_spark.functions.embedding import embed_documents
+from hk_housing_datahub_spark.functions.wikitables import expand_wikitables
 from hk_housing_datahub_spark.multimodal import attach_payload, decode_payload_meta
 from hk_housing_datahub_spark.operators import dedup as DD
+from hk_housing_datahub_spark.operators import nested as NJ
 from hk_housing_datahub_spark.operators import joins as J
 from hk_housing_datahub_spark.operators import rollups as R
 from hk_housing_datahub_spark.operators import similarity as SIM
@@ -319,6 +322,12 @@ def _topk_orders_per_customer(spark, sf):
     )
 
 
+def _nested_json_explode(spark, sf):
+    return NJ.nested_json_explode(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
 def _cube_order_stats(spark, sf):
     o = _t(spark, sf, "orders")
     return (
@@ -395,6 +404,66 @@ def _streaming_windowed(spark, sf):
     )
 
 
+def _wiki_table_expand(spark, sf):
+    """Deterministic wikitext synthesized from the documents table, then the
+    stateful colspan/rowspan 2-D expansion (F8) + CSV render (F9)."""
+    d = _t(spark, sf, "documents")
+    wiki = d.select(
+        "doc_id",
+        F.format_string(
+            '{|\n|-\n! Doc !! colspan="2" | Stats\n'
+            '|-\n| rowspan="2" | [[Doc %s|d%s]] || %s || %s\n'
+            "|-\n| lang=%s || src=%s\n|}",
+            "doc_id", "doc_id", "lang", "n_chars", "lang", "source",
+        ).alias("wikitext"),
+    )
+    return expand_wikitables(wiki)
+
+
+def _embed_chunks(spark, sf):
+    """EP3 parity: chunk → iterator-UDF embed → vector-table shape."""
+    chunks = chunk_documents(_t(spark, sf, "documents"))
+    out = embed_documents(chunks, text_col="chunk", id_col="chunk_id", dim=64)
+    return out.select(
+        "chunk_id", F.size("embedding").alias("dim"), "embedding_norm"
+    )
+
+
+def _ivf_ann_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.pmod("vec_id", F.lit(25)) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return SIM.ivf_topk(e, q, dim=64, k=5, n_cells=16, nprobe=6).select(
+        "qid", "nid", "cos_sim", "rnk"
+    )
+
+
+def _streaming_stateful_dedup(spark, sf):
+    """Stateful streaming seen-set: two micro-batches with overlapping URLs;
+    state (per-bucket bloom bytes) persists across batches."""
+    from hk_housing_datahub_spark.streaming import run_streaming_dedup
+
+    d = _t(spark, sf, "documents").limit(400)
+    urls = d.select(
+        F.concat(
+            F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
+            F.lit(".example.com/d/"), F.col("doc_id"),
+        ).alias("url_canon"),
+        (F.col("doc_id") * 7919).alias("url_hash"),
+        F.pmod("doc_id", F.lit(8)).cast("int").alias("bucket"),
+    )
+    root = tempfile.mkdtemp(prefix="hk_sdedup_")
+    urls.coalesce(1).write.parquet(os.path.join(root, "b1"))
+    # second batch: 50% overlap with the first
+    urls.filter(F.pmod(F.col("url_hash") / 7919, F.lit(2)) == 0).coalesce(
+        1
+    ).write.parquet(os.path.join(root, "b2"))
+    return run_streaming_dedup(
+        spark, os.path.join(root, "*", "*.parquet"), query_name="sdedup_q"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational parity (SURVEY §2.3–2.7)
@@ -411,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _url_canonicalize,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "cube_order_stats": _cube_order_stats,
+        "nested_json_explode": _nested_json_explode,
         "sessionize_events": _sessionize_events,
         "tumbling_counts": _tumbling_counts,
         # training-data pipeline battery
@@ -431,6 +501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "multimodal_meta": _multimodal_meta,
         "streaming_windowed": _streaming_windowed,
+        "wiki_table_expand": _wiki_table_expand,
+        "embed_chunks": _embed_chunks,
+        "ivf_ann_topk": _ivf_ann_topk,
+        "streaming_stateful_dedup": _streaming_stateful_dedup,
     }
 
 
@@ -587,6 +661,14 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
                   FROM orders)
             WHERE rnk <= 3
+        """,
+        "nested_json_explode": """
+            SELECT o_orderkey AS order_id, o_orderstatus AS status,
+                   round(o_totalprice, 2) AS total,
+                   l_linenumber AS line_no,
+                   round(l_quantity, 2) AS qty,
+                   strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         """,
         "cube_order_stats": """
             SELECT o_orderstatus, o_orderpriority,

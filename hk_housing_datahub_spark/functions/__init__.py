@@ -1,1 +1,1 @@
-from . import text, urls, variants  # noqa: F401
+from . import embedding, text, urls, variants, wikitables  # noqa: F401

@@ -152,6 +152,71 @@ def lsh_topk(
     )
 
 
+def ivf_cell_udf(dim: int, n_cells: int, nprobe: int = 1, seed: int = LSH_SEED):
+    """Vectorized IVF coarse quantizer: array<float> → the ``nprobe`` nearest
+    centroid ids (by cosine). Centroids are seeded random unit vectors —
+    deterministic on every executor, no fit/broadcast step; production would
+    swap in k-means centroids without touching the dataflow."""
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        c = np.random.RandomState(seed).standard_normal((n_cells, dim))
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        for vecs in it:
+            x = np.stack(vecs.to_numpy())  # (batch, dim)
+            sims = x @ c.T  # norm(x) constant per row → argmax == cosine
+            top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+            yield pd.Series(list(top))
+
+    return cells
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qe",
+) -> DataFrame:
+    """IVF-style ANN: corpus partitioned into ``n_cells`` coarse cells (each
+    vector indexed under its nearest centroid), each query probes its
+    ``nprobe`` nearest cells, exact cosine rerank inside the probed cells.
+
+    Scale path: probe cost ∝ nprobe/n_cells of the corpus; the (cell)
+    equi-join shuffles co-partitioned by cell id — at 10^9 vectors, cells
+    are also the natural storage partitioning (partitionBy("cell") on the
+    index table makes the probe a partition-pruned scan, no shuffle).
+    """
+    vcell = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(ivf_cell_udf(dim, n_cells, 1)(F.col(vec_col))).alias("cell"),
+    )
+    qcell = queries.select(
+        F.col(qid_col), F.col(qvec_col),
+        F.explode(ivf_cell_udf(dim, n_cells, nprobe)(F.col(qvec_col))).alias("cell"),
+    )
+    cands = (
+        vcell.join(F.broadcast(qcell), "cell")
+        .filter(F.col(id_col) != F.col(qid_col))
+        .select(qid_col, qvec_col, id_col, vec_col)
+        .dropDuplicates([qid_col, id_col])
+    )
+    scored = cands.select(
+        F.col(qid_col),
+        F.col(id_col).alias("nid"),
+        F.round(cosine(F.col(qvec_col), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

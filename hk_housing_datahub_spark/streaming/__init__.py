@@ -1,1 +1,2 @@
 from .events import run_windowed_counts, streaming_windowed_counts  # noqa: F401
+from .stateful import run_streaming_dedup, streaming_seen_dedup  # noqa: F401

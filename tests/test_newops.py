@@ -1,0 +1,190 @@
+"""Tests for round-1 widening: wikitable expansion (F8/F9), embedding
+generation (EP3), IVF ANN, nested-JSON ingress (P7/S3/J4), and the stateful
+streaming seen-set dedup."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hk_housing_datahub_spark.functions.embedding import embed_documents, embed_udf
+from hk_housing_datahub_spark.functions.wikitables import (
+    clean_wiki_markup,
+    expand_wikitables,
+    extract_tables,
+    parse_wikitable,
+    table_to_csv,
+)
+from hk_housing_datahub_spark.operators.nested import nested_json_explode
+from hk_housing_datahub_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+# ---------------------------------------------------------------- wikitables
+
+WIKI_MARKUP = """Intro text.
+{|
+|-
+! Name !! colspan="2" | Price
+|-
+| rowspan="2" | [[Estate A|A]] || 100 || 200
+|-
+| 300 || 400
+|}
+Middle.
+{|
+|-
+| solo, with comma || "quoted"
+|}"""
+
+
+def test_parse_wikitable_spans():
+    grid = parse_wikitable(WIKI_MARKUP.split("Middle.")[0].split("Intro text.")[1])
+    assert grid == [
+        ["Name", "Price", "Price"],
+        ["A", "100", "200"],
+        ["A", "300", "400"],
+    ]
+
+
+def test_table_to_csv_quoting():
+    assert table_to_csv([["a,b", 'q"x', "plain"]]) == '"a,b","q""x",plain'
+
+
+def test_extract_tables_none_and_empty():
+    assert extract_tables(None) == []
+    assert extract_tables("no tables") == []
+
+
+def test_expand_wikitables_spark(spark):
+    df = spark.createDataFrame(
+        [(1, WIKI_MARKUP), (2, "plain text, no table"), (3, None)],
+        "doc_id long, wikitext string",
+    )
+    rows = expand_wikitables(df).orderBy("doc_id", "table_index").collect()
+    assert [(r.doc_id, r.table_index, r.n_rows, r.n_cols) for r in rows] == [
+        (1, 0, 3, 3),
+        (1, 1, 1, 2),
+    ]
+    assert rows[0].csv.splitlines()[1] == "A,100,200"
+    # UDF output == pure-Python ground truth per document
+    assert rows[1].csv == table_to_csv(extract_tables(WIKI_MARKUP)[1])
+
+
+def test_clean_wiki_markup(spark):
+    df = spark.createDataFrame(
+        [("see [[Foo|the foo]] and [[Bar]]<br>next <b>bold</b>",)], "t string"
+    )
+    out = df.select(clean_wiki_markup(F.col("t")).alias("c")).first().c
+    assert out == "see the foo and Bar\nnext bold"
+
+
+# ----------------------------------------------------------------- embedding
+
+def test_embed_deterministic_and_normalized(spark):
+    texts = [(i, f"document body {i % 7} with drift {i % 3}") for i in range(40)]
+    df = spark.createDataFrame(texts, "chunk_id long, chunk string")
+    a = embed_documents(df, dim=64).orderBy("chunk_id").collect()
+    b = (
+        embed_documents(df.repartition(7), dim=64).orderBy("chunk_id").collect()
+    )
+    assert [r.embedding for r in a] == [r.embedding for r in b]  # partition-stable
+    assert all(abs(r.embedding_norm - 1.0) < 1e-3 for r in a)
+    # same text → same vector; different text → different vector
+    va = {r.chunk_id: tuple(r.embedding) for r in a}
+    assert va[0] == va[21]  # both "... 0 ... 0"
+    assert va[0] != va[1]
+
+
+def test_embed_null_text(spark):
+    df = spark.createDataFrame([(1, None)], "chunk_id long, chunk string")
+    row = df.select(embed_udf(16)(F.col("chunk")).alias("e")).first()
+    assert row.e is None
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+def test_ivf_topk_recall(spark, sf_small):
+    e = spark.read.parquet(os.path.join(sf_small, "embeddings.parquet"))
+    q = e.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = brute_force_topk(e, q, k=5).collect()
+    approx = ivf_topk(e, q, dim=64, k=5, n_cells=16, nprobe=6).collect()
+    truth = {(r.qid, r.nid) for r in exact}
+    got = {(r.qid, r.nid) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # approx scores that DO overlap must agree exactly with brute force
+    bf = {(r.qid, r.nid): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.qid, r.nid) in bf:
+            assert abs(bf[(r.qid, r.nid)] - r.cos_sim) < 1e-9
+
+
+# ----------------------------------------------------------- nested ingress
+
+def test_nested_json_explode_matches_flat(spark, sf_small):
+    o = spark.read.parquet(os.path.join(sf_small, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_small, "lineitem.parquet"))
+    got = nested_json_explode(o, li)
+    want = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("total"),
+            F.col("l_linenumber").alias("line_no"),
+            F.round("l_quantity", 2).alias("qty"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+    assert got.count() == want.count() == li.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_nested_parse_drops_garbage(spark):
+    from hk_housing_datahub_spark.operators.nested import parse_order_response
+
+    df = spark.createDataFrame(
+        [
+            ('{"order_id": 1, "status": "F", "total": "12.5", '
+             '"lines": [{"line_no": 1, "qty": "oops", "ship": "not-a-date"}]}',),
+            ("this is not json at all {{{",),
+        ],
+        "payload string",
+    )
+    rows = parse_order_response(df).collect()
+    # malformed JSON row dropped; bad coercions → NULL, never error
+    assert len(rows) == 1
+    assert rows[0].order_id == 1 and rows[0].total == 12.5
+    assert rows[0].qty is None and rows[0].ship_date is None
+
+
+# ------------------------------------------------------- stateful streaming
+
+def test_streaming_seen_dedup_across_batches(spark, tmp_path):
+    from hk_housing_datahub_spark.streaming.stateful import run_streaming_dedup
+
+    d = str(tmp_path / "urls")
+    os.makedirs(d)
+    mk = lambda i: f"https://h{i % 5}.example.com/p/{i}"
+    batch1 = [(mk(i), i * 7919, i % 8) for i in range(50)]
+    batch2 = [(mk(i), i * 7919, i % 8) for i in range(25, 75)]  # 25 dupes
+    schema = "url_canon string, url_hash long, bucket int"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        os.path.join(d, "b1")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        os.path.join(d, "b2")
+    )
+    # point the file stream at the leaf files via glob
+    out = run_streaming_dedup(
+        spark, os.path.join(d, "*", "*.parquet"), query_name="dedup_t"
+    ).collect()
+    hashes = [r.url_hash for r in out]
+    assert len(hashes) == len(set(hashes)), "stream emitted a duplicate"
+    assert set(hashes) == {i * 7919 for i in range(75)}, "lost a first occurrence"
