@@ -28,7 +28,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("BENCH_PAGES", "120000"))
-N_HOSTS = 200
+N_SEEDS = int(os.environ.get("BENCH_SEEDS", "3000"))
+N_WAVES = int(os.environ.get("BENCH_WAVES", "3"))
+WAVE_MS = int(os.environ.get("BENCH_WAVE_MS", "120000"))
+# "full" = crawl + operator suite; "frontier" = crawl headline only (the
+# N-vs-4N scaling runs use this so both parallelism levels time the same job).
+MODE = os.environ.get("BENCH_MODE", "full")
+# When set, the pages corpus is materialized here once and reused across
+# invocations — the two scaling runs must read byte-identical input.
+CORPUS_DIR = os.environ.get("BENCH_CORPUS_DIR", "")
+N_HOSTS = int(os.environ.get("BENCH_HOSTS", "200"))
+# Extra listing rows per page (page ≈ 600 B + 150 B × filler). The scale runs
+# use ~30 so per-page extraction work resembles real Common-Crawl-size pages.
+FILLER = int(os.environ.get("BENCH_FILLER", "0"))
 
 
 def main() -> None:
@@ -48,55 +60,71 @@ def main() -> None:
     timings: dict[str, float] = {}
     tmp_root = tempfile.mkdtemp(prefix="hk_bench_")
 
-    # ---- corpus materialization (untimed: stands in for the stored table)
-    pages_path = os.path.join(tmp_root, "pages")
-    generate_pages(spark, N_PAGES, n_hosts=N_HOSTS, partitions=CPUS).write.mode(
-        "overwrite"
-    ).parquet(pages_path)
+    # ---- corpus materialization (untimed: stands in for the stored table).
+    # Write partitioning is fixed (64) so the stored input is identical no
+    # matter which parallelism level this process runs at.
+    pages_path = os.path.join(CORPUS_DIR or tmp_root, "pages")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        generate_pages(
+            spark, N_PAGES, n_hosts=N_HOSTS, partitions=64,
+            filler_listings=FILLER,
+        ).write.mode("overwrite").parquet(pages_path)
     pages = spark.read.parquet(pages_path)
     robots = generate_robots(spark, n_hosts=N_HOSTS)
-    seeds = generate_seeds(spark, 3000, N_PAGES, n_hosts=N_HOSTS)
+    seeds = generate_seeds(spark, N_SEEDS, N_PAGES, n_hosts=N_HOSTS)
+
+    # ---- optional JIT warm-up (same plan shapes, tiny seed set) so the
+    # timed run measures steady-state throughput, not one-time codegen. A
+    # production crawler is a long-running job; its waves are all "warm".
+    if os.environ.get("BENCH_WARMUP", "") == "1":
+        weng = CrawlEngine(
+            spark, pages, robots, os.path.join(tmp_root, "warm"),
+            seen_mode="exact", wave_ms=WAVE_MS, max_depth=2, n_buckets=1024,
+        )
+        weng.run(generate_seeds(spark, 2000, N_PAGES, n_hosts=N_HOSTS), max_waves=2)
 
     # ---- headline: frontier crawl throughput
     ckpt = os.path.join(tmp_root, "crawl")
     t0 = time.perf_counter()
     eng = CrawlEngine(
         spark, pages, robots, ckpt,
-        seen_mode="exact", wave_ms=120_000, max_depth=2, n_buckets=1024,
+        seen_mode="exact", wave_ms=WAVE_MS, max_depth=2, n_buckets=1024,
     )
-    res = eng.run(seeds, max_waves=3)
+    res = eng.run(seeds, max_waves=N_WAVES)
     crawl_sec = time.perf_counter() - t0
     n_urls = res.n_seen  # scheduled (incl. dead links) — extraction ⊆ this
     timings["crawl_frontier"] = round(crawl_sec, 3)
     urls_per_sec = round(n_urls / crawl_sec, 1)
 
-    # ---- pure extraction throughput (vectorized UDF over the corpus)
-    from hk_housing_datahub_spark.extract import extract_df
-    import pyspark.sql.functions as F
+    n_ex = 0
+    if MODE == "full":
+        # ---- pure extraction throughput (vectorized UDF over the corpus)
+        from hk_housing_datahub_spark.extract import extract_df
+        import pyspark.sql.functions as F
 
-    t0 = time.perf_counter()
-    n_ex = extract_df(pages).filter(F.col("price").isNotNull()).count()
-    timings["extract_corpus"] = round(time.perf_counter() - t0, 3)
-
-    # ---- operator headline queries at SF_DIR
-    bench_queries = [
-        "q1_pricing_summary",
-        "monthly_rollup",
-        "topk_orders_per_customer",
-        "sessionize_events",
-        "ngram_jaccard_pairs",
-        "minhash_lsh_candidates",
-        "dedup_exact_stats",
-        "ann_topk_cosine",
-        "quality_by_source",
-        "chunk_documents",
-    ]
-    qs = E.queries()
-    for name in bench_queries:
         t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        n_ex = extract_df(pages).filter(F.col("price").isNotNull()).count()
+        timings["extract_corpus"] = round(time.perf_counter() - t0, 3)
+
+        # ---- operator headline queries at SF_DIR
+        bench_queries = [
+            "q1_pricing_summary",
+            "monthly_rollup",
+            "topk_orders_per_customer",
+            "sessionize_events",
+            "ngram_jaccard_pairs",
+            "minhash_lsh_candidates",
+            "dedup_exact_stats",
+            "ann_topk_cosine",
+            "quality_by_source",
+            "chunk_documents",
+        ]
+        qs = E.queries()
+        for name in bench_queries:
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -107,8 +135,12 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         "pages": N_PAGES,
+        "mode": MODE,
+        "seeds": N_SEEDS,
+        "waves": res.waves_run,
         "frontier_urls_per_sec": urls_per_sec,
         "frontier_urls": n_urls,
+        "frontier_extracted": res.n_extracted,
         "extract_rows": n_ex,
     }
     print(json.dumps(out))

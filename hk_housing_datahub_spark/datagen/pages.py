@@ -91,9 +91,23 @@ def _stored_url(idc: Column, n_hosts: int) -> Column:
 
 
 def generate_pages(
-    spark: SparkSession, n_pages: int, n_hosts: int = 50, partitions: int | None = None
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = 50,
+    partitions: int | None = None,
+    filler_listings: int = 0,
 ) -> DataFrame:
-    """Build the pages corpus as a lazy DataFrame of exactly `input_hint` shape."""
+    """Build the pages corpus as a lazy DataFrame of exactly `input_hint` shape.
+
+    ``filler_listings`` appends that many extra listing rows (price/address/
+    area spans, no anchors) after the content div — modeling the reference's
+    real listing-index pages, which carry up to 1000 listings each
+    (/root/reference/src/crawlers/agency/estates.py:44 limit=1000). Extraction
+    semantics are unchanged (fields = first match, text div unique, outlink
+    set unchanged); page bytes and regex-scan work grow ~150 B per filler row,
+    which is what makes the scale bench extraction-compute-bound like a real
+    Common-Crawl corpus (average page ≈ tens of KB, not 600 B).
+    """
     idc = F.col("id")
     df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
 
@@ -147,6 +161,21 @@ def generate_pages(
     link1 = url_for_page(t1, n_hosts)
     link2 = url_for_page(t2, n_hosts)
 
+    filler = F.lit("")
+    if filler_listings > 0:
+        # Deterministic extra rows; one format_string then repeat — all
+        # JVM-side, no UDFs. Values vary per page via the row hash.
+        row_tpl = F.format_string(
+            '<div class="listing"><span class="price">HK$ %,d</span>'
+            '<span class="address">No. %d Queen\'s Road</span>'
+            '<span class="area">%d.0 sq.ft</span>'
+            "<time class=\"txdate\">2020-01-01</time></div>",
+            (F.lit(2_000_000) + _pm(idc, "fprice", 7_000_000)).cast("long"),
+            (_pm(idc, "fno", 999) + 1).cast("long"),
+            (_pm(idc, "farea", 1500) + 150).cast("long"),
+        )
+        filler = F.repeat(row_tpl, filler_listings)
+
     html_str = F.format_string(
         '<html><head><title>%s</title></head><body>'
         '<div class="listing"><span class="price">%s</span>'
@@ -154,8 +183,9 @@ def generate_pages(
         '<time class="txdate">%s</time></div>'
         '<div id="content">%s</div>'
         '<a href="%s">n</a><a href="%s">m</a>'
-        "</body></html>",
-        address, price_cell, address, area_cell, date_cell, body_text, link1, link2,
+        "%s</body></html>",
+        address, price_cell, address, area_cell, date_cell, body_text,
+        link1, link2, filler,
     )
     malformed = F.pmod(idc, F.lit(37)) == 0
     html_str = F.when(malformed, F.lit("<html><bo")).otherwise(html_str)

@@ -28,6 +28,7 @@ Scale notes (the 1000-executor story):
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,7 +81,11 @@ class CrawlEngine:
         bloom_bits: int = 1 << 20,
         wave_ms: int = 1_000,
         max_depth: int = 3,
+        verbose: bool = False,
+        broadcast_fetch_max: int = 4_000_000,
     ):
+        self.verbose = verbose
+        self.broadcast_fetch_max = broadcast_fetch_max
         self.spark = spark
         self.robots = robots
         self.dir = checkpoint_dir
@@ -157,31 +162,50 @@ class CrawlEngine:
             total_extracted = m.n_extracted
             waves_done = list(m.waves_done)
 
+        def tick(label: str, t0: float) -> float:
+            now = time.perf_counter()
+            if self.verbose:
+                print(f"    [crawl w{wave}] {label}: {now - t0:.2f}s", flush=True)
+            return now
+
         wave = start_wave - 1
         for wave in range(start_wave, start_wave + max_waves):
+            t = time.perf_counter()
             unseen = seen.filter_unseen(frontier)
             sched = schedule_wave(unseen, self.robots, self.wave_ms).persist()
             wave_rows = sched.filter(F.col("scheduled"))
             n_sched = wave_rows.count()
+            t = tick(f"schedule+count ({n_sched})", t)
             if n_sched == 0:
                 sched.unpersist()
                 wave -= 1
                 break
 
-            # Schedule log — the deterministic ordering evidence.
+            # Schedule log — the deterministic ordering evidence. Written
+            # partition-parallel; the order is carried by (wave, host,
+            # host_rank), never by file layout.
             (
                 wave_rows.select(
                     F.lit(wave).alias("wave"), "host", "host_rank", "url_canon"
                 )
-                .repartition(1)
                 .write.mode("append")
                 .parquet(os.path.join(self.dir, "schedule"))
             )
+            t = tick("schedule-log write", t)
 
-            # "Fetch": equi-join of the wave against the corpus.
-            fetched = wave_rows.select(
-                "url_canon", "host", "priority", "depth"
-            ).join(self.pages, "url_canon", "inner")
+            # "Fetch": equi-join of the wave against the corpus. The wave is
+            # bounded by the politeness budget (hosts × budget/wave), so it is
+            # almost always the small side: broadcast it and the corpus scan
+            # stays map-local — html bytes NEVER shuffle, at any corpus size.
+            # (Fallback for a pathologically large wave: plain shuffled join,
+            # AQE picks the strategy.)
+            wave_sel = wave_rows.select("url_canon", "host", "priority", "depth")
+            if n_sched <= self.broadcast_fetch_max:
+                fetched = self.pages.join(
+                    F.broadcast(wave_sel), "url_canon", "inner"
+                )
+            else:
+                fetched = wave_sel.join(self.pages, "url_canon", "inner")
 
             extracted = extract_df(fetched).withColumn("wave", F.lit(wave))
             listings = extracted.select(
@@ -199,9 +223,12 @@ class CrawlEngine:
                 F.size("outlinks").alias("n_outlinks"),
                 "outlinks",
             ).persist()
-            listings.drop("outlinks").write.mode("append").parquet(
+            # The wave=N partition directory encodes the wave; keeping the
+            # column in the files too would duplicate it on read.
+            listings.drop("outlinks", "wave").write.mode("append").parquet(
                 os.path.join(self.dir, "listings", f"wave={wave}")
             )
+            t = tick("fetch+extract+listings write", t)
 
             # Per-partition lineage: (partition_id, watermark, rows_emitted).
             lineage_rows = (
@@ -214,9 +241,11 @@ class CrawlEngine:
             )
             n_extracted = int(sum(r["rows"] for r in lineage_rows))
             total_extracted += n_extracted
+            t = tick("lineage collect", t)
 
             # Mark everything scheduled this wave as seen (fetched or dead).
             seen.add(wave_rows.select("bucket", "url_hash"))
+            t = tick("seen add", t)
 
             # Frontier for the next wave: politeness backlog ∪ fresh outlinks.
             backlog = sched.filter(~F.col("scheduled")).select(*FRONTIER_COLS)
@@ -239,7 +268,9 @@ class CrawlEngine:
             fpath = os.path.join(self.dir, f"frontier_v{wave}")
             frontier.write.mode("overwrite").parquet(fpath)
             frontier = self.spark.read.parquet(fpath)
+            t = tick("frontier dedup+write", t)
             seen.checkpoint(os.path.join(self.dir, f"seen_v{wave}"))
+            t = tick("seen checkpoint", t)
             waves_done.append(wave)
             write_manifest(
                 self.dir,
@@ -265,6 +296,7 @@ class CrawlEngine:
             )
             listings.unpersist()
             sched.unpersist()
+            t = tick("manifest", t)
 
         final = read_manifest(self.dir)
         return CrawlResult(

@@ -96,3 +96,28 @@ def test_spark_end_to_end_text_bytes(spark):
         )
     )
     assert bad.count() == 0
+
+
+def test_filler_pages_identical(spark):
+    """filler_listings (scale-bench page shape) must not change extraction
+    semantics: fields = first listing, text div unchanged, outlink set
+    unchanged, and the vectorized twin stays byte-identical."""
+    pdf = generate_pages(spark, 600, n_hosts=8, filler_listings=25).toPandas()
+    base = generate_pages(spark, 600, n_hosts=8).toPandas()
+    vec = _extract_batch(pdf["html"])
+    for i in range(len(pdf)):
+        _assert_rows_equal(vec.iloc[i], extract_one(pdf["html"].iloc[i]), i)
+        # vs the filler-free page: text and outlinks always identical; the
+        # scalar fields identical wherever the real cell parsed (when the real
+        # cell is deliberately unparseable, "first match" may hit a filler row
+        # — that IS first-match semantics, not a regression).
+        b = extract_one(base["html"].iloc[i])
+        v = vec.iloc[i]
+        if b["text"] is None:
+            assert v["text"] is None or pd.isna(v["text"]), i
+        else:
+            assert v["text"].encode() == b["text"].encode(), i
+        assert list(v["outlinks"]) == list(b["outlinks"]), i
+        for f in ("price", "address", "floor_area"):
+            if b[f] is not None:
+                assert v[f] == b[f], (i, f)
