@@ -27,10 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("BENCH_PAGES", "120000"))
-N_SEEDS = int(os.environ.get("BENCH_SEEDS", "3000"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "240000"))
+N_SEEDS = int(os.environ.get("BENCH_SEEDS", "60000"))
 N_WAVES = int(os.environ.get("BENCH_WAVES", "3"))
-WAVE_MS = int(os.environ.get("BENCH_WAVE_MS", "120000"))
+WAVE_MS = int(os.environ.get("BENCH_WAVE_MS", "600000"))
 # "full" = crawl + operator suite; "frontier" = crawl headline only (the
 # N-vs-4N scaling runs use this so both parallelism levels time the same job).
 MODE = os.environ.get("BENCH_MODE", "full")
@@ -76,7 +76,7 @@ def main() -> None:
     # ---- optional JIT warm-up (same plan shapes, tiny seed set) so the
     # timed run measures steady-state throughput, not one-time codegen. A
     # production crawler is a long-running job; its waves are all "warm".
-    if os.environ.get("BENCH_WARMUP", "") == "1":
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
         weng = CrawlEngine(
             spark, pages, robots, os.path.join(tmp_root, "warm"),
             seen_mode="exact", wave_ms=WAVE_MS, max_depth=2, n_buckets=1024,

@@ -1,0 +1,124 @@
+"""Physical-plan invariants — the scale properties are asserted, not assumed.
+
+Each test captures `.explain("formatted")` and asserts the plan property
+that matters at 100 TB: filters reach the parquet scan, scans read only the
+columns the query projects (html:binary prunes out of every non-extraction
+path — it dominates bytes), the fetch join broadcasts the wave side, and
+expression work stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _t(spark, name):
+    return spark.read.parquet(os.path.join(SF, f"{name}.parquet"))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = _t(spark, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag")
+    p = plan_of(q)
+    assert "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1][:200], p
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = _t(spark, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    p = plan_of(q)
+    schema_line = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in schema_line and "l_quantity" in schema_line
+    assert "l_comment" not in schema_line, schema_line
+
+
+def test_fetch_join_broadcasts_wave_and_prunes_html(spark):
+    """The crawl's fetch: corpus scan map-local (wave side broadcast), and a
+    frontier-only path never reads the html column."""
+    from hk_housing_datahub_spark.datagen import generate_pages
+    from hk_housing_datahub_spark.functions.urls import with_url_columns
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="plancorpus_")
+    generate_pages(spark, 2000, n_hosts=8).write.mode("overwrite").parquet(tmp)
+    raw = spark.read.parquet(tmp)
+    pages = with_url_columns(raw).select("url_canon", "warc_ts", "html", "lang")
+    wave = with_url_columns(raw.limit(50).select("url")).select("url_canon", "host")
+
+    fetched = pages.join(F.broadcast(wave), "url_canon", "inner")
+    p = plan_of(fetched)
+    assert "BroadcastHashJoin" in p, p
+    # frontier bookkeeping (no extraction) must not read html bytes
+    sched_path = with_url_columns(raw).select("url_canon", "host", "url_hash")
+    p2 = plan_of(sched_path)
+    schema_line = p2.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in schema_line, schema_line
+
+
+def test_politeness_window_single_shuffle(spark):
+    """Rank-and-cut is one Exchange (hashpartitioning on host) + one Window —
+    no global sort of the frontier."""
+    from hk_housing_datahub_spark.datagen import generate_seeds
+    from hk_housing_datahub_spark.frontier.scheduler import schedule_wave
+    from hk_housing_datahub_spark.functions.urls import with_url_columns
+
+    seeds = with_url_columns(generate_seeds(spark, 500, 2000, n_hosts=8)).select(
+        "url_canon", "host", "url_hash", "bucket", "priority",
+        F.lit(0).cast("timestamp").alias("discovered_ts"), F.lit(0).alias("depth"),
+    )
+    p = plan_of(schedule_wave(seeds, None, 1000))
+    tree = p.split("\n\n")[0]  # the indented operator tree (details repeat names)
+    assert tree.count("Exchange") == 1, tree
+    assert "Sort" in tree and "Window" in tree, tree
+    assert "hashpartitioning(host" in p, p
+
+
+def test_agg_is_partial_then_final(spark):
+    """Map-side combine: HashAggregate appears below AND above the exchange."""
+    o = _t(spark, "orders")
+    q = o.groupBy("o_orderstatus").agg(F.sum("o_totalprice").alias("s"))
+    p = plan_of(q)
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_codegen_covers_scalar_pipeline(spark):
+    """URL canonicalization stays inside WholeStageCodegen (no Python, no
+    interpreted projections)."""
+    from hk_housing_datahub_spark.functions.urls import with_url_columns
+
+    d = _t(spark, "documents").select(
+        F.concat(F.lit("https://h"), "doc_id", F.lit(".example.com/x")).alias("url")
+    )
+    p = plan_of(with_url_columns(d).select("url_canon", "url_hash"))
+    tree = p.split("\n\n")[0]
+    # '*' marks WholeStageCodegen nodes in formatted explain. (The query-sort
+    # projection uses higher-order functions, which run interpreted — that
+    # single Project legitimately lacks the marker.)
+    assert "* Project" in tree, tree
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_extraction_is_single_arrow_pass(spark):
+    """extract_df evaluates the UDF struct once (one ArrowEvalPython node),
+    not once per projected field."""
+    from hk_housing_datahub_spark.datagen import generate_pages
+    from hk_housing_datahub_spark.extract import extract_df
+
+    pages = generate_pages(spark, 100, n_hosts=4)
+    p = plan_of(extract_df(pages))
+    tree = p.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1, tree
