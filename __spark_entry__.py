@@ -393,6 +393,62 @@ def _chunk_documents(spark, sf):
     return chunk_documents(_t(spark, sf, "documents"))
 
 
+def _cookie_str_to_map(spark, sf):
+    """F1 parity (reference utils.py:10-21 cookie string → dict): str_to_map
+    then explode to (doc_id, k, v) rows."""
+    d = _t(spark, sf, "documents")
+    cookies = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("sid="), F.col("doc_id"),
+            F.lit("; lang="), F.col("lang"),
+            F.lit("; src="), F.col("source"),
+        ).alias("cookie"),
+    )
+    m = cookies.select(
+        "doc_id", F.explode(F.str_to_map(F.col("cookie"), F.lit("; "), F.lit("="))).alias("k", "v")
+    )
+    return m.select("doc_id", "k", "v")
+
+
+def _crawl_frontier_retry(spark, sf):
+    """Retry sub-frontier (reference S7, base.py:16-45 3-try retry): corpus
+    with dead links, max_attempts=3; dead urls are scheduled up to 3 waves
+    then given up. Rows-only; parity vs the sequential simulator is pinned by
+    tests/test_crawl.py::test_retry_subfrontier_parity."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    n, hosts = 800, 10
+    pages = generate_pages(spark, n, n_hosts=hosts, dead_link_every=5)
+    robots = generate_robots(spark, n_hosts=hosts)
+    seeds = generate_seeds(spark, 12, n, n_hosts=hosts)
+    ckpt = tempfile.mkdtemp(prefix="hkcrawl_retry_")
+    eng = CrawlEngine(
+        spark, pages, robots, ckpt, seen_mode="exact", wave_ms=30000,
+        max_depth=2, max_attempts=3,
+    )
+    res = eng.run(seeds, max_waves=4)
+    return res.schedule_log(spark).orderBy("wave", "host", "host_rank")
+
+
+def _crawl_frontier_bloom(spark, sf):
+    """The 10^10-scale seen-set path: same crawl as crawl_frontier_run but
+    with the salted-bucket bloom seen state (applyInPandas per bucket).
+    Rows-only; bloom ⊆ exact and FPR bounds pinned by tests/test_seen.py and
+    tests/test_crawl.py::test_bloom_mode_close_to_exact."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    n, hosts = 1200, 16
+    pages = generate_pages(spark, n, n_hosts=hosts)
+    robots = generate_robots(spark, n_hosts=hosts)
+    seeds = generate_seeds(spark, 15, n, n_hosts=hosts)
+    ckpt = tempfile.mkdtemp(prefix="hkcrawl_bloom_")
+    eng = CrawlEngine(
+        spark, pages, robots, ckpt, seen_mode="bloom", n_buckets=64,
+        bloom_bits=1 << 18, max_depth=2,
+    )
+    res = eng.run(seeds, max_waves=3)
+    return res.listings(spark).drop("outlinks")
+
+
 def _multimodal_meta(spark, sf):
     d = attach_payload(_t(spark, sf, "documents"))
     return decode_payload_meta(d)
@@ -492,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _doc_fingerprints,
         "ann_topk_cosine": _ann_topk_cosine,
         "embedding_neardup": _embedding_neardup,
+        "cookie_str_to_map": _cookie_str_to_map,
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
         "extract_listings": _extract_listings,
@@ -500,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _lsh_ann_topk,
         "chunk_documents": _chunk_documents,
         "multimodal_meta": _multimodal_meta,
+        "crawl_frontier_retry": _crawl_frontier_retry,
+        "crawl_frontier_bloom": _crawl_frontier_bloom,
         "streaming_windowed": _streaming_windowed,
         "wiki_table_expand": _wiki_table_expand,
         "embed_chunks": _embed_chunks,
@@ -796,5 +855,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v) /
                   (sqrt(list_dot_product(a.v, a.v)) *
                    sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "cookie_str_to_map": """
+            WITH c AS (
+                SELECT doc_id,
+                       'sid=' || doc_id || '; lang=' || lang ||
+                       '; src=' || source AS cookie
+                FROM documents),
+            kv AS (
+                SELECT doc_id, unnest(string_split(cookie, '; ')) AS pair
+                FROM c)
+            SELECT doc_id,
+                   split_part(pair, '=', 1) AS k,
+                   split_part(pair, '=', 2) AS v
+            FROM kv
         """,
     }

@@ -96,6 +96,7 @@ def generate_pages(
     n_hosts: int = 50,
     partitions: int | None = None,
     filler_listings: int = 0,
+    dead_link_every: int = 0,
 ) -> DataFrame:
     """Build the pages corpus as a lazy DataFrame of exactly `input_hint` shape.
 
@@ -158,6 +159,13 @@ def generate_pages(
     # Outlinks: two deterministic targets (clean form) → frontier discovery.
     t1 = F.pmod(idc * 31 + 7, F.lit(n_pages))
     t2 = F.pmod(idc * 131 + 3, F.lit(n_pages))
+    if dead_link_every > 0:
+        # A slice of second links points past the corpus — a deterministic
+        # "404" population for fetch-retry semantics (reference retries 3×,
+        # /root/reference/src/crawlers/base.py:16-45).
+        t2 = F.when(
+            F.pmod(idc, F.lit(dead_link_every)) == 2, idc + F.lit(n_pages)
+        ).otherwise(t2)
     link1 = url_for_page(t1, n_hosts)
     link2 = url_for_page(t2, n_hosts)
 

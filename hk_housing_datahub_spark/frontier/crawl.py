@@ -50,6 +50,7 @@ FRONTIER_COLS = [
     "priority",
     "discovered_ts",
     "depth",
+    "attempt",
 ]
 
 DISCOVERED_PRIORITY = 2  # outlinks rank below explicit seeds by default
@@ -83,9 +84,16 @@ class CrawlEngine:
         max_depth: int = 3,
         verbose: bool = False,
         broadcast_fetch_max: int = 4_000_000,
+        max_attempts: int = 1,
     ):
         self.verbose = verbose
         self.broadcast_fetch_max = broadcast_fetch_max
+        # Row-level fetch retry (reference: 3 tries w/ backoff,
+        # /root/reference/src/crawlers/base.py:16-45). A scheduled url whose
+        # fetch misses is re-enqueued with attempt+1 instead of being marked
+        # seen, until max_attempts; 1 = no retry (every scheduled url is
+        # final, fetched or dead).
+        self.max_attempts = max_attempts
         self.spark = spark
         self.robots = robots
         self.dir = checkpoint_dir
@@ -120,6 +128,7 @@ class CrawlEngine:
             with_url_columns(seeds, n_buckets=self.n_buckets)
             .withColumn("discovered_ts", F.timestamp_seconds(F.lit(EPOCH0)))
             .withColumn("depth", F.lit(0))
+            .withColumn("attempt", F.lit(0))
             .select(*FRONTIER_COLS)
         )
 
@@ -128,7 +137,7 @@ class CrawlEngine:
         """One row per url_hash, keeping the best (priority, ts, url) entry —
         deterministic under any partitioning."""
         w = W.partitionBy("url_hash").orderBy(
-            "priority", "discovered_ts", "url_canon", "depth"
+            "priority", "discovered_ts", "url_canon", "depth", "attempt"
         )
         return (
             frontier.withColumn("_rn", F.row_number().over(w))
@@ -243,12 +252,37 @@ class CrawlEngine:
             total_extracted += n_extracted
             t = tick("lineage collect", t)
 
-            # Mark everything scheduled this wave as seen (fetched or dead).
-            seen.add(wave_rows.select("bucket", "url_hash"))
+            # Seen-set update + retry sub-frontier. Fast path (no retry):
+            # everything scheduled is final — fetched or dead. With retries,
+            # a fetch miss re-enqueues with attempt+1 until max_attempts,
+            # and only fetched or given-up urls become seen.
+            retry = None
+            if self.max_attempts <= 1:
+                seen.add(wave_rows.select("bucket", "url_hash"))
+            else:
+                fetched_keys = listings.select("url_canon")
+                hit = wave_rows.join(fetched_keys, "url_canon", "left_semi")
+                missed = wave_rows.join(fetched_keys, "url_canon", "left_anti")
+                given_up = missed.filter(
+                    F.col("attempt") + 1 >= self.max_attempts
+                )
+                retry = (
+                    missed.filter(F.col("attempt") + 1 < self.max_attempts)
+                    .withColumn("attempt", F.col("attempt") + 1)
+                    .select(*FRONTIER_COLS)
+                )
+                seen.add(
+                    hit.select("bucket", "url_hash").unionByName(
+                        given_up.select("bucket", "url_hash")
+                    )
+                )
             t = tick("seen add", t)
 
-            # Frontier for the next wave: politeness backlog ∪ fresh outlinks.
+            # Frontier for the next wave: politeness backlog ∪ fresh outlinks
+            # (∪ retry sub-frontier).
             backlog = sched.filter(~F.col("scheduled")).select(*FRONTIER_COLS)
+            if retry is not None:
+                backlog = backlog.unionByName(retry)
             outlinks = (
                 listings.filter(F.col("depth") < self.max_depth)
                 .select(
@@ -257,6 +291,7 @@ class CrawlEngine:
                     (F.col("depth") + 1).alias("depth"),
                 )
                 .withColumn("priority", F.lit(DISCOVERED_PRIORITY))
+                .withColumn("attempt", F.lit(0))
             )
             out_frontier = with_url_columns(
                 outlinks, n_buckets=self.n_buckets

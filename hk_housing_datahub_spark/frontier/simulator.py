@@ -76,6 +76,7 @@ def simulate_crawl(
     max_waves: int = 10,
     max_depth: int = 3,
     epoch0: int = 1_700_000_000,
+    max_attempts: int = 1,
 ) -> SimResult:
     """pages_rows: dicts with url, warc_ts (datetime), html (bytes), lang."""
     from datetime import datetime, timezone
@@ -103,12 +104,12 @@ def simulate_crawl(
         delay = r["crawl_delay_ms"] if r else DEFAULT_CRAWL_DELAY_MS
         return max(1, wave_ms // delay)
 
-    # frontier: canon -> (priority, discovered_ts, depth); best entry wins
-    frontier: dict[str, tuple[int, object, int]] = {}
+    # frontier: canon -> (priority, discovered_ts, depth, attempt); best wins
+    frontier: dict[str, tuple[int, object, int, int]] = {}
     for url, prio in seeds:
         c = canonicalize(url)
-        e = (prio, t0, 0)
-        if c not in frontier or (e[0], e[1], c) < (frontier[c][0], frontier[c][1], c):
+        e = (prio, t0, 0, 0)
+        if c not in frontier or e < frontier[c]:
             frontier[c] = e
     seen: set[str] = set()
     res = SimResult(schedule=[], seen=seen)
@@ -119,23 +120,35 @@ def simulate_crawl(
         ]
         # per-host rank by (priority, discovered_ts, url_canon)
         perhost: dict[str, list] = {}
-        for c, (prio, ts, depth) in cands:
-            perhost.setdefault(host_of(c), []).append((prio, ts, c, depth))
+        for c, (prio, ts, depth, attempt) in cands:
+            perhost.setdefault(host_of(c), []).append((prio, ts, c, depth, attempt))
         scheduled = []
         for host, lst in perhost.items():
             lst.sort()
-            for rank, (prio, ts, c, depth) in enumerate(lst[: budget(host)], 1):
-                scheduled.append((wave, host, rank, c, depth, ts))
+            for rank, (prio, ts, c, depth, attempt) in enumerate(
+                lst[: budget(host)], 1
+            ):
+                scheduled.append((wave, host, rank, c, depth, ts, attempt, prio))
         if not scheduled:
             break
-        for wv, host, rank, c, depth, ts in sorted(scheduled):
+        for wv, host, rank, c, *_ in sorted(scheduled):
             res.schedule.append((wv, host, rank, c))
-        for _, _, _, c, depth, _ in scheduled:
-            seen.add(c)
+        for _, _, _, c, depth, ts, attempt, prio in scheduled:
             frontier.pop(c, None)
             page = by_canon.get(c)
             if page is None:
+                # fetch miss: retry with attempt+1 (same priority/ts/depth)
+                # until max_attempts, then give up and mark seen
+                # (reference: 3 tries, base.py:16-45)
+                if attempt + 1 < max_attempts:
+                    e = (prio, ts, depth, attempt + 1)
+                    old = frontier.get(c)
+                    if old is None or e < old:
+                        frontier[c] = e
+                else:
+                    seen.add(c)
                 continue
+            seen.add(c)
             x = extract_one(page["html"])
             res.extracted.append({"url_canon": c, **x})
             if depth < max_depth:
@@ -143,8 +156,8 @@ def simulate_crawl(
                     lc = canonicalize(link)
                     if lc in seen:
                         continue
-                    e = (DISCOVERED_PRIORITY, page["warc_ts"], depth + 1)
+                    e = (DISCOVERED_PRIORITY, page["warc_ts"], depth + 1, 0)
                     old = frontier.get(lc)
-                    if old is None or (e[0], e[1], lc) < (old[0], old[1], lc):
+                    if old is None or e < old:
                         frontier[lc] = e
     return res

@@ -148,3 +148,39 @@ def test_manifest_lineage_recorded(spark, corpus):
         assert sum(l["rows_emitted"] for l in m.lineage) > 0
     finally:
         shutil.rmtree(tmp)
+
+
+def test_retry_subfrontier_parity(spark):
+    """Dead links + max_attempts=3: the engine must reproduce the sequential
+    simulator's schedule (retries appear in later waves) and final seen set,
+    and dead urls must be scheduled max_attempts times before giving up."""
+    n, h = 400, 6
+    pages = generate_pages(spark, n, n_hosts=h, dead_link_every=5).cache()
+    seeds = generate_seeds(spark, 10, n, n_hosts=h)
+    robots = generate_robots(spark, n_hosts=h)
+    pages.count()
+    rows = [
+        {"url": r.url, "warc_ts": r.warc_ts, "html": bytes(r.html), "lang": r.lang}
+        for r in pages.collect()
+    ]
+    sim = simulate_crawl(
+        rows, [(r.url, r.priority) for r in seeds.collect()],
+        [r.asDict() for r in robots.collect()],
+        wave_ms=30000, max_waves=6, max_depth=2, max_attempts=3,
+    )
+    tmp = tempfile.mkdtemp(prefix="crawl_retry_")
+    try:
+        eng = CrawlEngine(
+            spark, pages, robots, tmp, wave_ms=30000, max_depth=2,
+            seen_mode="exact", max_attempts=3,
+        )
+        res = eng.run(seeds, max_waves=6)
+        got = _schedule(spark, res)
+        assert got == sim.schedule
+        # dead urls really were retried: some url appears in >1 wave
+        from collections import Counter
+        per_url = Counter(u for _, _, _, u in got)
+        assert max(per_url.values()) > 1, "expected at least one retried url"
+        assert res.n_seen == len(sim.seen)
+    finally:
+        shutil.rmtree(tmp)
