@@ -411,6 +411,42 @@ def _cookie_str_to_map(spark, sf):
     return m.select("doc_id", "k", "v")
 
 
+def _wiki_section_concat(spark, sf):
+    """F15 parity (reference processors/wiki/wiki.py:193-200): section text
+    concatenated with its 1-level subsection texts, newline-joined, over a
+    nested struct column (transform + array_join stay JVM-side)."""
+    d = _t(spark, sf, "documents")
+    sec = d.select(
+        "doc_id",
+        F.struct(
+            F.concat(F.lit("S"), F.col("doc_id")).alias("title"),
+            F.col("text").alias("text"),
+            F.array(
+                F.struct(
+                    F.lit("sub1").alias("title"),
+                    F.upper(F.substring("text", 1, 40)).alias("text"),
+                ),
+                F.struct(
+                    F.lit("sub2").alias("title"),
+                    F.lower(F.substring("text", 1, 30)).alias("text"),
+                ),
+            ).alias("subsections"),
+        ).alias("section"),
+    )
+    return sec.select(
+        "doc_id",
+        F.col("section.title").alias("sec_title"),
+        F.concat_ws(
+            "\n",
+            F.col("section.text"),
+            F.array_join(
+                F.transform(F.col("section.subsections"), lambda s: s["text"]),
+                "\n",
+            ),
+        ).alias("full_text"),
+    )
+
+
 def _crawl_frontier_retry(spark, sf):
     """Retry sub-frontier (reference S7, base.py:16-45 3-try retry): corpus
     with dead links, max_attempts=3; dead urls are scheduled up to 3 waves
@@ -549,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": _ann_topk_cosine,
         "embedding_neardup": _embedding_neardup,
         "cookie_str_to_map": _cookie_str_to_map,
+        "wiki_section_concat": _wiki_section_concat,
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
         "extract_listings": _extract_listings,
@@ -869,5 +906,12 @@ def oracle_sql() -> dict[str, str]:
                    split_part(pair, '=', 1) AS k,
                    split_part(pair, '=', 2) AS v
             FROM kv
+        """,
+        "wiki_section_concat": """
+            SELECT doc_id,
+                   'S' || doc_id AS sec_title,
+                   text || chr(10) || upper(substr(text, 1, 40)) ||
+                   chr(10) || lower(substr(text, 1, 30)) AS full_text
+            FROM documents
         """,
     }

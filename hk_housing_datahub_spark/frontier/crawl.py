@@ -85,7 +85,11 @@ class CrawlEngine:
         verbose: bool = False,
         broadcast_fetch_max: int = 4_000_000,
         max_attempts: int = 1,
+        politeness_salt: int = 0,
     ):
+        # >1 → two-phase rank-and-cut (scheduler.schedule_wave): bounds the
+        # hot-host politeness sort to salt×budget rows per host at 10^10.
+        self.politeness_salt = politeness_salt
         self.verbose = verbose
         self.broadcast_fetch_max = broadcast_fetch_max
         # Row-level fetch retry (reference: 3 tries w/ backoff,
@@ -181,7 +185,10 @@ class CrawlEngine:
         for wave in range(start_wave, start_wave + max_waves):
             t = time.perf_counter()
             unseen = seen.filter_unseen(frontier)
-            sched = schedule_wave(unseen, self.robots, self.wave_ms).persist()
+            sched = schedule_wave(
+                unseen, self.robots, self.wave_ms,
+                salt_buckets=self.politeness_salt,
+            ).persist()
             wave_rows = sched.filter(F.col("scheduled"))
             n_sched = wave_rows.count()
             t = tick(f"schedule+count ({n_sched})", t)

@@ -60,6 +60,7 @@ def schedule_wave(
     frontier: DataFrame,
     robots: DataFrame | None = None,
     wave_ms: int = DEFAULT_WAVE_MS,
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Rank-and-cut: per-host window, keep row_number ≤ budget(host).
 
@@ -68,15 +69,51 @@ def schedule_wave(
     in the frontier for the next wave (the politeness backlog).
 
     The per-host window shuffle keys on host and is therefore Zipf-skewed by
-    construction; AQE skew handling is on session-wide, and the cut is a
-    single ``row_number`` pass (no sort of the full frontier — only per-host
-    ordering inside each window partition).
+    construction. Two execution strategies, identical results:
+
+    - ``salt_buckets=0`` (default): one ``row_number`` pass per host. Fine
+      when per-host frontiers fit a task.
+    - ``salt_buckets=S>1``: **two-phase rank-and-cut** for 10^10-URL
+      frontiers where one hot host may hold a large share of all pending
+      urls. Phase 1 ranks within ``(host, url_hash % S)`` sub-partitions and
+      pre-cuts to the budget — a row ranked > budget inside ANY sub-partition
+      cannot be in the host's true top-budget (the sub-partition alone
+      already supplies `budget` better rows). Phase 2 re-ranks only the
+      ≤ S×budget survivors per host. The big sort is now bounded by
+      S×budget rows per host regardless of frontier size; the hot host's
+      pending mass sorts in S parallel tasks instead of one.
+
+    Scheduled rows carry the same (host, host_rank) in both strategies;
+    unscheduled rows carry host_rank NULL under two-phase (their rank is
+    never consumed — the backlog keeps frontier columns only).
     """
     f = apply_robots(frontier, robots)
-    w = W.partitionBy("host").orderBy("priority", "discovered_ts", "url_canon")
+    order = [F.col("priority"), F.col("discovered_ts"), F.col("url_canon")]
     budget = F.greatest(
         F.lit(1), F.floor(F.lit(wave_ms) / F.col("crawl_delay_ms"))
     )
+    if salt_buckets > 1:
+        w1 = W.partitionBy(
+            "host", F.pmod("url_hash", F.lit(salt_buckets))
+        ).orderBy(*order)
+        pre = f.withColumn("_r1", F.row_number().over(w1)).withColumn(
+            "_budget", budget
+        )
+        survivors = pre.filter(F.col("_r1") <= F.col("_budget"))
+        w2 = W.partitionBy("host").orderBy(*order)
+        ranked = (
+            survivors.withColumn("host_rank", F.row_number().over(w2))
+            .withColumn("scheduled", F.col("host_rank") <= F.col("_budget"))
+        )
+        precut = (
+            pre.filter(F.col("_r1") > F.col("_budget"))
+            .withColumn("host_rank", F.lit(None).cast("int"))
+            .withColumn("scheduled", F.lit(False))
+        )
+        return ranked.unionByName(precut).drop(
+            "_r1", "_budget", "crawl_delay_ms"
+        )
+    w = W.partitionBy("host").orderBy(*order)
     return (
         f.withColumn("host_rank", F.row_number().over(w))
         .withColumn("scheduled", F.col("host_rank") <= budget)

@@ -184,3 +184,47 @@ def test_retry_subfrontier_parity(spark):
         assert res.n_seen == len(sim.seen)
     finally:
         shutil.rmtree(tmp)
+
+
+def test_two_phase_scheduler_identical(spark, corpus):
+    """salt_buckets>1 (the hot-host scale path) must schedule the identical
+    (host, host_rank, url) set as the single-pass window."""
+    from hk_housing_datahub_spark.frontier.scheduler import schedule_wave
+    from hk_housing_datahub_spark.functions.urls import with_url_columns
+    from pyspark.sql import functions as F
+
+    pages, seeds, robots = corpus
+    frontier = (
+        with_url_columns(pages.select("url"))
+        .withColumn("priority", F.pmod("url_hash", F.lit(3)).cast("int"))
+        .withColumn(
+            "discovered_ts",
+            F.timestamp_seconds(F.pmod("url_hash", F.lit(100000))),
+        )
+        .withColumn("depth", F.lit(0))
+        .withColumn("attempt", F.lit(0))
+        .select("url_canon", "host", "url_hash", "bucket", "priority",
+                "discovered_ts", "depth", "attempt")
+    )
+
+    def sched_set(df):
+        return sorted(
+            (r.host, r.host_rank, r.url_canon)
+            for r in df.filter(F.col("scheduled")).collect()
+        )
+
+    one = sched_set(schedule_wave(frontier, robots, 2000))
+    two = sched_set(schedule_wave(frontier, robots, 2000, salt_buckets=8))
+    assert one == two and len(one) > 0
+    # and a full crawl through the engine with salting matches unsalted
+    t1 = tempfile.mkdtemp(prefix="crawl_salt1_")
+    t2 = tempfile.mkdtemp(prefix="crawl_salt2_")
+    try:
+        _, r1 = _run(spark, corpus, t1, seen_mode="exact")
+        eng2 = CrawlEngine(spark, pages, robots, t2, wave_ms=1000,
+                           max_depth=2, seen_mode="exact", politeness_salt=8)
+        r2 = eng2.run(seeds, max_waves=4)
+        assert _schedule(spark, r1) == _schedule(spark, r2)
+    finally:
+        shutil.rmtree(t1)
+        shutil.rmtree(t2)
