@@ -62,13 +62,22 @@ def brute_force_topk(
     The query side broadcasts (it is small by construction); the corpus side
     streams — no shuffle of the vectors, one ranking window on qid.
     """
-    joined = vectors.join(F.broadcast(queries)).filter(
-        F.col(id_col) != F.col(qid_col)
-    )
+    # Hoist the norms out of the pair loop: each side's norm is computed once
+    # per row BEFORE the cross join (identical doubles — same expression over
+    # the same input — so the DuckDB oracle still hash-matches), leaving only
+    # the dot product as per-pair work. Higher-order-function folds run
+    # interpreted, so this cuts ~2/3 of the per-pair expression cost.
+    v = vectors.withColumn("_nv", norm(_to_double(F.col(vec_col))))
+    q = queries.withColumn("_nq", norm(_to_double(F.col(qvec_col))))
+    joined = v.join(F.broadcast(q)).filter(F.col(id_col) != F.col(qid_col))
     scored = joined.select(
         F.col(qid_col),
         F.col(id_col).alias("nid"),
-        F.round(cosine(F.col(qvec_col), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(
+            dot(_to_double(F.col(qvec_col)), _to_double(F.col(vec_col)))
+            / (F.col("_nq") * F.col("_nv")),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
