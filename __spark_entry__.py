@@ -485,6 +485,24 @@ def _crawl_frontier_bloom(spark, sf):
     return res.listings(spark).drop("outlinks")
 
 
+def _crawl_frontier_cuckoo(spark, sf):
+    """The north-star-named seen-set: partitioned cuckoo filter (per-bucket
+    fingerprint table + bounded eviction, applyInPandas state). Rows-only;
+    no-false-negative/eviction/restore properties pinned by tests/test_seen.py."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    n, hosts = 1200, 16
+    pages = generate_pages(spark, n, n_hosts=hosts)
+    robots = generate_robots(spark, n_hosts=hosts)
+    seeds = generate_seeds(spark, 15, n, n_hosts=hosts)
+    ckpt = tempfile.mkdtemp(prefix="hkcrawl_cuckoo_")
+    eng = CrawlEngine(
+        spark, pages, robots, ckpt, seen_mode="cuckoo", n_buckets=64,
+        cuckoo_rows=1 << 12, max_depth=2,
+    )
+    res = eng.run(seeds, max_waves=3)
+    return res.listings(spark).drop("outlinks")
+
+
 def _multimodal_meta(spark, sf):
     d = attach_payload(_t(spark, sf, "documents"))
     return decode_payload_meta(d)
@@ -596,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _multimodal_meta,
         "crawl_frontier_retry": _crawl_frontier_retry,
         "crawl_frontier_bloom": _crawl_frontier_bloom,
+        "crawl_frontier_cuckoo": _crawl_frontier_cuckoo,
         "streaming_windowed": _streaming_windowed,
         "wiki_table_expand": _wiki_table_expand,
         "embed_chunks": _embed_chunks,

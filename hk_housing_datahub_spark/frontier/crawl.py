@@ -40,7 +40,7 @@ from ..extract.vectorized import extract_df
 from ..functions.urls import with_url_columns
 from .checkpoint import Manifest, WaveLineage, read_manifest, write_manifest
 from .scheduler import schedule_wave
-from .seen import BloomSeenSet, ExactSeenSet
+from .seen import BloomSeenSet, CuckooSeenSet, ExactSeenSet
 
 FRONTIER_COLS = [
     "url_canon",
@@ -80,6 +80,7 @@ class CrawlEngine:
         seen_mode: str = "exact",
         n_buckets: int = 256,
         bloom_bits: int = 1 << 20,
+        cuckoo_rows: int = 1 << 14,
         wave_ms: int = 1_000,
         max_depth: int = 3,
         verbose: bool = False,
@@ -104,6 +105,7 @@ class CrawlEngine:
         self.seen_mode = seen_mode
         self.n_buckets = n_buckets
         self.bloom_bits = bloom_bits
+        self.cuckoo_rows = cuckoo_rows
         self.wave_ms = wave_ms
         self.max_depth = max_depth
         # Derive join keys for the corpus once; html stays column-pruned out
@@ -118,12 +120,20 @@ class CrawlEngine:
             return BloomSeenSet(
                 self.spark, None, self.n_buckets, self.bloom_bits
             )
+        if self.seen_mode == "cuckoo":
+            return CuckooSeenSet(
+                self.spark, None, self.n_buckets, self.cuckoo_rows
+            )
         return ExactSeenSet(self.spark)
 
     def _restore_seen(self, path: str):
         if self.seen_mode == "bloom":
             return BloomSeenSet.restore(
                 self.spark, path, self.n_buckets, self.bloom_bits, 7
+            )
+        if self.seen_mode == "cuckoo":
+            return CuckooSeenSet.restore(
+                self.spark, path, self.n_buckets, self.cuckoo_rows
             )
         return ExactSeenSet.restore(self.spark, path)
 

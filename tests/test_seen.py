@@ -81,3 +81,89 @@ def test_bloom_incremental_union(spark):
     s.add(_keys(spark, 100, 200, n_buckets=16))
     assert s.filter_unseen(_keys(spark, 0, 200, n_buckets=16)).count() == 0
     assert s.count() == 200
+
+
+# ---------------------------------------------------------------------------
+# cuckoo filter (the north-star-named structure)
+# ---------------------------------------------------------------------------
+
+def test_cuckoo_no_false_negatives(spark):
+    from hk_housing_datahub_spark.frontier.seen import CuckooSeenSet
+
+    s = CuckooSeenSet(spark, None, n_buckets=16, m_rows=1 << 10)
+    added = _keys(spark, 0, 3000, n_buckets=16)
+    s.add(added)
+    leaked = s.filter_unseen(added)
+    assert leaked.count() == 0
+
+
+def test_cuckoo_fpr_bound(spark):
+    from hk_housing_datahub_spark.frontier.seen import CuckooSeenSet
+
+    s = CuckooSeenSet(spark, None, n_buckets=16, m_rows=1 << 10)
+    s.add(_keys(spark, 0, 3000, n_buckets=16))
+    fresh = _keys(spark, 100000, 103000, n_buckets=16)
+    passed = s.filter_unseen(fresh).count()
+    # 16-bit fingerprints: FPR ~ 8/2^16 per probe; allow a generous bound
+    assert passed >= 3000 * 0.995
+
+
+def test_cuckoo_checkpoint_restore(spark, tmp_path):
+    from hk_housing_datahub_spark.frontier.seen import CuckooSeenSet
+
+    s = CuckooSeenSet(spark, None, n_buckets=8, m_rows=1 << 10)
+    s.add(_keys(spark, 0, 1000, n_buckets=8))
+    p = str(tmp_path / "cuckoo_state")
+    s.checkpoint(p)
+    r = CuckooSeenSet.restore(spark, p, 8, 1 << 10)
+    assert r.filter_unseen(_keys(spark, 0, 1000, n_buckets=8)).count() == 0
+    assert r.count() == 1000
+
+
+def test_cuckoo_numpy_eviction_path():
+    """Pure-numpy stress at high load factor: the eviction loop and overflow
+    list must preserve the no-false-negative invariant."""
+    import numpy as np
+    from hk_housing_datahub_spark.frontier.seen import CuckooSeenSet
+
+    m = 1 << 8  # 256 rows x 4 slots = 1024 capacity
+    table = np.zeros((m, 4), dtype=np.uint16)
+    overflow = set()
+    rng = np.random.RandomState(7)
+    keys = rng.randint(1, 2**63, size=950, dtype=np.int64).astype(np.uint64)
+    CuckooSeenSet._insert(table, overflow, keys)  # ~93% load
+    hit = CuckooSeenSet._contains(table, overflow, keys)
+    assert hit.all(), f"{(~hit).sum()} false negatives"
+
+
+def test_cuckoo_crawl_matches_exact(spark):
+    """Full crawl with cuckoo seen-state schedules (almost exactly) the same
+    set as exact mode — identical here because fingerprint collisions are
+    ~1e-4 at this scale."""
+    import tempfile as tf
+    from hk_housing_datahub_spark.datagen import (
+        generate_pages, generate_robots, generate_seeds,
+    )
+    from hk_housing_datahub_spark.frontier import CrawlEngine
+
+    n, h = 500, 8
+    pages = generate_pages(spark, n, n_hosts=h).cache()
+    seeds = generate_seeds(spark, 10, n, n_hosts=h)
+    robots = generate_robots(spark, n_hosts=h)
+    pages.count()
+    t1, t2 = tf.mkdtemp(prefix="ck1_"), tf.mkdtemp(prefix="ck2_")
+    try:
+        e1 = CrawlEngine(spark, pages, robots, t1, wave_ms=1000,
+                         max_depth=2, seen_mode="exact")
+        r1 = e1.run(seeds, max_waves=3)
+        e2 = CrawlEngine(spark, pages, robots, t2, wave_ms=1000,
+                         max_depth=2, seen_mode="cuckoo", n_buckets=16)
+        r2 = e2.run(seeds, max_waves=3)
+        s1 = sorted((r.wave, r.host, r.host_rank, r.url_canon)
+                    for r in r1.schedule_log(spark).collect())
+        s2 = sorted((r.wave, r.host, r.host_rank, r.url_canon)
+                    for r in r2.schedule_log(spark).collect())
+        assert s1 == s2
+    finally:
+        shutil.rmtree(t1)
+        shutil.rmtree(t2)
