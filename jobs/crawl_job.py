@@ -1,0 +1,81 @@
+"""Cluster entry point for the frontier crawl — the spark-submit deployment
+path from the north rule:
+
+    spark-submit --master <cluster> \
+        --py-files "$(python -c 'from hk_housing_datahub_spark.session import package_zip; print(package_zip())')" \
+        jobs/crawl_job.py --pages-table <path> --seeds <n> --checkpoint <dir>
+
+The session comes from spark-submit (SPARK_SUBMIT_MODE=1 keeps the builder
+from pinning a local master); all engine knobs are CLI flags. The same
+script runs unmodified on local[N], local-cluster[W,C,M] (separate executor
+JVMs — see tools/spark_submit_demo.sh) and a real standalone/YARN/k8s
+master, because the engine contains no driver-side row loops and ships
+itself via --py-files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages-table", default="", help="parquet pages corpus; generated if empty")
+    ap.add_argument("--pages", type=int, default=100_000)
+    ap.add_argument("--hosts", type=int, default=100)
+    ap.add_argument("--seeds", type=int, default=5_000)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--seen-mode", default="bloom", choices=["exact", "bloom", "cuckoo"])
+    ap.add_argument("--waves", type=int, default=3)
+    ap.add_argument("--wave-ms", type=int, default=600_000)
+    ap.add_argument("--max-depth", type=int, default=2)
+    ap.add_argument("--max-attempts", type=int, default=1)
+    ap.add_argument("--politeness-salt", type=int, default=0)
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_SUBMIT_MODE", "1")
+    from hk_housing_datahub_spark.session import get_spark
+    from hk_housing_datahub_spark.datagen import (
+        generate_pages,
+        generate_robots,
+        generate_seeds,
+    )
+    from hk_housing_datahub_spark.frontier import CrawlEngine
+
+    spark = get_spark(app_name="hk_crawl_job")
+    if args.pages_table:
+        pages = spark.read.parquet(args.pages_table)
+    else:
+        pages = generate_pages(spark, args.pages, n_hosts=args.hosts)
+    robots = generate_robots(spark, n_hosts=args.hosts)
+    seeds = generate_seeds(spark, args.seeds, args.pages, n_hosts=args.hosts)
+
+    eng = CrawlEngine(
+        spark,
+        pages,
+        robots,
+        args.checkpoint,
+        seen_mode=args.seen_mode,
+        wave_ms=args.wave_ms,
+        max_depth=args.max_depth,
+        max_attempts=args.max_attempts,
+        politeness_salt=args.politeness_salt,
+    )
+    res = eng.run(seeds, max_waves=args.waves)
+    print(
+        json.dumps(
+            {
+                "waves": res.waves_run,
+                "n_seen": res.n_seen,
+                "n_extracted": res.n_extracted,
+                "checkpoint": res.checkpoint_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
