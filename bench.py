@@ -64,11 +64,21 @@ def main() -> None:
     # Write partitioning is fixed (64) so the stored input is identical no
     # matter which parallelism level this process runs at.
     pages_path = os.path.join(CORPUS_DIR or tmp_root, "pages")
-    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+    params = {"pages": N_PAGES, "hosts": N_HOSTS, "filler": FILLER}
+    params_path = pages_path + ".params.json"
+    reusable = os.path.exists(os.path.join(pages_path, "_SUCCESS"))
+    if reusable and os.path.exists(params_path):
+        with open(params_path) as f:
+            reusable = json.load(f) == params  # stale corpus → regenerate
+    elif reusable:
+        reusable = False
+    if not reusable:
         generate_pages(
             spark, N_PAGES, n_hosts=N_HOSTS, partitions=64,
             filler_listings=FILLER,
         ).write.mode("overwrite").parquet(pages_path)
+        with open(params_path, "w") as f:
+            json.dump(params, f)
     pages = spark.read.parquet(pages_path)
     robots = generate_robots(spark, n_hosts=N_HOSTS)
     seeds = generate_seeds(spark, N_SEEDS, N_PAGES, n_hosts=N_HOSTS)

@@ -162,9 +162,12 @@ def generate_pages(
     if dead_link_every > 0:
         # A slice of second links points past the corpus — a deterministic
         # "404" population for fetch-retry semantics (reference retries 3×,
-        # /root/reference/src/crawlers/base.py:16-45).
+        # /root/reference/src/crawlers/base.py:16-45). Trigger residue is
+        # min(2, every-1) so every=1 means "every page" and every=2 "every
+        # other page" rather than silently never firing.
+        residue = min(2, dead_link_every - 1)
         t2 = F.when(
-            F.pmod(idc, F.lit(dead_link_every)) == 2, idc + F.lit(n_pages)
+            F.pmod(idc, F.lit(dead_link_every)) == residue, idc + F.lit(n_pages)
         ).otherwise(t2)
     link1 = url_for_page(t1, n_hosts)
     link2 = url_for_page(t2, n_hosts)

@@ -11,10 +11,17 @@ across partitions"; buildings.py:54-58) as distributed state:
   ``applyInPandas`` over buckets (Arrow-batched numpy, no per-row Python).
   Buckets are keyed by url-hash (NOT host), so a Zipf-hot host spreads over
   all buckets — this is the salted-hash partitioning from the north rule.
+- **CuckooSeenSet** — same distributed layout, cuckoo-filter bytes (the
+  structure the north star names); supports deletion-capable fingerprints
+  and bounded per-key slots.
 
-Sizing: with the default 8192 buckets × 2^20 bits (128 KiB) × k=7, total
-state is 1 GiB for ~10^9 keys at <1% FPR; at 10^10 keys raise buckets to
-131072 (16 GiB spread across the cluster — each task touches only its
+Both filter sets share ``_BucketStateSeenSet``: the distributed scaffolding
+(cogrouped probe, cogrouped merge, checkpoint, count) is identical and only
+the pure-numpy filter bytes differ.
+
+Sizing (bloom): with the default 8192 buckets × 2^20 bits (128 KiB) × k=7,
+total state is 1 GiB for ~10^9 keys at <1% FPR; at 10^10 keys raise buckets
+to 131072 (16 GiB spread across the cluster — each task touches only its
 bucket's 128 KiB slice). False positives skip a URL (acceptable for crawl);
 false negatives are impossible (property-tested).
 """
@@ -109,10 +116,148 @@ class ExactSeenSet:
         return self.df.count()
 
 
-class CuckooSeenSet:
+class _BucketStateSeenSet:
+    """Distributed scaffolding shared by the filter-typed seen sets.
+
+    State = one row per salted bucket ``(bucket, filter:binary, n_items)``.
+    Subclasses supply only the pure-numpy filter behavior:
+
+    - ``_cfg() -> tuple[int, ...]`` — picklable config for the UDF closures
+    - ``_probe_mask(blob, hashes, cfg) -> bool[n]`` (staticmethod)
+    - ``_merge_blob(blob | None, hashes, cfg) -> (bytes, n_new)`` (staticmethod)
+
+    The UDF closures capture only the class object (picklable by reference)
+    and the config tuple — never ``self`` (which holds the SparkSession).
+
+    ``cogroup(...).applyInPandas`` is a FULL cogroup: the merge function is
+    also invoked for buckets present only in the state side (empty key
+    batch) and passes their row through unchanged. Do NOT union an
+    anti-joined "untouched" remainder on top — that duplicates every
+    state-only bucket row once per add() (regression-tested in
+    tests/test_seen.py).
+    """
+
+    def __init__(self, spark: SparkSession, state_df: DataFrame | None = None):
+        self.spark = spark
+        self.df = (
+            state_df
+            if state_df is not None
+            else spark.createDataFrame([], SEEN_STATE_SCHEMA)
+        )
+
+    def _cfg(self) -> tuple:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def filter_unseen(self, candidates: DataFrame) -> DataFrame:
+        """Definitely-unseen candidates (a filter may drop a few false
+        positives; it never returns an already-seen url). `candidates` must
+        carry `bucket` and `url_hash` columns (functions.urls.with_url_columns).
+        """
+        cls, cfg = type(self), self._cfg()
+        cand_cols = candidates.columns
+
+        def probe(key, cands: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+            if len(state):
+                seen = cls._probe_mask(
+                    state["filter"].iloc[0],
+                    cands["url_hash"].to_numpy(np.uint64),
+                    cfg,
+                )
+                return cands.loc[~seen, cand_cols]
+            return cands[cand_cols]
+
+        return (
+            candidates.groupBy("bucket")
+            .cogroup(self.df.groupBy("bucket"))
+            .applyInPandas(probe, candidates.schema)
+        )
+
+    def add(self, new_keys: DataFrame) -> None:
+        """Merge (bucket, url_hash) rows into the per-bucket filter bytes.
+
+        ``n_items`` counts keys genuinely new to the filter (batch-deduped
+        and checked against the existing bytes), so repeated adds of the
+        same keys do not inflate the count.
+        """
+        cls, cfg = type(self), self._cfg()
+
+        def merge(key, keys: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(key[0])
+            blob = bytes(state["filter"].iloc[0]) if len(state) else None
+            n = int(state["n_items"].iloc[0]) if len(state) else 0
+            hashes = (
+                np.unique(keys["url_hash"].to_numpy(np.uint64))
+                if len(keys)
+                else np.array([], dtype=np.uint64)
+            )
+            new_blob, n_new = cls._merge_blob(blob, hashes, cfg)
+            return pd.DataFrame(
+                {"bucket": [bucket], "filter": [new_blob], "n_items": [n + n_new]}
+            )
+
+        self.df = (
+            new_keys.select("bucket", "url_hash")
+            .groupBy("bucket")
+            .cogroup(self.df.groupBy("bucket"))
+            .applyInPandas(merge, SEEN_STATE_SCHEMA)
+        )
+
+    def checkpoint(self, path: str) -> None:
+        self.df.write.mode("overwrite").parquet(path)
+        self.df = self.spark.read.parquet(path)
+
+    def count(self) -> int:
+        row = self.df.agg(F.sum("n_items")).first()
+        return int(row[0] or 0)
+
+
+class BloomSeenSet(_BucketStateSeenSet):
+    """Salted-bucket bloom seen-set held as a (bucket, filter, n_items) DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_df: DataFrame | None = None,
+        n_buckets: int = 256,
+        m_bits: int = 1 << 20,
+        k: int = 7,
+    ):
+        super().__init__(spark, state_df)
+        self.n_buckets, self.m_bits, self.k = n_buckets, m_bits, k
+
+    def _cfg(self) -> tuple:
+        return (self.m_bits, self.k)
+
+    @staticmethod
+    def _probe_mask(blob: bytes, hashes: np.ndarray, cfg: tuple) -> np.ndarray:
+        m_bits, k = cfg
+        filt = np.frombuffer(blob, dtype=np.uint8)
+        return _bloom_contains(filt, hashes, m_bits, k)
+
+    @staticmethod
+    def _merge_blob(blob: bytes | None, hashes: np.ndarray, cfg: tuple):
+        m_bits, k = cfg
+        filt = (
+            np.frombuffer(blob, dtype=np.uint8).copy()
+            if blob is not None
+            else np.zeros(m_bits // 8, dtype=np.uint8)
+        )
+        # count only keys the filter did not already contain (a false
+        # positive undercounts by its tiny FPR — n_items is an estimate)
+        fresh = hashes[~_bloom_contains(filt, hashes, m_bits, k)]
+        _bloom_add(filt, fresh, m_bits, k)
+        return filt.tobytes(), int(len(fresh))
+
+    @classmethod
+    def restore(
+        cls, spark: SparkSession, path: str, n_buckets: int, m_bits: int, k: int
+    ) -> "BloomSeenSet":
+        return cls(spark, spark.read.parquet(path), n_buckets, m_bits, k)
+
+
+class CuckooSeenSet(_BucketStateSeenSet):
     """Salted-bucket cuckoo-filter seen-set — the structure the north rule
-    names. Same distributed layout as BloomSeenSet (one state row per bucket,
-    probe/update via cogrouped ``applyInPandas``), different filter bytes:
+    names. Same distributed layout as BloomSeenSet, different filter bytes:
 
     per bucket, a (m × 4)-slot table of uint16 fingerprints (0 = empty).
     key → fp = nonzero 16-bit digest; i1 = h mod m; i2 = i1 XOR perm(fp).
@@ -137,15 +282,13 @@ class CuckooSeenSet:
         n_buckets: int = 256,
         m_rows: int = 1 << 14,
     ):
-        self.spark = spark
+        super().__init__(spark, state_df)
         self.n_buckets, self.m_rows = n_buckets, m_rows
-        self.df = (
-            state_df
-            if state_df is not None
-            else spark.createDataFrame([], SEEN_STATE_SCHEMA)
-        )
 
-    # ---- pure-numpy filter ops (shared by probe and merge) ----------------
+    def _cfg(self) -> tuple:
+        return (self.m_rows,)
+
+    # ---- pure-numpy filter ops -------------------------------------------
     @staticmethod
     def _fp(h: np.ndarray) -> np.ndarray:
         f = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
@@ -179,22 +322,22 @@ class CuckooSeenSet:
 
     @classmethod
     def _insert(cls, table: np.ndarray, overflow: set, h: np.ndarray,
-                max_kicks: int = 64) -> None:
+                max_kicks: int = 64) -> int:
+        """Insert keys; returns how many were not already present."""
         m = table.shape[0]
         fp = cls._fp(h)
         i1 = (h % np.uint64(m)).astype(np.int64)
         i2 = cls._i2(i1, fp, m)
-        already = (table[i1] == fp[:, None]).any(axis=1) | (
-            table[i2] == fp[:, None]
-        ).any(axis=1)
+        already = cls._contains(table, overflow, h)
         fp, i1, i2 = fp[~already], i1[~already], i2[~already]
+        n_new = int(len(fp))
         # vectorized placement rounds: for each candidate row, claim the
         # first empty slot; index collisions within the batch are serialized
         # by np.unique (first occurrence wins a round, rest retry next round)
         pending = np.arange(len(fp))
         for idx_arr in (i1, i2, i1, i2):
             if not len(pending):
-                return
+                return n_new
             rows = idx_arr[pending]
             uniq, first = np.unique(rows, return_index=True)
             cand = pending[first]
@@ -227,6 +370,7 @@ class CuckooSeenSet:
                 # whichever key owns it still probes positive (cur_i is one of
                 # that fingerprint's two valid rows by the chain invariant).
                 overflow.add((int(cur_i) << 16) | int(cur_fp))
+        return n_new
 
     # ---- state (de)serialization ------------------------------------------
     @staticmethod
@@ -250,164 +394,25 @@ class CuckooSeenSet:
             len(overflow).to_bytes(4, "little") + over.tobytes() + table.tobytes()
         )
 
-    # ---- DataFrame API (same shape as BloomSeenSet) -----------------------
-    # Closures below capture only ints + the class (picklable by reference),
-    # never `self` (which holds the un-picklable SparkSession).
-    def filter_unseen(self, candidates: DataFrame) -> DataFrame:
-        m_rows = self.m_rows
-        cand_cols = candidates.columns
+    # ---- base-class hooks -------------------------------------------------
+    @staticmethod
+    def _probe_mask(blob: bytes, hashes: np.ndarray, cfg: tuple) -> np.ndarray:
+        table, overflow = CuckooSeenSet._unpack(blob, cfg[0])
+        return CuckooSeenSet._contains(table, overflow, hashes)
 
-        def probe(key, cands: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
-            if len(state):
-                table, overflow = CuckooSeenSet._unpack(
-                    state["filter"].iloc[0], m_rows
-                )
-                seen = CuckooSeenSet._contains(
-                    table, overflow, cands["url_hash"].to_numpy(np.uint64)
-                )
-                return cands.loc[~seen, cand_cols]
-            return cands[cand_cols]
-
-        return (
-            candidates.groupBy("bucket")
-            .cogroup(self.df.groupBy("bucket"))
-            .applyInPandas(probe, candidates.schema)
+    @staticmethod
+    def _merge_blob(blob: bytes | None, hashes: np.ndarray, cfg: tuple):
+        m_rows = cfg[0]
+        table, overflow = (
+            CuckooSeenSet._unpack(blob, m_rows)
+            if blob is not None
+            else (np.zeros((m_rows, 4), dtype=np.uint16), set())
         )
-
-    def add(self, new_keys: DataFrame) -> None:
-        m_rows = self.m_rows
-
-        def merge(key, keys: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(key[0])
-            table, overflow = (
-                CuckooSeenSet._unpack(state["filter"].iloc[0], m_rows)
-                if len(state)
-                else (np.zeros((m_rows, 4), dtype=np.uint16), set())
-            )
-            n = int(state["n_items"].iloc[0]) if len(state) else 0
-            hashes = np.unique(keys["url_hash"].to_numpy(np.uint64))
-            CuckooSeenSet._insert(table, overflow, hashes)
-            return pd.DataFrame(
-                {
-                    "bucket": [bucket],
-                    "filter": [CuckooSeenSet._pack(table, overflow)],
-                    "n_items": [n + len(hashes)],
-                }
-            )
-
-        merged = (
-            new_keys.select("bucket", "url_hash")
-            .groupBy("bucket")
-            .cogroup(self.df.groupBy("bucket"))
-            .applyInPandas(merge, SEEN_STATE_SCHEMA)
-        )
-        untouched = self.df.join(
-            new_keys.select("bucket").distinct(), "bucket", "left_anti"
-        )
-        self.df = merged.unionByName(untouched)
-
-    def checkpoint(self, path: str) -> None:
-        self.df.write.mode("overwrite").parquet(path)
-        self.df = self.spark.read.parquet(path)
+        n_new = CuckooSeenSet._insert(table, overflow, hashes)
+        return CuckooSeenSet._pack(table, overflow), n_new
 
     @classmethod
     def restore(
         cls, spark: SparkSession, path: str, n_buckets: int, m_rows: int
     ) -> "CuckooSeenSet":
         return cls(spark, spark.read.parquet(path), n_buckets, m_rows)
-
-    def count(self) -> int:
-        row = self.df.agg(F.sum("n_items")).first()
-        return int(row[0] or 0)
-
-
-class BloomSeenSet:
-    """Salted-bucket bloom seen-set held as a (bucket, filter, n_items) DataFrame."""
-
-    def __init__(
-        self,
-        spark: SparkSession,
-        state_df: DataFrame | None = None,
-        n_buckets: int = 256,
-        m_bits: int = 1 << 20,
-        k: int = 7,
-    ):
-        self.spark = spark
-        self.n_buckets, self.m_bits, self.k = n_buckets, m_bits, k
-        self.df = (
-            state_df
-            if state_df is not None
-            else spark.createDataFrame([], SEEN_STATE_SCHEMA)
-        )
-
-    def _cogroup_probe(self, candidates: DataFrame, out_schema) -> DataFrame:
-        m_bits, k = self.m_bits, self.k
-        cand_cols = candidates.columns
-
-        def probe(key, cands: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
-            if len(state):
-                filt = np.frombuffer(state["filter"].iloc[0], dtype=np.uint8).copy()
-                seen = _bloom_contains(
-                    filt, cands["url_hash"].to_numpy(np.uint64), m_bits, k
-                )
-                return cands.loc[~seen, cand_cols]
-            return cands[cand_cols]
-
-        return (
-            candidates.groupBy("bucket")
-            .cogroup(self.df.groupBy("bucket"))
-            .applyInPandas(probe, out_schema)
-        )
-
-    def filter_unseen(self, candidates: DataFrame) -> DataFrame:
-        """Definitely-unseen candidates (bloom may drop a few false positives;
-        never returns an already-seen url). `candidates` must carry `bucket`
-        and `url_hash` columns (see functions.urls.with_url_columns)."""
-        return self._cogroup_probe(candidates, candidates.schema)
-
-    def add(self, new_keys: DataFrame) -> None:
-        """Merge (bucket, url_hash) rows into the per-bucket filters."""
-        m_bits, k = self.m_bits, self.k
-
-        def merge(key, keys: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(key[0])
-            if len(state):
-                filt = np.frombuffer(state["filter"].iloc[0], dtype=np.uint8).copy()
-                n = int(state["n_items"].iloc[0])
-            else:
-                filt = np.zeros(m_bits // 8, dtype=np.uint8)
-                n = 0
-            hashes = keys["url_hash"].to_numpy(np.uint64)
-            _bloom_add(filt, hashes, m_bits, k)
-            return pd.DataFrame(
-                {
-                    "bucket": [bucket],
-                    "filter": [filt.tobytes()],
-                    "n_items": [n + len(hashes)],
-                }
-            )
-
-        merged = (
-            new_keys.select("bucket", "url_hash")
-            .groupBy("bucket")
-            .cogroup(self.df.groupBy("bucket"))
-            .applyInPandas(merge, SEEN_STATE_SCHEMA)
-        )
-        untouched = self.df.join(
-            new_keys.select("bucket").distinct(), "bucket", "left_anti"
-        )
-        self.df = merged.unionByName(untouched)
-
-    def checkpoint(self, path: str) -> None:
-        self.df.write.mode("overwrite").parquet(path)
-        self.df = self.spark.read.parquet(path)
-
-    @classmethod
-    def restore(
-        cls, spark: SparkSession, path: str, n_buckets: int, m_bits: int, k: int
-    ) -> "BloomSeenSet":
-        return cls(spark, spark.read.parquet(path), n_buckets, m_bits, k)
-
-    def count(self) -> int:
-        row = self.df.agg(F.sum("n_items")).first()
-        return int(row[0] or 0)

@@ -133,8 +133,15 @@ def simulate_crawl(
             break
         for wv, host, rank, c, *_ in sorted(scheduled):
             res.schedule.append((wv, host, rank, c))
-        for _, _, _, c, depth, ts, attempt, prio in scheduled:
+        # Pop every scheduled canon BEFORE processing: the engine removes the
+        # whole wave from the frontier first, then best-wins-dedups retries
+        # against same-wave outlink rediscoveries. Popping inside the loop
+        # would let a scheduled miss destroy an outlink entry inserted
+        # earlier in the same loop, diverging from the engine on corpora
+        # where a page links to a dead url scheduled in the same wave.
+        for _, _, _, c, *_rest in scheduled:
             frontier.pop(c, None)
+        for _, _, _, c, depth, ts, attempt, prio in scheduled:
             page = by_canon.get(c)
             if page is None:
                 # fetch miss: retry with attempt+1 (same priority/ts/depth)

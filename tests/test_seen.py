@@ -167,3 +167,27 @@ def test_cuckoo_crawl_matches_exact(spark):
     finally:
         shutil.rmtree(t1)
         shutil.rmtree(t2)
+
+
+def test_no_state_row_duplication_on_add(spark):
+    """Regression: cogrouped merge already passes state-only buckets through;
+    a second add touching only SOME buckets must not duplicate the untouched
+    buckets' state rows nor inflate counts on re-adding existing keys."""
+    from hk_housing_datahub_spark.frontier.seen import CuckooSeenSet
+
+    for s in (
+        BloomSeenSet(spark, n_buckets=8, m_bits=1 << 14, k=5),
+        CuckooSeenSet(spark, None, n_buckets=8, m_rows=1 << 10),
+    ):
+        s.add(_keys(spark, 0, 200, n_buckets=8))
+        n_rows0 = s.df.count()
+        # second add hits a narrow key range (most buckets untouched)
+        s.add(_keys(spark, 200, 205, n_buckets=8))
+        s.add(_keys(spark, 205, 210, n_buckets=8))
+        rows = s.df.groupBy("bucket").count().collect()
+        assert all(r["count"] == 1 for r in rows), rows
+        assert s.df.count() == n_rows0 <= 8
+        # re-adding already-present keys must not inflate n_items
+        before = s.count()
+        s.add(_keys(spark, 0, 200, n_buckets=8))
+        assert s.count() == before == 210

@@ -10,6 +10,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 W="${1:-2}" C="${2:-4}" MEM="${3:-4096}"
+shift $(( $# > 3 ? 3 : $# ))  # consume the positionals; the rest goes to the job
 PKG_ZIP=$(python -c "from hk_housing_datahub_spark.session import package_zip; print(package_zip())")
 CKPT=$(mktemp -d /tmp/hk_submit_crawl.XXXXXX)
 
