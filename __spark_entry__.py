@@ -117,18 +117,10 @@ def _last_non_null_fold(spark, sf):
     ev = _t(spark, sf, "events").withColumn(
         "v", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
     )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    out = R.last_non_null_fold(
+        ev, "user_id", "ts", ["v"], tiebreak_cols=["event_id"]
     )
-    return (
-        ev.select(
-            "user_id",
-            F.round(F.last("v", ignorenulls=True).over(w), 4).alias("last_val"),
-        )
-        .dropDuplicates(["user_id"])
-    )
+    return out.select("user_id", F.round("last_v", 4).alias("last_val"))
 
 
 def _bilingual_pair_join(spark, sf):

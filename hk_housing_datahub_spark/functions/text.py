@@ -123,11 +123,5 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(text)), mk), 1)
 
 
-def clean_wiki_markup(text: Column) -> Column:
-    """Wiki-markup cleaning per reference processors/wiki/wiki.py:66-77:
-    ``[[a|b]] → b``, ``[[a]] → a``, strip HTML tags and <br> variants.
-    """
-    c = F.regexp_replace(text, "\\[\\[[^\\]|]*\\|([^\\]]*)\\]\\]", "$1")
-    c = F.regexp_replace(c, "\\[\\[([^\\]]*)\\]\\]", "$1")
-    c = F.regexp_replace(c, "<br\\s*/?>", "\n")
-    return F.regexp_replace(c, "<[^>]+>", "")
+# wiki-markup cleaning lives in functions/wikitables.py (clean_wiki_markup),
+# next to the table parser that consumes it — one copy, one contract.

@@ -31,12 +31,6 @@ PAYLOAD_META_SCHEMA = T.StructType(
     ]
 )
 
-try:  # pragma: no cover - not present in this container
-    import PIL.Image  # type: ignore  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -65,13 +59,18 @@ def _decode_fake(n_bytes: pd.Series) -> tuple[pd.Series, pd.Series]:
     return width, height
 
 
-def decode_payload_meta(docs_with_payload: DataFrame) -> DataFrame:
+def decode_payload_meta(
+    docs_with_payload: DataFrame, use_real_decoder: bool = False
+) -> DataFrame:
     """mapInPandas media "decode": binary in → typed metadata out.
 
     Batch shape: each Arrow batch is a pandas DataFrame with the payload
     column as bytes objects; output conforms to PAYLOAD_META_SCHEMA. The
-    real decoder would drop in at the marked call without touching the
-    distributed plumbing.
+    deterministic fake decoder always works (it exercises the identical
+    distributed plumbing); ``use_real_decoder=True`` routes through
+    ``_decode_real``, which is an explicit NotImplementedError stub until a
+    media library is wired in — opt-in, never triggered by whatever happens
+    to be importable on the cluster.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -81,9 +80,15 @@ def decode_payload_meta(docs_with_payload: DataFrame) -> DataFrame:
             n_bytes = pdf["payload"].map(
                 lambda b: len(b) if b is not None else 0
             ).astype("int64")
-            if _HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError("real decode path not wired in v1")
-            width, height = _decode_fake(n_bytes)
+            if use_real_decoder:
+                dims = [
+                    _decode_real(b, mt)
+                    for b, mt in zip(pdf["payload"], pdf["media_type"])
+                ]
+                width = pd.Series([d[0] for d in dims], index=pdf.index)
+                height = pd.Series([d[1] for d in dims], index=pdf.index)
+            else:
+                width, height = _decode_fake(n_bytes)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

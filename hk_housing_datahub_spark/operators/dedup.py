@@ -67,24 +67,33 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via a shingle inverted index.
 
-    shuffle 1: distinct (doc, shingle); shuffle 2: self-join on shingle →
-    co-occurrence counts; sizes broadcast back. Exact but quadratic in the
-    worst case — the correctness oracle for MinHash-LSH below (which is the
-    scale path). Output: (a, b, jaccard) with a < b, jaccard ≥ threshold.
+    Set sizes ride along as a per-doc window count BEFORE the self-join, so
+    no cache and no join-back of a sizes table is needed (the size is
+    functionally dependent on the doc id, so grouping by it is free); the
+    identical-lineage self-join reuses one shuffle map stage. Exact but
+    quadratic in the worst case — the correctness oracle for MinHash-LSH
+    below (which is the scale path). Output: (a, b, jaccard) with a < b,
+    jaccard ≥ threshold.
     """
-    sh = _shingled(docs, id_col, text_col, n).cache()
-    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    from pyspark.sql import Window as W
+
+    sh = _shingled(docs, id_col, text_col, n).withColumn(
+        "sz", F.count(F.lit(1)).over(W.partitionBy("did"))
+    )
     co = (
         sh.alias("l")
         .join(sh.alias("r"), "shingle")
         .filter(F.col("l.did") < F.col("r.did"))
-        .groupBy(F.col("l.did").alias("a"), F.col("r.did").alias("b"))
+        .groupBy(
+            F.col("l.did").alias("a"),
+            F.col("r.did").alias("b"),
+            F.col("l.sz").alias("sza"),
+            F.col("r.sz").alias("szb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        co.join(sizes.withColumnRenamed("did", "a").withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed("did", "b").withColumnRenamed("sz", "szb"), "b")
-        .withColumn(
+    return (
+        co.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
@@ -93,7 +102,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(
@@ -132,6 +140,13 @@ def minhash_lsh_pairs(
     on (band, key). Candidates are NOT verified here (compose with
     ngram_jaccard_pairs on the candidate set for verified output).
     """
+    if not (0 < bands <= num_perm and num_perm % bands == 0):
+        raise ValueError(
+            f"bands must divide num_perm (got bands={bands}, "
+            f"num_perm={num_perm}) — otherwise band keys silently hash "
+            "fewer rows than requested, or zero rows (a constant key that "
+            "collides everything into one O(n^2) bucket)"
+        )
     rows = num_perm // bands
     sig = minhash_signatures(docs, id_col, text_col, n, num_perm)
     band_structs = F.array(
@@ -196,20 +211,35 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Candidate generation by 4×16-bit block banding (pigeonhole: ≤3 differing
-    bits → at least one 16-bit block equal), then exact hamming via
-    bit_count(xor). Sub-quadratic; no Python.
+    Candidate generation by (max_hamming+1)-block banding over the 64 bits
+    (pigeonhole: ≤ max_hamming differing bits cannot touch every block, so
+    at least one block is equal), then exact hamming via bit_count(xor).
+    Sub-quadratic; no Python. Recall is exact for ANY max_hamming because
+    the block count is derived from it; more blocks = smaller keys = more
+    candidate pairs to verify.
     """
+    n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    # split 64 bits into n_blocks contiguous runs, widths as even as possible
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if b < extra else 0) for b in range(n_blocks)]
+    offsets = [sum(widths[:b]) for b in range(n_blocks)]
+
     sig = simhash(docs, id_col, text_col)
     blocks = F.array(
         *[
             F.struct(
                 F.lit(b).alias("blk"),
-                F.shiftright(F.col("simhash"), b * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("key"),
+                (
+                    F.shiftright(F.col("simhash"), offsets[b]).bitwiseAND(
+                        F.lit((1 << widths[b]) - 1)
+                    )
+                    if widths[b] < 64
+                    else F.col("simhash")  # single 64-bit block (max_hamming=0)
+                ).alias("key"),
             )
-            for b in range(4)
+            for b in range(n_blocks)
         ]
     )
     banded = sig.select("did", "simhash", F.explode(blocks).alias("bk")).select(

@@ -56,7 +56,11 @@ def latest_per_group(
 
 
 def last_non_null_fold(
-    df: DataFrame, key: str, ts_col: str, value_cols: list[str]
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per key: the last non-null value of each column in event-time order.
 
@@ -65,10 +69,14 @@ def last_non_null_fold(
     transactions oldest→newest, keep overwriting bedroom/sitting_room when
     non-null) via ``last(col, ignorenulls=True)`` over an ordered window,
     reduced to one row per key.
+
+    ``tiebreak_cols`` must make (ts_col, *tiebreak_cols) a total order per
+    key wherever values can collide on ts_col — without it, equal timestamps
+    make "last" partition-order-dependent (nondeterministic across runs).
     """
     w = (
         W.partitionBy(key)
-        .orderBy(ts_col)
+        .orderBy(ts_col, *(tiebreak_cols or []))
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     folded = df.select(

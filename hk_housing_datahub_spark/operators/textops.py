@@ -21,12 +21,21 @@ from ..functions.text import (
 )
 
 
-def profile_documents(docs: DataFrame) -> DataFrame:
-    """Per-document profile row: id, predicted lang, tokens, quality, fp."""
+def profile_documents(
+    docs: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-document profile row: id, predicted lang, tokens, quality, fp.
+
+    ``passthrough`` carries extra input columns into the profile in the same
+    scan — callers must not join the profile back to the corpus to recover a
+    column that was already in hand (that is a second full-corpus shuffle at
+    scale).
+    """
     t = F.col("text")
     return docs.select(
         "doc_id",
         "lang",
+        *passthrough,
         lang_id(t).alias("pred_lang"),
         token_count(t).alias("n_tokens"),
         stopword_count(t).alias("n_stopwords"),
@@ -39,8 +48,8 @@ def profile_documents(docs: DataFrame) -> DataFrame:
 def quality_by_source(docs: DataFrame) -> DataFrame:
     """Corpus-health rollup: per source, doc count + rounded mean quality and
     token stats (the filter-threshold dashboard query)."""
-    p = profile_documents(docs)
-    return p.join(docs.select("doc_id", "source"), "doc_id").groupBy("source").agg(
+    p = profile_documents(docs, passthrough=("source",))
+    return p.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),

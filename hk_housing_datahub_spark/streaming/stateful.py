@@ -69,7 +69,7 @@ def _dedup_func_factory(m_bits: int, k: int):
 
 
 def streaming_seen_dedup(
-    urls_stream: DataFrame, m_bits: int = 1 << 17, k: int = 7
+    urls_stream: DataFrame, m_bits: int = 1 << 20, k: int = 7
 ) -> DataFrame:
     """First occurrence of every url_hash across the whole stream; state =
     one bloom filter per bucket, carried across micro-batches."""

@@ -188,3 +188,34 @@ def test_streaming_seen_dedup_across_batches(spark, tmp_path):
     hashes = [r.url_hash for r in out]
     assert len(hashes) == len(set(hashes)), "stream emitted a duplicate"
     assert set(hashes) == {i * 7919 for i in range(75)}, "lost a first occurrence"
+
+
+def test_streaming_append_watermark_semantics(spark):
+    """Append mode + watermark (the production path): closed windows emit
+    once the watermark passes them, rows older than the watermark are
+    dropped, and the still-open tail window is withheld."""
+    from hk_housing_datahub_spark.streaming.events import (
+        run_windowed_counts_append,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(i, f"u{i}", t, "click", 1.0) for i, t in enumerate(rows)],
+            "event_id long, user_id string, ts_raw long, event_type string, value double",
+        ).select(
+            "event_id", "user_id",
+            F.timestamp_seconds("ts_raw").alias("ts"),
+            "event_type", "value",
+        )
+
+    # batch 1: 3 rows in window [0,3600) + one at 4800 (watermark → 4200,
+    # closing window [0,3600) at the next trigger); batch 2 advances the
+    # watermark to 9400; batch 3 carries a LATE row at 500 — its window is
+    # closed and evicted, so it is dropped (numRowsDroppedByWatermark) —
+    # plus a row at 12000 that closes window [7200,10800).
+    out = run_windowed_counts_append(
+        spark, [ev([1000, 1500, 2000, 4800]), ev([10000]), ev([500, 12000])]
+    )
+    rows = {r.win_start.timestamp(): r.n for r in out.collect()}
+    # late row NOT counted; tail window [10800,...) withheld (state open)
+    assert rows == {0.0: 3, 3600.0: 1, 7200.0: 1}, rows
