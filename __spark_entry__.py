@@ -59,15 +59,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 3-wave politeness-budgeted crawl over a 2000-page synthetic
-    corpus → extracted listings (url, fields, lineage columns)."""
+    corpus (with dead links) → extracted listings (url, fields, lineage
+    columns). Runs the full scale path: cuckoo-filter seen set, two-phase
+    hot-host politeness window, row-level fetch retry."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     n, hosts = 2000, 20
-    pages = generate_pages(spark, n, n_hosts=hosts)
+    pages = generate_pages(spark, n, n_hosts=hosts, dead_link_every=11)
     seeds = generate_seeds(spark, 25, n, n_hosts=hosts)
     robots = generate_robots(spark, n_hosts=hosts)
     ckpt = tempfile.mkdtemp(prefix="hkcrawl_entry_")
     eng = CrawlEngine(
-        spark, pages, robots, ckpt, seen_mode="exact", wave_ms=1000, max_depth=2
+        spark, pages, robots, ckpt, seen_mode="cuckoo", n_buckets=32,
+        cuckoo_rows=1 << 12, wave_ms=1000, max_depth=2, max_attempts=2,
+        politeness_salt=4,
     )
     res = eng.run(seeds, max_waves=3)
     return res.listings(spark).drop("outlinks")
