@@ -77,3 +77,53 @@ def test_bucket_stability_and_host(spark):
     assert rows[0]["bucket"] == rows[1]["bucket"]
     assert rows[0]["host"] == "a.b.c"
     assert 0 <= rows[0]["bucket"] < 8192
+
+
+# ---------------------------------------------------------------------------
+# property-based: random adversarial URLs (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"])
+    _host = st.from_regex(r"[A-Za-z0-9][A-Za-z0-9.-]{0,20}", fullmatch=True)
+    _port = st.sampled_from(["", ":80", ":443", ":8080", ":0012"])
+    _path = st.from_regex(r"(/[A-Za-z0-9._~%-]{0,8}){0,3}", fullmatch=True)
+    _query = st.lists(
+        st.from_regex(r"[a-z]{1,3}=[A-Za-z0-9]{0,4}", fullmatch=True),
+        max_size=4,
+    ).map(lambda ps: "&".join(ps))
+    _frag = st.sampled_from(["", "#x", "#frag/ment?a=1"])
+
+    @st.composite
+    def _urls(draw):
+        q = draw(_query)
+        return (
+            draw(_scheme) + "://" + draw(_host) + draw(_port) + draw(_path)
+            + ("?" + q if q else "") + draw(_frag)
+        )
+
+    @given(st.lists(_urls(), min_size=1, max_size=30))
+    @settings(max_examples=20, deadline=None)
+    def test_canonicalize_property_parity(spark, urls):
+        """Spark canonicalization == the pure-Python twin, and both are
+        idempotent, on randomized messy URLs."""
+        from hk_housing_datahub_spark.frontier.simulator import canonicalize
+        from hk_housing_datahub_spark.functions.urls import canonicalize_url
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = [
+            r.c
+            for r in df.select(canonicalize_url(F.col("url")).alias("c"))
+            .collect()
+        ]
+        want = [canonicalize(u) for u in urls]
+        assert got == want
+        assert [canonicalize(c) for c in got] == got  # idempotent
