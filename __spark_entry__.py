@@ -389,6 +389,28 @@ def _chunk_documents(spark, sf):
     return chunk_documents(_t(spark, sf, "documents"))
 
 
+def _asof_join_events(spark, sf):
+    """As-of join (union+window composition, operators/joins.py): each click
+    gets the user's most recent purchase at-or-before it; oracle = DuckDB's
+    native ASOF LEFT JOIN."""
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = J.asof_join(clicks, purchases, "user_id", "ts", ["purchase_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
 def _cookie_str_to_map(spark, sf):
     """F1 parity (reference utils.py:10-21 cookie string → dict): str_to_map
     then explode to (doc_id, k, v) rows."""
@@ -600,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "cookie_str_to_map": _cookie_str_to_map,
         "wiki_section_concat": _wiki_section_concat,
+        "asof_join_events": _asof_join_events,
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
         "extract_listings": _extract_listings,
@@ -928,5 +951,18 @@ def oracle_sql() -> dict[str, str]:
                    text || chr(10) || upper(substr(text, 1, 40)) ||
                    chr(10) || lower(substr(text, 1, 30)) AS full_text
             FROM documents
+        """,
+        "asof_join_events": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+            p AS (
+                SELECT user_id, ts, max(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   round(p.purchase_value, 4) AS purchase_value
+            FROM clicks c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
     }

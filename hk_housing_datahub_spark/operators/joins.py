@@ -61,3 +61,47 @@ def unseen_anti_join(
     converts to broadcast at runtime if the build side turns out small.
     """
     return candidates.join(seen, key, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """As-of join: each left row gets the right row with the greatest
+    ``ts_col`` ≤ its own, per ``key`` (NULLs when no prior right row).
+
+    Spark has no native ASOF JOIN; the naive range join explodes to
+    O(|L|·|R|) per key. This is the scalable union+window composition:
+    tag both sides, union, one window per key ordered by (ts, side-tag)
+    carrying ``last(right_col, ignorenulls=True)`` forward, keep left rows.
+    ONE shuffle on `key`, linear in |L|+|R| — survives 100× scale-up where
+    a range join would not. The right side must be unique per (key, ts)
+    (pre-aggregate if not — ties would otherwise be ambiguous, which is
+    also what makes DuckDB's native ASOF JOIN well-defined as the oracle).
+
+    Right tag sorts BEFORE left at equal ts so a same-timestamp right row
+    is visible to the left row (ts_r ≤ ts_l inclusive semantics).
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        key, ts_col, *right_value_cols
+    ).withColumn("_side", F.lit(0))
+    for c in right_value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        W.partitionBy(key)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in right_value_cols],
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")

@@ -131,3 +131,24 @@ def test_streaming_equals_batch(spark, sf_med):
     a = {(str(r.win_start), r.event_type): (r.n, r.total_value) for r in stream_out.collect()}
     b = {(str(r.win_start), r.event_type): (r.n, r.total_value) for r in batch.collect()}
     assert a == b
+
+
+def test_asof_join_semantics(spark):
+    """Each left row takes the right row with greatest ts <= its own
+    (inclusive), per key; no prior right row -> NULL."""
+    from hk_housing_datahub_spark.operators.joins import asof_join
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 50), (4, "b", 100)],
+        "id long, k string, t long",
+    ).select("id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [("a", 100, 1.0), ("a", 200, 2.0), ("b", 150, 9.0)],
+        "k string, t long, v double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    out = {
+        r.id: r.v
+        for r in asof_join(left, right, "k", "ts", ["v"]).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: None, 4: None}
