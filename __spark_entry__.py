@@ -238,7 +238,11 @@ def _dedup_exact_stats(spark, sf):
 
 
 def _ngram_jaccard_pairs(spark, sf):
-    return DD.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+    # max_shingle_df caps hot posting lists (a shingle in k docs contributes
+    # k^2 join rows) — the standalone-at-100x guard; oracle mirrors the cap.
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.5, max_shingle_df=50
+    )
 
 
 def _token_stats(spark, sf):
@@ -273,15 +277,11 @@ def _ann_topk_cosine(spark, sf):
 
 
 def _embedding_neardup(spark, sf):
+    # Blocked near-dup (operators/similarity.py): the label column is the
+    # blocking key (production: a coarse LSH bucket), turning the O(n^2)
+    # cross join into a per-block equi-join. Oracle blocks identically.
     e = _t(spark, sf, "embeddings").filter(F.pmod("vec_id", F.lit(5)) == 0)
-    l = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    r = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    return (
-        l.join(r, F.col("a") < F.col("b"))
-        .withColumn("cos_sim", F.round(SIM.cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos_sim") >= 0.4)
-        .select("a", "b", "cos_sim")
-    )
+    return SIM.embedding_neardup_pairs(e, threshold=0.4)
 
 
 def _sessionize_events(spark, sf):
@@ -843,9 +843,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-            sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+            sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
                    FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
                    WHERE len(t) >= 3),
+            sh AS (SELECT doc_id, s FROM sh0
+                   QUALIFY count(*) OVER (PARTITION BY s) <= 50),
             sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             co AS (SELECT l.doc_id AS a, r.doc_id AS b,
                           CAST(count(*) AS BIGINT) AS inter
@@ -920,13 +922,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE rnk <= 5
         """,
         "embedding_neardup": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                        FROM embeddings WHERE vec_id % 5 = 0)
             SELECT a.vec_id AS a, b.vec_id AS b,
                    round(list_dot_product(a.v, b.v) /
                          (sqrt(list_dot_product(a.v, a.v)) *
                           sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v) /
                   (sqrt(list_dot_product(a.v, a.v)) *
                    sqrt(list_dot_product(b.v, b.v))) >= 0.4

@@ -148,13 +148,19 @@ class CrawlEngine:
 
     @staticmethod
     def _dedup_frontier(frontier: DataFrame) -> DataFrame:
-        """One row per url_hash, keeping the best (priority, ts, url) entry —
-        deterministic under any partitioning."""
+        """One row per url_hash, keeping the best (priority, ts, url, depth)
+        entry — deterministic under any partitioning. The attempt counter is
+        the MAX over all merged entries: when a dead url pending retry
+        (attempt>=1) is rediscovered via outlinks (attempt=0), the winning
+        entry keeps the retry count, so max_attempts bounds TOTAL fetches of
+        a url, not just consecutive ones (the simulator mirrors this merge)."""
         w = W.partitionBy("url_hash").orderBy(
-            "priority", "discovered_ts", "url_canon", "depth", "attempt"
+            "priority", "discovered_ts", "url_canon", "depth",
+            F.col("attempt").desc(),
         )
         return (
             frontier.withColumn("_rn", F.row_number().over(w))
+            .withColumn("attempt", F.max("attempt").over(W.partitionBy("url_hash")))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )

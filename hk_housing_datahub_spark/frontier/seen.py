@@ -283,6 +283,11 @@ class CuckooSeenSet(_BucketStateSeenSet):
         m_rows: int = 1 << 14,
     ):
         super().__init__(spark, state_df)
+        if m_rows <= 0 or (m_rows & (m_rows - 1)) != 0:
+            # The XOR alternate-row mapping in _i2 is an involution only for
+            # power-of-two tables; anything else silently breaks the eviction
+            # chain and would produce false negatives.
+            raise ValueError(f"m_rows must be a power of two, got {m_rows}")
         self.n_buckets, self.m_rows = n_buckets, m_rows
 
     def _cfg(self) -> tuple:

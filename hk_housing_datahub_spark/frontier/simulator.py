@@ -104,13 +104,22 @@ def simulate_crawl(
         delay = r["crawl_delay_ms"] if r else DEFAULT_CRAWL_DELAY_MS
         return max(1, wave_ms // delay)
 
-    # frontier: canon -> (priority, discovered_ts, depth, attempt); best wins
+    # frontier: canon -> (priority, discovered_ts, depth, attempt); best
+    # (priority, ts, depth) wins, attempt = MAX over merged entries (mirrors
+    # CrawlEngine._dedup_frontier: a rediscovery never resets a retry count).
     frontier: dict[str, tuple[int, object, int, int]] = {}
-    for url, prio in seeds:
-        c = canonicalize(url)
-        e = (prio, t0, 0, 0)
-        if c not in frontier or e < frontier[c]:
+
+    def merge(c: str, e: tuple) -> None:
+        old = frontier.get(c)
+        if old is None:
             frontier[c] = e
+            return
+        att = max(old[3], e[3])
+        best = min(old[:3], e[:3])
+        frontier[c] = (*best, att)
+
+    for url, prio in seeds:
+        merge(canonicalize(url), (prio, t0, 0, 0))
     seen: set[str] = set()
     res = SimResult(schedule=[], seen=seen)
 
@@ -148,10 +157,7 @@ def simulate_crawl(
                 # until max_attempts, then give up and mark seen
                 # (reference: 3 tries, base.py:16-45)
                 if attempt + 1 < max_attempts:
-                    e = (prio, ts, depth, attempt + 1)
-                    old = frontier.get(c)
-                    if old is None or e < old:
-                        frontier[c] = e
+                    merge(c, (prio, ts, depth, attempt + 1))
                 else:
                     seen.add(c)
                 continue
@@ -163,8 +169,5 @@ def simulate_crawl(
                     lc = canonicalize(link)
                     if lc in seen:
                         continue
-                    e = (DISCOVERED_PRIORITY, page["warc_ts"], depth + 1, 0)
-                    old = frontier.get(lc)
-                    if old is None or e < old:
-                        frontier[lc] = e
+                    merge(lc, (DISCOVERED_PRIORITY, page["warc_ts"], depth + 1, 0))
     return res

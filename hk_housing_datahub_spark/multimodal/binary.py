@@ -74,12 +74,8 @@ def decode_payload_meta(
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
-            n_bytes = pdf["payload"].map(
-                lambda b: len(b) if b is not None else 0
-            ).astype("int64")
+            n_bytes = pdf["n_bytes"].astype("int64")
             if use_real_decoder:
                 dims = [
                     _decode_real(b, mt)
@@ -96,12 +92,17 @@ def decode_payload_meta(
                     "media_type": pdf["media_type"],
                     "width": width,
                     "height": height,
-                    "checksum": pdf["payload"].map(
-                        lambda b: hashlib.md5(b or b"").hexdigest()
-                    ),
+                    "checksum": pdf["checksum"],
                 }
             )
 
-    return docs_with_payload.select("doc_id", "payload", "media_type").mapInPandas(
-        op, PAYLOAD_META_SCHEMA
+    # Byte length and md5 are JVM Column expressions — free inside codegen;
+    # the Python batch only does the (stubbed) media decode itself.
+    prepped = docs_with_payload.select(
+        "doc_id",
+        "payload",
+        "media_type",
+        F.coalesce(F.length("payload").cast("long"), F.lit(0).cast("long")).alias("n_bytes"),
+        F.md5(F.coalesce(F.col("payload"), F.lit(b""))).alias("checksum"),
     )
+    return prepped.mapInPandas(op, PAYLOAD_META_SCHEMA)

@@ -64,20 +64,33 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via a shingle inverted index.
 
     Set sizes ride along as a per-doc window count BEFORE the self-join, so
     no cache and no join-back of a sizes table is needed (the size is
     functionally dependent on the doc id, so grouping by it is free); the
-    identical-lineage self-join reuses one shuffle map stage. Exact but
-    quadratic in the worst case — the correctness oracle for MinHash-LSH
-    below (which is the scale path). Output: (a, b, jaccard) with a < b,
-    jaccard ≥ threshold.
+    identical-lineage self-join reuses one shuffle map stage. Output:
+    (a, b, jaccard) with a < b, jaccard ≥ threshold.
+
+    ``max_shingle_df`` is the standalone-at-scale guard: a stopword shingle
+    ("of the x") appearing in k docs contributes k² join rows, so one hot
+    posting list makes the self-join quadratic. Capping document frequency
+    drops those shingles BEFORE set sizes are counted — Jaccard is then
+    measured over the informative-shingle universe on both sides of the
+    comparison (a standard trick: near-dup evidence lives in the rare
+    shingles; ubiquitous ones carry no signal). None = exact mode, the
+    verifier role for the MinHash-LSH candidates below.
     """
     from pyspark.sql import Window as W
 
-    sh = _shingled(docs, id_col, text_col, n).withColumn(
+    sh = _shingled(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        sh = sh.withColumn(
+            "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        ).filter(F.col("_df") <= max_shingle_df).drop("_df")
+    sh = sh.withColumn(
         "sz", F.count(F.lit(1)).over(W.partitionBy("did"))
     )
     co = (

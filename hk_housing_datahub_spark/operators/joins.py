@@ -85,6 +85,14 @@ def asof_join(
     Right tag sorts BEFORE left at equal ts so a same-timestamp right row
     is visible to the left row (ts_r ≤ ts_l inclusive semantics).
     """
+    clash = (set(right_value_cols) | {"_side"}) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left already has column(s) {sorted(clash)} — the "
+            "carried right columns (and the internal '_side' tag) must not "
+            "collide with left columns, or left data would be silently lost; "
+            "rename them on one side first"
+        )
     lt = left.withColumn("_side", F.lit(1))
     rt = right.select(
         key, ts_col, *right_value_cols

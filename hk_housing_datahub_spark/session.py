@@ -21,9 +21,14 @@ def package_zip(dest_dir: str = "/tmp") -> str:
     multi-JVM masters (local-cluster / standalone) resolve imports inside
     executor-side Python UDF workers identically.
     """
+    import tempfile
+
     pkg_root = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(dest_dir, "hk_pkg.zip")
-    tmp = out + ".tmp"
+    # Unique temp name per builder: two sessions zipping concurrently must
+    # not interleave writes into one .tmp file (os.replace stays atomic).
+    fd, tmp = tempfile.mkstemp(prefix="hk_pkg_", suffix=".zip", dir=dest_dir)
+    os.close(fd)
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
         for root, _dirs, files in os.walk(pkg_root):
             for fn in sorted(files):
