@@ -45,6 +45,7 @@ from hk_housing_datahub_spark.operators import joins as J
 from hk_housing_datahub_spark.operators import rollups as R
 from hk_housing_datahub_spark.operators import similarity as SIM
 from hk_housing_datahub_spark.operators import textops as TO
+from hk_housing_datahub_spark import star as ST
 from hk_housing_datahub_spark.streaming import run_windowed_counts
 
 
@@ -336,6 +337,130 @@ def _cube_order_stats(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# star-schema extraction queries (SURVEY §2 P7/S3/J4 — the reference's
+# 12-model nested-response surface, outputs.py:33-488 + sql_db.py:16-158).
+# Each renders deterministic nested JSON from the base tables, parses it
+# with the explicit response schema, and emits one star table; the oracle
+# computes the same table relationally — the JSON round trip must be the
+# identity on every extracted field.
+# --------------------------------------------------------------------------
+
+def _fmt_ts_cols(df, cols):
+    for c in cols:
+        df = df.withColumn(c, F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
+    return df
+
+
+def _star_estate_tbl(spark, sf, name):
+    resp = ST.render_estate_responses(_t(spark, sf, "customer"))
+    return ST.extract_estate_tables(resp)[name]
+
+
+def _star_estates(spark, sf):
+    return _fmt_ts_cols(
+        _star_estate_tbl(spark, sf, "estates"), ["first_op_date", "last_op_date"]
+    )
+
+
+def _star_regions(spark, sf):
+    return _star_estate_tbl(spark, sf, "regions")
+
+
+def _star_subregions(spark, sf):
+    return _star_estate_tbl(spark, sf, "subregions")
+
+
+def _star_districts(spark, sf):
+    return _star_estate_tbl(spark, sf, "districts")
+
+
+def _star_facilities(spark, sf):
+    return _star_estate_tbl(spark, sf, "facilities")
+
+
+def _star_estate_facilities(spark, sf):
+    return _star_estate_tbl(spark, sf, "estate_facilities")
+
+
+def _star_school_nets(spark, sf):
+    return _star_estate_tbl(spark, sf, "estate_school_nets")
+
+
+def _star_mtr_lines(spark, sf):
+    return _star_estate_tbl(spark, sf, "estate_mtr_lines")
+
+
+def _star_phases(spark, sf):
+    return _star_estate_tbl(spark, sf, "phases")
+
+
+def _star_buildings(spark, sf):
+    return _star_estate_tbl(spark, sf, "buildings")
+
+
+def _star_monthly_market(spark, sf):
+    resp = ST.render_monthly_responses(_t(spark, sf, "orders"))
+    return _fmt_ts_cols(ST.extract_monthly_market(resp), ["record_date"])
+
+
+def _star_bld_tbl(spark, sf, name):
+    resp = ST.render_building_responses(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+    return ST.extract_building_tables(resp)[name]
+
+
+def _star_units(spark, sf):
+    return _star_bld_tbl(spark, sf, "units")
+
+
+def _star_unit_features(spark, sf):
+    return _star_bld_tbl(spark, sf, "unit_features")
+
+
+def _star_transactions(spark, sf):
+    return _fmt_ts_cols(
+        _star_bld_tbl(spark, sf, "transactions"), ["tx_date", "last_tx_date"]
+    )
+
+
+def _star_price_trend(spark, sf):
+    """FK-graph analytic over the extracted star schema: price per district
+    per year — transactions ⋈ units ⋈ buildings ⋈ estates ⋈ districts with
+    the dimension sides broadcast (the reference README's 'analytics over
+    its output DB' promise)."""
+    est_resp = ST.render_estate_responses(_t(spark, sf, "customer"))
+    est_tables = ST.extract_estate_tables(est_resp)
+    bld_resp = ST.render_building_responses(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+    bld_tables = ST.extract_building_tables(bld_resp)
+    tx, units = bld_tables["transactions"], bld_tables["units"]
+    joined = (
+        tx.join(F.broadcast(units.select("unit_id", "building_id")), "unit_id")
+        .join(
+            F.broadcast(est_tables["buildings"].select("building_id", "estate_id")),
+            "building_id",
+        )
+        .join(
+            F.broadcast(est_tables["estates"].select("estate_id", "district_id")),
+            "estate_id",
+        )
+        .join(
+            F.broadcast(est_tables["districts"].select("district_id")), "district_id"
+        )
+    )
+    return joined.groupBy(
+        "district_id", F.year("tx_date").cast("int").alias("tx_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_tx"),
+        # sum, not avg, and round-4 = identity (tx2 prices carry 4
+        # decimals; an avg of 2-decimal prices lands on exact .005 halves)
+        F.round(F.sum("price"), 4).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; pytest carries the strong checks)
 # --------------------------------------------------------------------------
 
@@ -623,6 +748,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cookie_str_to_map": _cookie_str_to_map,
         "wiki_section_concat": _wiki_section_concat,
         "asof_join_events": _asof_join_events,
+        # star-schema extraction surface (nested JSON → 14 FK-linked tables)
+        "star_estates": _star_estates,
+        "star_regions": _star_regions,
+        "star_subregions": _star_subregions,
+        "star_districts": _star_districts,
+        "star_facilities": _star_facilities,
+        "star_estate_facilities": _star_estate_facilities,
+        "star_school_nets": _star_school_nets,
+        "star_mtr_lines": _star_mtr_lines,
+        "star_phases": _star_phases,
+        "star_buildings": _star_buildings,
+        "star_monthly_market": _star_monthly_market,
+        "star_units": _star_units,
+        "star_unit_features": _star_unit_features,
+        "star_transactions": _star_transactions,
+        "star_price_trend": _star_price_trend,
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
         "extract_listings": _extract_listings,
@@ -648,6 +789,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
+
+# The synthetic lineitem table has duplicate (orderkey, linenumber) pairs;
+# star datagen dedups them rank-1 by all consumed columns (datagen.py) —
+# this CTE is the DuckDB mirror.
+_LI_DEDUP = """
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY l_orderkey, l_linenumber
+            ORDER BY l_partkey, l_suppkey, l_extendedprice, l_quantity,
+                     l_discount, l_shipdate) AS _rn
+        FROM lineitem) WHERE _rn = 1
+"""
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -967,5 +1120,232 @@ def oracle_sql() -> dict[str, str]:
                    round(p.purchase_value, 4) AS purchase_value
             FROM clicks c ASOF LEFT JOIN p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        # ------------------------------------------------------------------
+        # star-schema twins: the relational expression of datagen∘extractor;
+        # the Spark side goes through render-JSON → from_json → explode, so
+        # equality proves the nested round trip is the identity.
+        # ------------------------------------------------------------------
+        "star_estates": """
+            SELECT 'E' || c_custkey AS estate_id,
+                   CASE WHEN c_custkey % 17 = 0 THEN NULL
+                        ELSE '屋苑' || c_custkey END AS estate_name_zh,
+                   'Estate ' || c_custkey AS estate_name_en,
+                   'R' || (c_nationkey % 5) AS region_id,
+                   CASE WHEN c_nationkey % 4 = 0 THEN NULL
+                        ELSE 'SR' || c_nationkey END AS subregion_id,
+                   CASE WHEN c_custkey % 11 = 0 THEN NULL
+                        ELSE 'D' || c_nationkey || '_' || (c_custkey % 5)
+                        END AS district_id,
+                   CASE WHEN c_custkey % 13 = 0 THEN NULL
+                        ELSE '皇后大道' || c_custkey || '號' END AS address_zh,
+                   CASE WHEN c_custkey % 13 = 0 THEN NULL
+                        ELSE 'No. ' || c_custkey || ' Queen''s Road'
+                        END AS address_en,
+                   CASE WHEN c_custkey % 19 = 0 THEN NULL
+                        ELSE strftime(make_timestamp(
+                            CAST(1960 + c_custkey % 60 AS BIGINT),
+                            CAST(1 + c_custkey % 12 AS BIGINT),
+                            CAST(1 + c_custkey % 28 AS BIGINT), 0, 0, 0.0),
+                            '%Y-%m-%d %H:%M:%S') END AS first_op_date,
+                   CASE WHEN c_custkey % 23 = 0 THEN NULL
+                        ELSE strftime(make_timestamp(
+                            CAST(1980 + c_custkey % 40 AS BIGINT),
+                            CAST(1 + (c_custkey + 5) % 12 AS BIGINT),
+                            CAST(1 + (c_custkey + 7) % 28 AS BIGINT), 0, 0, 0.0),
+                            '%Y-%m-%d %H:%M:%S') END AS last_op_date,
+                   round(22.2 + (c_custkey % 1000) / 10000.0, 4) AS latitude,
+                   round(113.8 + (c_custkey % 1500) / 10000.0, 4) AS longitude
+            FROM customer
+        """,
+        "star_regions": """
+            SELECT DISTINCT 'R' || (c_nationkey % 5) AS region_id,
+                   '區' || (c_nationkey % 5) AS region_name_zh,
+                   'Region ' || (c_nationkey % 5) AS region_name_en
+            FROM customer
+        """,
+        "star_subregions": """
+            SELECT DISTINCT 'SR' || c_nationkey AS subregion_id,
+                   '分區' || c_nationkey AS subregion_name_zh,
+                   'Subregion ' || c_nationkey AS subregion_name_en,
+                   'R' || (c_nationkey % 5) AS region_id
+            FROM customer WHERE c_nationkey % 4 <> 0
+        """,
+        "star_districts": """
+            SELECT DISTINCT
+                   'D' || c_nationkey || '_' || (c_custkey % 5) AS district_id,
+                   '地區' || c_nationkey || '_' || (c_custkey % 5) AS district_name_zh,
+                   'District ' || c_nationkey || '_' || (c_custkey % 5)
+                       AS district_name_en,
+                   CASE WHEN c_nationkey % 4 = 0 THEN NULL
+                        ELSE 'SR' || c_nationkey END AS subregion_id
+            FROM customer WHERE c_custkey % 11 <> 0
+        """,
+        "star_facilities": """
+            WITH f AS (
+                SELECT DISTINCT (c_custkey + i) % 30 AS x
+                FROM customer, (VALUES (0), (1), (2)) t(i)
+                WHERE i < c_custkey % 4)
+            SELECT 'F' || x AS facility_id,
+                   CASE WHEN x % 6 = 0 THEN NULL
+                        ELSE '設施' || x END AS facility_name_zh,
+                   'Facility ' || x AS facility_name_en
+            FROM f
+        """,
+        "star_estate_facilities": """
+            SELECT DISTINCT 'E' || c_custkey AS estate_id,
+                   'F' || ((c_custkey + i) % 30) AS facility_id
+            FROM customer, (VALUES (0), (1), (2)) t(i)
+            WHERE i < c_custkey % 4
+        """,
+        "star_school_nets": """
+            SELECT 'E' || c_custkey AS estate_id,
+                   'SN' || (c_custkey % 12) AS school_net_id,
+                   CASE WHEN c_custkey % 10 = 0 THEN ''
+                        ELSE '校網' || (c_custkey % 12) END AS school_net_name_zh,
+                   CASE WHEN c_custkey % 10 = 0 THEN ''
+                        ELSE 'Net ' || (c_custkey % 12) END AS school_net_name_en
+            FROM customer WHERE c_custkey % 5 <> 0
+        """,
+        "star_mtr_lines": """
+            SELECT 'E' || c_custkey AS estate_id,
+                   '線' || (c_custkey % 9) AS mtr_line_name_zh,
+                   'Line ' || (c_custkey % 9) AS mtr_line_name_en
+            FROM customer WHERE c_custkey % 6 <> 0
+        """,
+        "star_phases": """
+            SELECT 'P' || c_custkey || '_' || p AS phase_id,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE '期數' || p END AS phase_name_zh,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE 'Phase ' || p END AS phase_name_en,
+                   'E' || c_custkey AS estate_id
+            FROM customer, (VALUES (1), (2)) t(p)
+            WHERE c_custkey % 3 <> 0 AND p <= 1 + c_custkey % 2
+        """,
+        "star_buildings": """
+            SELECT 'B' || c_custkey || '_' || j AS building_id,
+                   '座' || j AS building_name_zh,
+                   'Tower ' || j AS building_name_en,
+                   'E' || c_custkey AS estate_id,
+                   CASE WHEN c_custkey % 3 = 0 THEN NULL
+                        ELSE 'P' || c_custkey || '_'
+                             || (1 + ((j - 1) % (1 + c_custkey % 2)))
+                        END AS phase_id
+            FROM customer, (VALUES (1), (2), (3)) t(j)
+            WHERE j <= 1 + c_custkey % 3
+        """,
+        "star_monthly_market": """
+            SELECT 'E' || o_custkey AS estate_id,
+                   strftime(date_trunc('month', o_orderdate),
+                            '%Y-%m-%d %H:%M:%S') AS record_date,
+                   round(avg(o_totalprice) / 1000, 6) AS avg_ft_price,
+                   round(avg(o_totalprice) * 0.8 / 1000, 6) AS avg_net_ft_price,
+                   round(max(o_totalprice) / 1000, 6) AS max_ft_price,
+                   round(min(o_totalprice) / 1000, 6) AS min_ft_price,
+                   round(max(o_totalprice) * 0.8 / 1000, 6) AS max_net_ft_price,
+                   round(min(o_totalprice) * 0.8 / 1000, 6) AS min_net_ft_price,
+                   CASE WHEN count(*) >= 2
+                        THEN round(avg(o_totalprice) / 50000, 8) END AS avg_ft_rent,
+                   CASE WHEN count(*) >= 2
+                        THEN round(avg(o_totalprice) * 0.8 / 50000, 8)
+                        END AS avg_net_ft_rent,
+                   CASE WHEN count(*) >= 2
+                        THEN round(max(o_totalprice) / 50000, 8) END AS max_ft_rent,
+                   CASE WHEN count(*) >= 2
+                        THEN round(min(o_totalprice) / 50000, 8) END AS min_ft_rent,
+                   CASE WHEN count(*) >= 2
+                        THEN round(max(o_totalprice) * 0.8 / 50000, 8)
+                        END AS max_net_ft_rent,
+                   CASE WHEN count(*) >= 2
+                        THEN round(min(o_totalprice) * 0.8 / 50000, 8)
+                        END AS min_net_ft_rent,
+                   CAST(count(*) AS INT) AS total_tx_count,
+                   CAST(count(*) // 2 AS INT) AS total_rent_tx_count,
+                   round(sum(o_totalprice), 2) AS total_tx_amount,
+                   CASE WHEN count(*) >= 2
+                        THEN round(sum(o_totalprice) / 10, 4)
+                        END AS total_rent_tx_amount
+            FROM orders GROUP BY 1, 2
+        """,
+        "star_units": f"""
+            WITH li AS ({_LI_DEDUP})
+            SELECT 'U' || l_orderkey || '_' || l_linenumber AS unit_id,
+                   CAST((l_linenumber * 7) % 60 + 2 AS VARCHAR) AS floor,
+                   substr('ABCDEFGH', CAST(l_partkey % 8 + 1 AS INT), 1) AS flat,
+                   CASE WHEN l_partkey % 10 = 0 THEN NULL
+                        ELSE round(l_quantity * 13.5, 1) END AS area,
+                   CASE WHEN l_partkey % 10 = 0 THEN NULL
+                        ELSE round(l_quantity * 10.8, 1) END AS net_area,
+                   CAST(CASE WHEN l_suppkey % 2 = 0 AND l_suppkey % 3 <> 0
+                             THEN 2 + l_linenumber % 3
+                             WHEN l_partkey % 5 <> 0 THEN 1 + l_linenumber % 4
+                             END AS INT) AS bedroom,
+                   CAST(CASE WHEN l_partkey % 7 = 0 THEN NULL
+                             ELSE l_linenumber % 3 END AS INT) AS sitting_room,
+                   'B' || o_custkey || '_'
+                       || (1 + (o_orderkey % (1 + o_custkey % 3))) AS building_id
+            FROM li JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "star_unit_features": f"""
+            WITH li AS ({_LI_DEDUP})
+            SELECT DISTINCT
+                   'U' || l_orderkey || '_' || l_linenumber AS unit_id,
+                   fv.fid AS feature_id,
+                   fv.fzh AS feature_name_zh,
+                   fv.fid AS feature_name_en
+            FROM li,
+                 (VALUES (0), (1)) t(i),
+                 (VALUES (0, 'balcony', '連露台'), (1, 'utility_platform', '連工作平台'),
+                         (2, 'sea_view', '海景'), (3, 'garden', '花園'),
+                         (4, 'duplex', '複式'), (5, 'rooftop', '天台')) fv(ix, fid, fzh)
+            WHERE i < (CASE WHEN l_suppkey % 2 = 0 THEN (l_partkey + 1) % 3
+                            ELSE l_partkey % 3 END)
+              AND fv.ix = (CASE WHEN l_suppkey % 2 = 0
+                                THEN (l_partkey + 1 + i) % 6
+                                ELSE (l_partkey + i) % 6 END)
+        """,
+        "star_transactions": f"""
+            WITH li AS ({_LI_DEDUP})
+            SELECT 'T' || l_orderkey || '_' || l_linenumber || 'a' AS tx_id,
+                   strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS tx_date,
+                   round(l_extendedprice, 2) AS price,
+                   CASE WHEN l_linenumber % 4 = 0 OR l_partkey % 23 = 0 THEN NULL
+                        ELSE strftime(l_shipdate
+                                 - to_days(CAST(100 + l_linenumber * 17 AS INT)),
+                             '%Y-%m-%d %H:%M:%S') END AS last_tx_date,
+                   round(l_discount * 100 - 5, 2) AS gain,
+                   l_extendedprice / (l_quantity * 10.0) AS net_ft_price,
+                   'U' || l_orderkey || '_' || l_linenumber AS unit_id
+            FROM li
+            UNION ALL
+            SELECT 'T' || l_orderkey || '_' || l_linenumber || 'b',
+                   strftime(l_shipdate
+                       + to_days(CAST(11 + l_linenumber AS INT)),
+                       '%Y-%m-%d %H:%M:%S'),
+                   round(l_extendedprice * 1.05, 4),
+                   strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
+                   NULL, NULL,
+                   'U' || l_orderkey || '_' || l_linenumber
+            FROM li WHERE l_suppkey % 2 = 0
+        """,
+        "star_price_trend": f"""
+            WITH li AS ({_LI_DEDUP}),
+            txs AS (
+                SELECT o_custkey, round(l_extendedprice, 2) AS price,
+                       l_shipdate AS tx_date
+                FROM li JOIN orders ON l_orderkey = o_orderkey
+                UNION ALL
+                SELECT o_custkey, round(l_extendedprice * 1.05, 4),
+                       l_shipdate + to_days(CAST(11 + l_linenumber AS INT))
+                FROM li JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_suppkey % 2 = 0)
+            SELECT 'D' || c_nationkey || '_' || (c_custkey % 5) AS district_id,
+                   CAST(year(tx_date) AS INT) AS tx_year,
+                   CAST(count(*) AS BIGINT) AS n_tx,
+                   round(sum(price), 4) AS total_price
+            FROM txs JOIN customer ON o_custkey = c_custkey
+            WHERE c_custkey % 11 <> 0
+            GROUP BY 1, 2
         """,
     }

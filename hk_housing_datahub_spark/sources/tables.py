@@ -48,6 +48,7 @@ class TableCatalog:
             return json.load(f)
 
     def _commit(self, table: str, manifest: dict) -> None:
+        os.makedirs(self._tdir(table), exist_ok=True)
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
@@ -61,6 +62,27 @@ class TableCatalog:
         return [os.path.join("data", dirname)], n
 
     # ------------------------------------------------------------------ api
+    def create(self, table: str, schema) -> bool:
+        """CREATE TABLE IF NOT EXISTS with a declared StructType — the
+        reference's ``Base.metadata.create_all`` DDL
+        (/root/reference/src/processors/agency/buildings.py:51-52). Returns
+        True if the table was created, False if it already existed. A
+        declared schema makes ``read`` of an empty table return an empty
+        DataFrame of that schema instead of raising."""
+        m = self._load_manifest(table)
+        if m.get("ddl") is not None or m["files"]:
+            return False
+        m["ddl"] = schema.json()
+        m["history"].append({"snapshot": m["snapshot"], "op": "create"})
+        self._commit(table, m)
+        return True
+
+    def schema_of(self, table: str):
+        from pyspark.sql import types as T
+
+        m = self._load_manifest(table)
+        return T.StructType.fromJson(json.loads(m["ddl"])) if m.get("ddl") else None
+
     def append(self, table: str, df: DataFrame) -> int:
         """Append rows as a new snapshot; readers see them only after the
         manifest commit. Returns the new snapshot id."""
@@ -88,6 +110,9 @@ class TableCatalog:
     def read(self, table: str) -> DataFrame:
         m = self._load_manifest(table)
         if not m["files"]:
+            ddl = self.schema_of(table)
+            if ddl is not None:
+                return self.spark.createDataFrame([], ddl)
             raise FileNotFoundError(f"table {table} has no committed snapshot")
         paths = [os.path.join(self._tdir(table), f) for f in m["files"]]
         return self.spark.read.parquet(*paths)

@@ -1,0 +1,338 @@
+"""Star-schema extraction surface: golden-fixture-shaped parity tests.
+
+The payloads below are schema-identical synthetic twins of the reference's
+golden fixtures (docs/api_responses/single_estate_info_has_phases.json,
+_no_phases.json, transactions.json) — same nesting, same structural
+variants, same string-typed numerics and extra fields, different values.
+They pin the branch behavior the reference's 12 table models exhibit
+(/root/reference/src/models/agency/outputs.py:33-488):
+
+- has_phases vs no_phases → phases rows vs nullable buildings.phase_id
+- absent optional branches → NULL columns (P5)
+- unparseable dates → NULL (outputs.py:47-55)
+- extra payload fields → ignored (responses.py:5-6 extra="ignore")
+- empty-string names → NULL (outputs.py:296-297)
+- string-typed numerics → coerced, garbage → NULL
+- bedroom/sitting_room last-non-null fold + last-transaction features
+  (processors/agency/buildings.py:100-128)
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.star import (
+    STAR_TABLES,
+    create_star_tables,
+    extract_building_tables,
+    extract_estate_tables,
+    extract_monthly_market,
+)
+from hk_housing_datahub_spark.star.schema import STAR_PRIMARY_KEYS
+from hk_housing_datahub_spark.sources.tables import TableCatalog
+
+
+def _estate_doc(eid: str, lang: str, *, has_phases: bool) -> dict:
+    """Twin of single_estate_info_{has,no}_phases.json: full estate doc
+    with the extra fields the reference fixtures carry (news_name,
+    market_stat, sell_count, sm_district, ...) that parsing must ignore."""
+    zh = lang == "zh"
+    doc = {
+        "id": eid,
+        "name": {"chi": f"屋苑{eid}" if zh else f"屋苑{eid}", "en": f"Estate {eid}"},
+        "is_phase": False,  # extra
+        "news_name": "ignored",  # extra
+        "sell_count": 1259,  # extra
+        "recommendation_sell": True,  # extra
+        "market_stat": {  # present in fixture; unused by any table model
+            "net_ft_price": 12134,
+            "pre_net_ft_price": 11172.11,
+            "tx_count": 46,
+        },
+        "no_of_blocks": "83 Blocks",  # extra
+        "region": {"id": "20", "name": "九龍" if zh else "Kowloon"},
+        "subregion": {"id": "2006", "name": "深水埗" if zh else "Sham Shui Po"},
+        "district": {
+            "id": "200602",
+            "name": "長沙灣" if zh else "Cheung Sha Wan",
+            "neighborhood_district": False,  # extra
+        },
+        "sm_district": {"top_estate": [{"name": "x"}]},  # extra
+        "mtr_line": [{"name": "屯馬綫" if zh else "Tuen Ma Line"}],
+        "mtr": [],  # extra
+        "address": f"{eid} 福華街" if zh else f"{eid} Fuk Wa Street",
+        "first_op_date": "1964-02-09T16:00:00",
+        "last_op_date": "not-a-real-date",  # → NULL (outputs.py:47-55)
+        "facilityGroup": [
+            {"id": "pool", "name": "泳池" if zh else "Pool"},
+            {"id": "gym", "name": "" if zh else "Gym"},  # '' → NULL zh name
+        ],
+        "misc": [],  # extra
+        "school_net": {
+            "kindergarten": {"id": "SSP"},  # extra sub-branch
+            "primary": {"id": "40"},
+            "secondary": {"name": "九龍城區" if zh else "Kowloon City"},
+        },
+        "latitude": 22.3368,
+        "longitude": 114.1654,
+    }
+    if has_phases:
+        doc["phase"] = [
+            {
+                "is_phase": True,
+                "id": "P1",
+                "name": "首都" if zh else "Capitol",
+                "buildings": [
+                    {"id": "B1", "name": "1座" if zh else "Tower 1"},
+                    {"id": "B2", "name": "2座" if zh else "Tower 2"},
+                ],
+            },
+            {
+                "is_phase": True,
+                "id": "P2",
+                "name": "",  # '' → NULL phase name
+                "buildings": [{"id": "B3", "name": "3座" if zh else "Tower 3"}],
+            },
+        ]
+    else:
+        doc["phase"] = [
+            {
+                "is_phase": False,
+                "buildings": [{"id": "B9", "name": "大廈" if zh else "Block"}],
+            }
+        ]
+    return doc
+
+
+def _building_doc() -> dict:
+    """Twin of transactions.json: string-typed numerics, feature arrays,
+    two transactions on one unit (exercising the fold) and extra fields."""
+    return {
+        "building": {
+            "id": "B000063458",
+            "name": "1座 L",
+            "bldg_type": "APARTMENT",  # extra
+            "estate": {"id": "E1", "name": "日出康城"},  # extra
+            "phase": {"id": "P1", "name": "首都"},  # extra
+        },
+        "data": [
+            {
+                "unit_id": "U1",
+                "unit_type": "APARTMENT",  # extra
+                "floor": "70",
+                "floor_seq": 53,  # extra
+                "flat": "B",
+                "area": 903,
+                "net_area": 681,
+                "transactions": [
+                    {
+                        "id": "TX1",
+                        "tx_type": "S",  # extra
+                        "tx_date": "2017-02-20T16:00:00",
+                        "feature": [
+                            {"id": "balcony", "name": "連露台"},
+                            {"id": "utility_platform", "name": "連工作平台"},
+                        ],
+                        "area": "903",  # string extra → ignored (not in model)
+                        "price": "5100000",
+                        "gain": "not-a-number",  # → NULL
+                        "bedroom": "2",
+                        "sitting_room": "1",
+                        "net_ft_price": 7489,
+                    },
+                    {
+                        "id": "TX2",
+                        "tx_date": "2025-04-09T16:00:00",
+                        "feature": [{"id": "sea_view", "name": "海景"}],
+                        "price": "6800000",
+                        "last_tx_date": "2017-02-20T16:00:00",
+                        "gain": "-2.86",
+                        "bedroom": "3",
+                        "sitting_room": None,  # fold falls back to TX1's 1
+                        "net_ft_price": 9985,
+                    },
+                ],
+            },
+            {
+                "unit_id": "U2",
+                "floor": "3",
+                "flat": "C",
+                "transactions": [
+                    {
+                        "id": "TX3",
+                        "tx_date": "bad-date",  # required-date garbage → row dropped
+                        "price": "1000000",
+                    },
+                    {
+                        "id": "TX4",
+                        "tx_date": "2020-01-05T00:00:00",
+                        "price": "garbage",  # required-price garbage → row dropped
+                    },
+                ],
+            },
+        ],
+    }
+
+
+@pytest.fixture(scope="module")
+def estate_tables(spark):
+    rows = []
+    for eid, hp in [("E1", True), ("E2", False)]:
+        for lang in ("zh", "en"):
+            rows.append((eid, lang, json.dumps(_estate_doc(eid, lang, has_phases=hp))))
+    # E3: minimal doc — every optional branch absent
+    for lang in ("zh", "en"):
+        rows.append(
+            (
+                "E3",
+                lang,
+                json.dumps(
+                    {
+                        "id": "E3",
+                        "name": {"en": "Bare Estate"},
+                        "region": {"id": "30", "name": "NT"},
+                        "district": {"id": "300101", "name": "Tsuen Wan"},
+                        "phase": [],
+                    }
+                ),
+            )
+        )
+    df = spark.createDataFrame(rows, "estate_id string, lang string, payload string")
+    return {k: v.cache() for k, v in extract_estate_tables(df).items()}
+
+
+def test_fixture_estates_row(estate_tables):
+    e = {r["estate_id"]: r for r in estate_tables["estates"].collect()}
+    assert set(e) == {"E1", "E2", "E3"}
+    r = e["E1"]
+    assert r["estate_name_en"] == "Estate E1"
+    assert r["region_id"] == "20"
+    assert r["subregion_id"] == "2006"
+    assert r["district_id"] == "200602"
+    assert str(r["first_op_date"]).startswith("1964-02-09")
+    assert r["last_op_date"] is None  # unparseable → NULL
+    assert r["latitude"] == pytest.approx(22.3368)
+    # minimal doc: every optional column NULL
+    b = e["E3"]
+    assert b["estate_name_zh"] is None
+    assert b["subregion_id"] is None
+    assert b["address_zh"] is None and b["address_en"] is None
+    assert b["first_op_date"] is None and b["latitude"] is None
+
+
+def test_fixture_has_phases_vs_no_phases(estate_tables):
+    phases = {r["phase_id"]: r for r in estate_tables["phases"].collect()}
+    # only E1's is_phase=true entries; the '' name maps to NULL
+    assert set(phases) == {"P1", "P2"}
+    assert phases["P1"]["phase_name_en"] == "Capitol"
+    assert phases["P2"]["phase_name_en"] is None
+    blds = {r["building_id"]: r for r in estate_tables["buildings"].collect()}
+    assert set(blds) == {"B1", "B2", "B3", "B9"}
+    assert blds["B1"]["phase_id"] == "P1"
+    assert blds["B3"]["phase_id"] == "P2"
+    # no_phases variant: nullable FK (sql_db.py:100-102)
+    assert blds["B9"]["phase_id"] is None
+    assert blds["B9"]["estate_id"] == "E2"
+
+
+def test_fixture_optional_link_tables(estate_tables):
+    fac = {r["facility_id"]: r for r in estate_tables["facilities"].collect()}
+    assert fac["gym"]["facility_name_zh"] is None  # '' → NULL
+    assert fac["pool"]["facility_name_zh"] == "泳池"
+    ef = estate_tables["estate_facilities"].collect()
+    assert {(r["estate_id"], r["facility_id"]) for r in ef} == {
+        ("E1", "pool"), ("E1", "gym"), ("E2", "pool"), ("E2", "gym"),
+    }
+    sn = {r["estate_id"]: r for r in estate_tables["estate_school_nets"].collect()}
+    assert set(sn) == {"E1", "E2"}  # E3 has no school_net
+    assert sn["E1"]["school_net_id"] == "40"
+    assert sn["E1"]["school_net_name_en"] == "Kowloon City"
+    mtr = {r["estate_id"]: r for r in estate_tables["estate_mtr_lines"].collect()}
+    assert set(mtr) == {"E1", "E2"}  # E3 has no mtr_line
+    assert mtr["E1"]["mtr_line_name_en"] == "Tuen Ma Line"
+
+
+def test_fixture_building_coercions_and_fold(spark):
+    df = spark.createDataFrame(
+        [(json.dumps(_building_doc()),)], "payload string"
+    )
+    t = extract_building_tables(df)
+    units = {r["unit_id"]: r for r in t["units"].collect()}
+    assert set(units) == {"U1", "U2"}
+    u1 = units["U1"]
+    # string "3" → int 3 from the LAST non-null transaction (TX2)
+    assert u1["bedroom"] == 3
+    # TX2 sitting_room is null → fold falls back to TX1's "1"
+    assert u1["sitting_room"] == 1
+    assert u1["area"] == pytest.approx(903.0)
+    u2 = units["U2"]
+    assert u2["area"] is None and u2["bedroom"] is None
+
+    tx = {r["tx_id"]: r for r in t["transactions"].collect()}
+    # TX3 (bad tx_date) and TX4 (bad price) dropped — required fields
+    assert set(tx) == {"TX1", "TX2"}
+    assert tx["TX2"]["price"] == pytest.approx(6800000.0)
+    assert tx["TX2"]["gain"] == pytest.approx(-2.86)
+    assert tx["TX1"]["gain"] is None  # "not-a-number" → NULL
+    assert tx["TX1"]["last_tx_date"] is None
+    assert str(tx["TX2"]["last_tx_date"]).startswith("2017-02-20")
+
+    # features come from the LAST transaction only (buildings.py:109)
+    feats = {(r["unit_id"], r["feature_id"]): r for r in t["unit_features"].collect()}
+    assert set(feats) == {("U1", "sea_view")}
+    assert feats[("U1", "sea_view")]["feature_name_zh"] == "海景"
+    assert feats[("U1", "sea_view")]["feature_name_en"] == "sea_view"
+
+
+def test_fixture_monthly_market(spark):
+    doc = {
+        "id": "E1",
+        "monthly": [
+            {"date": "2024-01-01", "avg_ft_price": 11.5, "total_tx_count": 3},
+            {"date": "2024-02-01", "max_ft_rent": 0.5},
+        ],
+    }
+    df = spark.createDataFrame([(json.dumps(doc),)], "payload string")
+    out = extract_monthly_market(df).orderBy("record_date").collect()
+    assert len(out) == 2
+    assert out[0]["avg_ft_price"] == pytest.approx(11.5)
+    assert out[0]["total_tx_count"] == 3
+    assert out[0]["max_ft_rent"] is None
+    assert str(out[1]["record_date"]).startswith("2024-02-01")
+
+
+def test_unparseable_payload_dropped(spark):
+    df = spark.createDataFrame(
+        [("{not valid json",), ('{"id": "E1"',)], "payload string"
+    )
+    t = extract_building_tables(df)
+    assert t["units"].count() == 0
+
+
+def test_star_ddl_catalog_roundtrip(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path))
+    create_star_tables(cat)
+    # all 14 tables declared; empty read yields the declared schema
+    for name, schema in STAR_TABLES.items():
+        df = cat.read(name)
+        assert df.schema.fieldNames() == schema.fieldNames()
+        assert df.count() == 0
+    # append + snapshot read honors the DDL'd table
+    est = spark.createDataFrame(
+        [("E1", None, "Estate 1", "R1", None, None, None, None, None, None, 22.3, 114.1)],
+        STAR_TABLES["estates"],
+    )
+    cat.create("estates", STAR_TABLES["estates"])  # idempotent: no-op
+    cat.append("estates", est)
+    assert cat.read("estates").count() == 1
+    assert [h["op"] for h in cat.history("estates")] == ["create", "append"]
+
+
+def test_primary_keys_cover_all_tables():
+    assert set(STAR_PRIMARY_KEYS) == set(STAR_TABLES)
+    for name, pk in STAR_PRIMARY_KEYS.items():
+        cols = STAR_TABLES[name].fieldNames()
+        assert all(c in cols for c in pk), name
