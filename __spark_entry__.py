@@ -424,6 +424,34 @@ def _star_transactions(spark, sf):
     )
 
 
+def _wiki_page_gate(spark, sf):
+    """P2/P3 parity (wiki.py:70-78) on wiki-shaped pages: a categories
+    array + body synthesized from documents; disambiguation pages (category
+    containing 消歧義) and non-relevant pages (body without 香港) drop."""
+    from hk_housing_datahub_spark.functions.wikitables import gate_wiki_pages
+
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("Page "), F.col("doc_id")).alias("title"),
+        F.filter(
+            F.array(
+                F.lit("屋苑"),
+                F.when(F.pmod("doc_id", F.lit(4)) != 0, F.lit("香港地方")),
+                F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit("消歧義頁面")),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("categories"),
+        F.when(
+            F.pmod("doc_id", F.lit(5)) != 0,
+            F.concat(F.lit("香港 "), F.col("text")),
+        ).otherwise(F.col("text")).alias("body"),
+    )
+    return gate_wiki_pages(pages).select(
+        "doc_id", "title", F.size("categories").alias("n_cats")
+    )
+
+
 def _star_price_trend(spark, sf):
     """FK-graph analytic over the extracted star schema: price per district
     per year — transactions ⋈ units ⋈ buildings ⋈ estates ⋈ districts with
@@ -764,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_unit_features": _star_unit_features,
         "star_transactions": _star_transactions,
         "star_price_trend": _star_price_trend,
+        "wiki_page_gate": _wiki_page_gate,
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
         "extract_listings": _extract_listings,
@@ -1347,5 +1376,85 @@ def oracle_sql() -> dict[str, str]:
             FROM txs JOIN customer ON o_custkey = c_custkey
             WHERE c_custkey % 11 <> 0
             GROUP BY 1, 2
+        """,
+        "wiki_page_gate": """
+            WITH pages AS (
+                SELECT doc_id, 'Page ' || doc_id AS title,
+                       list_filter([
+                           '屋苑',
+                           CASE WHEN doc_id % 4 <> 0 THEN '香港地方' END,
+                           CASE WHEN doc_id % 7 = 0 THEN '消歧義頁面' END
+                       ], x -> x IS NOT NULL) AS cats,
+                       CASE WHEN doc_id % 5 <> 0 THEN '香港 ' || text
+                            ELSE text END AS body
+                FROM documents)
+            SELECT doc_id, title, CAST(len(cats) AS INT) AS n_cats
+            FROM pages
+            WHERE len(list_filter(cats, c -> contains(c, '消歧義'))) = 0
+              AND contains(body, '香港')
+        """,
+        # wiki_table_expand's synthetic wikitext is one fixed template per
+        # document, so the colspan/rowspan expansion + CSV render has a
+        # closed form the oracle can state directly.
+        "wiki_table_expand": """
+            SELECT doc_id, CAST(0 AS INT) AS table_index,
+                   CAST(3 AS INT) AS n_rows, CAST(3 AS INT) AS n_cols,
+                   'Doc,Stats,Stats' || chr(10) ||
+                   'd' || doc_id || ',' || lang || ',' || n_chars || chr(10) ||
+                   'd' || doc_id || ',lang=' || lang || ',src=' || source AS csv
+            FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   CAST(octet_length(encode(text)) % 1920 + 16 AS INT) AS width,
+                   CAST(octet_length(encode(text)) * 7 % 1080 + 16 AS INT)
+                       AS height,
+                   md5(text) AS checksum
+            FROM documents
+        """,
+        # chunk_documents: the sentence-aware chunk loop (500-char window,
+        # 50 overlap, terminator lookback 100) as a recursive CTE — each
+        # step's start depends on the previous cut point.
+        "chunk_documents": """
+            WITH RECURSIVE terms(tc) AS (
+                SELECT * FROM (VALUES ('。'), ('！'), ('？'), ('；'),
+                                      (chr(10)), ('.'), ('!'), ('?'), (';'))),
+            st AS (
+                SELECT doc_id, text AS t, length(text) AS n,
+                       CAST(0 AS BIGINT) AS s, 0 AS i
+                FROM documents WHERE text IS NOT NULL AND length(text) > 0
+                UNION ALL
+                SELECT doc_id, t, n, greatest(e - 50, s + 1), i + 1
+                FROM (
+                    SELECT doc_id, t, n, s, i,
+                           CASE WHEN s + 500 >= n THEN n
+                                ELSE s + 400 + coalesce(
+                                    (SELECT max(101 - strpos(
+                                         reverse(substr(t, CAST(s + 401 AS INT), 100)), tc))
+                                     FROM terms
+                                     WHERE strpos(reverse(substr(t,
+                                         CAST(s + 401 AS INT), 100)), tc) > 0),
+                                    100) END AS e
+                    FROM st)
+                WHERE e < n),
+            fin AS (
+                SELECT doc_id, i, s, t,
+                       CASE WHEN s + 500 >= n THEN n
+                            ELSE s + 400 + coalesce(
+                                (SELECT max(101 - strpos(
+                                     reverse(substr(t, CAST(s + 401 AS INT), 100)), tc))
+                                 FROM terms
+                                 WHERE strpos(reverse(substr(t,
+                                     CAST(s + 401 AS INT), 100)), tc) > 0),
+                                100) END AS e
+                FROM st)
+            SELECT doc_id, CAST(i AS INT) AS chunk_index,
+                   substr(t, CAST(s + 1 AS INT), CAST(e - s AS INT)) AS chunk,
+                   doc_id || '_' || i AS chunk_id
+            FROM fin
         """,
     }

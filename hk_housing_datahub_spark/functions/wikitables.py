@@ -29,6 +29,27 @@ _RE_SPAN = re.compile(r'(colspan|rowspan)\s*=\s*"?(\d+)"?', re.IGNORECASE)
 _RE_TABLE = re.compile(r"\{\|.*?\|\}", re.DOTALL)
 
 
+def gate_wiki_pages(
+    pages: DataFrame,
+    categories_col: str = "categories",
+    text_col: str = "body",
+    disambig_token: str = "消歧義",
+    relevance_token: str = "香港",
+) -> DataFrame:
+    """P2+P3 page gating (reference crawlers/wiki/wiki.py:70-78): drop
+    disambiguation pages (any category containing ``disambig_token``) and
+    pages whose body never mentions ``relevance_token``.
+
+    Both predicates are JVM Column expressions over the categories array /
+    body column — pushed into the scan, no explode, no shuffle.
+    """
+    is_disambig = F.exists(
+        F.col(categories_col), lambda c: c.contains(disambig_token)
+    )
+    relevant = F.col(text_col).contains(relevance_token)
+    return pages.filter(~is_disambig & relevant)
+
+
 def clean_wiki_markup(col: Column) -> Column:
     """``[[target|label]]`` → label, ``[[target]]`` → target, strip HTML tags
     (reference: processors/wiki/wiki.py:66-77) — chained JVM regexes."""
