@@ -161,15 +161,64 @@ def lsh_topk(
     )
 
 
-def ivf_cell_udf(dim: int, n_cells: int, nprobe: int = 1, seed: int = LSH_SEED):
+def fit_ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_cells: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 8,
+    seed: int = LSH_SEED,
+) -> np.ndarray:
+    """Fit IVF coarse centroids with spherical k-means (Lloyd's) on a
+    bounded deterministic sample.
+
+    Scale story: the sample is hash-selected then capped — at 10^9 vectors
+    the driver pulls only ``sample_size`` rows (same strategy MLlib's
+    k-means|| init uses); the O(sample × cells × iters) fit runs once on
+    the driver and the resulting (cells × dim) matrix ships to executors
+    inside the quantizer UDF closure. Deterministic: hash-based sample,
+    seeded init, fixed iteration count.
+    """
+    frac_rank = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_003))
+    sample = (
+        vectors.select(F.col(vec_col).alias("v"), frac_rank.alias("_r"))
+        .orderBy("_r", "v")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([row["v"] for row in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rs = np.random.RandomState(seed)
+    c = x[rs.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    if len(c) < n_cells:  # degenerate tiny corpus: pad with random units
+        pad = rs.standard_normal((n_cells - len(c), dim))
+        c = np.vstack([c, pad / np.linalg.norm(pad, axis=1, keepdims=True)])
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for k in range(n_cells):
+            m = x[assign == k]
+            if len(m):
+                c[k] = m.sum(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def ivf_cell_udf(dim: int, n_cells: int, nprobe: int = 1, seed: int = LSH_SEED,
+                 centroids: np.ndarray | None = None):
     """Vectorized IVF coarse quantizer: array<float> → the ``nprobe`` nearest
-    centroid ids (by cosine). Centroids are seeded random unit vectors —
-    deterministic on every executor, no fit/broadcast step; production would
-    swap in k-means centroids without touching the dataflow."""
+    centroid ids (by cosine). Pass fitted ``centroids`` (see
+    ``fit_ivf_centroids``); falls back to seeded random unit vectors when
+    None — deterministic on every executor either way (the fitted matrix
+    rides in the UDF closure; no broadcast step to manage)."""
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        c = np.random.RandomState(seed).standard_normal((n_cells, dim))
-        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        if centroids is not None:
+            c = centroids
+        else:
+            c = np.random.RandomState(seed).standard_normal((n_cells, dim))
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
         for vecs in it:
             x = np.stack(vecs.to_numpy())  # (batch, dim)
             sims = x @ c.T  # norm(x) constant per row → argmax == cosine
@@ -190,23 +239,35 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qe",
+    fit_centroids: bool = True,
 ) -> DataFrame:
     """IVF-style ANN: corpus partitioned into ``n_cells`` coarse cells (each
     vector indexed under its nearest centroid), each query probes its
     ``nprobe`` nearest cells, exact cosine rerank inside the probed cells.
+    Centroids are k-means-fitted on a bounded sample by default
+    (``fit_centroids=False`` reverts to the seeded-random quantizer).
 
     Scale path: probe cost ∝ nprobe/n_cells of the corpus; the (cell)
     equi-join shuffles co-partitioned by cell id — at 10^9 vectors, cells
     are also the natural storage partitioning (partitionBy("cell") on the
     index table makes the probe a partition-pruned scan, no shuffle).
     """
+    cents = (
+        fit_ivf_centroids(vectors, dim, n_cells, vec_col, id_col)
+        if fit_centroids
+        else None
+    )
     vcell = vectors.select(
         F.col(id_col), F.col(vec_col),
-        F.explode(ivf_cell_udf(dim, n_cells, 1)(F.col(vec_col))).alias("cell"),
+        F.explode(
+            ivf_cell_udf(dim, n_cells, 1, centroids=cents)(F.col(vec_col))
+        ).alias("cell"),
     )
     qcell = queries.select(
         F.col(qid_col), F.col(qvec_col),
-        F.explode(ivf_cell_udf(dim, n_cells, nprobe)(F.col(qvec_col))).alias("cell"),
+        F.explode(
+            ivf_cell_udf(dim, n_cells, nprobe, centroids=cents)(F.col(qvec_col))
+        ).alias("cell"),
     )
     cands = (
         vcell.join(F.broadcast(qcell), "cell")

@@ -219,3 +219,33 @@ def test_streaming_append_watermark_semantics(spark):
     rows = {r.win_start.timestamp(): r.n for r in out.collect()}
     # late row NOT counted; tail window [10800,...) withheld (state open)
     assert rows == {0.0: 3, 3600.0: 1, 7200.0: 1}, rows
+
+
+def test_ivf_fitted_centroids_deterministic_and_helpful(spark, sf_small):
+    from hk_housing_datahub_spark.operators.similarity import fit_ivf_centroids
+    import numpy as np
+
+    e = spark.read.parquet(os.path.join(sf_small, "embeddings.parquet"))
+    c1 = fit_ivf_centroids(e, dim=64, n_cells=16)
+    c2 = fit_ivf_centroids(e, dim=64, n_cells=16)
+    assert c1.shape == (16, 64)
+    assert np.allclose(c1, c2)  # hash-sample + seeded init ⇒ deterministic
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+    # fitted quantizer must not LOSE recall vs the seeded-random one
+    q = e.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = brute_force_topk(e, q, k=5).collect()
+    truth = {(r.qid, r.nid) for r in exact}
+
+    def recall(fit):
+        got = {
+            (r.qid, r.nid)
+            for r in ivf_topk(
+                e, q, dim=64, k=5, n_cells=16, nprobe=6, fit_centroids=fit
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    assert recall(True) >= recall(False) - 0.05
