@@ -128,6 +128,9 @@ def main() -> None:
             "ann_topk_cosine",
             "quality_by_source",
             "chunk_documents",
+            # star-schema surface: the deepest nested extraction (render →
+            # from_json → explode ×2 → coercions + folds over ~10× lineitem)
+            "star_transactions",
         ]
         qs = E.queries()
         for name in bench_queries:

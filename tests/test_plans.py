@@ -122,3 +122,26 @@ def test_extraction_is_single_arrow_pass(spark):
     p = plan_of(extract_df(pages))
     tree = p.split("\n\n")[0]
     assert tree.count("ArrowEvalPython") == 1, tree
+
+
+def test_star_extraction_is_all_jvm(spark):
+    """The nested-response parse→explode→coerce→fold pipeline must contain
+    zero Python evaluation nodes — from_json, arrays_zip, HOF folds and
+    try_cast are all codegen-able Column expressions."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["star_transactions"](spark, SF))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the explodes are JVM Generate nodes
+
+
+def test_star_trend_broadcasts_every_dim(spark):
+    """transactions ⋈ units ⋈ buildings ⋈ estates ⋈ districts: each
+    dimension hop must be a BroadcastHashJoin (the fact side never
+    shuffles for a join); the single fact shuffle is the final groupBy."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["star_price_trend"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
