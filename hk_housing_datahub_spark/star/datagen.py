@@ -250,23 +250,22 @@ def render_building_responses(orders: DataFrame, lineitem: DataFrame) -> DataFra
     order: units = the order's lineitems, 1-2 transactions per unit with
     string-typed numerics and feature arrays. building_id references the
     owning estate's building list (j ≤ n_bld by construction)."""
-    from pyspark.sql import Window as W
-
     ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
     pk, sk = F.col("l_partkey"), F.col("l_suppkey")
 
     # The synthetic lineitem table has duplicate (orderkey, linenumber)
     # pairs; unit/tx ids derive from that pair, so dedup deterministically
-    # first (rank-1 by the full set of consumed columns — ties are then
-    # identical in every field we read, making the pick engine-stable).
-    w = W.partitionBy("l_orderkey", "l_linenumber").orderBy(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity",
-        "l_discount", "l_shipdate",
-    )
+    # first: min(struct(consumed columns)) per key picks the same row a
+    # rank-1 window would (struct comparison = the window's lexicographic
+    # orderBy) but as a hash aggregate with map-side partial min — no sort,
+    # and only one row per key ever crosses the shuffle.
+    _cols = ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity",
+             "l_discount", "l_shipdate"]
     lineitem = (
-        lineitem.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min(F.struct(*_cols)).alias("_b"))
+        .select("l_orderkey", "l_linenumber",
+                *[F.col("_b")[c].alias(c) for c in _cols])
     )
 
     def feat(shift: Column, count: Column) -> Column:
