@@ -464,8 +464,11 @@ def _star_price_trend(spark, sf):
     )
     bld_tables = ST.extract_building_tables(bld_resp)
     tx, units = bld_tables["transactions"], bld_tables["units"]
+    # units is fact-sized (one row per lineitem) — it co-partitions with
+    # transactions on unit_id (AQE may still broadcast it at small SF);
+    # only the true dimensions get explicit broadcast hints.
     joined = (
-        tx.join(F.broadcast(units.select("unit_id", "building_id")), "unit_id")
+        tx.join(units.select("unit_id", "building_id"), "unit_id")
         .join(
             F.broadcast(est_tables["buildings"].select("building_id", "estate_id")),
             "building_id",

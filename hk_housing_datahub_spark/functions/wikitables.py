@@ -43,10 +43,14 @@ def gate_wiki_pages(
     Both predicates are JVM Column expressions over the categories array /
     body column — pushed into the scan, no explode, no shuffle.
     """
-    is_disambig = F.exists(
-        F.col(categories_col), lambda c: c.contains(disambig_token)
+    # NULL categories array / NULL elements ≡ "no categories" — the
+    # reference iterates an (empty) mapping and keeps the page; coalesce
+    # keeps exists()'s three-valued NULL from silently dropping rows.
+    is_disambig = F.coalesce(
+        F.exists(F.col(categories_col), lambda c: c.contains(disambig_token)),
+        F.lit(False),
     )
-    relevant = F.col(text_col).contains(relevance_token)
+    relevant = F.coalesce(F.col(text_col).contains(relevance_token), F.lit(False))
     return pages.filter(~is_disambig & relevant)
 
 

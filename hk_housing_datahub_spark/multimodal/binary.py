@@ -97,12 +97,16 @@ def decode_payload_meta(
             )
 
     # Byte length and md5 are JVM Column expressions — free inside codegen;
-    # the Python batch only does the (stubbed) media decode itself.
-    prepped = docs_with_payload.select(
-        "doc_id",
-        "payload",
-        "media_type",
+    # the Python batch only does the (stubbed) media decode itself. The raw
+    # payload bytes cross the Arrow boundary ONLY when the real decoder
+    # needs them — the fake decoder works from n_bytes alone, so the
+    # dominant column stays JVM-side entirely.
+    cols = [
+        F.col("doc_id"),
+        F.col("media_type"),
         F.coalesce(F.length("payload").cast("long"), F.lit(0).cast("long")).alias("n_bytes"),
         F.md5(F.coalesce(F.col("payload"), F.lit(b""))).alias("checksum"),
-    )
-    return prepped.mapInPandas(op, PAYLOAD_META_SCHEMA)
+    ]
+    if use_real_decoder:
+        cols.insert(1, F.col("payload"))
+    return docs_with_payload.select(*cols).mapInPandas(op, PAYLOAD_META_SCHEMA)

@@ -170,7 +170,7 @@ def fit_ivf_centroids(
     sample_size: int = 4096,
     iters: int = 8,
     seed: int = LSH_SEED,
-) -> np.ndarray:
+) -> np.ndarray | None:
     """Fit IVF coarse centroids with spherical k-means (Lloyd's) on a
     bounded deterministic sample.
 
@@ -188,6 +188,8 @@ def fit_ivf_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not sample:
+        return None  # empty corpus → caller falls back to seeded centroids
     x = np.array([row["v"] for row in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rs = np.random.RandomState(seed)

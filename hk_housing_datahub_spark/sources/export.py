@@ -23,7 +23,12 @@ def export_debug_json(
     dumps are small by contract — pass False for large exports so the
     write stays partition-parallel)."""
     out = df.limit(limit) if limit is not None else df
-    n = out.count()
     writer = out.coalesce(1) if single_file else out
     writer.write.mode("overwrite").json(path)
-    return n
+    # Count what actually landed (one write job, one cheap re-read): with a
+    # limit on a nondeterministic source, counting the input lineage could
+    # describe a different sample than the files on disk.
+    try:
+        return df.sparkSession.read.json(path).count()
+    except Exception:  # empty export: nothing but _SUCCESS → no schema
+        return 0

@@ -137,11 +137,12 @@ def test_star_extraction_is_all_jvm(spark):
 
 
 def test_star_trend_broadcasts_every_dim(spark):
-    """transactions ⋈ units ⋈ buildings ⋈ estates ⋈ districts: each
-    dimension hop must be a BroadcastHashJoin (the fact side never
-    shuffles for a join); the single fact shuffle is the final groupBy."""
+    """transactions ⋈ units ⋈ buildings ⋈ estates ⋈ districts: every true
+    dimension hop (buildings/estates/districts) must be a
+    BroadcastHashJoin. The tx ⋈ units join is fact-to-fact and carries no
+    broadcast hint — co-partitioned on unit_id at scale (AQE may still
+    broadcast it at this tiny SF, so it is not asserted either way)."""
     import __spark_entry__ as E
 
     plan = plan_of(E.queries()["star_price_trend"](spark, SF))
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3

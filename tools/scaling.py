@@ -180,6 +180,13 @@ def main() -> None:
         if c in prior_kernel:
             spark_kernel[c] = prior_kernel[c]
         else:
+            # --crawl-json may have skipped corpus generation entirely
+            if not os.path.exists(os.path.join(args.corpus, "pages", "_SUCCESS")):
+                raise SystemExit(
+                    f"[scaling] no corpus at {args.corpus}/pages — the kernel "
+                    "bench needs the stored pages; run once without "
+                    "--crawl-json, or pass --kernel-json with prior rates"
+                )
             r = run_kernel(c, args.corpus)
             spark_kernel[c] = r["pages_per_sec"]
         print(f"[scaling] spark kernel local[{c}]: {spark_kernel[c]} pages/s",
@@ -296,21 +303,30 @@ def _write_md(report, crawl, alu, extract, alloc, pairs) -> None:
             f"| local[{a}] → local[{b}] | {step} | "
             f"{report['crawl_eff'][f'{a}->{b}']} |"
         )
-    best4x = max(
-        (v for k, v in report["crawl_eff"].items()
-         if int(k.split("->")[1]) == 4 * int(k.split("->")[0])),
-        default=0.0,
+    fourx = {
+        k: v for k, v in report["crawl_eff"].items()
+        if int(k.split("->")[1]) == 4 * int(k.split("->")[0])
+    }
+    best_pair, best4x = (max(fourx.items(), key=lambda kv: kv[1])
+                         if fourx else ("n/a", 0.0))
+    best_pair_md = f"local[{best_pair.replace('->', ']→local[')}]"
+    kernel_ok = [k for k, v in report["spark_kernel_eff"].items() if v >= 0.8]
+    kernel_clause = (
+        f"and the low-allocation Spark kernel pair below confirms ≥0.8 at "
+        f"{', '.join(kernel_ok)} as well"
+        if kernel_ok
+        else "the low-allocation Spark kernel pair below is reported for "
+             "context (this run measured it below 0.8 — single runs are "
+             "noisy; medians of repeats are reported via --kernel-json)"
     )
     lines += [
         "",
         "**Criterion status (`north_rule`: ≥0.8 efficiency N→4N):"
-        f" {'MET' if best4x >= 0.8 else 'not met on-VM'}** — the measured"
-        f" frontier N→4N pair local[1]→local[4] reaches **{best4x}**"
-        " (both levels below this VM's ~8-process allocation-bandwidth"
-        " saturation knee), and the low-allocation Spark kernel pair below"
-        " confirms the engine holds ≥0.8 at 2→8 as well. Pairs that cross"
-        " the knee (4→8, 8→32) degrade for the machine reasons quantified",
-        "below.",
+        f" {'MET' if best4x >= 0.8 else 'not met on this VM'}** — the best"
+        f" measured frontier N→4N pair, {best_pair_md}, reaches"
+        f" **{best4x}** {kernel_clause}. Pairs that cross this VM's"
+        " ~8-process allocation-bandwidth saturation knee degrade for the"
+        " machine reasons quantified below.",
         "",
     ]
     lines += _fmt_kernel_section(report)
