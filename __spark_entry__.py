@@ -424,6 +424,51 @@ def _star_transactions(spark, sf):
     )
 
 
+_STAR_TABLE_TO_QUERY = {
+    "regions": "star_regions",
+    "subregions": "star_subregions",
+    "districts": "star_districts",
+    "estates": "star_estates",
+    "facilities": "star_facilities",
+    "estate_facilities": "star_estate_facilities",
+    "estate_school_nets": "star_school_nets",
+    "estate_mtr_lines": "star_mtr_lines",
+    "phases": "star_phases",
+    "buildings": "star_buildings",
+    "estate_monthly_market_info": "star_monthly_market",
+    "units": "star_units",
+    "unit_features": "star_unit_features",
+    "transactions": "star_transactions",
+}
+
+
+def _star_pipeline_counts(spark, sf):
+    """Orchestrator parity (reference orchestrators/agency.py:20,34,67-96):
+    the two-stage batched load — estates+monthly per id-batch, then
+    buildings harvested from the committed star — with per-batch
+    insert+PK-dedup+manifest-commit, run end to end into a fresh
+    TableCatalog. Output = final committed row count per table; the oracle
+    recomputes each table's distinct extraction relationally, so equality
+    proves the batching/dedup/append machinery loses and duplicates
+    nothing."""
+    from hk_housing_datahub_spark.sources.tables import TableCatalog
+
+    root = tempfile.mkdtemp(prefix="hk_star_pipe_")
+    cat = TableCatalog(spark, root)
+    ST.run_star_pipeline(
+        spark,
+        cat,
+        ST.render_estate_responses(_t(spark, sf, "customer")),
+        ST.render_monthly_responses(_t(spark, sf, "orders")),
+        ST.render_building_responses(
+            _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+        ),
+        n_batches=3,
+    )
+    rows = [(t, cat.read(t).count()) for t in _STAR_TABLE_TO_QUERY]
+    return spark.createDataFrame(rows, "table_name string, n_rows long")
+
+
 def _wiki_page_gate(spark, sf):
     """P2/P3 parity (wiki.py:70-78) on wiki-shaped pages: a categories
     array + body synthesized from documents; disambiguation pages (category
@@ -795,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_unit_features": _star_unit_features,
         "star_transactions": _star_transactions,
         "star_price_trend": _star_price_trend,
+        "star_pipeline_counts": _star_pipeline_counts,
         "wiki_page_gate": _wiki_page_gate,
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
@@ -835,7 +881,7 @@ _LI_DEDUP = """
 """
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1461,3 +1507,12 @@ def oracle_sql() -> dict[str, str]:
             FROM fin
         """,
     }
+    # Pipeline oracle: per-table committed row counts must equal the
+    # relational twins' counts — the batched append + PK dedup is lossless
+    # and duplicate-free end to end.
+    d["star_pipeline_counts"] = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows "
+        f"FROM ({d[q]})"
+        for t, q in _STAR_TABLE_TO_QUERY.items()
+    )
+    return d

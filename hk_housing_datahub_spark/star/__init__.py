@@ -25,6 +25,7 @@ from .extractor import (
     extract_estate_tables,
     extract_monthly_market,
 )
+from .pipeline import run_star_pipeline
 
 __all__ = [
     "BUILDING_RESPONSE_SCHEMA",
@@ -38,4 +39,5 @@ __all__ = [
     "extract_building_tables",
     "extract_estate_tables",
     "extract_monthly_market",
+    "run_star_pipeline",
 ]

@@ -1,0 +1,143 @@
+"""Batched incremental star-schema load — the reference's orchestrator layer.
+
+Re-expresses /root/reference/src/orchestrators/agency.py as a Spark
+pipeline over the TableCatalog:
+
+- ``partition_ids(cache, partition_size)`` + per-partition
+  fetch→process→insert→clear (agency.py:20,34,67-96) → deterministic
+  hash-batches over the response tables; each batch extracts, dedups
+  against the COMMITTED table state, and appends one snapshot. State never
+  accumulates in memory across batches (the reference clears its caches;
+  here each batch is an independent bounded job).
+- the cross-partition ``pk_sets`` dedup (processors/agency/buildings.py:54-58,
+  122-125) → a PK left-anti join against the committed table, so a key
+  inserted by batch 3 is never re-inserted by batch 7 — and dimension rows
+  that appear in EVERY batch (regions, facilities) land exactly once.
+- the two-stage flow — estates first, then the building-ids harvested from
+  them (agency.py:140-143 ``building_ids_cache``) — → stage 2's responses
+  are semi-joined against the committed ``buildings`` table.
+- crash-resume: completed (stage, batch) pairs are recorded in an
+  atomically-replaced JSON manifest; re-running skips them, and because
+  every append is PK-deduped, a batch that crashed AFTER its append but
+  BEFORE its manifest mark is safely re-run (idempotent).
+
+Scale: batches bound the working set exactly like the reference's
+``partition_size`` bounds its caches — each batch shuffles only its slice
+plus the committed-PK side of the anti-joins, and the catalog's manifest
+commits give per-batch lineage (snapshot id, rows) for free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import TableCatalog
+from .extractor import (
+    extract_building_tables,
+    extract_estate_tables,
+    extract_monthly_market,
+)
+from .schema import STAR_PRIMARY_KEYS, STAR_TABLES, create_star_tables
+
+ESTATE_TABLES = [
+    "regions", "subregions", "districts", "estates", "facilities",
+    "estate_facilities", "estate_school_nets", "estate_mtr_lines",
+    "phases", "buildings",
+]
+BUILDING_TABLES = ["units", "unit_features", "transactions"]
+
+
+def _batch_of(col, n_batches: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_batches))
+
+
+class _Progress:
+    """Atomically-committed set of completed (stage, batch) marks."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.done: set[str] = set()
+        if os.path.exists(path):
+            with open(path) as f:
+                self.done = set(json.load(f)["done"])
+
+    def mark(self, stage: str, batch: int) -> None:
+        self.done.add(f"{stage}/{batch}")
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"done": sorted(self.done)}, f)
+        os.replace(tmp, self.path)
+
+    def has(self, stage: str, batch: int) -> bool:
+        return f"{stage}/{batch}" in self.done
+
+
+def _append_deduped(
+    catalog: TableCatalog, table: str, rows: DataFrame
+) -> int:
+    """PK-anti-join against the committed table, append only new keys."""
+    pk = STAR_PRIMARY_KEYS[table]
+    committed = catalog.read(table).select(*pk)
+    fresh = rows.join(committed, pk, "left_anti")
+    n = fresh.count()
+    if n:
+        catalog.append(table, fresh)
+    return n
+
+
+def run_star_pipeline(
+    spark: SparkSession,
+    catalog: TableCatalog,
+    estate_responses: DataFrame,
+    monthly_responses: DataFrame,
+    building_responses: DataFrame,
+    n_batches: int = 4,
+    state_dir: str | None = None,
+) -> dict[str, int]:
+    """Run the full two-stage batched load; returns rows appended per table
+    (zero for batches skipped on resume)."""
+    create_star_tables(catalog)
+    progress = _Progress(
+        os.path.join(state_dir or catalog.root, "_pipeline_progress.json")
+    )
+    appended = dict.fromkeys(list(STAR_TABLES), 0)
+
+    # ---- stage 1: estates + monthly, batched by estate id ----------------
+    for b in range(n_batches):
+        if progress.has("estates", b):
+            continue
+        batch_est = estate_responses.filter(
+            _batch_of(F.col("estate_id"), n_batches) == b
+        )
+        tables = extract_estate_tables(batch_est)
+        for t in ESTATE_TABLES:
+            appended[t] += _append_deduped(catalog, t, tables[t])
+        batch_monthly = monthly_responses.filter(
+            _batch_of(F.col("estate_id"), n_batches) == b
+        )
+        appended["estate_monthly_market_info"] += _append_deduped(
+            catalog,
+            "estate_monthly_market_info",
+            extract_monthly_market(batch_monthly),
+        )
+        progress.mark("estates", b)
+
+    # ---- stage 2: buildings harvested from the committed star ------------
+    committed_bids = catalog.read("buildings").select("building_id")
+    harvested = building_responses.join(committed_bids, "building_id", "left_semi")
+    for b in range(n_batches):
+        if progress.has("buildings", b):
+            continue
+        batch_bld = harvested.filter(
+            _batch_of(F.col("building_id"), n_batches) == b
+        )
+        tables = extract_building_tables(batch_bld)
+        for t in BUILDING_TABLES:
+            appended[t] += _append_deduped(catalog, t, tables[t])
+        progress.mark("buildings", b)
+
+    return appended

@@ -336,3 +336,84 @@ def test_primary_keys_cover_all_tables():
     for name, pk in STAR_PRIMARY_KEYS.items():
         cols = STAR_TABLES[name].fieldNames()
         assert all(c in cols for c in pk), name
+
+
+# ----------------------------------------------------------------- pipeline
+
+def _pipeline_inputs(spark, sf_small):
+    import os as _os
+    from hk_housing_datahub_spark.star import (
+        render_building_responses,
+        render_estate_responses,
+        render_monthly_responses,
+    )
+
+    cust = spark.read.parquet(_os.path.join(sf_small, "customer.parquet"))
+    orders = spark.read.parquet(_os.path.join(sf_small, "orders.parquet"))
+    li = spark.read.parquet(_os.path.join(sf_small, "lineitem.parquet"))
+    return (
+        render_estate_responses(cust),
+        render_monthly_responses(orders),
+        render_building_responses(orders, li),
+    )
+
+
+def test_pipeline_batched_load_equals_oneshot(spark, sf_small, tmp_path):
+    from hk_housing_datahub_spark.star import run_star_pipeline
+    from hk_housing_datahub_spark.star.extractor import extract_estate_tables
+
+    est, monthly, bld = _pipeline_inputs(spark, sf_small)
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    run_star_pipeline(spark, cat, est, monthly, bld, n_batches=3)
+
+    oneshot = extract_estate_tables(est)
+    # dims appear in EVERY batch; the PK anti-join must land them once
+    assert cat.read("regions").count() == oneshot["regions"].count()
+    assert cat.read("facilities").count() == oneshot["facilities"].count()
+    # full-table equality on a keyed table (batching must lose nothing)
+    got = {tuple(r) for r in cat.read("phases").collect()}
+    want = {tuple(r) for r in oneshot["phases"].collect()}
+    assert got == want
+    # per-batch lineage: one append snapshot per non-empty batch
+    assert len([h for h in cat.history("phases") if h["op"] == "append"]) >= 2
+
+
+def test_pipeline_rerun_is_idempotent(spark, sf_small, tmp_path):
+    from hk_housing_datahub_spark.star import run_star_pipeline
+
+    est, monthly, bld = _pipeline_inputs(spark, sf_small)
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    first = run_star_pipeline(spark, cat, est, monthly, bld, n_batches=2)
+    n_units = cat.read("units").count()
+    # resume manifest says everything is done → second run appends nothing
+    second = run_star_pipeline(spark, cat, est, monthly, bld, n_batches=2)
+    assert sum(second.values()) == 0
+    assert cat.read("units").count() == n_units
+    assert first["units"] == n_units
+
+
+def test_pipeline_resumes_after_partial_run(spark, sf_small, tmp_path):
+    """Crash-after-append-before-mark: re-running the batch must not
+    duplicate rows (the PK anti-join makes appends idempotent)."""
+    import json as _json
+
+    from hk_housing_datahub_spark.star import run_star_pipeline
+
+    est, monthly, bld = _pipeline_inputs(spark, sf_small)
+    root = str(tmp_path / "cat")
+    cat = TableCatalog(spark, root)
+    run_star_pipeline(spark, cat, est, monthly, bld, n_batches=2)
+    done_tables = {t: cat.read(t).count() for t in ("estates", "units", "transactions")}
+
+    # simulate the crash: drop the LAST completed mark from the manifest
+    ppath = f"{root}/_pipeline_progress.json"
+    with open(ppath) as f:
+        state = _json.load(f)
+    state["done"].remove("buildings/1")
+    with open(ppath, "w") as f:
+        _json.dump(state, f)
+
+    rerun = run_star_pipeline(spark, cat, est, monthly, bld, n_batches=2)
+    assert sum(rerun.values()) == 0  # batch re-ran; anti-join found nothing new
+    for t, n in done_tables.items():
+        assert cat.read(t).count() == n
