@@ -469,6 +469,39 @@ def _star_pipeline_counts(spark, sf):
     return spark.createDataFrame(rows, "table_name string, n_rows long")
 
 
+def _star_streaming_ingest(spark, sf):
+    """Streaming star ingestion (star/streaming.py): response files drive a
+    foreachBatch extract→PK-dedup→append cycle into a fresh catalog;
+    output = final committed counts of the 10 estate-side tables. The
+    oracle recomputes each relationally — exactly-once across micro-batches
+    is what equality proves."""
+    from hk_housing_datahub_spark.sources.tables import TableCatalog
+    from hk_housing_datahub_spark.star.streaming import stream_estate_responses
+    from hk_housing_datahub_spark.star.pipeline import ESTATE_TABLES
+
+    root = tempfile.mkdtemp(prefix="hk_star_stream_")
+    src = os.path.join(root, "src")
+    resp = ST.render_estate_responses(_t(spark, sf, "customer"))
+    # two waves of files → multiple micro-batches
+    resp.filter(F.pmod(F.xxhash64("estate_id"), F.lit(2)) == 0).coalesce(
+        2
+    ).write.parquet(os.path.join(src, "w1"))
+    resp.filter(F.pmod(F.xxhash64("estate_id"), F.lit(2)) == 1).coalesce(
+        2
+    ).write.parquet(os.path.join(src, "w2"))
+    cat = TableCatalog(spark, os.path.join(root, "cat"))
+    q = stream_estate_responses(
+        spark, os.path.join(src, "*"), cat, os.path.join(root, "ckpt"),
+        query_name="star_ingest_q",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(t, cat.read(t).count()) for t in ESTATE_TABLES]
+    return spark.createDataFrame(rows, "table_name string, n_rows long")
+
+
 def _wiki_page_gate(spark, sf):
     """P2/P3 parity (wiki.py:70-78) on wiki-shaped pages: a categories
     array + body synthesized from documents; disambiguation pages (category
@@ -841,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_transactions": _star_transactions,
         "star_price_trend": _star_price_trend,
         "star_pipeline_counts": _star_pipeline_counts,
+        "star_streaming_ingest": _star_streaming_ingest,
         "wiki_page_gate": _wiki_page_gate,
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
@@ -1514,5 +1548,15 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows "
         f"FROM ({d[q]})"
         for t, q in _STAR_TABLE_TO_QUERY.items()
+    )
+    _estate_side = [
+        "regions", "subregions", "districts", "estates", "facilities",
+        "estate_facilities", "estate_school_nets", "estate_mtr_lines",
+        "phases", "buildings",
+    ]
+    d["star_streaming_ingest"] = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows "
+        f"FROM ({d[_STAR_TABLE_TO_QUERY[t]]})"
+        for t in _estate_side
     )
     return d

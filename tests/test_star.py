@@ -417,3 +417,58 @@ def test_pipeline_resumes_after_partial_run(spark, sf_small, tmp_path):
     assert sum(rerun.values()) == 0  # batch re-ran; anti-join found nothing new
     for t, n in done_tables.items():
         assert cat.read(t).count() == n
+
+
+# ---------------------------------------------------------------- streaming
+
+def test_streaming_star_ingestion_exactly_once(spark, sf_small, tmp_path):
+    """Two waves of response files through the foreachBatch ingest: final
+    tables equal the one-shot extraction; replaying the stream from a fresh
+    checkpoint against the SAME catalog appends nothing (PK idempotence)."""
+    import os as _os
+
+    from hk_housing_datahub_spark.star import render_estate_responses
+    from hk_housing_datahub_spark.star.streaming import stream_estate_responses
+    from hk_housing_datahub_spark.star.extractor import extract_estate_tables
+
+    cust = spark.read.parquet(_os.path.join(sf_small, "customer.parquet"))
+    resp = render_estate_responses(cust.filter(F.col("c_custkey") < 60))
+    src = str(tmp_path / "stream_src")
+    # wave 1: first half of the estates; wave 2: the rest
+    resp.filter(F.col("estate_id") < "E3").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(src, "w1"))
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    q = stream_estate_responses(
+        spark, _os.path.join(src, "*"), cat, str(tmp_path / "ckpt"),
+        query_name="star_ingest_t",
+    )
+    try:
+        q.processAllAvailable()
+        n_after_w1 = cat.read("estates").count()
+        resp.filter(F.col("estate_id") >= "E3").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(src, "w2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    oneshot = extract_estate_tables(resp)
+    assert n_after_w1 > 0
+    assert cat.read("estates").count() == oneshot["estates"].count()
+    got = {tuple(r) for r in cat.read("buildings").collect()}
+    want = {tuple(r) for r in oneshot["buildings"].collect()}
+    assert got == want
+
+    # replay with a FRESH checkpoint into the same catalog → no duplicates
+    q2 = stream_estate_responses(
+        spark, _os.path.join(src, "*"), cat, str(tmp_path / "ckpt2"),
+        query_name="star_ingest_t2",
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert cat.read("estates").count() == oneshot["estates"].count()
+    assert cat.read("regions").count() == oneshot["regions"].count()
