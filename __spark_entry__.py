@@ -246,6 +246,19 @@ def _ngram_jaccard_pairs(spark, sf):
     )
 
 
+def _dedup_clusters(spark, sf):
+    """Near-dup cluster canonicalization: Jaccard pairs → connected
+    components (iterative min-label propagation) → keep-lowest-id
+    canonical per cluster; singletons are their own cluster. Oracle =
+    transitive closure via a DuckDB recursive CTE."""
+    out = DD.dedup_clusters(
+        _t(spark, sf, "documents"), threshold=0.5, max_shingle_df=50
+    )
+    return out.select(
+        "doc_id", "cluster_id", F.col("is_canonical").cast("int").alias("is_canonical")
+    )
+
+
 def _token_stats(spark, sf):
     d = _t(spark, sf, "documents")
     prof = d.select("lang", TX.token_count(F.col("text")).alias("n_tokens"))
@@ -848,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline battery
         "dedup_exact_stats": _dedup_exact_stats,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "dedup_clusters": _dedup_clusters,
         "token_stats": _token_stats,
         "lang_confusion": _lang_confusion,
         "quality_by_source": _quality_by_source,
@@ -1121,6 +1135,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
             FROM co JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
             WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+                   FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                   WHERE len(t) >= 3),
+            sh AS (SELECT doc_id, s FROM sh0
+                   QUALIFY count(*) OVER (PARTITION BY s) <= 50),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            co AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+                   FROM sh l JOIN sh r USING (s) WHERE l.doc_id < r.doc_id
+                   GROUP BY 1, 2),
+            pairs AS (
+                SELECT a, b FROM co
+                JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+                WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+            edges AS (SELECT a AS s, b AS d FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach AS (
+                SELECT s AS n, d AS m FROM edges
+                UNION
+                SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+            lbl AS (SELECT n, min(m) AS mn FROM reach GROUP BY n)
+            SELECT d.doc_id,
+                   CAST(coalesce(least(l.n, l.mn), d.doc_id) AS BIGINT)
+                       AS cluster_id,
+                   CAST(coalesce(least(l.n, l.mn), d.doc_id) = d.doc_id
+                        AS INT) AS is_canonical
+            FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
         """,
         "token_stats": f"""
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

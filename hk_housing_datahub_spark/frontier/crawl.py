@@ -154,16 +154,33 @@ class CrawlEngine:
         (attempt>=1) is rediscovered via outlinks (attempt=0), the winning
         entry keeps the retry count, so max_attempts bounds TOTAL fetches of
         a url, not just consecutive ones (the simulator mirrors this merge)."""
-        w = W.partitionBy("url_hash").orderBy(
-            "priority", "discovered_ts", "url_canon", "depth",
-            F.col("attempt").desc(),
-        )
-        return (
-            frontier.withColumn("_rn", F.row_number().over(w))
-            .withColumn("attempt", F.max("attempt").over(W.partitionBy("url_hash")))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        # min(struct(ordering..., payload...)) per url_hash picks the same
+        # row a rank-1 window would (struct comparison = the lexicographic
+        # orderBy; attempt desc encoded as -attempt) but runs as a hash
+        # aggregate with map-side partial min — no per-partition sort, and
+        # one row per key crosses the shuffle instead of every duplicate.
+        best = F.min(
+            F.struct(
+                F.col("priority"),
+                F.col("discovered_ts"),
+                F.col("url_canon"),
+                F.col("depth"),
+                (-F.col("attempt")).alias("neg_attempt"),
+                F.col("host"),
+                F.col("bucket"),
+            )
+        ).alias("_b")
+        agg = frontier.groupBy("url_hash").agg(best, F.max("attempt").alias("_att"))
+        return agg.select(
+            F.col("_b")["url_canon"].alias("url_canon"),
+            F.col("_b")["host"].alias("host"),
+            F.col("url_hash"),
+            F.col("_b")["bucket"].alias("bucket"),
+            F.col("_b")["priority"].alias("priority"),
+            F.col("_b")["discovered_ts"].alias("discovered_ts"),
+            F.col("_b")["depth"].alias("depth"),
+            F.col("_att").alias("attempt"),
+        ).select(*FRONTIER_COLS)
 
     # ----------------------------------------------------------------- run
     def run(self, seeds: DataFrame, max_waves: int = 10) -> CrawlResult:

@@ -277,3 +277,74 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in the edge set — component = the
+    minimum node id reachable (min-label propagation to fixpoint).
+
+    The canonical near-dup post-step: similar-pair edges (from any of the
+    dedup ladder's pair generators) → clusters → keep one document per
+    cluster. Iterative DataFrame algorithm: each round joins labels to
+    neighbors and takes the per-node min; rounds needed = graph diameter
+    (tiny for near-dup clusters, which are cliques-ish). Each round is a
+    co-partitioned equi-join + partial-min aggregate on the node key;
+    lineage is cut per round with localCheckpoint so the plan stays O(1).
+    The driver loop is bounded by ``max_iters`` and exits on convergence —
+    the reference pattern for iterative algorithms on Spark (label
+    propagation), not a driver-side row loop.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("s").alias("n")).distinct().withColumn("lbl", F.col("n"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (
+            e.join(labels, e["d"] == labels["n"])
+            .select(F.col("s").alias("n"), F.col("lbl"))
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("n")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "_old"), "n")
+            .filter(F.col("lbl") < F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("node"), F.col("lbl").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical): near-dup clusters from the exact
+    Jaccard pairs, transitively closed; the minimum doc id of each cluster
+    is its canonical representative (keep-lowest-id, matching
+    drop_exact_dups' determinism); singletons are their own cluster."""
+    pairs = ngram_jaccard_pairs(
+        docs, id_col, text_col, threshold=threshold, max_shingle_df=max_shingle_df
+    )
+    cc = connected_components(pairs)
+    out = docs.select(F.col(id_col)).join(
+        cc, docs[id_col] == cc["node"], "left"
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+    ).withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))

@@ -62,3 +62,30 @@ def test_jaccard_bounds(spark, docs):
     for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect():
         assert 0.5 <= r.jaccard <= 1.0
         assert r.a < r.b
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from hk_housing_datahub_spark.operators.dedup import connected_components
+
+    # a chain 1-2-3-4 (diameter 3), a pair 10-11, plus node 20 only via 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21)], "a long, b long"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_canonical_per_cluster(spark, sf_med):
+    import os
+    from hk_housing_datahub_spark.operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(os.path.join(sf_med, "documents.parquet"))
+    out = dedup_clusters(docs, threshold=0.5, max_shingle_df=50).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in by_cluster.items():
+        canon = [r for r in rows if r.is_canonical]
+        assert len(canon) == 1
+        assert canon[0].doc_id == cid == min(r.doc_id for r in rows)
+    assert len(out) == docs.count()  # every doc labeled, singletons included
