@@ -515,6 +515,42 @@ def _star_streaming_ingest(spark, sf):
     return spark.createDataFrame(rows, "table_name string, n_rows long")
 
 
+def _robots_txt_parse(spark, sf):
+    """robots.txt body → scheduler rules (functions/robots.py): five body
+    variants synthesized per doc_id (no UA-* group / full disallow / Allow
+    prefix + Crawl-delay / fractional delay / empty Disallow); the oracle
+    states the expected parse per variant."""
+    from hk_housing_datahub_spark.functions.robots import parse_robots_txt
+
+    d = _t(spark, sf, "documents")
+    nl = "\n"
+    m = F.pmod("doc_id", F.lit(5))
+    body = (
+        F.when(m == 0, F.lit(f"User-agent: googlebot{nl}Disallow: /private{nl}"))
+        .when(m == 1, F.lit(f"User-agent: *{nl}Disallow: /{nl}"))
+        .when(
+            m == 2,
+            F.lit(
+                f"User-agent: *{nl}Allow: /listing/{nl}Crawl-delay: 2{nl}{nl}"
+                f"User-agent: badbot{nl}Disallow: /{nl}"
+            ),
+        )
+        .when(m == 3, F.lit(f"User-agent: *{nl}Crawl-delay: 0.5{nl}"))
+        .otherwise(F.lit(f"User-agent: *{nl}Disallow:{nl}"))
+    )
+    robots = d.select(
+        F.concat(F.lit("h"), F.col("doc_id"), F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    out = parse_robots_txt(robots)
+    return out.select(
+        "host",
+        F.col("allow").cast("int").alias("allow"),
+        "path_prefix",
+        "crawl_delay_ms",
+    )
+
+
 def _wiki_page_gate(spark, sf):
     """P2/P3 parity (wiki.py:70-78) on wiki-shaped pages: a categories
     array + body synthesized from documents; disambiguation pages (category
@@ -889,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_price_trend": _star_price_trend,
         "star_pipeline_counts": _star_pipeline_counts,
         "star_streaming_ingest": _star_streaming_ingest,
+        "robots_txt_parse": _robots_txt_parse,
         "wiki_page_gate": _wiki_page_gate,
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
@@ -1502,6 +1539,16 @@ def oracle_sql() -> dict[str, str]:
             FROM txs JOIN customer ON o_custkey = c_custkey
             WHERE c_custkey % 11 <> 0
             GROUP BY 1, 2
+        """,
+        "robots_txt_parse": """
+            SELECT 'h' || doc_id || '.example.com' AS host,
+                   CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 1 END AS allow,
+                   CASE WHEN doc_id % 5 = 2 THEN '/listing/' ELSE '' END
+                       AS path_prefix,
+                   CAST(CASE WHEN doc_id % 5 = 2 THEN 2000
+                             WHEN doc_id % 5 = 3 THEN 500
+                             ELSE 100 END AS INT) AS crawl_delay_ms
+            FROM documents
         """,
         "wiki_page_gate": """
             WITH pages AS (

@@ -1,0 +1,59 @@
+"""robots.txt text → per-host politeness rules, as JVM Column expressions.
+
+The north rule names "per-host politeness/robots.txt budget"; the crawl
+engine consumes a structured rules table (host, allow, path_prefix,
+crawl_delay_ms — frontier/scheduler.py). This module closes the gap from
+raw robots.txt bodies to that table for the directive subset a listing
+crawler needs:
+
+- the ``User-agent: *`` group (text up to the next ``User-agent:``);
+  a body with no ``*`` group ⇒ everything allowed, default delay
+- ``Disallow: /`` within the group ⇒ host fully disallowed
+- first ``Allow: <prefix>`` ⇒ the allowed path prefix ('' = all paths)
+- ``Crawl-delay: <seconds>`` ⇒ crawl_delay_ms (garbage → default)
+
+All parsing is regexp_extract/rlike on the raw body — codegen'd JVM
+regex, no UDFs, linear per host; at 10^8 hosts this is one narrow
+partition-parallel projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_CRAWL_DELAY_MS = 100
+
+_STAR_GROUP = r"(?s)User-agent:\s*\*\s*\n(.*?)(?:User-agent:|$)"
+
+
+def _star_block(txt: Column) -> Column:
+    return F.regexp_extract(txt, _STAR_GROUP, 1)
+
+
+def parse_robots_txt(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    default_delay_ms: int = DEFAULT_CRAWL_DELAY_MS,
+) -> DataFrame:
+    """(host, robots_txt) → (host, allow, path_prefix, crawl_delay_ms) —
+    the exact schema frontier/scheduler.py consumes."""
+    block = _star_block(F.col(txt_col))
+    has_group = block != ""
+    disallow_all = block.rlike(r"(?m)^Disallow:\s*/\s*$")
+    allow_prefix = F.regexp_extract(block, r"(?m)^Allow:\s*(\S+)\s*$", 1)
+    delay_s = F.regexp_extract(block, r"(?m)^Crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)\s*$", 1)
+    delay_ms = F.coalesce(
+        (F.nullif(delay_s, F.lit("")).try_cast("double") * 1000).cast("int"),
+        F.lit(default_delay_ms),
+    )
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.when(has_group, ~disallow_all).otherwise(F.lit(True)).alias("allow"),
+        F.when(has_group, allow_prefix).otherwise(F.lit("")).alias("path_prefix"),
+        F.when(has_group, delay_ms)
+        .otherwise(F.lit(default_delay_ms))
+        .cast("int")
+        .alias("crawl_delay_ms"),
+    )

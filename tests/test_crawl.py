@@ -228,3 +228,59 @@ def test_two_phase_scheduler_identical(spark, corpus):
     finally:
         shutil.rmtree(t1)
         shutil.rmtree(t2)
+
+
+def test_robots_txt_parse_edge_bodies(spark):
+    from hk_housing_datahub_spark.functions.robots import parse_robots_txt
+
+    bodies = [
+        ("empty", ""),
+        ("garbage_delay", "User-agent: *\nCrawl-delay: soon\n"),
+        ("multi_allow", "User-agent: *\nAllow: /a/\nAllow: /b/\n"),
+        ("star_last", "User-agent: bot\nDisallow: /\n\nUser-agent: *\nCrawl-delay: 3\n"),
+        ("disallow_deep", "User-agent: *\nDisallow: /private/\n"),
+        ("spaced", "User-agent:   *  \nDisallow:  / \nCrawl-delay: 1\n"),
+    ]
+    df = spark.createDataFrame(bodies, "host string, robots_txt string")
+    got = {r.host: r for r in parse_robots_txt(df).collect()}
+    assert got["empty"].allow and got["empty"].crawl_delay_ms == 100
+    assert got["garbage_delay"].crawl_delay_ms == 100  # unparseable → default
+    assert got["multi_allow"].path_prefix == "/a/"  # first Allow wins
+    assert got["star_last"].allow and got["star_last"].crawl_delay_ms == 3000
+    # Disallow of a sub-path is not a full disallow in this subset
+    assert got["disallow_deep"].allow
+    assert not got["spaced"].allow and got["spaced"].crawl_delay_ms == 1000
+
+
+def test_parsed_robots_feed_the_scheduler(spark):
+    """parse_robots_txt output is schema-compatible with schedule_wave's
+    rules side — raw robots.txt bodies drive the politeness budget."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.datagen import generate_pages, generate_seeds
+    from hk_housing_datahub_spark.frontier.scheduler import schedule_wave
+    from hk_housing_datahub_spark.functions.robots import parse_robots_txt
+    from hk_housing_datahub_spark.functions.urls import with_url_columns
+
+    frontier = (
+        with_url_columns(generate_seeds(spark, 50, 1000, n_hosts=4))
+        .withColumn("discovered_ts", F.timestamp_seconds(F.lit(0)))
+        .withColumn("depth", F.lit(0))
+        .withColumn("attempt", F.lit(0))
+    )
+    raw = spark.createDataFrame(
+        [
+            ("h0.example.com", "User-agent: *\nAllow: /listing/\nCrawl-delay: 1\n"),
+            ("h1.example.com", "User-agent: *\nDisallow: /\n"),
+            ("h2.example.com", ""),
+            ("h3.example.com", "User-agent: *\nCrawl-delay: 0.2\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_txt(raw)
+    sched = schedule_wave(frontier, rules, wave_ms=2000).filter("scheduled")
+    hosts = {r.host for r in sched.select("host").distinct().collect()}
+    assert "h1.example.com" not in hosts  # fully disallowed host never scheduled
+    # crawl-delay 1s with a 2s wave → at most 2 urls for h0
+    h0 = sched.filter(F.col("host") == "h0.example.com").count()
+    assert 1 <= h0 <= 2
