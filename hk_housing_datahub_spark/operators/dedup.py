@@ -348,3 +348,20 @@ def dedup_clusters(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
     ).withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+
+
+def drop_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 50,
+) -> DataFrame:
+    """The end-user corpus dedup: keep exactly the canonical (lowest-id)
+    document of every near-dup cluster, all columns preserved. Composes
+    dedup_clusters' components with a broadcast semi-join of the canonical
+    id set back onto the corpus — the dropped set is tiny relative to the
+    corpus, so the join ships only cluster labels, never document text."""
+    labels = dedup_clusters(docs, id_col, text_col, threshold, max_shingle_df)
+    keep = labels.filter(F.col("is_canonical")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
