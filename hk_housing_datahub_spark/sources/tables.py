@@ -54,11 +54,15 @@ class TableCatalog:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(table))
 
-    def _write_data(self, table: str, df: DataFrame, snapshot: int) -> tuple[list[str], int]:
+    def _write_data(
+        self, table: str, df: DataFrame, snapshot: int, rows: int | None = None
+    ) -> tuple[list[str], int]:
         dirname = f"{snapshot:06d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self._tdir(table), "data", dirname)
         df.write.mode("overwrite").parquet(out)
-        n = self.spark.read.parquet(out).count()
+        # callers that already know the row count (e.g. they just counted
+        # the frame) skip the verification re-read — one job per commit
+        n = self.spark.read.parquet(out).count() if rows is None else rows
         return [os.path.join("data", dirname)], n
 
     # ------------------------------------------------------------------ api
@@ -83,12 +87,12 @@ class TableCatalog:
         m = self._load_manifest(table)
         return T.StructType.fromJson(json.loads(m["ddl"])) if m.get("ddl") else None
 
-    def append(self, table: str, df: DataFrame) -> int:
+    def append(self, table: str, df: DataFrame, rows: int | None = None) -> int:
         """Append rows as a new snapshot; readers see them only after the
         manifest commit. Returns the new snapshot id."""
         m = self._load_manifest(table)
         snap = m["snapshot"] + 1
-        new_files, n = self._write_data(table, df, snap)
+        new_files, n = self._write_data(table, df, snap, rows)
         m["snapshot"] = snap
         m["files"] = m["files"] + new_files
         m["history"].append({"snapshot": snap, "op": "append", "rows": n})

@@ -79,13 +79,21 @@ class _Progress:
 def _append_deduped(
     catalog: TableCatalog, table: str, rows: DataFrame
 ) -> int:
-    """PK-anti-join against the committed table, append only new keys."""
+    """PK-anti-join against the committed table, append only new keys.
+
+    ``fresh`` is persisted across its two uses (count, then write) so the
+    extraction lineage — including the nested-JSON render upstream — runs
+    once, not twice; the known count also lets the catalog skip its
+    post-write verification re-read (one Spark job per commit saved)."""
     pk = STAR_PRIMARY_KEYS[table]
     committed = catalog.read(table).select(*pk)
-    fresh = rows.join(committed, pk, "left_anti")
-    n = fresh.count()
-    if n:
-        catalog.append(table, fresh)
+    fresh = rows.join(committed, pk, "left_anti").persist()
+    try:
+        n = fresh.count()
+        if n:
+            catalog.append(table, fresh, rows=n)
+    finally:
+        fresh.unpersist()
     return n
 
 
@@ -110,12 +118,17 @@ def run_star_pipeline(
     for b in range(n_batches):
         if progress.has("estates", b):
             continue
+        # persist the batch's rendered responses: ten table extractions
+        # share one materialization instead of re-running the upstream
+        # lineage per table (the reference likewise holds one partition's
+        # responses in memory while its processors consume them)
         batch_est = estate_responses.filter(
             _batch_of(F.col("estate_id"), n_batches) == b
-        )
+        ).persist()
         tables = extract_estate_tables(batch_est)
         for t in ESTATE_TABLES:
             appended[t] += _append_deduped(catalog, t, tables[t])
+        batch_est.unpersist()
         batch_monthly = monthly_responses.filter(
             _batch_of(F.col("estate_id"), n_batches) == b
         )
@@ -134,10 +147,11 @@ def run_star_pipeline(
             continue
         batch_bld = harvested.filter(
             _batch_of(F.col("building_id"), n_batches) == b
-        )
+        ).persist()
         tables = extract_building_tables(batch_bld)
         for t in BUILDING_TABLES:
             appended[t] += _append_deduped(catalog, t, tables[t])
+        batch_bld.unpersist()
         progress.mark("buildings", b)
 
     return appended
