@@ -1639,14 +1639,12 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({d[q]})"
         for t, q in _STAR_TABLE_TO_QUERY.items()
     )
-    _estate_side = [
-        "regions", "subregions", "districts", "estates", "facilities",
-        "estate_facilities", "estate_school_nets", "estate_mtr_lines",
-        "phases", "buildings",
-    ]
+    # single source of truth: the exact table list the streaming sink loads
+    from hk_housing_datahub_spark.star.pipeline import ESTATE_TABLES
+
     d["star_streaming_ingest"] = "\nUNION ALL\n".join(
         f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows "
         f"FROM ({d[_STAR_TABLE_TO_QUERY[t]]})"
-        for t in _estate_side
+        for t in ESTATE_TABLES
     )
     return d

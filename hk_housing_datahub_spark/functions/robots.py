@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 DEFAULT_CRAWL_DELAY_MS = 100
 
-_STAR_GROUP = r"(?s)User-agent:\s*\*\s*\n(.*?)(?:User-agent:|$)"
+# RFC 9309: directive names are case-insensitive ("User-Agent:",
+# "DISALLOW:" are common in the wild) — hence (?i) on every pattern.
+_STAR_GROUP = r"(?is)User-agent:\s*\*\s*\n(.*?)(?:User-agent:|$)"
 
 
 def _star_block(txt: Column) -> Column:
@@ -41,9 +43,9 @@ def parse_robots_txt(
     the exact schema frontier/scheduler.py consumes."""
     block = _star_block(F.col(txt_col))
     has_group = block != ""
-    disallow_all = block.rlike(r"(?m)^Disallow:\s*/\s*$")
-    allow_prefix = F.regexp_extract(block, r"(?m)^Allow:\s*(\S+)\s*$", 1)
-    delay_s = F.regexp_extract(block, r"(?m)^Crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)\s*$", 1)
+    disallow_all = block.rlike(r"(?im)^Disallow:\s*/\s*$")
+    allow_prefix = F.regexp_extract(block, r"(?im)^Allow:\s*(\S+)\s*$", 1)
+    delay_s = F.regexp_extract(block, r"(?im)^Crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)\s*$", 1)
     delay_ms = F.coalesce(
         (F.nullif(delay_s, F.lit("")).try_cast("double") * 1000).cast("int"),
         F.lit(default_delay_ms),

@@ -323,6 +323,14 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds — "
+            "the graph diameter exceeds max_iters; returning here would be "
+            "silently wrong (one true cluster split into several). Raise "
+            "max_iters (rounds needed = diameter; near-dup clusters are "
+            "usually dense, so this signals an unexpectedly chain-like graph)"
+        )
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("component"))
 
 

@@ -89,7 +89,15 @@ class TableCatalog:
 
     def append(self, table: str, df: DataFrame, rows: int | None = None) -> int:
         """Append rows as a new snapshot; readers see them only after the
-        manifest commit. Returns the new snapshot id."""
+        manifest commit. Returns the new snapshot id.
+
+        ``rows`` contract: pass it ONLY when it is the exact count of this
+        ``df`` as written — i.e. ``df`` is persisted (or deterministic) and
+        ``rows`` came from counting it, with no transformation in between.
+        It is recorded verbatim into the snapshot lineage; a stale or
+        recomputed-lineage count would silently corrupt the history the
+        catalog exists to provide. Omit it to have the catalog verify by
+        re-reading what was written."""
         m = self._load_manifest(table)
         snap = m["snapshot"] + 1
         new_files, n = self._write_data(table, df, snap, rows)

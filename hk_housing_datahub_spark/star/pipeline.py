@@ -56,20 +56,34 @@ def _batch_of(col, n_batches: int):
 
 
 class _Progress:
-    """Atomically-committed set of completed (stage, batch) marks."""
+    """Atomically-committed set of completed (stage, batch) marks, pinned
+    to the batch count they were computed under — resuming with a
+    different ``n_batches`` would silently skip uncommitted hash slices,
+    so it is rejected instead."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, n_batches: int):
         self.path = path
+        self.n_batches = n_batches
         self.done: set[str] = set()
         if os.path.exists(path):
             with open(path) as f:
-                self.done = set(json.load(f)["done"])
+                state = json.load(f)
+            recorded = state.get("n_batches")
+            if recorded is not None and recorded != n_batches:
+                raise ValueError(
+                    f"pipeline progress at {path} was written with "
+                    f"n_batches={recorded}; resuming with n_batches="
+                    f"{n_batches} would mis-map completed hash slices — "
+                    "finish with the original batch count or start a fresh "
+                    "state dir"
+                )
+            self.done = set(state["done"])
 
     def mark(self, stage: str, batch: int) -> None:
         self.done.add(f"{stage}/{batch}")
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"done": sorted(self.done)}, f)
+            json.dump({"done": sorted(self.done), "n_batches": self.n_batches}, f)
         os.replace(tmp, self.path)
 
     def has(self, stage: str, batch: int) -> bool:
@@ -110,7 +124,8 @@ def run_star_pipeline(
     (zero for batches skipped on resume)."""
     create_star_tables(catalog)
     progress = _Progress(
-        os.path.join(state_dir or catalog.root, "_pipeline_progress.json")
+        os.path.join(state_dir or catalog.root, "_pipeline_progress.json"),
+        n_batches,
     )
     appended = dict.fromkeys(list(STAR_TABLES), 0)
 

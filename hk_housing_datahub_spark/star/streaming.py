@@ -59,14 +59,19 @@ def stream_estate_responses(
         seen_ids = batch_df.select("estate_id").distinct()
         # re-read BOTH langs for the batch's estates from the source dir so
         # late-arriving halves complete their pair (bounded: batch estates)
+        # persisted: the ten table extractions share one materialization
+        # instead of re-scanning the (growing) source dir per table
         full = (
             batch_df.sparkSession.read.schema(RESPONSE_STREAM_SCHEMA)
             .parquet(input_dir)
             .join(seen_ids, "estate_id", "left_semi")
-        )
-        tables = extract_estate_tables(full)
-        for t in ESTATE_TABLES:
-            _append_deduped(catalog, t, tables[t])
+        ).persist()
+        try:
+            tables = extract_estate_tables(full)
+            for t in ESTATE_TABLES:
+                _append_deduped(catalog, t, tables[t])
+        finally:
+            full.unpersist()
 
     stream = (
         spark.readStream.schema(RESPONSE_STREAM_SCHEMA)

@@ -89,3 +89,33 @@ def test_dedup_clusters_canonical_per_cluster(spark, sf_med):
         assert len(canon) == 1
         assert canon[0].doc_id == cid == min(r.doc_id for r in rows)
     assert len(out) == docs.count()  # every doc labeled, singletons included
+
+
+def test_drop_near_dups_keeps_exactly_canonicals(spark, sf_med):
+    import os
+    from hk_housing_datahub_spark.operators.dedup import (
+        dedup_clusters,
+        drop_near_dups,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_med, "documents.parquet"))
+    kept = drop_near_dups(docs)
+    labels = dedup_clusters(docs)
+    canon = {r.doc_id for r in labels.filter("is_canonical").collect()}
+    assert {r.doc_id for r in kept.collect()} == canon
+    assert kept.columns == docs.columns  # all columns preserved
+    assert kept.count() == labels.select("cluster_id").distinct().count()
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+    from hk_housing_datahub_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    # and converges fine with enough rounds
+    got = connected_components(chain, max_iters=12).collect()
+    assert {r.component for r in got} == {0}
