@@ -476,7 +476,10 @@ def _star_pipeline_counts(spark, sf):
         ST.render_building_responses(
             _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
         ),
-        n_batches=3,
+        # 2 batches exercises the batching/dedup machinery end to end while
+        # keeping the correctness-gate job count bounded (the per-commit
+        # cost is scheduling round-trips, not data)
+        n_batches=2,
     )
     rows = [(t, cat.read(t).count()) for t in _STAR_TABLE_TO_QUERY]
     return spark.createDataFrame(rows, "table_name string, n_rows long")
