@@ -6,12 +6,17 @@ The Structured-Streaming expression of the batched orchestrator in
 extract → PK-anti-join-against-committed → append cycle
 (/root/reference/src/orchestrators/agency.py:144-154 per-partition flush).
 
+Bilingual pairing across batches is INCREMENTAL state, not a source
+re-read: zh/en halves whose partner has not arrived yet are parked in a
+``_pending`` side table (REPLACE semantics per batch), and each batch
+extracts from ``new ∪ pending`` — per-batch work is O(batch + pending),
+independent of how many files the stream has accumulated.
+
 Exactly-once story: the file source's checkpoint guarantees each input
 file lands in exactly one micro-batch, and the PK anti-join makes a
-replayed batch (crash between append and checkpoint commit) a no-op —
-the same idempotence the batch pipeline's resume relies on. State is
-bounded: nothing accumulates in the stream itself (no stateful operators);
-the "state" is the committed table, consulted per batch.
+replayed batch (crash between append and checkpoint commit) a no-op on
+the output tables; the pending table is deduped by (estate_id, lang), so
+replaying its REPLACE is idempotent too.
 
 On a real deployment the source swaps to Kafka (one value column of JSON)
 without touching the extraction or the sink cycle.
@@ -20,6 +25,7 @@ without touching the extraction or the sink cycle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.tables import TableCatalog
@@ -35,6 +41,8 @@ RESPONSE_STREAM_SCHEMA = T.StructType(
     ]
 )
 
+PENDING_TABLE = "_pending_estate_responses"
+
 
 def stream_estate_responses(
     spark: SparkSession,
@@ -48,30 +56,33 @@ def stream_estate_responses(
     response parquet files. Callers drive it with ``processAllAvailable()``
     for synchronous verification or let the trigger run continuously."""
     create_star_tables(catalog)
+    catalog.create(PENDING_TABLE, RESPONSE_STREAM_SCHEMA)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # zh/en pairs may straddle micro-batches; the bilingual inner join
-        # inside the extractor simply holds an estate until both halves
-        # have arrived (the committed-PK anti-join dedups the re-extraction
-        # of pairs completed in an earlier batch).
         if batch_df.isEmpty():
             return
-        seen_ids = batch_df.select("estate_id").distinct()
-        # re-read BOTH langs for the batch's estates from the source dir so
-        # late-arriving halves complete their pair (bounded: batch estates)
-        # persisted: the ten table extractions share one materialization
-        # instead of re-scanning the (growing) source dir per table
-        full = (
-            batch_df.sparkSession.read.schema(RESPONSE_STREAM_SCHEMA)
-            .parquet(input_dir)
-            .join(seen_ids, "estate_id", "left_semi")
+        # new rows ∪ parked unpaired halves, deduped (a replayed batch may
+        # re-deliver rows already parked) — persisted once for all uses
+        combined = (
+            batch_df.unionByName(catalog.read(PENDING_TABLE))
+            .dropDuplicates(["estate_id", "lang"])
         ).persist()
         try:
-            tables = extract_estate_tables(full)
+            paired = (
+                combined.groupBy("estate_id")
+                .agg(F.countDistinct("lang").alias("_n"))
+                .filter(F.col("_n") >= 2)
+                .select("estate_id")
+            )
+            ready = combined.join(paired, "estate_id", "left_semi")
+            tables = extract_estate_tables(ready)
             for t in ESTATE_TABLES:
                 _append_deduped(catalog, t, tables[t])
+            # park the still-unpaired halves for the next batch
+            pending = combined.join(paired, "estate_id", "left_anti")
+            catalog.replace(PENDING_TABLE, pending)
         finally:
-            full.unpersist()
+            combined.unpersist()
 
     stream = (
         spark.readStream.schema(RESPONSE_STREAM_SCHEMA)

@@ -472,3 +472,43 @@ def test_streaming_star_ingestion_exactly_once(spark, sf_small, tmp_path):
         q2.stop()
     assert cat.read("estates").count() == oneshot["estates"].count()
     assert cat.read("regions").count() == oneshot["regions"].count()
+
+
+def test_streaming_pairs_straddle_batches_via_pending_state(spark, sf_small, tmp_path):
+    """All zh halves arrive in wave 1, all en halves in wave 2: nothing can
+    extract until the pair completes, the unpaired halves park in the
+    catalog's pending table (no source re-read), and wave 2 drains them."""
+    import os as _os
+
+    from hk_housing_datahub_spark.star import render_estate_responses
+    from hk_housing_datahub_spark.star.extractor import extract_estate_tables
+    from hk_housing_datahub_spark.star.streaming import (
+        PENDING_TABLE,
+        stream_estate_responses,
+    )
+
+    cust = spark.read.parquet(_os.path.join(sf_small, "customer.parquet"))
+    resp = render_estate_responses(cust.filter(F.col("c_custkey") < 40))
+    src = str(tmp_path / "src")
+    resp.filter(F.col("lang") == "zh").coalesce(1).write.parquet(
+        _os.path.join(src, "w1")
+    )
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    q = stream_estate_responses(
+        spark, _os.path.join(src, "*"), cat, str(tmp_path / "ckpt"),
+        query_name="star_pending_t", max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        assert cat.read("estates").count() == 0  # no pair complete yet
+        n_pending = cat.read(PENDING_TABLE).count()
+        assert n_pending == resp.filter(F.col("lang") == "zh").count()
+        resp.filter(F.col("lang") == "en").coalesce(1).write.parquet(
+            _os.path.join(src, "w2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    oneshot = extract_estate_tables(resp)
+    assert cat.read("estates").count() == oneshot["estates"].count()
+    assert cat.read(PENDING_TABLE).count() == 0  # fully drained
