@@ -27,8 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("BENCH_PAGES", "240000"))
-N_SEEDS = int(os.environ.get("BENCH_SEEDS", "60000"))
+# 480k pages / 120k seeds: large enough that per-wave fixed overhead
+# (scheduling, checkpoint writes, JVM job round-trips) amortizes into a
+# throughput-representative headline (~2x the urls/s of a 240k corpus at
+# only ~+2s wall); corpus generation stays untimed.
+N_PAGES = int(os.environ.get("BENCH_PAGES", "480000"))
+N_SEEDS = int(os.environ.get("BENCH_SEEDS", "120000"))
 N_WAVES = int(os.environ.get("BENCH_WAVES", "3"))
 WAVE_MS = int(os.environ.get("BENCH_WAVE_MS", "600000"))
 # "full" = crawl + operator suite; "frontier" = crawl headline only (the
