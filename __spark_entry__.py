@@ -812,6 +812,25 @@ def _multimodal_meta(spark, sf):
     return decode_payload_meta(d)
 
 
+def _multimodal_frames(spark, sf):
+    """Frame-sampling plumbing (multimodal/binary.py): payload → 4 byte
+    slices per doc via mapInPandas; output keeps slice sizes + checksums
+    (raw bytes dropped for stable hashing); oracle recomputes each frame
+    with character substrings + md5."""
+    from hk_housing_datahub_spark.multimodal import sample_frames
+
+    d = attach_payload(_t(spark, sf, "documents"))
+    out = sample_frames(d, n_frames=4)
+    return out.select(
+        "doc_id",
+        "frame_index",
+        F.coalesce(F.length("frame_bytes").cast("long"), F.lit(0).cast("long")).alias(
+            "n_frame_bytes"
+        ),
+        "frame_checksum",
+    )
+
+
 def _streaming_windowed(spark, sf):
     return run_windowed_counts(
         spark, os.path.join(sf, "events.parquet"), query_name="ev_counts_q"
@@ -938,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _lsh_ann_topk,
         "chunk_documents": _chunk_documents,
         "multimodal_meta": _multimodal_meta,
+        "multimodal_frames": _multimodal_frames,
         "crawl_frontier_retry": _crawl_frontier_retry,
         "crawl_frontier_bloom": _crawl_frontier_bloom,
         "crawl_frontier_cuckoo": _crawl_frontier_cuckoo,
@@ -1579,6 +1599,21 @@ def oracle_sql() -> dict[str, str]:
                    'd' || doc_id || ',' || lang || ',' || n_chars || chr(10) ||
                    'd' || doc_id || ',lang=' || lang || ',src=' || source AS csv
             FROM documents
+        """,
+        "multimodal_frames": """
+            WITH f AS (
+                SELECT doc_id, text, length(text) AS L, k
+                FROM documents, (VALUES (0), (1), (2), (3)) t(k))
+            SELECT doc_id, CAST(k AS INT) AS frame_index,
+                   CAST(octet_length(encode(substr(text,
+                        CAST(k * L // 4 + 1 AS INT),
+                        CAST((k + 1) * L // 4 - k * L // 4 AS INT))))
+                        AS BIGINT) AS n_frame_bytes,
+                   md5(substr(text,
+                        CAST(k * L // 4 + 1 AS INT),
+                        CAST((k + 1) * L // 4 - k * L // 4 AS INT)))
+                       AS frame_checksum
+            FROM f
         """,
         "multimodal_meta": """
             SELECT doc_id,

@@ -1,1 +1,6 @@
-from .binary import attach_payload, decode_payload_meta  # noqa: F401
+from .binary import (  # noqa: F401
+    attach_payload,
+    decode_payload_meta,
+    resize_payload,
+    sample_frames,
+)

@@ -110,3 +110,90 @@ def decode_payload_meta(
     if use_real_decoder:
         cols.insert(1, F.col("payload"))
     return docs_with_payload.select(*cols).mapInPandas(op, PAYLOAD_META_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def sample_frames(docs_with_payload: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling plumbing: one payload → ``n_frames`` evenly-spaced
+    byte slices, each a (doc_id, frame_index, frame_bytes, checksum) row.
+
+    The Arrow batch shape, explode fan-out, and binary-column handling are
+    the real distributed path a video frame sampler rides; the "decode" is
+    a deterministic slice stand-in (slice k = code points
+    [⌊k·L/n⌋, ⌊(k+1)·L/n⌋) of the UTF-8 payload, re-encoded) since no
+    media codec ships in this container — swap the slice for an
+    ffmpeg/PyAV call without touching the dataflow. Code points, not raw
+    bytes, so an engine-independent oracle (character substring + md5)
+    can recompute every frame byte-for-byte.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_index": [], "frame_bytes": [],
+                    "frame_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = bytes(payload or b"").decode("utf-8")
+                length = len(s)
+                for k in range(n_frames):
+                    lo = (k * length) // n_frames
+                    hi = ((k + 1) * length) // n_frames
+                    fb = s[lo:hi].encode("utf-8")
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_index"].append(k)
+                    rows["frame_bytes"].append(fb)
+                    rows["frame_checksum"].append(hashlib.md5(fb).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        op, FRAME_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_checksum", T.StringType()),
+    ]
+)
+
+
+def resize_payload(
+    docs_with_payload: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Resize plumbing: payload → (doc_id, width, height, checksum of the
+    "resized" bytes). Deterministic stand-in (checksum of payload + the
+    target-geometry tag) — a real PIL ``Image.resize`` drops in without
+    touching the batch shape."""
+    tag = f"_{width}x{height}".encode()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "resized_checksum": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b or b"") + tag).hexdigest()
+                    ),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        op, RESIZE_SCHEMA
+    )

@@ -152,3 +152,31 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, "k", "ts", ["v"]).collect()
     }
     assert out == {1: 1.0, 2: 2.0, 3: None, 4: None}
+
+
+def test_multimodal_resize_and_frames_deterministic(spark, sf_small):
+    import hashlib
+    import os
+
+    from hk_housing_datahub_spark.multimodal import (
+        attach_payload,
+        resize_payload,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_small, "documents.parquet")).limit(20)
+    d = attach_payload(docs)
+    rs = {r.doc_id: r for r in resize_payload(d, 64, 64).collect()}
+    fr = sample_frames(d, n_frames=3).collect()
+    raw = {r.doc_id: bytes(r.payload) for r in d.select("doc_id", "payload").collect()}
+    assert len(rs) == 20
+    for did, b in raw.items():
+        assert rs[did].width == 64 and rs[did].height == 64
+        assert rs[did].resized_checksum == hashlib.md5(b + b"_64x64").hexdigest()
+    # frames: 3 per doc, concatenation of slices reconstructs the payload
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r.doc_id, {})[r.frame_index] = bytes(r.frame_bytes)
+    for did, frames in by_doc.items():
+        assert sorted(frames) == [0, 1, 2]
+        assert b"".join(frames[k] for k in (0, 1, 2)) == raw[did]
