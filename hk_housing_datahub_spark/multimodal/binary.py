@@ -197,3 +197,39 @@ def resize_payload(
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         op, RESIZE_SCHEMA
     )
+
+
+def extract_payload_features(
+    docs_with_payload: DataFrame, dim: int = 32
+) -> DataFrame:
+    """Feature extraction plumbing: payload → L2-normalized float vector
+    (doc_id, features array<float>). The featurizer is a deterministic
+    hashed byte-histogram (bytes bucketed into ``dim`` bins by value) —
+    the stand-in for a CNN/CLIP encoder; batches arrive as Arrow, the
+    vector math is numpy over the whole batch, and a real model swaps in
+    behind the same iterator (load-once-per-executor, like the text
+    embedder in functions/embedding.py)."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
+                hist = np.bincount(b % dim, minlength=dim).astype(np.float64)
+                norm = np.linalg.norm(hist)
+                feats.append((hist / norm if norm else hist).astype(np.float32))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "features": feats}
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        op, out_schema
+    )

@@ -180,3 +180,26 @@ def test_multimodal_resize_and_frames_deterministic(spark, sf_small):
     for did, frames in by_doc.items():
         assert sorted(frames) == [0, 1, 2]
         assert b"".join(frames[k] for k in (0, 1, 2)) == raw[did]
+
+
+def test_multimodal_feature_extraction(spark, sf_small):
+    import math
+    import os
+
+    from hk_housing_datahub_spark.multimodal import (
+        attach_payload,
+        extract_payload_features,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_small, "documents.parquet")).limit(10)
+    out = extract_payload_features(attach_payload(docs), dim=16).collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(r.features) == 16
+        n = math.sqrt(sum(x * x for x in r.features))
+        assert abs(n - 1.0) < 1e-5  # L2-normalized
+    # deterministic across runs
+    again = extract_payload_features(attach_payload(docs), dim=16).collect()
+    assert {r.doc_id: r.features for r in again} == {
+        r.doc_id: r.features for r in out
+    }
