@@ -259,6 +259,22 @@ def _dedup_clusters(spark, sf):
     )
 
 
+def _drop_exact_dups(spark, sf):
+    """Corpus filter twin of dedup_exact_stats: keep the lowest-id document
+    per normalized fingerprint."""
+    out = DD.drop_exact_dups(_t(spark, sf, "documents"))
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def _drop_near_dups(spark, sf):
+    """End-user near-dup corpus filter: exactly the canonical (lowest-id)
+    document of every transitive near-dup cluster survives."""
+    out = DD.drop_near_dups(
+        _t(spark, sf, "documents"), threshold=0.5, max_shingle_df=50
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def _token_stats(spark, sf):
     d = _t(spark, sf, "documents")
     prof = d.select("lang", TX.token_count(F.col("text")).alias("n_tokens"))
@@ -920,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stats": _dedup_exact_stats,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "dedup_clusters": _dedup_clusters,
+        "drop_exact_dups": _drop_exact_dups,
+        "drop_near_dups": _drop_near_dups,
         "token_stats": _token_stats,
         "lang_confusion": _lang_confusion,
         "quality_by_source": _quality_by_source,
@@ -1224,6 +1242,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(least(l.n, l.mn), d.doc_id) = d.doc_id
                         AS INT) AS is_canonical
             FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
+        """,
+        "drop_exact_dups": f"""
+            SELECT doc_id, lang, source, n_chars FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       row_number() OVER (PARTITION BY md5({_NORM})
+                                          ORDER BY doc_id) AS _rn
+                FROM documents)
+            WHERE _rn = 1
+        """,
+        "drop_near_dups": f"""
+            WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+                   FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                   WHERE len(t) >= 3),
+            sh AS (SELECT doc_id, s FROM sh0
+                   QUALIFY count(*) OVER (PARTITION BY s) <= 50),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            co AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+                   FROM sh l JOIN sh r USING (s) WHERE l.doc_id < r.doc_id
+                   GROUP BY 1, 2),
+            pairs AS (
+                SELECT a, b FROM co
+                JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+                WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+            edges AS (SELECT a AS s, b AS d FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach AS (
+                SELECT s AS n, d AS m FROM edges
+                UNION
+                SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+            lbl AS (SELECT n, min(m) AS mn FROM reach GROUP BY n)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
+            WHERE coalesce(least(l.n, l.mn), d.doc_id) = d.doc_id
         """,
         "token_stats": f"""
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
