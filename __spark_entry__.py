@@ -1506,16 +1506,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'E' || o_custkey AS estate_id,
                    strftime(date_trunc('month', o_orderdate),
                             '%Y-%m-%d %H:%M:%S') AS record_date,
-                   round(avg(o_totalprice) / 1000, 6) AS avg_ft_price,
-                   round(avg(o_totalprice) * 0.8 / 1000, 6) AS avg_net_ft_price,
+                   round(sum(o_totalprice), 2) / count(*) / 1000 AS avg_ft_price,
+                   round(sum(o_totalprice), 2) / count(*) * 0.8 / 1000
+                       AS avg_net_ft_price,
                    round(max(o_totalprice) / 1000, 6) AS max_ft_price,
                    round(min(o_totalprice) / 1000, 6) AS min_ft_price,
                    round(max(o_totalprice) * 0.8 / 1000, 6) AS max_net_ft_price,
                    round(min(o_totalprice) * 0.8 / 1000, 6) AS min_net_ft_price,
                    CASE WHEN count(*) >= 2
-                        THEN round(avg(o_totalprice) / 50000, 8) END AS avg_ft_rent,
+                        THEN round(sum(o_totalprice), 2) / count(*) / 50000
+                        END AS avg_ft_rent,
                    CASE WHEN count(*) >= 2
-                        THEN round(avg(o_totalprice) * 0.8 / 50000, 8)
+                        THEN round(sum(o_totalprice), 2) / count(*) * 0.8 / 50000
                         END AS avg_net_ft_rent,
                    CASE WHEN count(*) >= 2
                         THEN round(max(o_totalprice) / 50000, 8) END AS max_ft_rent,

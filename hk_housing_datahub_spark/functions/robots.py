@@ -26,7 +26,12 @@ DEFAULT_CRAWL_DELAY_MS = 100
 
 # RFC 9309: directive names are case-insensitive ("User-Agent:",
 # "DISALLOW:" are common in the wild) — hence (?i) on every pattern.
-_STAR_GROUP = r"(?is)User-agent:\s*\*\s*\n(.*?)(?:User-agent:|$)"
+# The header line may also be the FINAL line of the file with no trailing
+# newline — (?:\n|$) accepts end-of-string where a newline would be.
+# Known simplification vs RFC 9309: if a body contains SEVERAL
+# ``User-agent: *`` groups, only the first is read (the RFC says to merge
+# them); listing-crawler robots bodies in the wild are single-group.
+_STAR_GROUP = r"(?is)User-agent:\s*\*[ \t\r]*(?:\n|$)(.*?)(?:User-agent:|$)"
 
 
 def _star_block(txt: Column) -> Column:

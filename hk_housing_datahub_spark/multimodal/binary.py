@@ -134,6 +134,12 @@ def sample_frames(docs_with_payload: DataFrame, n_frames: int = 4) -> DataFrame:
     ffmpeg/PyAV call without touching the dataflow. Code points, not raw
     bytes, so an engine-independent oracle (character substring + md5)
     can recompute every frame byte-for-byte.
+
+    The stand-in slicer assumes UTF-8 payloads (``attach_payload``
+    synthesizes them); genuinely binary payloads are decoded with
+    ``errors="replace"`` so a non-UTF-8 byte degrades that document's
+    frames to replacement characters instead of failing the whole Spark
+    task. A real codec works on raw bytes and has no such assumption.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,7 +149,7 @@ def sample_frames(docs_with_payload: DataFrame, n_frames: int = 4) -> DataFrame:
             rows = {"doc_id": [], "frame_index": [], "frame_bytes": [],
                     "frame_checksum": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = bytes(payload or b"").decode("utf-8")
+                s = bytes(payload or b"").decode("utf-8", errors="replace")
                 length = len(s)
                 for k in range(n_frames):
                     lo = (k * length) // n_frames

@@ -204,7 +204,6 @@ def render_monthly_responses(orders: DataFrame) -> DataFrame:
         orders.groupBy(k.alias("ck"), month.alias("m"))
         .agg(
             F.count(F.lit(1)).alias("n_tx"),
-            F.avg("o_totalprice").alias("avg_p"),
             F.max("o_totalprice").alias("max_p"),
             F.min("o_totalprice").alias("min_p"),
             F.sum("o_totalprice").alias("sum_p"),
@@ -215,16 +214,24 @@ def render_monthly_responses(orders: DataFrame) -> DataFrame:
     # decimals; /1000 → 5-6, /50000 → ≤7, /10 → 3): the round is then the
     # identity on the decimal value, never a half-way case — so Spark's
     # HALF_UP-on-string-repr and DuckDB's bit-level rounding agree exactly.
+    # Averages are the exception (sum/n over n≥3 two-decimal prices is a
+    # non-terminating decimal, so ANY fixed rounding precision can land on
+    # an ulp-sensitive boundary): the avg fields are therefore emitted as
+    # the RAW IEEE result of round(sum, 2) / n — the dividend is recovered
+    # to its exact decimal first, so the division (and the subsequent
+    # *0.8 / 10^k steps, same operation order on both engines) is
+    # bit-identical across Spark and DuckDB at every SF.
+    avg2 = F.round(F.col("sum_p"), 2) / F.col("n_tx")
     record = F.struct(
         F.date_format("m", "yyyy-MM-dd").alias("date"),
-        F.round(F.col("avg_p") / 1000, 6).alias("avg_ft_price"),
-        F.round(F.col("avg_p") * 0.8 / 1000, 6).alias("avg_net_ft_price"),
+        (avg2 / 1000).alias("avg_ft_price"),
+        (avg2 * 0.8 / 1000).alias("avg_net_ft_price"),
         F.round(F.col("max_p") / 1000, 6).alias("max_ft_price"),
         F.round(F.col("max_p") * 0.8 / 1000, 6).alias("max_net_ft_price"),
         F.round(F.col("min_p") / 1000, 6).alias("min_ft_price"),
         F.round(F.col("min_p") * 0.8 / 1000, 6).alias("min_net_ft_price"),
-        F.when(rent, F.round(F.col("avg_p") / 50000, 8)).alias("avg_ft_rent"),
-        F.when(rent, F.round(F.col("avg_p") * 0.8 / 50000, 8)).alias("avg_net_ft_rent"),
+        F.when(rent, avg2 / 50000).alias("avg_ft_rent"),
+        F.when(rent, avg2 * 0.8 / 50000).alias("avg_net_ft_rent"),
         F.when(rent, F.round(F.col("max_p") / 50000, 8)).alias("max_ft_rent"),
         F.when(rent, F.round(F.col("max_p") * 0.8 / 50000, 8)).alias("max_net_ft_rent"),
         F.when(rent, F.round(F.col("min_p") / 50000, 8)).alias("min_ft_rent"),

@@ -95,11 +95,19 @@ def _append_deduped(
 ) -> int:
     """PK-anti-join against the committed table, append only new keys.
 
+    Rows with a NULL in any PK column are dropped first: they violate the
+    declared non-null key schema, and a null-keyed row would never match
+    the committed side of the anti-join (SQL null-equality), so it would be
+    re-appended on every resume/replay — silently breaking the documented
+    crash-resume idempotency.
+
     ``fresh`` is persisted across its two uses (count, then write) so the
     extraction lineage — including the nested-JSON render upstream — runs
     once, not twice; the known count also lets the catalog skip its
     post-write verification re-read (one Spark job per commit saved)."""
     pk = STAR_PRIMARY_KEYS[table]
+    for c in pk:
+        rows = rows.filter(F.col(c).isNotNull())
     committed = catalog.read(table).select(*pk)
     fresh = rows.join(committed, pk, "left_anti").persist()
     try:

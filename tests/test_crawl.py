@@ -240,6 +240,9 @@ def test_robots_txt_parse_edge_bodies(spark):
         ("star_last", "User-agent: bot\nDisallow: /\n\nUser-agent: *\nCrawl-delay: 3\n"),
         ("disallow_deep", "User-agent: *\nDisallow: /private/\n"),
         ("spaced", "User-agent:   *  \nDisallow:  / \nCrawl-delay: 1\n"),
+        # no trailing newline after the last directive / after the header
+        ("no_trailing_nl", "User-agent: *\nDisallow: /"),
+        ("star_header_eof", "User-agent: bot\nDisallow: /\n\nUser-agent: *"),
     ]
     df = spark.createDataFrame(bodies, "host string, robots_txt string")
     got = {r.host: r for r in parse_robots_txt(df).collect()}
@@ -250,6 +253,11 @@ def test_robots_txt_parse_edge_bodies(spark):
     # Disallow of a sub-path is not a full disallow in this subset
     assert got["disallow_deep"].allow
     assert not got["spaced"].allow and got["spaced"].crawl_delay_ms == 1000
+    # EOF-terminated bodies parse like newline-terminated ones
+    assert not got["no_trailing_nl"].allow
+    # a bare trailing '*' group has no directives → defaults, not an error
+    assert got["star_header_eof"].allow
+    assert got["star_header_eof"].crawl_delay_ms == 100
 
 
 def test_parsed_robots_feed_the_scheduler(spark):

@@ -182,6 +182,21 @@ def test_multimodal_resize_and_frames_deterministic(spark, sf_small):
         assert b"".join(frames[k] for k in (0, 1, 2)) == raw[did]
 
 
+def test_multimodal_frames_survive_non_utf8_payload(spark):
+    """A genuinely binary payload must not fail the Spark task: the
+    stand-in slicer decodes with errors='replace' (a real codec would
+    work on raw bytes)."""
+    from hk_housing_datahub_spark.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xfe\x00abcdef")), (2, bytearray(b"plain"))],
+        "doc_id long, payload binary",
+    )
+    out = sample_frames(df, n_frames=2).collect()
+    assert len(out) == 4
+    assert all(r.frame_checksum for r in out)
+
+
 def test_multimodal_feature_extraction(spark, sf_small):
     import math
     import os

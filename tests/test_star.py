@@ -392,6 +392,25 @@ def test_pipeline_rerun_is_idempotent(spark, sf_small, tmp_path):
     assert first["units"] == n_units
 
 
+def test_append_deduped_drops_null_pk_rows(spark, tmp_path):
+    """A NULL-keyed row never matches the anti-join's committed side, so
+    without the guard it would re-append on every replay; the guard drops
+    it (it violates the declared non-null key schema anyway)."""
+    from hk_housing_datahub_spark.star.pipeline import _append_deduped
+    from hk_housing_datahub_spark.star.schema import create_star_tables
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    create_star_tables(cat)
+    rows = spark.createDataFrame(
+        [("R1", "一", "one"), (None, "二", "two")],
+        "region_id string, region_name_zh string, region_name_en string",
+    )
+    assert _append_deduped(cat, "regions", rows) == 1
+    # replay: nothing new — in particular the NULL row is NOT re-appended
+    assert _append_deduped(cat, "regions", rows) == 0
+    assert cat.read("regions").count() == 1
+
+
 def test_pipeline_resumes_after_partial_run(spark, sf_small, tmp_path):
     """Crash-after-append-before-mark: re-running the batch must not
     duplicate rows (the PK anti-join makes appends idempotent)."""
