@@ -12,11 +12,27 @@ re-read: zh/en halves whose partner has not arrived yet are parked in a
 extracts from ``new ∪ pending`` — per-batch work is O(batch + pending),
 independent of how many files the stream has accumulated.
 
+The pending state is BOUNDED, mirroring the crawl engine's
+``max_attempts`` give-up path (frontier/crawl.py): each parked half
+records the micro-batch id that first parked it, and a half still
+unpaired after ``pending_ttl_batches`` batches moves to the
+``_pending_dead_letters`` table (one append per give-up wave — the
+catalog manifest's per-snapshot row counts are the dead-letter lineage
+metric). Upstream fetches that legitimately return nothing — exactly the
+reference's None-returning wiki/agency fetches
+(/root/reference/src/crawlers/wiki/wiki.py:84-109) — therefore cannot
+grow the state or the per-batch cost without bound.
+
 Exactly-once story: the file source's checkpoint guarantees each input
 file lands in exactly one micro-batch, and the PK anti-join makes a
 replayed batch (crash between append and checkpoint commit) a no-op on
-the output tables; the pending table is deduped by (estate_id, lang), so
-replaying its REPLACE is idempotent too.
+the output tables. For the pending table itself there is one replay
+edge: a crash after the pending REPLACE but before the checkpoint commit
+re-parks halves whose partner was consumed in the crashed attempt. Those
+stale halves are swept by the per-batch anti-join against the committed
+``estates`` PKs — an estate that was already extracted never needs its
+halves parked again — so the replayed REPLACE converges to the same
+state instead of accumulating orphans.
 
 On a real deployment the source swaps to Kafka (one value column of JSON)
 without touching the extraction or the sink cycle.
@@ -41,7 +57,19 @@ RESPONSE_STREAM_SCHEMA = T.StructType(
     ]
 )
 
+PENDING_SCHEMA = T.StructType(
+    list(RESPONSE_STREAM_SCHEMA)
+    + [T.StructField("parked_batch", T.LongType())]
+)
+
+DEAD_LETTER_SCHEMA = T.StructType(
+    list(PENDING_SCHEMA) + [T.StructField("gave_up_batch", T.LongType())]
+)
+
 PENDING_TABLE = "_pending_estate_responses"
+DEAD_LETTER_TABLE = "_pending_dead_letters"
+
+_PENDING_COLS = [f.name for f in PENDING_SCHEMA]
 
 
 def stream_estate_responses(
@@ -51,21 +79,35 @@ def stream_estate_responses(
     checkpoint_dir: str,
     query_name: str = "star_ingest",
     max_files_per_trigger: int = 4,
+    pending_ttl_batches: int = 100,
 ):
     """Start (and return) the streaming ingestion query over a directory of
     response parquet files. Callers drive it with ``processAllAvailable()``
-    for synchronous verification or let the trigger run continuously."""
+    for synchronous verification or let the trigger run continuously.
+
+    ``pending_ttl_batches``: how many micro-batches an unpaired half may
+    wait for its partner before being dead-lettered. Generous by default —
+    in a healthy stream pairs arrive within a few batches, and a too-small
+    TTL would drop a legitimately slow partner's half."""
     create_star_tables(catalog)
-    catalog.create(PENDING_TABLE, RESPONSE_STREAM_SCHEMA)
+    catalog.create(PENDING_TABLE, PENDING_SCHEMA)
+    catalog.create(DEAD_LETTER_TABLE, DEAD_LETTER_SCHEMA)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # new rows ∪ parked unpaired halves, deduped (a replayed batch may
-        # re-deliver rows already parked) — persisted once for all uses
+        # new rows ∪ parked unpaired halves, deduped by (estate_id, lang)
+        # keeping the OLDEST parked_batch (a replayed batch may re-deliver
+        # rows already parked; payloads for one key are identical) —
+        # persisted once for all uses
         combined = (
-            batch_df.unionByName(catalog.read(PENDING_TABLE))
-            .dropDuplicates(["estate_id", "lang"])
+            batch_df.withColumn("parked_batch", F.lit(batch_id).cast("long"))
+            .unionByName(catalog.read(PENDING_TABLE))
+            .groupBy("estate_id", "lang")
+            .agg(
+                F.max("payload").alias("payload"),
+                F.min("parked_batch").alias("parked_batch"),
+            )
         ).persist()
         try:
             paired = (
@@ -75,12 +117,26 @@ def stream_estate_responses(
                 .select("estate_id")
             )
             ready = combined.join(paired, "estate_id", "left_semi")
-            tables = extract_estate_tables(ready)
+            tables = extract_estate_tables(ready.drop("parked_batch"))
             for t in ESTATE_TABLES:
                 _append_deduped(catalog, t, tables[t])
-            # park the still-unpaired halves for the next batch
-            pending = combined.join(paired, "estate_id", "left_anti")
-            catalog.replace(PENDING_TABLE, pending)
+            # still-unpaired halves: sweep stale ones (estate already
+            # committed — the crash-replay edge above), dead-letter the
+            # expired ones, park the rest for the next batch
+            unpaired = combined.join(paired, "estate_id", "left_anti").join(
+                catalog.read("estates").select("estate_id"),
+                "estate_id",
+                "left_anti",
+            )
+            expired = F.lit(batch_id) - F.col("parked_batch") >= pending_ttl_batches
+            dead = unpaired.filter(expired).select(*_PENDING_COLS).withColumn(
+                "gave_up_batch", F.lit(batch_id).cast("long")
+            )
+            if not dead.isEmpty():
+                catalog.append(DEAD_LETTER_TABLE, dead)
+            catalog.replace(
+                PENDING_TABLE, unpaired.filter(~expired).select(*_PENDING_COLS)
+            )
         finally:
             combined.unpersist()
 

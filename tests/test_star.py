@@ -493,6 +493,69 @@ def test_streaming_star_ingestion_exactly_once(spark, sf_small, tmp_path):
     assert cat.read("regions").count() == oneshot["regions"].count()
 
 
+def test_streaming_pending_is_bounded_by_ttl_dead_letter(spark, sf_small, tmp_path):
+    """A half whose partner NEVER arrives (the reference's None-returning
+    fetch) must not grow the pending state forever: after
+    ``pending_ttl_batches`` micro-batches it moves to the dead-letter
+    table, pending stays bounded, and the output tables are unaffected."""
+    import os as _os
+
+    from hk_housing_datahub_spark.star import render_estate_responses
+    from hk_housing_datahub_spark.star.streaming import (
+        DEAD_LETTER_TABLE,
+        PENDING_TABLE,
+        stream_estate_responses,
+    )
+
+    cust = spark.read.parquet(_os.path.join(sf_small, "customer.parquet"))
+    resp1 = render_estate_responses(cust.filter(F.col("c_custkey") < 40))
+    orphan = resp1.select(F.min("estate_id")).first()[0]
+    src = str(tmp_path / "src")
+    # wave 1: everything EXCEPT the orphan's en half
+    resp1.filter(
+        ~((F.col("estate_id") == orphan) & (F.col("lang") == "en"))
+    ).coalesce(1).write.parquet(_os.path.join(src, "w1"))
+    # waves 2-4: unrelated complete pairs, advancing the batch clock
+    n_late = 0
+    for i, lo in enumerate((40, 44, 48)):
+        wave = render_estate_responses(
+            cust.filter(
+                (F.col("c_custkey") >= lo) & (F.col("c_custkey") < lo + 4)
+            )
+        )
+        n_late += wave.select("estate_id").distinct().count()
+        wave.coalesce(1).write.parquet(_os.path.join(src, f"w{i + 2}"))
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    q = stream_estate_responses(
+        spark, _os.path.join(src, "*"), cat, str(tmp_path / "ckpt"),
+        query_name="star_ttl_t", max_files_per_trigger=1,
+        pending_ttl_batches=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the orphan aged out of pending into the dead-letter table …
+    assert cat.read(PENDING_TABLE).count() == 0
+    dead = cat.read(DEAD_LETTER_TABLE).collect()
+    assert [(r.estate_id, r.lang) for r in dead] == [(orphan, "zh")]
+    assert dead[0].gave_up_batch - dead[0].parked_batch >= 2
+    # … lineage records the give-up wave …
+    appends = [h for h in cat.history(DEAD_LETTER_TABLE) if h["op"] == "append"]
+    assert sum(h["rows"] for h in appends) == 1
+    # … and every PAIRED estate extracted exactly once, orphan excluded
+    n_paired = (
+        resp1.filter(F.col("estate_id") != orphan)
+        .select("estate_id")
+        .distinct()
+        .count()
+        + n_late
+    )
+    assert cat.read("estates").count() == n_paired
+
+
 def test_streaming_pairs_straddle_batches_via_pending_state(spark, sf_small, tmp_path):
     """All zh halves arrive in wave 1, all en halves in wave 2: nothing can
     extract until the pair completes, the unpaired halves park in the
