@@ -234,8 +234,23 @@ def _url_canonicalize(spark, sf):
     )
 
 
-def _dedup_exact_stats(spark, sf):
-    return DD.exact_dedup_stats(_t(spark, sf, "documents"))
+def _corpus_lang_profile(spark, sf):
+    """Per-lang corpus profile: doc counts + distinct normalized
+    fingerprints (A2, operators/dedup.py exact_dedup_stats semantics) +
+    token totals (F10) in ONE aggregate — the per-operator pieces share
+    the grouping, so one driver entry value-checks both."""
+    d = _t(spark, sf, "documents")
+    prof = d.select(
+        "lang",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return prof.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
 
 
 def _ngram_jaccard_pairs(spark, sf):
@@ -273,16 +288,6 @@ def _drop_near_dups(spark, sf):
         _t(spark, sf, "documents"), threshold=0.5, max_shingle_df=50
     )
     return out.select("doc_id", "lang", "source", "n_chars")
-
-
-def _token_stats(spark, sf):
-    d = _t(spark, sf, "documents")
-    prof = d.select("lang", TX.token_count(F.col("text")).alias("n_tokens"))
-    return prof.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-    )
 
 
 def _lang_confusion(spark, sf):
@@ -380,9 +385,13 @@ def _fmt_ts_cols(df, cols):
     return df
 
 
-def _star_estate_tbl(spark, sf, name):
+def _star_estate_tables(spark, sf):
     resp = ST.render_estate_responses(_t(spark, sf, "customer"))
-    return ST.extract_estate_tables(resp)[name]
+    return ST.extract_estate_tables(resp)
+
+
+def _star_estate_tbl(spark, sf, name):
+    return _star_estate_tables(spark, sf)[name]
 
 
 def _star_estates(spark, sf):
@@ -391,40 +400,102 @@ def _star_estates(spark, sf):
     )
 
 
-def _star_regions(spark, sf):
-    return _star_estate_tbl(spark, sf, "regions")
+def _NS():
+    return F.lit(None).cast("string")
 
 
-def _star_subregions(spark, sf):
-    return _star_estate_tbl(spark, sf, "subregions")
+def _star_geo_dims(spark, sf):
+    """regions ∪ subregions ∪ districts in one (tbl, id, name_zh, name_en,
+    parent_id) frame — every row and column of the three geographic
+    dimension extractions value-checked under a single driver entry (the
+    per-table selects are pure renames, no information dropped)."""
+    t = _star_estate_tables(spark, sf)
+    r = t["regions"].select(
+        F.lit("regions").alias("tbl"),
+        F.col("region_id").alias("id"),
+        F.col("region_name_zh").alias("name_zh"),
+        F.col("region_name_en").alias("name_en"),
+        _NS().alias("parent_id"),
+    )
+    s = t["subregions"].select(
+        F.lit("subregions").alias("tbl"),
+        F.col("subregion_id").alias("id"),
+        F.col("subregion_name_zh").alias("name_zh"),
+        F.col("subregion_name_en").alias("name_en"),
+        F.col("region_id").alias("parent_id"),
+    )
+    d = t["districts"].select(
+        F.lit("districts").alias("tbl"),
+        F.col("district_id").alias("id"),
+        F.col("district_name_zh").alias("name_zh"),
+        F.col("district_name_en").alias("name_en"),
+        F.col("subregion_id").alias("parent_id"),
+    )
+    return r.unionByName(s).unionByName(d)
 
 
-def _star_districts(spark, sf):
-    return _star_estate_tbl(spark, sf, "districts")
+def _star_facility_dims(spark, sf):
+    """facilities dimension ∪ estate_facilities bridge, one frame."""
+    t = _star_estate_tables(spark, sf)
+    fac = t["facilities"].select(
+        F.lit("facilities").alias("tbl"),
+        F.col("facility_id"),
+        _NS().alias("estate_id"),
+        F.col("facility_name_zh").alias("name_zh"),
+        F.col("facility_name_en").alias("name_en"),
+    )
+    br = t["estate_facilities"].select(
+        F.lit("estate_facilities").alias("tbl"),
+        F.col("facility_id"),
+        F.col("estate_id"),
+        _NS().alias("name_zh"),
+        _NS().alias("name_en"),
+    )
+    return fac.unionByName(br)
 
 
-def _star_facilities(spark, sf):
-    return _star_estate_tbl(spark, sf, "facilities")
+def _star_estate_links(spark, sf):
+    """estate_school_nets ∪ estate_mtr_lines (the two per-estate link
+    tables), one (tbl, estate_id, link_id, name_zh, name_en) frame."""
+    t = _star_estate_tables(spark, sf)
+    sn = t["estate_school_nets"].select(
+        F.lit("estate_school_nets").alias("tbl"),
+        F.col("estate_id"),
+        F.col("school_net_id").alias("link_id"),
+        F.col("school_net_name_zh").alias("name_zh"),
+        F.col("school_net_name_en").alias("name_en"),
+    )
+    mtr = t["estate_mtr_lines"].select(
+        F.lit("estate_mtr_lines").alias("tbl"),
+        F.col("estate_id"),
+        _NS().alias("link_id"),
+        F.col("mtr_line_name_zh").alias("name_zh"),
+        F.col("mtr_line_name_en").alias("name_en"),
+    )
+    return sn.unionByName(mtr)
 
 
-def _star_estate_facilities(spark, sf):
-    return _star_estate_tbl(spark, sf, "estate_facilities")
-
-
-def _star_school_nets(spark, sf):
-    return _star_estate_tbl(spark, sf, "estate_school_nets")
-
-
-def _star_mtr_lines(spark, sf):
-    return _star_estate_tbl(spark, sf, "estate_mtr_lines")
-
-
-def _star_phases(spark, sf):
-    return _star_estate_tbl(spark, sf, "phases")
-
-
-def _star_buildings(spark, sf):
-    return _star_estate_tbl(spark, sf, "buildings")
+def _star_structures(spark, sf):
+    """phases ∪ buildings (the has_phases/no_phases branch surface,
+    nullable building→phase FK included), one frame."""
+    t = _star_estate_tables(spark, sf)
+    ph = t["phases"].select(
+        F.lit("phases").alias("tbl"),
+        F.col("phase_id").alias("id"),
+        F.col("phase_name_zh").alias("name_zh"),
+        F.col("phase_name_en").alias("name_en"),
+        F.col("estate_id"),
+        _NS().alias("phase_fk"),
+    )
+    bl = t["buildings"].select(
+        F.lit("buildings").alias("tbl"),
+        F.col("building_id").alias("id"),
+        F.col("building_name_zh").alias("name_zh"),
+        F.col("building_name_en").alias("name_en"),
+        F.col("estate_id"),
+        F.col("phase_id").alias("phase_fk"),
+    )
+    return ph.unionByName(bl)
 
 
 def _star_monthly_market(spark, sf):
@@ -453,24 +524,6 @@ def _star_transactions(spark, sf):
     )
 
 
-_STAR_TABLE_TO_QUERY = {
-    "regions": "star_regions",
-    "subregions": "star_subregions",
-    "districts": "star_districts",
-    "estates": "star_estates",
-    "facilities": "star_facilities",
-    "estate_facilities": "star_estate_facilities",
-    "estate_school_nets": "star_school_nets",
-    "estate_mtr_lines": "star_mtr_lines",
-    "phases": "star_phases",
-    "buildings": "star_buildings",
-    "estate_monthly_market_info": "star_monthly_market",
-    "units": "star_units",
-    "unit_features": "star_unit_features",
-    "transactions": "star_transactions",
-}
-
-
 def _star_pipeline_counts(spark, sf):
     """Orchestrator parity (reference orchestrators/agency.py:20,34,67-96):
     the two-stage batched load — estates+monthly per id-batch, then
@@ -497,7 +550,7 @@ def _star_pipeline_counts(spark, sf):
         # cost is scheduling round-trips, not data)
         n_batches=2,
     )
-    rows = [(t, cat.read(t).count()) for t in _STAR_TABLE_TO_QUERY]
+    rows = [(t, cat.read(t).count()) for t in _STAR_SQL]
     return spark.createDataFrame(rows, "table_name string, n_rows long")
 
 
@@ -914,6 +967,12 @@ def _streaming_stateful_dedup(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every oracle-backed entry precedes the rows-only tail, and the
+    oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
+    small star dimensions are checked through union-shaped merge queries
+    (star_geo_dims, star_facility_dims, star_estate_links,
+    star_structures; pure renames, every row/column still hash-checked)
+    so no oracle falls outside the window."""
     return {
         # relational parity (SURVEY §2.3–2.7)
         "q1_pricing_summary": _q1_pricing_summary,
@@ -933,12 +992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "tumbling_counts": _tumbling_counts,
         # training-data pipeline battery
-        "dedup_exact_stats": _dedup_exact_stats,
+        "corpus_lang_profile": _corpus_lang_profile,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "dedup_clusters": _dedup_clusters,
         "drop_exact_dups": _drop_exact_dups,
         "drop_near_dups": _drop_near_dups,
-        "token_stats": _token_stats,
         "lang_confusion": _lang_confusion,
         "quality_by_source": _quality_by_source,
         "doc_fingerprints": _doc_fingerprints,
@@ -946,18 +1004,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "cookie_str_to_map": _cookie_str_to_map,
         "wiki_section_concat": _wiki_section_concat,
+        "wiki_page_gate": _wiki_page_gate,
+        "wiki_table_expand": _wiki_table_expand,
+        "chunk_documents": _chunk_documents,
         "asof_join_events": _asof_join_events,
+        "robots_txt_parse": _robots_txt_parse,
+        "multimodal_meta": _multimodal_meta,
+        "multimodal_frames": _multimodal_frames,
         # star-schema extraction surface (nested JSON → 14 FK-linked tables)
         "star_estates": _star_estates,
-        "star_regions": _star_regions,
-        "star_subregions": _star_subregions,
-        "star_districts": _star_districts,
-        "star_facilities": _star_facilities,
-        "star_estate_facilities": _star_estate_facilities,
-        "star_school_nets": _star_school_nets,
-        "star_mtr_lines": _star_mtr_lines,
-        "star_phases": _star_phases,
-        "star_buildings": _star_buildings,
+        "star_geo_dims": _star_geo_dims,
+        "star_facility_dims": _star_facility_dims,
+        "star_estate_links": _star_estate_links,
+        "star_structures": _star_structures,
         "star_monthly_market": _star_monthly_market,
         "star_units": _star_units,
         "star_unit_features": _star_unit_features,
@@ -965,22 +1024,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_price_trend": _star_price_trend,
         "star_pipeline_counts": _star_pipeline_counts,
         "star_streaming_ingest": _star_streaming_ingest,
-        "robots_txt_parse": _robots_txt_parse,
-        "wiki_page_gate": _wiki_page_gate,
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
         "extract_listings": _extract_listings,
         "minhash_lsh_candidates": _minhash_lsh_candidates,
         "simhash_neardup": _simhash_neardup,
         "lsh_ann_topk": _lsh_ann_topk,
-        "chunk_documents": _chunk_documents,
-        "multimodal_meta": _multimodal_meta,
-        "multimodal_frames": _multimodal_frames,
         "crawl_frontier_retry": _crawl_frontier_retry,
         "crawl_frontier_bloom": _crawl_frontier_bloom,
         "crawl_frontier_cuckoo": _crawl_frontier_cuckoo,
         "streaming_windowed": _streaming_windowed,
-        "wiki_table_expand": _wiki_table_expand,
         "embed_chunks": _embed_chunks,
         "ivf_ann_topk": _ivf_ann_topk,
         "streaming_stateful_dedup": _streaming_stateful_dedup,
@@ -1005,6 +1058,233 @@ _LI_DEDUP = """
                      l_discount, l_shipdate) AS _rn
         FROM lineitem) WHERE _rn = 1
 """
+
+# --------------------------------------------------------------------------
+# star-schema twins, keyed by TABLE name: the relational expression of
+# datagen∘extractor; the Spark side goes through render-JSON → from_json
+# → explode, so equality proves the nested round trip is the identity.
+# The pipeline/streaming count-oracles and the merged dimension queries
+# compose these per-table twins.
+# --------------------------------------------------------------------------
+_STAR_SQL = {
+    "estates": """
+        SELECT 'E' || c_custkey AS estate_id,
+               CASE WHEN c_custkey % 17 = 0 THEN NULL
+                    ELSE '屋苑' || c_custkey END AS estate_name_zh,
+               'Estate ' || c_custkey AS estate_name_en,
+               'R' || (c_nationkey % 5) AS region_id,
+               CASE WHEN c_nationkey % 4 = 0 THEN NULL
+                    ELSE 'SR' || c_nationkey END AS subregion_id,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL
+                    ELSE 'D' || c_nationkey || '_' || (c_custkey % 5)
+                    END AS district_id,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL
+                    ELSE '皇后大道' || c_custkey || '號' END AS address_zh,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL
+                    ELSE 'No. ' || c_custkey || ' Queen''s Road'
+                    END AS address_en,
+               CASE WHEN c_custkey % 19 = 0 THEN NULL
+                    ELSE strftime(make_timestamp(
+                        CAST(1960 + c_custkey % 60 AS BIGINT),
+                        CAST(1 + c_custkey % 12 AS BIGINT),
+                        CAST(1 + c_custkey % 28 AS BIGINT), 0, 0, 0.0),
+                        '%Y-%m-%d %H:%M:%S') END AS first_op_date,
+               CASE WHEN c_custkey % 23 = 0 THEN NULL
+                    ELSE strftime(make_timestamp(
+                        CAST(1980 + c_custkey % 40 AS BIGINT),
+                        CAST(1 + (c_custkey + 5) % 12 AS BIGINT),
+                        CAST(1 + (c_custkey + 7) % 28 AS BIGINT), 0, 0, 0.0),
+                        '%Y-%m-%d %H:%M:%S') END AS last_op_date,
+               round(22.2 + (c_custkey % 1000) / 10000.0, 4) AS latitude,
+               round(113.8 + (c_custkey % 1500) / 10000.0, 4) AS longitude
+        FROM customer
+    """,
+    "regions": """
+        SELECT DISTINCT 'R' || (c_nationkey % 5) AS region_id,
+               '區' || (c_nationkey % 5) AS region_name_zh,
+               'Region ' || (c_nationkey % 5) AS region_name_en
+        FROM customer
+    """,
+    "subregions": """
+        SELECT DISTINCT 'SR' || c_nationkey AS subregion_id,
+               '分區' || c_nationkey AS subregion_name_zh,
+               'Subregion ' || c_nationkey AS subregion_name_en,
+               'R' || (c_nationkey % 5) AS region_id
+        FROM customer WHERE c_nationkey % 4 <> 0
+    """,
+    "districts": """
+        SELECT DISTINCT
+               'D' || c_nationkey || '_' || (c_custkey % 5) AS district_id,
+               '地區' || c_nationkey || '_' || (c_custkey % 5) AS district_name_zh,
+               'District ' || c_nationkey || '_' || (c_custkey % 5)
+                   AS district_name_en,
+               CASE WHEN c_nationkey % 4 = 0 THEN NULL
+                    ELSE 'SR' || c_nationkey END AS subregion_id
+        FROM customer WHERE c_custkey % 11 <> 0
+    """,
+    "facilities": """
+        WITH f AS (
+            SELECT DISTINCT (c_custkey + i) % 30 AS x
+            FROM customer, (VALUES (0), (1), (2)) t(i)
+            WHERE i < c_custkey % 4)
+        SELECT 'F' || x AS facility_id,
+               CASE WHEN x % 6 = 0 THEN NULL
+                    ELSE '設施' || x END AS facility_name_zh,
+               'Facility ' || x AS facility_name_en
+        FROM f
+    """,
+    "estate_facilities": """
+        SELECT DISTINCT 'E' || c_custkey AS estate_id,
+               'F' || ((c_custkey + i) % 30) AS facility_id
+        FROM customer, (VALUES (0), (1), (2)) t(i)
+        WHERE i < c_custkey % 4
+    """,
+    "estate_school_nets": """
+        SELECT 'E' || c_custkey AS estate_id,
+               'SN' || (c_custkey % 12) AS school_net_id,
+               CASE WHEN c_custkey % 10 = 0 THEN ''
+                    ELSE '校網' || (c_custkey % 12) END AS school_net_name_zh,
+               CASE WHEN c_custkey % 10 = 0 THEN ''
+                    ELSE 'Net ' || (c_custkey % 12) END AS school_net_name_en
+        FROM customer WHERE c_custkey % 5 <> 0
+    """,
+    "estate_mtr_lines": """
+        SELECT 'E' || c_custkey AS estate_id,
+               '線' || (c_custkey % 9) AS mtr_line_name_zh,
+               'Line ' || (c_custkey % 9) AS mtr_line_name_en
+        FROM customer WHERE c_custkey % 6 <> 0
+    """,
+    "phases": """
+        SELECT 'P' || c_custkey || '_' || p AS phase_id,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE '期數' || p END AS phase_name_zh,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 'Phase ' || p END AS phase_name_en,
+               'E' || c_custkey AS estate_id
+        FROM customer, (VALUES (1), (2)) t(p)
+        WHERE c_custkey % 3 <> 0 AND p <= 1 + c_custkey % 2
+    """,
+    "buildings": """
+        SELECT 'B' || c_custkey || '_' || j AS building_id,
+               '座' || j AS building_name_zh,
+               'Tower ' || j AS building_name_en,
+               'E' || c_custkey AS estate_id,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    ELSE 'P' || c_custkey || '_'
+                         || (1 + ((j - 1) % (1 + c_custkey % 2)))
+                    END AS phase_id
+        FROM customer, (VALUES (1), (2), (3)) t(j)
+        WHERE j <= 1 + c_custkey % 3
+    """,
+    "estate_monthly_market_info": """
+        SELECT 'E' || o_custkey AS estate_id,
+               strftime(date_trunc('month', o_orderdate),
+                        '%Y-%m-%d %H:%M:%S') AS record_date,
+               round(sum(o_totalprice), 2) / count(*) / 1000 AS avg_ft_price,
+               round(sum(o_totalprice), 2) / count(*) * 0.8 / 1000
+                   AS avg_net_ft_price,
+               round(max(o_totalprice) / 1000, 6) AS max_ft_price,
+               round(min(o_totalprice) / 1000, 6) AS min_ft_price,
+               round(max(o_totalprice) * 0.8 / 1000, 6) AS max_net_ft_price,
+               round(min(o_totalprice) * 0.8 / 1000, 6) AS min_net_ft_price,
+               CASE WHEN count(*) >= 2
+                    THEN round(sum(o_totalprice), 2) / count(*) / 50000
+                    END AS avg_ft_rent,
+               CASE WHEN count(*) >= 2
+                    THEN round(sum(o_totalprice), 2) / count(*) * 0.8 / 50000
+                    END AS avg_net_ft_rent,
+               CASE WHEN count(*) >= 2
+                    THEN round(max(o_totalprice) / 50000, 8) END AS max_ft_rent,
+               CASE WHEN count(*) >= 2
+                    THEN round(min(o_totalprice) / 50000, 8) END AS min_ft_rent,
+               CASE WHEN count(*) >= 2
+                    THEN round(max(o_totalprice) * 0.8 / 50000, 8)
+                    END AS max_net_ft_rent,
+               CASE WHEN count(*) >= 2
+                    THEN round(min(o_totalprice) * 0.8 / 50000, 8)
+                    END AS min_net_ft_rent,
+               CAST(count(*) AS INT) AS total_tx_count,
+               CAST(count(*) // 2 AS INT) AS total_rent_tx_count,
+               round(sum(o_totalprice), 2) AS total_tx_amount,
+               CASE WHEN count(*) >= 2
+                    THEN round(sum(o_totalprice) / 10, 4)
+                    END AS total_rent_tx_amount
+        FROM orders GROUP BY 1, 2
+    """,
+    "units": f"""
+        WITH li AS ({_LI_DEDUP})
+        SELECT 'U' || l_orderkey || '_' || l_linenumber AS unit_id,
+               CAST((l_linenumber * 7) % 60 + 2 AS VARCHAR) AS floor,
+               substr('ABCDEFGH', CAST(l_partkey % 8 + 1 AS INT), 1) AS flat,
+               CASE WHEN l_partkey % 10 = 0 THEN NULL
+                    ELSE round(l_quantity * 13.5, 1) END AS area,
+               CASE WHEN l_partkey % 10 = 0 THEN NULL
+                    ELSE round(l_quantity * 10.8, 1) END AS net_area,
+               CAST(CASE WHEN l_suppkey % 2 = 0 AND l_suppkey % 3 <> 0
+                         THEN 2 + l_linenumber % 3
+                         WHEN l_partkey % 5 <> 0 THEN 1 + l_linenumber % 4
+                         END AS INT) AS bedroom,
+               CAST(CASE WHEN l_partkey % 7 = 0 THEN NULL
+                         ELSE l_linenumber % 3 END AS INT) AS sitting_room,
+               'B' || o_custkey || '_'
+                   || (1 + (o_orderkey % (1 + o_custkey % 3))) AS building_id
+        FROM li JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "unit_features": f"""
+        WITH li AS ({_LI_DEDUP})
+        SELECT DISTINCT
+               'U' || l_orderkey || '_' || l_linenumber AS unit_id,
+               fv.fid AS feature_id,
+               fv.fzh AS feature_name_zh,
+               fv.fid AS feature_name_en
+        FROM li,
+             (VALUES (0), (1)) t(i),
+             (VALUES (0, 'balcony', '連露台'), (1, 'utility_platform', '連工作平台'),
+                     (2, 'sea_view', '海景'), (3, 'garden', '花園'),
+                     (4, 'duplex', '複式'), (5, 'rooftop', '天台')) fv(ix, fid, fzh)
+        WHERE i < (CASE WHEN l_suppkey % 2 = 0 THEN (l_partkey + 1) % 3
+                        ELSE l_partkey % 3 END)
+          AND fv.ix = (CASE WHEN l_suppkey % 2 = 0
+                            THEN (l_partkey + 1 + i) % 6
+                            ELSE (l_partkey + i) % 6 END)
+    """,
+    "transactions": f"""
+        WITH li AS ({_LI_DEDUP})
+        SELECT 'T' || l_orderkey || '_' || l_linenumber || 'a' AS tx_id,
+               strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS tx_date,
+               round(l_extendedprice, 2) AS price,
+               CASE WHEN l_linenumber % 4 = 0 OR l_partkey % 23 = 0 THEN NULL
+                    ELSE strftime(l_shipdate
+                             - to_days(CAST(100 + l_linenumber * 17 AS INT)),
+                         '%Y-%m-%d %H:%M:%S') END AS last_tx_date,
+               round(l_discount * 100 - 5, 2) AS gain,
+               l_extendedprice / (l_quantity * 10.0) AS net_ft_price,
+               'U' || l_orderkey || '_' || l_linenumber AS unit_id
+        FROM li
+        UNION ALL
+        SELECT 'T' || l_orderkey || '_' || l_linenumber || 'b',
+               strftime(l_shipdate
+                   + to_days(CAST(11 + l_linenumber AS INT)),
+                   '%Y-%m-%d %H:%M:%S'),
+               round(l_extendedprice * 1.05, 4),
+               strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
+               NULL, NULL,
+               'U' || l_orderkey || '_' || l_linenumber
+        FROM li WHERE l_suppkey % 2 = 0
+    """,
+}
+
+
+def _union_sql(*parts: tuple, cols: tuple) -> str:
+    """Compose the union-shaped merged-dimension oracles from the
+    per-table twins: each part is (table, expr-per-col...); the merged
+    query hash-checks every row/column of each underlying table."""
+    sels = []
+    for tbl, *exprs in parts:
+        proj = ", ".join(f"{e} AS {c}" for e, c in zip(exprs, cols))
+        sels.append(f"SELECT '{tbl}' AS tbl, {proj} FROM ({_STAR_SQL[tbl]})")
+    return "\nUNION ALL\n".join(sels)
+
 
 def oracle_sql() -> dict[str, str]:
     d = {
@@ -1193,9 +1473,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2
         """,
-        "dedup_exact_stats": f"""
+        "corpus_lang_profile": f"""
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(count(DISTINCT md5({_NORM})) AS BIGINT) AS n_distinct
+                   CAST(count(DISTINCT md5({_NORM})) AS BIGINT) AS n_distinct,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+                   round(avg(len({_TOKS})), 4) AS avg_tokens
             FROM documents GROUP BY lang
         """,
         "ngram_jaccard_pairs": f"""
@@ -1276,12 +1558,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source, d.n_chars
             FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
             WHERE coalesce(least(l.n, l.mn), d.doc_id) = d.doc_id
-        """,
-        "token_stats": f"""
-            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
-                   round(avg(len({_TOKS})), 4) AS avg_tokens
-            FROM documents GROUP BY lang
         """,
         "lang_confusion": """
             SELECT lang,
@@ -1388,216 +1664,41 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN p
               ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
-        # ------------------------------------------------------------------
-        # star-schema twins: the relational expression of datagen∘extractor;
-        # the Spark side goes through render-JSON → from_json → explode, so
-        # equality proves the nested round trip is the identity.
-        # ------------------------------------------------------------------
-        "star_estates": """
-            SELECT 'E' || c_custkey AS estate_id,
-                   CASE WHEN c_custkey % 17 = 0 THEN NULL
-                        ELSE '屋苑' || c_custkey END AS estate_name_zh,
-                   'Estate ' || c_custkey AS estate_name_en,
-                   'R' || (c_nationkey % 5) AS region_id,
-                   CASE WHEN c_nationkey % 4 = 0 THEN NULL
-                        ELSE 'SR' || c_nationkey END AS subregion_id,
-                   CASE WHEN c_custkey % 11 = 0 THEN NULL
-                        ELSE 'D' || c_nationkey || '_' || (c_custkey % 5)
-                        END AS district_id,
-                   CASE WHEN c_custkey % 13 = 0 THEN NULL
-                        ELSE '皇后大道' || c_custkey || '號' END AS address_zh,
-                   CASE WHEN c_custkey % 13 = 0 THEN NULL
-                        ELSE 'No. ' || c_custkey || ' Queen''s Road'
-                        END AS address_en,
-                   CASE WHEN c_custkey % 19 = 0 THEN NULL
-                        ELSE strftime(make_timestamp(
-                            CAST(1960 + c_custkey % 60 AS BIGINT),
-                            CAST(1 + c_custkey % 12 AS BIGINT),
-                            CAST(1 + c_custkey % 28 AS BIGINT), 0, 0, 0.0),
-                            '%Y-%m-%d %H:%M:%S') END AS first_op_date,
-                   CASE WHEN c_custkey % 23 = 0 THEN NULL
-                        ELSE strftime(make_timestamp(
-                            CAST(1980 + c_custkey % 40 AS BIGINT),
-                            CAST(1 + (c_custkey + 5) % 12 AS BIGINT),
-                            CAST(1 + (c_custkey + 7) % 28 AS BIGINT), 0, 0, 0.0),
-                            '%Y-%m-%d %H:%M:%S') END AS last_op_date,
-                   round(22.2 + (c_custkey % 1000) / 10000.0, 4) AS latitude,
-                   round(113.8 + (c_custkey % 1500) / 10000.0, 4) AS longitude
-            FROM customer
-        """,
-        "star_regions": """
-            SELECT DISTINCT 'R' || (c_nationkey % 5) AS region_id,
-                   '區' || (c_nationkey % 5) AS region_name_zh,
-                   'Region ' || (c_nationkey % 5) AS region_name_en
-            FROM customer
-        """,
-        "star_subregions": """
-            SELECT DISTINCT 'SR' || c_nationkey AS subregion_id,
-                   '分區' || c_nationkey AS subregion_name_zh,
-                   'Subregion ' || c_nationkey AS subregion_name_en,
-                   'R' || (c_nationkey % 5) AS region_id
-            FROM customer WHERE c_nationkey % 4 <> 0
-        """,
-        "star_districts": """
-            SELECT DISTINCT
-                   'D' || c_nationkey || '_' || (c_custkey % 5) AS district_id,
-                   '地區' || c_nationkey || '_' || (c_custkey % 5) AS district_name_zh,
-                   'District ' || c_nationkey || '_' || (c_custkey % 5)
-                       AS district_name_en,
-                   CASE WHEN c_nationkey % 4 = 0 THEN NULL
-                        ELSE 'SR' || c_nationkey END AS subregion_id
-            FROM customer WHERE c_custkey % 11 <> 0
-        """,
-        "star_facilities": """
-            WITH f AS (
-                SELECT DISTINCT (c_custkey + i) % 30 AS x
-                FROM customer, (VALUES (0), (1), (2)) t(i)
-                WHERE i < c_custkey % 4)
-            SELECT 'F' || x AS facility_id,
-                   CASE WHEN x % 6 = 0 THEN NULL
-                        ELSE '設施' || x END AS facility_name_zh,
-                   'Facility ' || x AS facility_name_en
-            FROM f
-        """,
-        "star_estate_facilities": """
-            SELECT DISTINCT 'E' || c_custkey AS estate_id,
-                   'F' || ((c_custkey + i) % 30) AS facility_id
-            FROM customer, (VALUES (0), (1), (2)) t(i)
-            WHERE i < c_custkey % 4
-        """,
-        "star_school_nets": """
-            SELECT 'E' || c_custkey AS estate_id,
-                   'SN' || (c_custkey % 12) AS school_net_id,
-                   CASE WHEN c_custkey % 10 = 0 THEN ''
-                        ELSE '校網' || (c_custkey % 12) END AS school_net_name_zh,
-                   CASE WHEN c_custkey % 10 = 0 THEN ''
-                        ELSE 'Net ' || (c_custkey % 12) END AS school_net_name_en
-            FROM customer WHERE c_custkey % 5 <> 0
-        """,
-        "star_mtr_lines": """
-            SELECT 'E' || c_custkey AS estate_id,
-                   '線' || (c_custkey % 9) AS mtr_line_name_zh,
-                   'Line ' || (c_custkey % 9) AS mtr_line_name_en
-            FROM customer WHERE c_custkey % 6 <> 0
-        """,
-        "star_phases": """
-            SELECT 'P' || c_custkey || '_' || p AS phase_id,
-                   CASE WHEN c_custkey % 7 = 0 THEN NULL
-                        ELSE '期數' || p END AS phase_name_zh,
-                   CASE WHEN c_custkey % 7 = 0 THEN NULL
-                        ELSE 'Phase ' || p END AS phase_name_en,
-                   'E' || c_custkey AS estate_id
-            FROM customer, (VALUES (1), (2)) t(p)
-            WHERE c_custkey % 3 <> 0 AND p <= 1 + c_custkey % 2
-        """,
-        "star_buildings": """
-            SELECT 'B' || c_custkey || '_' || j AS building_id,
-                   '座' || j AS building_name_zh,
-                   'Tower ' || j AS building_name_en,
-                   'E' || c_custkey AS estate_id,
-                   CASE WHEN c_custkey % 3 = 0 THEN NULL
-                        ELSE 'P' || c_custkey || '_'
-                             || (1 + ((j - 1) % (1 + c_custkey % 2)))
-                        END AS phase_id
-            FROM customer, (VALUES (1), (2), (3)) t(j)
-            WHERE j <= 1 + c_custkey % 3
-        """,
-        "star_monthly_market": """
-            SELECT 'E' || o_custkey AS estate_id,
-                   strftime(date_trunc('month', o_orderdate),
-                            '%Y-%m-%d %H:%M:%S') AS record_date,
-                   round(sum(o_totalprice), 2) / count(*) / 1000 AS avg_ft_price,
-                   round(sum(o_totalprice), 2) / count(*) * 0.8 / 1000
-                       AS avg_net_ft_price,
-                   round(max(o_totalprice) / 1000, 6) AS max_ft_price,
-                   round(min(o_totalprice) / 1000, 6) AS min_ft_price,
-                   round(max(o_totalprice) * 0.8 / 1000, 6) AS max_net_ft_price,
-                   round(min(o_totalprice) * 0.8 / 1000, 6) AS min_net_ft_price,
-                   CASE WHEN count(*) >= 2
-                        THEN round(sum(o_totalprice), 2) / count(*) / 50000
-                        END AS avg_ft_rent,
-                   CASE WHEN count(*) >= 2
-                        THEN round(sum(o_totalprice), 2) / count(*) * 0.8 / 50000
-                        END AS avg_net_ft_rent,
-                   CASE WHEN count(*) >= 2
-                        THEN round(max(o_totalprice) / 50000, 8) END AS max_ft_rent,
-                   CASE WHEN count(*) >= 2
-                        THEN round(min(o_totalprice) / 50000, 8) END AS min_ft_rent,
-                   CASE WHEN count(*) >= 2
-                        THEN round(max(o_totalprice) * 0.8 / 50000, 8)
-                        END AS max_net_ft_rent,
-                   CASE WHEN count(*) >= 2
-                        THEN round(min(o_totalprice) * 0.8 / 50000, 8)
-                        END AS min_net_ft_rent,
-                   CAST(count(*) AS INT) AS total_tx_count,
-                   CAST(count(*) // 2 AS INT) AS total_rent_tx_count,
-                   round(sum(o_totalprice), 2) AS total_tx_amount,
-                   CASE WHEN count(*) >= 2
-                        THEN round(sum(o_totalprice) / 10, 4)
-                        END AS total_rent_tx_amount
-            FROM orders GROUP BY 1, 2
-        """,
-        "star_units": f"""
-            WITH li AS ({_LI_DEDUP})
-            SELECT 'U' || l_orderkey || '_' || l_linenumber AS unit_id,
-                   CAST((l_linenumber * 7) % 60 + 2 AS VARCHAR) AS floor,
-                   substr('ABCDEFGH', CAST(l_partkey % 8 + 1 AS INT), 1) AS flat,
-                   CASE WHEN l_partkey % 10 = 0 THEN NULL
-                        ELSE round(l_quantity * 13.5, 1) END AS area,
-                   CASE WHEN l_partkey % 10 = 0 THEN NULL
-                        ELSE round(l_quantity * 10.8, 1) END AS net_area,
-                   CAST(CASE WHEN l_suppkey % 2 = 0 AND l_suppkey % 3 <> 0
-                             THEN 2 + l_linenumber % 3
-                             WHEN l_partkey % 5 <> 0 THEN 1 + l_linenumber % 4
-                             END AS INT) AS bedroom,
-                   CAST(CASE WHEN l_partkey % 7 = 0 THEN NULL
-                             ELSE l_linenumber % 3 END AS INT) AS sitting_room,
-                   'B' || o_custkey || '_'
-                       || (1 + (o_orderkey % (1 + o_custkey % 3))) AS building_id
-            FROM li JOIN orders ON l_orderkey = o_orderkey
-        """,
-        "star_unit_features": f"""
-            WITH li AS ({_LI_DEDUP})
-            SELECT DISTINCT
-                   'U' || l_orderkey || '_' || l_linenumber AS unit_id,
-                   fv.fid AS feature_id,
-                   fv.fzh AS feature_name_zh,
-                   fv.fid AS feature_name_en
-            FROM li,
-                 (VALUES (0), (1)) t(i),
-                 (VALUES (0, 'balcony', '連露台'), (1, 'utility_platform', '連工作平台'),
-                         (2, 'sea_view', '海景'), (3, 'garden', '花園'),
-                         (4, 'duplex', '複式'), (5, 'rooftop', '天台')) fv(ix, fid, fzh)
-            WHERE i < (CASE WHEN l_suppkey % 2 = 0 THEN (l_partkey + 1) % 3
-                            ELSE l_partkey % 3 END)
-              AND fv.ix = (CASE WHEN l_suppkey % 2 = 0
-                                THEN (l_partkey + 1 + i) % 6
-                                ELSE (l_partkey + i) % 6 END)
-        """,
-        "star_transactions": f"""
-            WITH li AS ({_LI_DEDUP})
-            SELECT 'T' || l_orderkey || '_' || l_linenumber || 'a' AS tx_id,
-                   strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS tx_date,
-                   round(l_extendedprice, 2) AS price,
-                   CASE WHEN l_linenumber % 4 = 0 OR l_partkey % 23 = 0 THEN NULL
-                        ELSE strftime(l_shipdate
-                                 - to_days(CAST(100 + l_linenumber * 17 AS INT)),
-                             '%Y-%m-%d %H:%M:%S') END AS last_tx_date,
-                   round(l_discount * 100 - 5, 2) AS gain,
-                   l_extendedprice / (l_quantity * 10.0) AS net_ft_price,
-                   'U' || l_orderkey || '_' || l_linenumber AS unit_id
-            FROM li
-            UNION ALL
-            SELECT 'T' || l_orderkey || '_' || l_linenumber || 'b',
-                   strftime(l_shipdate
-                       + to_days(CAST(11 + l_linenumber AS INT)),
-                       '%Y-%m-%d %H:%M:%S'),
-                   round(l_extendedprice * 1.05, 4),
-                   strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
-                   NULL, NULL,
-                   'U' || l_orderkey || '_' || l_linenumber
-            FROM li WHERE l_suppkey % 2 = 0
-        """,
+        "star_estates": _STAR_SQL["estates"],
+        "star_geo_dims": _union_sql(
+            ("regions", "region_id", "region_name_zh", "region_name_en",
+             "CAST(NULL AS VARCHAR)"),
+            ("subregions", "subregion_id", "subregion_name_zh",
+             "subregion_name_en", "region_id"),
+            ("districts", "district_id", "district_name_zh",
+             "district_name_en", "subregion_id"),
+            cols=("id", "name_zh", "name_en", "parent_id"),
+        ),
+        "star_facility_dims": _union_sql(
+            ("facilities", "facility_id", "CAST(NULL AS VARCHAR)",
+             "facility_name_zh", "facility_name_en"),
+            ("estate_facilities", "facility_id", "estate_id",
+             "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+            cols=("facility_id", "estate_id", "name_zh", "name_en"),
+        ),
+        "star_estate_links": _union_sql(
+            ("estate_school_nets", "estate_id", "school_net_id",
+             "school_net_name_zh", "school_net_name_en"),
+            ("estate_mtr_lines", "estate_id", "CAST(NULL AS VARCHAR)",
+             "mtr_line_name_zh", "mtr_line_name_en"),
+            cols=("estate_id", "link_id", "name_zh", "name_en"),
+        ),
+        "star_structures": _union_sql(
+            ("phases", "phase_id", "phase_name_zh", "phase_name_en",
+             "estate_id", "CAST(NULL AS VARCHAR)"),
+            ("buildings", "building_id", "building_name_zh",
+             "building_name_en", "estate_id", "phase_id"),
+            cols=("id", "name_zh", "name_en", "estate_id", "phase_fk"),
+        ),
+        "star_monthly_market": _STAR_SQL["estate_monthly_market_info"],
+        "star_units": _STAR_SQL["units"],
+        "star_unit_features": _STAR_SQL["unit_features"],
+        "star_transactions": _STAR_SQL["transactions"],
         "star_price_trend": f"""
             WITH li AS ({_LI_DEDUP}),
             txs AS (
@@ -1728,15 +1829,15 @@ def oracle_sql() -> dict[str, str]:
     # and duplicate-free end to end.
     d["star_pipeline_counts"] = "\nUNION ALL\n".join(
         f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows "
-        f"FROM ({d[q]})"
-        for t, q in _STAR_TABLE_TO_QUERY.items()
+        f"FROM ({q})"
+        for t, q in _STAR_SQL.items()
     )
     # single source of truth: the exact table list the streaming sink loads
     from hk_housing_datahub_spark.star.pipeline import ESTATE_TABLES
 
     d["star_streaming_ingest"] = "\nUNION ALL\n".join(
         f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows "
-        f"FROM ({d[_STAR_TABLE_TO_QUERY[t]]})"
+        f"FROM ({_STAR_SQL[t]})"
         for t in ESTATE_TABLES
     )
     return d

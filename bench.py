@@ -128,7 +128,7 @@ def main() -> None:
             "sessionize_events",
             "ngram_jaccard_pairs",
             "minhash_lsh_candidates",
-            "dedup_exact_stats",
+            "corpus_lang_profile",
             "ann_topk_cosine",
             "quality_by_source",
             "chunk_documents",

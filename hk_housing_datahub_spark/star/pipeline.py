@@ -91,9 +91,9 @@ class _Progress:
 
 
 def _append_deduped(
-    catalog: TableCatalog, table: str, rows: DataFrame
+    catalog: TableCatalog, table: str, rows: DataFrame, bloom=None
 ) -> int:
-    """PK-anti-join against the committed table, append only new keys.
+    """Dedup a batch against the committed table, append only new keys.
 
     Rows with a NULL in any PK column are dropped first: they violate the
     declared non-null key schema, and a null-keyed row would never match
@@ -101,21 +101,49 @@ def _append_deduped(
     re-appended on every resume/replay — silently breaking the documented
     crash-resume idempotency.
 
-    ``fresh`` is persisted across its two uses (count, then write) so the
-    extraction lineage — including the nested-JSON render upstream — runs
-    once, not twice; the known count also lets the catalog skip its
-    post-write verification re-read (one Spark job per commit saved)."""
+    With ``bloom`` (a ``sources.pkbloom.PKBloomIndex``), the exact
+    anti-join runs ONLY over rows the committed-PK bloom flags as
+    maybe-committed — normally none, so the committed table is not
+    scanned at all and per-batch probe cost is O(batch), not
+    O(committed). The bloom is updated BEFORE the append commits
+    (false-positive-safe ordering; see pkbloom.py). Without ``bloom``,
+    the full anti-join path is used.
+
+    The batch frame is persisted across its uses (classify, count, then
+    write) so the extraction lineage — including the nested-JSON render
+    upstream — runs once, not per consumer; the known count also lets
+    the catalog skip its post-write verification re-read."""
     pk = STAR_PRIMARY_KEYS[table]
     for c in pk:
         rows = rows.filter(F.col(c).isNotNull())
-    committed = catalog.read(table).select(*pk)
-    fresh = rows.join(committed, pk, "left_anti").persist()
+    if bloom is None:
+        committed = catalog.read(table).select(*pk)
+        fresh = rows.join(committed, pk, "left_anti").persist()
+        try:
+            n = fresh.count()
+            if n:
+                catalog.append(table, fresh, rows=n)
+        finally:
+            fresh.unpersist()
+        return n
+
+    probed = bloom.probe(table, rows, pk).persist()
     try:
+        definite = probed.filter(~F.col("_pk_maybe")).drop("_pk_maybe")
+        maybe = probed.filter(F.col("_pk_maybe")).drop("_pk_maybe")
+        if maybe.isEmpty():
+            fresh = definite  # fast path: committed table never read
+        else:
+            committed = catalog.read(table).select(*pk)
+            fresh = definite.unionByName(
+                maybe.join(committed, pk, "left_anti")
+            )
         n = fresh.count()
         if n:
+            bloom.update(table, fresh.select(*pk), pk)
             catalog.append(table, fresh, rows=n)
     finally:
-        fresh.unpersist()
+        probed.unpersist()
     return n
 
 
@@ -127,10 +155,22 @@ def run_star_pipeline(
     building_responses: DataFrame,
     n_batches: int = 4,
     state_dir: str | None = None,
+    use_pk_bloom: bool = True,
 ) -> dict[str, int]:
     """Run the full two-stage batched load; returns rows appended per table
-    (zero for batches skipped on resume)."""
+    (zero for batches skipped on resume).
+
+    ``use_pk_bloom`` (default on) keeps a committed-PK bloom index per
+    table so each batch's dedup probes cost O(batch) instead of
+    re-shuffling the whole committed key set (sources/pkbloom.py); a
+    catalog that predates the index is backfilled once."""
+    from ..sources.pkbloom import PKBloomIndex
+
     create_star_tables(catalog)
+    bloom = PKBloomIndex(catalog) if use_pk_bloom else None
+    if bloom is not None:
+        for t in STAR_TABLES:
+            bloom.ensure(t, STAR_PRIMARY_KEYS[t])
     progress = _Progress(
         os.path.join(state_dir or catalog.root, "_pipeline_progress.json"),
         n_batches,
@@ -150,7 +190,7 @@ def run_star_pipeline(
         ).persist()
         tables = extract_estate_tables(batch_est)
         for t in ESTATE_TABLES:
-            appended[t] += _append_deduped(catalog, t, tables[t])
+            appended[t] += _append_deduped(catalog, t, tables[t], bloom)
         batch_est.unpersist()
         batch_monthly = monthly_responses.filter(
             _batch_of(F.col("estate_id"), n_batches) == b
@@ -173,7 +213,7 @@ def run_star_pipeline(
         ).persist()
         tables = extract_building_tables(batch_bld)
         for t in BUILDING_TABLES:
-            appended[t] += _append_deduped(catalog, t, tables[t])
+            appended[t] += _append_deduped(catalog, t, tables[t], bloom)
         batch_bld.unpersist()
         progress.mark("buildings", b)
 

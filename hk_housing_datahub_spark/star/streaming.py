@@ -89,9 +89,17 @@ def stream_estate_responses(
     wait for its partner before being dead-lettered. Generous by default —
     in a healthy stream pairs arrive within a few batches, and a too-small
     TTL would drop a legitimately slow partner's half."""
+    from ..sources.pkbloom import PKBloomIndex
+    from .schema import STAR_PRIMARY_KEYS
+
     create_star_tables(catalog)
     catalog.create(PENDING_TABLE, PENDING_SCHEMA)
     catalog.create(DEAD_LETTER_TABLE, DEAD_LETTER_SCHEMA)
+    # committed-PK bloom: per-batch dedup probes cost O(batch) instead of
+    # re-shuffling every table's full committed key set (pkbloom.py)
+    bloom = PKBloomIndex(catalog)
+    for t in ESTATE_TABLES:
+        bloom.ensure(t, STAR_PRIMARY_KEYS[t])
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -119,7 +127,7 @@ def stream_estate_responses(
             ready = combined.join(paired, "estate_id", "left_semi")
             tables = extract_estate_tables(ready.drop("parked_batch"))
             for t in ESTATE_TABLES:
-                _append_deduped(catalog, t, tables[t])
+                _append_deduped(catalog, t, tables[t], bloom)
             # still-unpaired halves: sweep stale ones (estate already
             # committed — the crash-replay edge above), dead-letter the
             # expired ones, park the rest for the next batch

@@ -1,0 +1,100 @@
+"""Committed-PK bloom index (sources/pkbloom.py): the O(batch) dedup
+probe that replaces the per-batch full-committed-set anti-join shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.sources.pkbloom import PKBloomIndex
+from hk_housing_datahub_spark.sources.tables import TableCatalog
+from hk_housing_datahub_spark.star.pipeline import _append_deduped
+from hk_housing_datahub_spark.star.schema import create_star_tables
+
+_REGION_SCHEMA = "region_id string, region_name_zh string, region_name_en string"
+
+
+def _regions(spark, lo, hi):
+    return spark.createDataFrame(
+        [(f"R{i}", f"區{i}", f"Region {i}") for i in range(lo, hi)],
+        _REGION_SCHEMA,
+    )
+
+
+def _counting_catalog(spark, root):
+    cat = TableCatalog(spark, root)
+    reads = {"n": 0}
+    orig = cat.read
+
+    def counting_read(table):
+        if table == "regions":
+            reads["n"] += 1
+        return orig(table)
+
+    cat.read = counting_read
+    return cat, reads
+
+
+def test_bloom_fast_path_never_scans_committed(spark, tmp_path):
+    """Disjoint-key batches are all bloom-misses (no false negatives), so
+    the committed table is NOT read; a replayed batch is all bloom-hits
+    and goes through the exact anti-join exactly once."""
+    cat, reads = _counting_catalog(spark, str(tmp_path / "cat"))
+    create_star_tables(cat)
+    bloom = PKBloomIndex(cat).ensure("regions", ["region_id"])
+
+    reads["n"] = 0
+    assert _append_deduped(cat, "regions", _regions(spark, 0, 50), bloom) == 50
+    assert reads["n"] == 0  # empty bloom → everything definitely-new
+
+    reads["n"] = 0
+    assert _append_deduped(cat, "regions", _regions(spark, 50, 100), bloom) == 50
+    assert reads["n"] == 0  # disjoint keys → fast path, no committed scan
+
+    reads["n"] = 0  # replay: all keys known → exact verify, nothing appended
+    assert _append_deduped(cat, "regions", _regions(spark, 50, 100), bloom) == 0
+    assert reads["n"] == 1
+
+    assert cat.read("regions").count() == 100
+    assert bloom.n_items("regions") == 100
+
+
+def test_bloom_crash_between_update_and_append_is_safe(spark, tmp_path):
+    """The documented ordering (bloom update BEFORE append-commit) makes a
+    crash in between leave only false positives: the replayed rows route
+    through the exact anti-join and are appended — no loss, no dup."""
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    create_star_tables(cat)
+    bloom = PKBloomIndex(cat).ensure("regions", ["region_id"])
+    rows = _regions(spark, 0, 20)
+    # simulate the crash: bloom knows the keys, the table never got them
+    bloom.update("regions", rows.select("region_id"), ["region_id"])
+    assert _append_deduped(cat, "regions", rows, bloom) == 20
+    assert cat.read("regions").count() == 20
+    # and a second replay is a clean no-op
+    assert _append_deduped(cat, "regions", rows, bloom) == 0
+
+
+def test_bloom_backfills_pre_existing_catalog(spark, tmp_path):
+    """ensure() on a table that predates the index scans committed PKs
+    once; afterwards the committed keys are all bloom-hits."""
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    create_star_tables(cat)
+    first = _regions(spark, 0, 30)
+    _append_deduped(cat, "regions", first)  # bloom-less append
+    bloom = PKBloomIndex(cat).ensure("regions", ["region_id"])
+    assert bloom.n_items("regions") == 30
+    probed = bloom.probe("regions", first, ["region_id"])
+    assert probed.filter(~F.col("_pk_maybe")).count() == 0
+    # replay against the backfilled bloom: no duplicates
+    assert _append_deduped(cat, "regions", first, bloom) == 0
+
+
+def test_bloom_rejects_bad_config(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    with pytest.raises(ValueError, match="power of two"):
+        PKBloomIndex(cat, n_buckets=48)
+    create_star_tables(cat)
+    PKBloomIndex(cat, m_bits=1 << 16).ensure("regions", ["region_id"])
+    with pytest.raises(ValueError, match="wrong bits"):
+        PKBloomIndex(cat, m_bits=1 << 17).ensure("regions", ["region_id"])
