@@ -319,6 +319,36 @@ def _embedding_neardup(spark, sf):
     return SIM.embedding_neardup_pairs(e, threshold=0.4)
 
 
+def _lsh_dedup_drop(spark, sf):
+    """The composed 100-TB dedup path as ONE operator
+    (operators/dedup.py minhash_lsh_dedup): MinHash+LSH candidates →
+    exact DF-capped Jaccard verification of candidates only →
+    connected components → keep-lowest-id survivors. Oracle = the exact
+    path's recursive-CTE twin; equality holds because every candidate is
+    verified (exact precision) and banding recall is ≥ 1-1.1e-4 per true
+    pair at the 0.5 threshold (bands=32, rows=2) on this deterministic
+    corpus."""
+    out = DD.minhash_lsh_dedup(
+        _t(spark, sf, "documents"), threshold=0.5, max_shingle_df=50
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def _search_similar(spark, sf):
+    """EP3 composed query path (reference embedding.py:290-307
+    ``search_similar``): documents → sentence-aware chunks → sparse hashed
+    embedding (integer weights, inverted-index layout) for corpus AND
+    query texts → cosine top-5 per query. One text-in → neighbors-out
+    operator (operators/similarity.py search_similar); every doc_id%101
+    document's raw text plays the user query."""
+    docs = _t(spark, sf, "documents")
+    chunks = chunk_documents(docs)
+    queries = docs.filter(F.pmod("doc_id", F.lit(101)) == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    )
+    return SIM.search_similar(chunks, queries, k=5)
+
+
 def _sessionize_events(spark, sf):
     ev = _t(spark, sf, "events")
     out = R.sessionize(ev, gap_minutes=30)
@@ -649,6 +679,64 @@ def _wiki_page_gate(spark, sf):
     return gate_wiki_pages(pages).select(
         "doc_id", "title", F.size("categories").alias("n_cats")
     )
+
+
+def _wiki_pipeline_docs(spark, sf):
+    """EP2 composed end-to-end (reference orchestrators/wiki.py:188-208):
+    estate titles → variant lookup (J2) → disambiguation/relevance gate
+    (P2/P3) → section concat (F15) → wikitable→CSV expansion (F8/F9) →
+    sentence-aware chunking (F11), via pipelines/wiki.py. Inputs are
+    synthesized deterministically from ``part``: titles = upper(p_name)
+    (matching only through the lower-case variant, so the rank logic is
+    live), page content keyed by the page's min partkey (disambig if
+    pk%7=0, relevant body iff pk%5≠0, one fixed wikitable)."""
+    from hk_housing_datahub_spark.pipelines import estate_wiki_pipeline
+
+    p = _t(spark, sf, "part")
+    titles = (
+        p.filter(F.pmod("p_partkey", F.lit(7)) == 0)
+        .select(F.upper(F.col("p_name")).alias("title"))
+        .distinct()
+    )
+    base = (
+        p.filter(F.pmod("p_partkey", F.lit(3)) == 0)
+        .groupBy(F.col("p_name").alias("page_title"))
+        .agg(F.min("p_partkey").alias("pk"))
+    )
+    pk = F.col("pk")
+    rep = F.repeat(F.concat(F.col("page_title"), F.lit("。")), 30)
+    body = F.when(
+        F.pmod(pk, F.lit(5)) != 0, F.concat(F.lit("香港 "), rep)
+    ).otherwise(rep)
+    pages = base.select(
+        "page_title",
+        F.filter(
+            F.array(
+                F.lit("屋苑"),
+                F.when(F.pmod(pk, F.lit(4)) != 0, F.lit("香港地方")),
+                F.when(F.pmod(pk, F.lit(7)) == 0, F.lit("消歧義頁面")),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("categories"),
+        F.array(
+            F.struct(F.lit("main").alias("title"), body.alias("text")),
+            F.struct(
+                F.lit("sub1").alias("title"),
+                F.upper(F.substring(body, 1, 40)).alias("text"),
+            ),
+            F.struct(
+                F.lit("sub2").alias("title"),
+                F.lower(F.substring(body, 1, 30)).alias("text"),
+            ),
+        ).alias("sections"),
+        F.format_string(
+            '{|\n|-\n! Page !! colspan="2" | Info\n'
+            '|-\n| rowspan="2" | [[Page %s|w%s]] || %s || %s\n'
+            "|-\n| t=%s || pk=%s\n|}",
+            "page_title", "pk", "page_title", "pk", "page_title", "pk",
+        ).alias("wikitext"),
+    )
+    return estate_wiki_pipeline(titles, pages)
 
 
 def _star_price_trend(spark, sf):
@@ -997,15 +1085,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "drop_exact_dups": _drop_exact_dups,
         "drop_near_dups": _drop_near_dups,
+        "lsh_dedup_drop": _lsh_dedup_drop,
         "lang_confusion": _lang_confusion,
         "quality_by_source": _quality_by_source,
         "doc_fingerprints": _doc_fingerprints,
         "ann_topk_cosine": _ann_topk_cosine,
         "embedding_neardup": _embedding_neardup,
+        "search_similar": _search_similar,
         "cookie_str_to_map": _cookie_str_to_map,
         "wiki_section_concat": _wiki_section_concat,
         "wiki_page_gate": _wiki_page_gate,
         "wiki_table_expand": _wiki_table_expand,
+        "wiki_pipeline_docs": _wiki_pipeline_docs,
         "chunk_documents": _chunk_documents,
         "asof_join_events": _asof_join_events,
         "robots_txt_parse": _robots_txt_parse,
@@ -1044,8 +1135,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+def _norm_sql(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+_NORM = _norm_sql("text")
 _TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _chunk_cte_sql(src_sql: str, id_col: str = "doc_id") -> str:
+    """Recursive-CTE twin of functions/chunking.py (500-char window, 50
+    overlap, sentence-terminator lookback 100) over an arbitrary
+    ``(id_col, text)`` source — each step's start depends on the previous
+    cut point. Returns columns (id_col, chunk_index, chunk, chunk_id)."""
+    return f"""
+        WITH RECURSIVE terms(tc) AS (
+            SELECT * FROM (VALUES ('。'), ('！'), ('？'), ('；'),
+                                  (chr(10)), ('.'), ('!'), ('?'), (';'))),
+        _csrc AS ({src_sql}),
+        st AS (
+            SELECT {id_col}, text AS t, length(text) AS n,
+                   CAST(0 AS BIGINT) AS s, 0 AS i
+            FROM _csrc WHERE text IS NOT NULL AND length(text) > 0
+            UNION ALL
+            SELECT {id_col}, t, n, greatest(e - 50, s + 1), i + 1
+            FROM (
+                SELECT {id_col}, t, n, s, i,
+                       CASE WHEN s + 500 >= n THEN n
+                            ELSE s + 400 + coalesce(
+                                (SELECT max(101 - strpos(
+                                     reverse(substr(t, CAST(s + 401 AS INT), 100)), tc))
+                                 FROM terms
+                                 WHERE strpos(reverse(substr(t,
+                                     CAST(s + 401 AS INT), 100)), tc) > 0),
+                                100) END AS e
+                FROM st)
+            WHERE e < n),
+        fin AS (
+            SELECT {id_col}, i, s, t,
+                   CASE WHEN s + 500 >= n THEN n
+                        ELSE s + 400 + coalesce(
+                            (SELECT max(101 - strpos(
+                                 reverse(substr(t, CAST(s + 401 AS INT), 100)), tc))
+                             FROM terms
+                             WHERE strpos(reverse(substr(t,
+                                 CAST(s + 401 AS INT), 100)), tc) > 0),
+                            100) END AS e
+            FROM st)
+        SELECT {id_col}, CAST(i AS INT) AS chunk_index,
+               substr(t, CAST(s + 1 AS INT), CAST(e - s AS INT)) AS chunk,
+               {id_col} || '_' || i AS chunk_id
+        FROM fin
+    """
+
+
+def _sparse_weights_sql(src_sql: str, id_col: str, text_col: str,
+                        dim: int = 256) -> str:
+    """Twin of operators/similarity.py sparse_text_weights: token →
+    md5-derived 56-bit hash → (bucket, ±1 vote) → integer weights."""
+    norm = _norm_sql(text_col)
+    return f"""
+        SELECT {id_col}, h % {dim} AS idx,
+               CAST(sum(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+        FROM (SELECT {id_col},
+                     ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h
+              FROM (SELECT {id_col},
+                           unnest(string_split({norm}, ' ')) AS tok
+                    FROM ({src_sql})))
+        GROUP BY 1, 2
+    """
 
 # The synthetic lineitem table has duplicate (orderkey, linenumber) pairs;
 # star datagen dedups them rank-1 by all consumed columns (datagen.py) —
@@ -1273,6 +1431,95 @@ _STAR_SQL = {
         FROM li WHERE l_suppkey % 2 = 0
     """,
 }
+
+
+# EP2 pipeline oracle: the composed twin of pipelines/wiki.py over the
+# same part-derived synthetic inputs — variant CTE (shared shape with the
+# variant_title_lookup oracle), gate predicates, section-concat string
+# algebra, the fixed wikitable's closed-form CSV, then the chunk CTE.
+_WIKI_DOCS_SQL = """
+    WITH titles AS (
+        SELECT DISTINCT upper(p_name) AS title FROM part
+        WHERE p_partkey % 7 = 0),
+    pd AS (
+        SELECT p_name AS page_title, min(p_partkey) AS pk FROM part
+        WHERE p_partkey % 3 = 0 GROUP BY 1),
+    raw AS (
+        SELECT title, idx, v FROM titles, (VALUES (0), (1), (2), (3), (4), (5)) t(idx),
+        LATERAL (SELECT CASE idx
+            WHEN 0 THEN trim(title)
+            WHEN 1 THEN upper(trim(title))
+            WHEN 2 THEN lower(trim(title))
+            WHEN 3 THEN regexp_replace(trim(title),
+                '\\s*\\([IVXLCDM]+\\)$|\\s+[IVXLCDM]+$', '')
+            WHEN 4 THEN upper(regexp_replace(trim(title),
+                '\\s*\\([IVXLCDM]+\\)$|\\s+[IVXLCDM]+$', ''))
+            ELSE lower(regexp_replace(trim(title),
+                '\\s*\\([IVXLCDM]+\\)$|\\s+[IVXLCDM]+$', ''))
+            END AS v) s),
+    firsts AS (
+        SELECT title, v, min(idx) AS midx FROM raw GROUP BY title, v),
+    variants AS (
+        SELECT title, v,
+               CAST(row_number() OVER (PARTITION BY title
+                    ORDER BY midx) - 1 AS INT) AS variant_rank
+        FROM firsts),
+    hits AS (
+        SELECT title, page_title, pk,
+               row_number() OVER (PARTITION BY title
+                                  ORDER BY variant_rank) AS rn
+        FROM variants JOIN pd ON v = page_title),
+    content AS (
+        SELECT title, page_title, pk,
+               CASE WHEN pk % 5 <> 0
+                    THEN '香港 ' || repeat(page_title || '。', 30)
+                    ELSE repeat(page_title || '。', 30) END AS body
+        FROM hits WHERE rn = 1 AND pk % 7 <> 0),
+    gated AS (SELECT * FROM content WHERE contains(body, '香港')),
+    full_body AS (
+        SELECT title, page_title, pk,
+               body || chr(10) || upper(substr(body, 1, 40))
+                    || chr(10) || lower(substr(body, 1, 30)) AS fb
+        FROM gated),
+    docs AS (
+        SELECT title, page_title,
+               fb || chr(10)
+                  || 'Page,Info,Info' || chr(10)
+                  || 'w' || pk || ',' || page_title || ',' || pk || chr(10)
+                  || 'w' || pk || ',t=' || page_title || ',pk=' || pk
+               AS text
+        FROM full_body),
+    chunks AS ({chunk_cte})
+    SELECT c.title, d.page_title, c.chunk_index, c.chunk, c.chunk_id
+    FROM chunks c JOIN docs d USING (title)
+"""
+
+
+# EP3 search oracle: chunk the corpus (recursive CTE), sparse-embed chunks
+# AND query texts with the shared hashed encoder, integer dot/norms →
+# bit-stable cosine, top-5 per query.
+_SEARCH_SIMILAR_SQL = f"""
+    WITH cw AS ({_sparse_weights_sql(
+        "SELECT chunk_id, chunk FROM ("
+        + _chunk_cte_sql("SELECT doc_id, text FROM documents")
+        + ")",
+        "chunk_id", "chunk")}),
+    qw AS ({_sparse_weights_sql(
+        "SELECT doc_id AS qid, text FROM documents WHERE doc_id % 101 = 0",
+        "qid", "text")}),
+    cn AS (SELECT chunk_id, sum(w * w) AS cn2 FROM cw GROUP BY 1),
+    qn AS (SELECT qid, sum(w * w) AS qn2 FROM qw GROUP BY 1),
+    dots AS (
+        SELECT qid, chunk_id, CAST(sum(qw.w * cw.w) AS BIGINT) AS dot
+        FROM qw JOIN cw USING (idx) GROUP BY 1, 2),
+    scored AS (
+        SELECT qid, chunk_id, dot / (sqrt(qn2) * sqrt(cn2)) AS cs
+        FROM dots JOIN qn USING (qid) JOIN cn USING (chunk_id))
+    SELECT qid, chunk_id, round(cs, 6) AS cos_sim, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY cs DESC, chunk_id) AS rnk FROM scored)
+    WHERE rnk <= 5
+"""
 
 
 def _union_sql(*parts: tuple, cols: tuple) -> str:
@@ -1782,48 +2029,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS checksum
             FROM documents
         """,
-        # chunk_documents: the sentence-aware chunk loop (500-char window,
-        # 50 overlap, terminator lookback 100) as a recursive CTE — each
-        # step's start depends on the previous cut point.
-        "chunk_documents": """
-            WITH RECURSIVE terms(tc) AS (
-                SELECT * FROM (VALUES ('。'), ('！'), ('？'), ('；'),
-                                      (chr(10)), ('.'), ('!'), ('?'), (';'))),
-            st AS (
-                SELECT doc_id, text AS t, length(text) AS n,
-                       CAST(0 AS BIGINT) AS s, 0 AS i
-                FROM documents WHERE text IS NOT NULL AND length(text) > 0
-                UNION ALL
-                SELECT doc_id, t, n, greatest(e - 50, s + 1), i + 1
-                FROM (
-                    SELECT doc_id, t, n, s, i,
-                           CASE WHEN s + 500 >= n THEN n
-                                ELSE s + 400 + coalesce(
-                                    (SELECT max(101 - strpos(
-                                         reverse(substr(t, CAST(s + 401 AS INT), 100)), tc))
-                                     FROM terms
-                                     WHERE strpos(reverse(substr(t,
-                                         CAST(s + 401 AS INT), 100)), tc) > 0),
-                                    100) END AS e
-                    FROM st)
-                WHERE e < n),
-            fin AS (
-                SELECT doc_id, i, s, t,
-                       CASE WHEN s + 500 >= n THEN n
-                            ELSE s + 400 + coalesce(
-                                (SELECT max(101 - strpos(
-                                     reverse(substr(t, CAST(s + 401 AS INT), 100)), tc))
-                                 FROM terms
-                                 WHERE strpos(reverse(substr(t,
-                                     CAST(s + 401 AS INT), 100)), tc) > 0),
-                                100) END AS e
-                FROM st)
-            SELECT doc_id, CAST(i AS INT) AS chunk_index,
-                   substr(t, CAST(s + 1 AS INT), CAST(e - s AS INT)) AS chunk,
-                   doc_id || '_' || i AS chunk_id
-            FROM fin
-        """,
+        # chunk_documents: the sentence-aware chunk loop as a
+        # recursive CTE (template shared with the composed EP2/EP3
+        # pipeline oracles)
+        "chunk_documents": _chunk_cte_sql(
+            "SELECT doc_id, text FROM documents"
+        ),
+        "search_similar": _SEARCH_SIMILAR_SQL,
+        "wiki_pipeline_docs": _WIKI_DOCS_SQL.format(
+            chunk_cte=_chunk_cte_sql("SELECT title, text FROM docs", "title")
+        ),
     }
+    # The composed LSH dedup must land on the SAME survivor set as the
+    # exact path — candidate verification makes precision exact and the
+    # band design makes recall 1 on this corpus, so one twin serves both.
+    d["lsh_dedup_drop"] = d["drop_near_dups"]
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless
     # and duplicate-free end to end.

@@ -58,6 +58,24 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def _capped_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """(did, shingle, sz): the DF-capped inverted index with per-doc set
+    sizes riding along — shared by the exact pair generator and the LSH
+    candidate verifier so both measure Jaccard over the same
+    informative-shingle universe."""
+    from pyspark.sql import Window as W
+
+    sh = _shingled(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        sh = sh.withColumn(
+            "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        ).filter(F.col("_df") <= max_shingle_df).drop("_df")
+    return sh.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("did")))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -83,16 +101,7 @@ def ngram_jaccard_pairs(
     shingles; ubiquitous ones carry no signal). None = exact mode, the
     verifier role for the MinHash-LSH candidates below.
     """
-    from pyspark.sql import Window as W
-
-    sh = _shingled(docs, id_col, text_col, n)
-    if max_shingle_df is not None:
-        sh = sh.withColumn(
-            "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-        ).filter(F.col("_df") <= max_shingle_df).drop("_df")
-    sh = sh.withColumn(
-        "sz", F.count(F.lit(1)).over(W.partitionBy("did"))
-    )
+    sh = _capped_shingles(docs, id_col, text_col, n, max_shingle_df)
     co = (
         sh.alias("l")
         .join(sh.alias("r"), "shingle")
@@ -372,4 +381,83 @@ def drop_near_dups(
     corpus, so the join ships only cluster labels, never document text."""
     labels = dedup_clusters(docs, id_col, text_col, threshold, max_shingle_df)
     keep = labels.filter(F.col("is_canonical")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
+def verify_pairs_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 50,
+) -> DataFrame:
+    """Exact (DF-capped) Jaccard computed ONLY for the given candidate
+    pairs — the verification half of candidate-generate-then-verify.
+    Joins the candidates into the inverted index instead of self-joining
+    it, so cost is O(Σ shingles of candidate docs), never quadratic.
+    Output: (a, b, jaccard) for candidates with jaccard ≥ threshold."""
+    sh = _capped_shingles(docs, id_col, text_col, n, max_shingle_df)
+    l = sh.select(
+        F.col("did").alias("a"), "shingle", F.col("sz").alias("sza")
+    )
+    r = sh.select(
+        F.col("did").alias("b"), "shingle", F.col("sz").alias("szb")
+    )
+    inter = (
+        pairs.select("a", "b")
+        .join(l, "a")
+        .join(r, ["b", "shingle"])
+        .groupBy("a", "b", "sza", "szb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 50,
+) -> DataFrame:
+    """The documented 100-TB corpus-dedup path, composed end to end:
+    MinHash+LSH banding generates candidate pairs sub-quadratically →
+    each candidate is VERIFIED with its exact DF-capped Jaccard →
+    verified edges close transitively (connected_components) → the
+    lowest-id document of every cluster survives, all columns preserved.
+
+    Equals the exact path (``drop_near_dups``) whenever LSH recall over
+    the ≥threshold pairs is 1: with the default bands=32 (rows = 2), a
+    true pair at Jaccard J escapes every band with probability
+    (1-J²)^32 — ≤ 1.1e-4 at J = 0.5 and vanishing for real near-dups —
+    while precision is exact because every candidate is verified. The
+    driver oracle pins equality with the exact path's recursive-CTE twin
+    on the test corpus; tests/test_dedup.py pins recall separately.
+    """
+    cands = minhash_lsh_pairs(docs, id_col, text_col, n, num_perm, bands)
+    verified = verify_pairs_jaccard(
+        docs, cands, id_col, text_col, n, threshold, max_shingle_df
+    )
+    cc = connected_components(verified)
+    labels = docs.select(F.col(id_col)).join(
+        cc, docs[id_col] == cc["node"], "left"
+    )
+    keep = labels.filter(
+        F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
+    ).select(id_col)
     return docs.join(keep, id_col, "left_semi")

@@ -314,3 +314,97 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# EP3 search path: text-in → top-k neighbors out (sparse inverted index)
+# ---------------------------------------------------------------------------
+
+def sparse_text_weights(
+    docs: DataFrame,
+    id_col: str = "chunk_id",
+    text_col: str = "chunk",
+    dim: int = 256,
+) -> DataFrame:
+    """(id, idx, w): a signed hashed bag-of-tokens sparse vector per
+    document, entirely JVM-side — the oracle-checkable stand-in encoder
+    for the reference's SentenceTransformer (embedding.py:184-193; the
+    real model drops into functions/embedding.py's iterator UDF, this
+    sparse path exists so the SEARCH machinery itself is verifiable).
+
+    Token → md5-derived 56-bit hash → bucket ``h % dim`` with a ±1 vote
+    from the hash parity; per-(doc, bucket) votes sum to an INTEGER
+    weight. Integer weights make every downstream dot product and norm an
+    exact integer, so cosine scores are bit-identical on any engine that
+    evaluates the same expression — the property the DuckDB twin relies
+    on. This long-form (id, idx, w) layout IS the inverted index: scoring
+    a query is an equi-join on ``idx``, never a scan of dense vectors.
+    """
+    from ..functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 14), 16, 10).cast("long")
+    vote = F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        toks.select("id", F.pmod(h, F.lit(dim)).alias("idx"), vote.alias("v"))
+        .groupBy("id", "idx")
+        .agg(F.sum("v").alias("w"))
+    )
+
+
+def search_similar(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "chunk_id",
+    corpus_text: str = "chunk",
+    query_id: str = "qid",
+    query_text: str = "qtext",
+    dim: int = 256,
+    k: int = 5,
+) -> DataFrame:
+    """The reference's ``search_similar(query, n_results)``
+    (/root/reference/src/processors/rag/embedding.py:290-307) as one
+    composed operator: embed the query TEXT with the same encoder as the
+    corpus, score by cosine, return the top-k neighbors per query as
+    (qid, chunk_id, cos_sim, rnk).
+
+    Plan shape (the 10^10-chunk story): corpus weights are the big side,
+    partitioned by ``idx``; query weights are tiny and broadcast, so the
+    scoring join ships no corpus data — each corpus partition scores its
+    own postings and the only shuffle is the per-(query, chunk) partial
+    dot-product combine. Norms ride the same weight frames. Top-k is a
+    per-query window over candidates that share ≥1 index bucket with the
+    query (sparse retrieval semantics: disjoint-support chunks score 0
+    and are not candidates).
+    """
+    cw = sparse_text_weights(corpus, corpus_id, corpus_text, dim)
+    qw = sparse_text_weights(queries, query_id, query_text, dim).select(
+        F.col("id").alias("qid"), "idx", F.col("w").alias("qw")
+    )
+    cn = cw.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("cn2"))
+    qn = qw.groupBy("qid").agg(F.sum(F.col("qw") * F.col("qw")).alias("qn2"))
+    dots = (
+        cw.join(F.broadcast(qw), "idx")
+        .groupBy("qid", "id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    scored = (
+        dots.join(cn, "id")
+        .join(F.broadcast(qn), "qid")
+        .select(
+            "qid",
+            F.col("id").alias(corpus_id),
+            (F.col("dot") / (F.sqrt("qn2") * F.sqrt("cn2"))).alias("_cs"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("_cs").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", corpus_id, F.round("_cs", 6).alias("cos_sim"), "rnk")
+    )

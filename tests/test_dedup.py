@@ -119,3 +119,38 @@ def test_connected_components_raises_without_convergence(spark):
     # and converges fine with enough rounds
     got = connected_components(chain, max_iters=12).collect()
     assert {r.component for r in got} == {0}
+
+
+def test_verified_lsh_candidates_subset_of_exact_pairs(spark, docs):
+    """verify_pairs_jaccard over LSH candidates produces pairs with the
+    SAME jaccard values as the exact generator (shared capped index) and
+    never a pair the exact path lacks (verification = exact precision)."""
+    exact = {
+        (r.a, r.b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=50
+        ).collect()
+    }
+    cands = DD.minhash_lsh_pairs(docs, bands=32)
+    verified = {
+        (r.a, r.b): r.jaccard
+        for r in DD.verify_pairs_jaccard(
+            docs, cands, threshold=0.5, max_shingle_df=50
+        ).collect()
+    }
+    assert set(verified) <= set(exact)
+    for pair, j in verified.items():
+        assert j == exact[pair]
+
+
+def test_minhash_lsh_dedup_equals_exact_path(spark, docs):
+    """The composed candidate→verify→cluster→drop operator lands on the
+    exact path's survivor set (recall 1 at bands=32 on this corpus)."""
+    got = {r.doc_id for r in DD.minhash_lsh_dedup(docs).select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in DD.drop_near_dups(docs, threshold=0.5, max_shingle_df=50)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
