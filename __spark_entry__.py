@@ -751,22 +751,19 @@ def _star_price_trend(spark, sf):
     )
     bld_tables = ST.extract_building_tables(bld_resp)
     tx, units = bld_tables["transactions"], bld_tables["units"]
-    # units is fact-sized (one row per lineitem) — it co-partitions with
-    # transactions on unit_id (AQE may still broadcast it at small SF);
-    # only the true dimensions get explicit broadcast hints.
+    # No explicit broadcast hints: buildings and estates GROW with the
+    # estate count (≈2×/estate), so a hard hint would override AQE's
+    # runtime size check at exactly the scale where it stops being safe.
+    # AQE broadcasts whichever sides are actually under the threshold at
+    # run time (all of them at bench SF) and keeps the plan valid at 100×
+    # (districts stays tiny; facts shuffle on their join keys).
     joined = (
         tx.join(units.select("unit_id", "building_id"), "unit_id")
-        .join(
-            F.broadcast(est_tables["buildings"].select("building_id", "estate_id")),
-            "building_id",
-        )
-        .join(
-            F.broadcast(est_tables["estates"].select("estate_id", "district_id")),
-            "estate_id",
-        )
-        .join(
-            F.broadcast(est_tables["districts"].select("district_id")), "district_id"
-        )
+        .join(est_tables["buildings"].select("building_id", "estate_id"),
+              "building_id")
+        .join(est_tables["estates"].select("estate_id", "district_id"),
+              "estate_id")
+        .join(est_tables["districts"].select("district_id"), "district_id")
     )
     return joined.groupBy(
         "district_id", F.year("tx_date").cast("int").alias("tx_year")
