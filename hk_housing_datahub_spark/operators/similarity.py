@@ -380,27 +380,39 @@ def search_similar(
     query (sparse retrieval semantics: disjoint-support chunks score 0
     and are not candidates).
     """
-    cw = sparse_text_weights(corpus, corpus_id, corpus_text, dim)
-    qw = sparse_text_weights(queries, query_id, query_text, dim).select(
-        F.col("id").alias("qid"), "idx", F.col("w").alias("qw")
+    from pyspark.sql import Window as W
+
+    # Norms ride the weight frames as per-id window sums, NOT separate
+    # aggregates: a second aggregate would be a second consumer of the
+    # weights lineage and re-run the upstream chunking UDF over the whole
+    # corpus (verified in the plan: two ArrowEvalPython nodes); the window
+    # costs one narrow shuffle of the integer weights instead.
+    cw = sparse_text_weights(corpus, corpus_id, corpus_text, dim).withColumn(
+        "cn2", F.sum(F.col("w") * F.col("w")).over(W.partitionBy("id"))
     )
-    cn = cw.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("cn2"))
-    qn = qw.groupBy("qid").agg(F.sum(F.col("qw") * F.col("qw")).alias("qn2"))
-    dots = (
-        cw.join(F.broadcast(qw), "idx")
-        .groupBy("qid", "id")
-        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    qw = (
+        sparse_text_weights(queries, query_id, query_text, dim)
+        .withColumn(
+            "qn2", F.sum(F.col("w") * F.col("w")).over(W.partitionBy("id"))
+        )
+        .select(
+            F.col("id").alias("qid"), "idx", F.col("w").alias("qw"), "qn2"
+        )
     )
     scored = (
-        dots.join(cn, "id")
-        .join(F.broadcast(qn), "qid")
+        cw.join(F.broadcast(qw), "idx")
+        .groupBy("qid", "id")
+        .agg(
+            F.sum(F.col("w") * F.col("qw")).alias("dot"),
+            F.first("cn2").alias("cn2"),  # constant within the (qid, id) group
+            F.first("qn2").alias("qn2"),
+        )
         .select(
             "qid",
             F.col("id").alias(corpus_id),
             (F.col("dot") / (F.sqrt("qn2") * F.sqrt("cn2"))).alias("_cs"),
         )
     )
-    from pyspark.sql import Window as W
 
     w = W.partitionBy("qid").orderBy(F.col("_cs").desc(), F.col(corpus_id))
     return (

@@ -150,3 +150,32 @@ def test_star_trend_lets_aqe_pick_broadcasts(spark):
     assert "ResolvedHint" not in analyzed  # no hard hints survive analysis
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_search_similar_single_chunk_pass_and_broadcast(spark):
+    """EP3 composed search: the corpus chunking UDF must appear exactly
+    ONCE in the plan (norms ride a window over the weights, not a second
+    aggregate over the chunk lineage), the query side must broadcast, and
+    nothing falls back to a cartesian product."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["search_similar"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1, tree
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_composed_pipelines_stay_vectorized(spark):
+    """wiki_pipeline_docs: exactly the two owned pandas UDFs (wikitable
+    expansion, chunking); lsh_dedup_drop: pure JVM (no Python nodes, no
+    cartesian) — banding keeps the pair join an equi-join."""
+    import __spark_entry__ as E
+
+    wiki = plan_of(E.queries()["wiki_pipeline_docs"](spark, SF))
+    assert wiki.split("\n\n")[0].count("ArrowEvalPython") == 2
+    assert "BatchEvalPython" not in wiki
+    lsh = plan_of(E.queries()["lsh_dedup_drop"](spark, SF))
+    assert "ArrowEvalPython" not in lsh
+    assert "BatchEvalPython" not in lsh
+    assert "CartesianProduct" not in lsh
