@@ -162,9 +162,11 @@ class PKBloomIndex:
 
         return rows.withColumn("_pk_maybe", _maybe(self._hash(pk_cols)))
 
-    def update(self, table: str, rows: DataFrame, pk_cols: list[str]) -> None:
+    def update(self, table: str, rows: DataFrame, pk_cols: list[str]) -> int:
         """Fold ``rows``'s PKs into the stored shards. Distributed partial
-        bitmaps; driver ORs them file-at-a-time (bounded memory)."""
+        bitmaps; driver ORs them file-at-a-time (bounded memory). Returns
+        the number of rows folded in — callers appending PK-unique frames
+        use it as the exact batch row count, saving a separate count job."""
         m_bits, k = self.m_bits, self.k
         hdf = rows.select(self._hash(pk_cols).alias("h")).withColumn(
             "b", F.pmod("h", F.lit(self.n_buckets))
@@ -196,3 +198,4 @@ class PKBloomIndex:
             os.replace(tmp, p)
             added += row["n"]
         self._write_meta(table, self.n_items(table) + added)
+        return added

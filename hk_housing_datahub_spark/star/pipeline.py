@@ -132,15 +132,19 @@ def _append_deduped(
         definite = probed.filter(~F.col("_pk_maybe")).drop("_pk_maybe")
         maybe = probed.filter(F.col("_pk_maybe")).drop("_pk_maybe")
         if maybe.isEmpty():
-            fresh = definite  # fast path: committed table never read
+            # fast path: committed table never read. On the first batch
+            # probe() returned a literal-False column, so this filter
+            # constant-folds to an empty LocalRelation — the check is free.
+            fresh = definite
         else:
             committed = catalog.read(table).select(*pk)
             fresh = definite.unionByName(
                 maybe.join(committed, pk, "left_anti")
             )
-        n = fresh.count()
+        # the update's per-bucket partials count every row of the frame,
+        # so they double as the exact append count — no separate count job
+        n = bloom.update(table, fresh.select(*pk), pk)
         if n:
-            bloom.update(table, fresh.select(*pk), pk)
             catalog.append(table, fresh, rows=n)
     finally:
         probed.unpersist()

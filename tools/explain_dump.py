@@ -37,6 +37,18 @@ def _star_trend(spark):
     return E.queries()["star_price_trend"](spark, SF)
 
 
+def _search_similar(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["search_similar"](spark, SF)
+
+
+def _wiki_docs(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["wiki_pipeline_docs"](spark, SF)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -106,11 +118,29 @@ def main() -> None:
             _star_tx(spark),
         ),
         (
-            "Star FK-graph analytics (broadcast dimension joins)",
-            "Look for: BroadcastHashJoin for every dimension hop "
-            "(units/buildings/estates/districts) — the fact table never "
-            "shuffles for the joins; one Exchange for the final groupBy.",
+            "Star FK-graph analytics (AQE-chosen broadcast joins, no hints)",
+            "Look for: BroadcastHashJoin on every dimension hop WITHOUT any "
+            "ResolvedHint upstream — size statistics pick the strategy, so "
+            "a dimension that outgrows the threshold at 100× degrades to a "
+            "shuffled join instead of an OOM'd forced broadcast.",
             _star_trend(spark),
+        ),
+        (
+            "EP3 sparse text search (inverted-index cosine top-k)",
+            "Look for: ONE ArrowEvalPython (the corpus chunker — norms ride "
+            "a window over the weights instead of re-running the chunk "
+            "lineage), the query-weights side under BroadcastExchange, and "
+            "no CartesianProduct — scoring is an equi-join on the dimension "
+            "index.",
+            _search_similar(spark),
+        ),
+        (
+            "EP2 composed wiki pipeline (lookup → gate → tables → chunks)",
+            "Look for: exactly two ArrowEvalPython nodes (the stateful "
+            "wikitable 2-D expansion and the chunker — the only "
+            "non-SQL-expressible stages); variant lookup, gating and section "
+            "concat are codegen Column expressions.",
+            _wiki_docs(spark),
         ),
     ]
 
