@@ -172,7 +172,7 @@ class PKBloomIndex:
             "b", F.pmod("h", F.lit(self.n_buckets))
         )
 
-        def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             h = pdf["h"].to_numpy(np.int64).astype(np.uint64)
             filt = np.zeros(m_bits // 8, dtype=np.uint8)
             _bloom_add(filt, h, m_bits, k)
