@@ -554,6 +554,23 @@ def _star_transactions(spark, sf):
     )
 
 
+def _catalog_counts(cat, tables) -> DataFrame:
+    """Per-table committed row counts as ONE unioned plan — a single Spark
+    job over all catalog tables instead of one count job per table (the
+    correctness gate runs this after the pipeline; the union saves ~13
+    scheduling round-trips)."""
+    from functools import reduce
+
+    parts = [
+        cat.read(t).agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        for t in tables
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
 def _star_pipeline_counts(spark, sf):
     """Orchestrator parity (reference orchestrators/agency.py:20,34,67-96):
     the two-stage batched load — estates+monthly per id-batch, then
@@ -580,8 +597,7 @@ def _star_pipeline_counts(spark, sf):
         # cost is scheduling round-trips, not data)
         n_batches=2,
     )
-    rows = [(t, cat.read(t).count()) for t in _STAR_SQL]
-    return spark.createDataFrame(rows, "table_name string, n_rows long")
+    return _catalog_counts(cat, list(_STAR_SQL))
 
 
 def _star_streaming_ingest(spark, sf):
@@ -613,8 +629,7 @@ def _star_streaming_ingest(spark, sf):
         q.processAllAvailable()
     finally:
         q.stop()
-    rows = [(t, cat.read(t).count()) for t in ESTATE_TABLES]
-    return spark.createDataFrame(rows, "table_name string, n_rows long")
+    return _catalog_counts(cat, ESTATE_TABLES)
 
 
 def _robots_txt_parse(spark, sf):

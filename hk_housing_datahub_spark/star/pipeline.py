@@ -151,6 +151,37 @@ def _append_deduped(
     return n
 
 
+def _append_tables_parallel(
+    catalog: TableCatalog,
+    frames: dict[str, DataFrame],
+    bloom=None,
+    max_workers: int = 8,
+) -> dict[str, int]:
+    """Run ``_append_deduped`` for several tables concurrently.
+
+    Safe because every piece of mutable state is per-table: the catalog
+    keeps one manifest file per table, the bloom index one shard
+    directory per table, and Spark supports concurrent job submission
+    from driver threads (each table's probe/update/write jobs interleave
+    on the shared executor slots). The win is wall-clock: the many small
+    dimension appends (regions, facilities, …) overlap the few large
+    fact appends instead of serializing behind them — per-job driver
+    round-trips and write latencies overlap. Shared upstream lineage
+    (the persisted batch slice) is computed once; Spark's block-level
+    cache locking makes concurrent first-readers wait, not recompute."""
+    items = list(frames.items())
+    if max_workers <= 1 or len(items) <= 1:
+        return {t: _append_deduped(catalog, t, df, bloom) for t, df in items}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(items))) as ex:
+        futures = {
+            t: ex.submit(_append_deduped, catalog, t, df, bloom)
+            for t, df in items
+        }
+        return {t: f.result() for t, f in futures.items()}
+
+
 def run_star_pipeline(
     spark: SparkSession,
     catalog: TableCatalog,
@@ -160,6 +191,7 @@ def run_star_pipeline(
     n_batches: int = 4,
     state_dir: str | None = None,
     use_pk_bloom: bool = True,
+    max_parallel_tables: int = 8,
 ) -> dict[str, int]:
     """Run the full two-stage batched load; returns rows appended per table
     (zero for batches skipped on resume).
@@ -167,7 +199,11 @@ def run_star_pipeline(
     ``use_pk_bloom`` (default on) keeps a committed-PK bloom index per
     table so each batch's dedup probes cost O(batch) instead of
     re-shuffling the whole committed key set (sources/pkbloom.py); a
-    catalog that predates the index is backfilled once."""
+    catalog that predates the index is backfilled once.
+
+    ``max_parallel_tables`` appends that many tables concurrently within
+    a batch (driver threads submitting independent Spark jobs); 1 falls
+    back to strictly sequential appends."""
     from ..sources.pkbloom import PKBloomIndex
 
     create_star_tables(catalog)
@@ -193,17 +229,18 @@ def run_star_pipeline(
             _batch_of(F.col("estate_id"), n_batches) == b
         ).persist()
         tables = extract_estate_tables(batch_est)
-        for t in ESTATE_TABLES:
-            appended[t] += _append_deduped(catalog, t, tables[t], bloom)
-        batch_est.unpersist()
         batch_monthly = monthly_responses.filter(
             _batch_of(F.col("estate_id"), n_batches) == b
         )
-        appended["estate_monthly_market_info"] += _append_deduped(
-            catalog,
-            "estate_monthly_market_info",
-            extract_monthly_market(batch_monthly),
+        frames = {t: tables[t] for t in ESTATE_TABLES}
+        frames["estate_monthly_market_info"] = extract_monthly_market(
+            batch_monthly
         )
+        for t, n in _append_tables_parallel(
+            catalog, frames, bloom, max_parallel_tables
+        ).items():
+            appended[t] += n
+        batch_est.unpersist()
         progress.mark("estates", b)
 
     # ---- stage 2: buildings harvested from the committed star ------------
@@ -216,8 +253,13 @@ def run_star_pipeline(
             _batch_of(F.col("building_id"), n_batches) == b
         ).persist()
         tables = extract_building_tables(batch_bld)
-        for t in BUILDING_TABLES:
-            appended[t] += _append_deduped(catalog, t, tables[t], bloom)
+        for t, n in _append_tables_parallel(
+            catalog,
+            {t: tables[t] for t in BUILDING_TABLES},
+            bloom,
+            max_parallel_tables,
+        ).items():
+            appended[t] += n
         batch_bld.unpersist()
         progress.mark("buildings", b)
 

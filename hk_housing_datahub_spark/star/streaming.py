@@ -46,7 +46,7 @@ from pyspark.sql import types as T
 
 from ..sources.tables import TableCatalog
 from .extractor import extract_estate_tables
-from .pipeline import ESTATE_TABLES, _append_deduped
+from .pipeline import ESTATE_TABLES, _append_tables_parallel
 from .schema import create_star_tables
 
 RESPONSE_STREAM_SCHEMA = T.StructType(
@@ -126,8 +126,9 @@ def stream_estate_responses(
             )
             ready = combined.join(paired, "estate_id", "left_semi")
             tables = extract_estate_tables(ready.drop("parked_batch"))
-            for t in ESTATE_TABLES:
-                _append_deduped(catalog, t, tables[t], bloom)
+            _append_tables_parallel(
+                catalog, {t: tables[t] for t in ESTATE_TABLES}, bloom
+            )
             # still-unpaired halves: sweep stale ones (estate already
             # committed — the crash-replay edge above), dead-letter the
             # expired ones, park the rest for the next batch

@@ -392,6 +392,29 @@ def test_pipeline_rerun_is_idempotent(spark, sf_small, tmp_path):
     assert first["units"] == n_units
 
 
+def test_pipeline_parallel_appends_match_sequential(spark, sf_small, tmp_path):
+    """Concurrent per-table appends (driver threads submitting independent
+    Spark jobs) must commit byte-identical table contents to the strictly
+    sequential path — per-table manifests/bloom shards are independent, so
+    parallelism may only change wall-clock, never state."""
+    from hk_housing_datahub_spark.star import run_star_pipeline
+    from hk_housing_datahub_spark.star.schema import STAR_TABLES
+
+    est, monthly, bld = _pipeline_inputs(spark, sf_small)
+    seq = TableCatalog(spark, str(tmp_path / "seq"))
+    par = TableCatalog(spark, str(tmp_path / "par"))
+    run_star_pipeline(
+        spark, seq, est, monthly, bld, n_batches=2, max_parallel_tables=1
+    )
+    run_star_pipeline(
+        spark, par, est, monthly, bld, n_batches=2, max_parallel_tables=8
+    )
+    for t in STAR_TABLES:
+        got = {tuple(r) for r in par.read(t).collect()}
+        want = {tuple(r) for r in seq.read(t).collect()}
+        assert got == want, t
+
+
 def test_append_deduped_drops_null_pk_rows(spark, tmp_path):
     """A NULL-keyed row never matches the anti-join's committed side, so
     without the guard it would re-append on every replay; the guard drops
