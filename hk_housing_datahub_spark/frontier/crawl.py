@@ -31,7 +31,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -223,24 +223,28 @@ class CrawlEngine:
                 salt_buckets=self.politeness_salt,
             ).persist()
             wave_rows = sched.filter(F.col("scheduled"))
-            n_sched = wave_rows.count()
-            t = tick(f"schedule+count ({n_sched})", t)
-            if n_sched == 0:
-                sched.unpersist()
-                wave -= 1
-                break
 
             # Schedule log — the deterministic ordering evidence. Written
             # partition-parallel; the order is carried by (wave, host,
-            # host_rank), never by file layout.
+            # host_rank), never by file layout. The wave size is observed
+            # DURING this write (one action computes the schedule into
+            # cache, writes the log, and counts) instead of a separate
+            # count job.
+            obs = Observation()
             (
-                wave_rows.select(
+                wave_rows.observe(obs, F.count(F.lit(1)).alias("n"))
+                .select(
                     F.lit(wave).alias("wave"), "host", "host_rank", "url_canon"
                 )
                 .write.mode("append")
                 .parquet(os.path.join(self.dir, "schedule"))
             )
-            t = tick("schedule-log write", t)
+            n_sched = int(obs.get["n"])
+            t = tick(f"schedule+log write+count ({n_sched})", t)
+            if n_sched == 0:
+                sched.unpersist()
+                wave -= 1
+                break
 
             # "Fetch": equi-join of the wave against the corpus. The wave is
             # bounded by the politeness budget (hosts × budget/wave), so it is
@@ -318,6 +322,16 @@ class CrawlEngine:
                 )
             t = tick("seen add", t)
 
+            # Checkpoint the seen-set BEFORE building the next frontier:
+            # the add() above is a lazy plan (union+distinct / cogroup
+            # merge), and both the checkpoint write and the frontier's
+            # anti-join consume the updated state. Materializing it first
+            # computes the merge ONCE and lets the frontier filter scan the
+            # flat checkpoint parquet instead of re-running the merge
+            # inside its own job.
+            seen.checkpoint(os.path.join(self.dir, f"seen_v{wave}"))
+            t = tick("seen checkpoint", t)
+
             # Frontier for the next wave: politeness backlog ∪ fresh outlinks
             # (∪ retry sub-frontier).
             backlog = sched.filter(~F.col("scheduled")).select(*FRONTIER_COLS)
@@ -344,8 +358,6 @@ class CrawlEngine:
             frontier.write.mode("overwrite").parquet(fpath)
             frontier = self.spark.read.parquet(fpath)
             t = tick("frontier dedup+write", t)
-            seen.checkpoint(os.path.join(self.dir, f"seen_v{wave}"))
-            t = tick("seen checkpoint", t)
             waves_done.append(wave)
             write_manifest(
                 self.dir,
