@@ -12,7 +12,11 @@ a real Iceberg catalog by replacing these four methods with
   /root/reference/src/processors/agency/agency_base.py:108-115).
 - **read**: loads only files listed in the current manifest — readers never
   see half-committed appends (snapshot isolation, Iceberg's core property).
-- per-snapshot lineage: row counts and partition list per commit.
+  ``read(table, snapshot=N)`` time-travels to any retained snapshot, and
+  ``read_changes(table, since)`` is the incremental scan (only the files
+  appended after ``since``) — both resolved purely from manifest history,
+  no data listing.
+- per-snapshot lineage: row counts and added-file list per commit.
 
 Layout:  <root>/<table>/data/<snapshot>-<uuid>/part-*.parquet
          <root>/<table>/manifest.json   (current snapshot, committed last)
@@ -103,7 +107,9 @@ class TableCatalog:
         new_files, n = self._write_data(table, df, snap, rows)
         m["snapshot"] = snap
         m["files"] = m["files"] + new_files
-        m["history"].append({"snapshot": snap, "op": "append", "rows": n})
+        m["history"].append(
+            {"snapshot": snap, "op": "append", "rows": n, "added": new_files}
+        )
         self._commit(table, m)
         return snap
 
@@ -115,25 +121,81 @@ class TableCatalog:
         new_files, n = self._write_data(table, df, snap)
         m["snapshot"] = snap
         m["files"] = new_files
-        m["history"].append({"snapshot": snap, "op": "replace", "rows": n})
+        m["history"].append(
+            {"snapshot": snap, "op": "replace", "rows": n, "added": new_files}
+        )
         self._commit(table, m)
         return snap
 
-    def read(self, table: str) -> DataFrame:
+    def _files_at(self, m: dict, snapshot: int) -> list[str]:
+        """File list as of ``snapshot``, replayed from manifest history.
+
+        Pure driver-side metadata fold over O(history) entries — the same way
+        Iceberg resolves a snapshot's manifest list; never lists data dirs."""
+        files: list[str] = []
+        for h in m["history"]:
+            if h["snapshot"] > snapshot:
+                break
+            op = h["op"]
+            if op == "append":
+                files = files + h.get("added", [])
+            elif op == "replace":
+                files = list(h.get("added", []))
+        return files
+
+    def read(self, table: str, snapshot: int | None = None) -> DataFrame:
+        """Current-snapshot read, or time travel with ``snapshot=N`` (the
+        Iceberg ``VERSION AS OF`` contract). Time travel only sees snapshots
+        whose files survive — ``vacuum`` expires non-current ones."""
         m = self._load_manifest(table)
-        if not m["files"]:
+        files = m["files"] if snapshot is None else self._files_at(m, snapshot)
+        if not files:
             ddl = self.schema_of(table)
             if ddl is not None:
                 return self.spark.createDataFrame([], ddl)
-            raise FileNotFoundError(f"table {table} has no committed snapshot")
-        paths = [os.path.join(self._tdir(table), f) for f in m["files"]]
+            raise FileNotFoundError(
+                f"table {table} has no committed snapshot"
+                + (f" at version {snapshot}" if snapshot is not None else "")
+            )
+        paths = [os.path.join(self._tdir(table), f) for f in files]
+        return self.spark.read.parquet(*paths)
+
+    def read_changes(
+        self, table: str, since: int, until: int | None = None
+    ) -> DataFrame:
+        """Incremental scan: rows appended in snapshots (since, until].
+
+        The CDC-style downstream contract (Iceberg's incremental read): a
+        consumer that has processed up to snapshot S re-reads only the files
+        added after S — O(delta), not O(table). A ``replace`` inside the
+        range invalidates append-only semantics and raises."""
+        m = self._load_manifest(table)
+        hi = m["snapshot"] if until is None else until
+        added: list[str] = []
+        for h in m["history"]:
+            if since < h["snapshot"] <= hi:
+                if h["op"] == "replace":
+                    raise ValueError(
+                        f"table {table} was replaced at snapshot "
+                        f"{h['snapshot']}; incremental read since {since} "
+                        "is not append-only — restart from a full read"
+                    )
+                added += h.get("added", [])
+        if not added:
+            ddl = self.schema_of(table)
+            if ddl is not None:
+                return self.spark.createDataFrame([], ddl)
+            return self.read(table).limit(0)
+        paths = [os.path.join(self._tdir(table), f) for f in added]
         return self.spark.read.parquet(*paths)
 
     def history(self, table: str) -> list[dict]:
         return self._load_manifest(table)["history"]
 
     def vacuum(self, table: str) -> int:
-        """Delete data dirs not referenced by the current snapshot."""
+        """Delete data dirs not referenced by the current snapshot — the
+        Iceberg ``expire_snapshots`` trade: reclaims space, expires time
+        travel to the removed snapshots."""
         import shutil
 
         m = self._load_manifest(table)

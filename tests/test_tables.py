@@ -39,3 +39,35 @@ def test_replace_and_vacuum(spark, cat):
 def test_missing_table_raises(spark, cat):
     with pytest.raises(FileNotFoundError):
         cat.read("nope")
+
+
+def test_time_travel_read(spark, cat):
+    s1 = cat.append("t", spark.range(0, 10))
+    s2 = cat.append("t", spark.range(10, 25))
+    s3 = cat.replace("t", spark.range(0, 5))
+    # VERSION AS OF each retained snapshot
+    assert cat.read("t", snapshot=s1).count() == 10
+    assert cat.read("t", snapshot=s2).count() == 25
+    assert cat.read("t", snapshot=s3).count() == 5
+    assert cat.read("t").count() == 5  # current unchanged
+    # vacuum expires the non-current snapshots' files
+    cat.vacuum("t")
+    assert cat.read("t", snapshot=s3).count() == 5
+
+
+def test_incremental_read_changes(spark, cat):
+    s1 = cat.append("t", spark.range(0, 10))
+    s2 = cat.append("t", spark.range(10, 25))
+    s3 = cat.append("t", spark.range(25, 30))
+    # delta after s1 = snapshots s2+s3 only — O(delta) files, not O(table)
+    got = sorted(r.id for r in cat.read_changes("t", since=s1).collect())
+    assert got == list(range(10, 30))
+    # bounded range (s1, s2]
+    got = sorted(r.id for r in cat.read_changes("t", since=s1, until=s2).collect())
+    assert got == list(range(10, 25))
+    # empty delta at head
+    assert cat.read_changes("t", since=s3).count() == 0
+    # replace breaks append-only incremental semantics
+    cat.replace("t", spark.range(0, 3))
+    with pytest.raises(ValueError, match="replaced"):
+        cat.read_changes("t", since=s1)
