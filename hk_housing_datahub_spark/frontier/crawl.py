@@ -328,8 +328,9 @@ class CrawlEngine:
             # anti-join consume the updated state. Materializing it first
             # computes the merge ONCE and lets the frontier filter scan the
             # flat checkpoint parquet instead of re-running the merge
-            # inside its own job.
-            seen.checkpoint(os.path.join(self.dir, f"seen_v{wave}"))
+            # inside its own job. The write also observes the set size for
+            # the manifest — no separate count job.
+            n_seen = seen.checkpoint(os.path.join(self.dir, f"seen_v{wave}"))
             t = tick("seen checkpoint", t)
 
             # Frontier for the next wave: politeness backlog ∪ fresh outlinks
@@ -353,9 +354,15 @@ class CrawlEngine:
             frontier = self._dedup_frontier(backlog.unionByName(out_frontier))
             frontier = seen.filter_unseen(frontier)
 
-            # ---- checkpoint commit (manifest last → atomic resume point)
+            # ---- checkpoint commit (manifest last → atomic resume point).
+            # Frontier size is observed during the write — the manifest
+            # needs no count job over the freshly written files.
             fpath = os.path.join(self.dir, f"frontier_v{wave}")
-            frontier.write.mode("overwrite").parquet(fpath)
+            fobs = Observation()
+            frontier.observe(fobs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(fpath)
+            frontier_size = int(fobs.get["n"])
             frontier = self.spark.read.parquet(fpath)
             t = tick("frontier dedup+write", t)
             waves_done.append(wave)
@@ -366,8 +373,8 @@ class CrawlEngine:
                     seen_mode=self.seen_mode,
                     n_scheduled=n_sched,
                     n_extracted=total_extracted,
-                    frontier_size=frontier.count(),
-                    seen_count=seen.count(),
+                    frontier_size=frontier_size,
+                    seen_count=n_seen,
                     lineage=[
                         vars(
                             WaveLineage(

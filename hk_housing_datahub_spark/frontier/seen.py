@@ -104,9 +104,17 @@ class ExactSeenSet:
             new_keys.select("url_hash").distinct()
         ).distinct()
 
-    def checkpoint(self, path: str) -> None:
-        self.df.write.mode("overwrite").parquet(path)
+    def checkpoint(self, path: str) -> int:
+        """Materialize state to `path`, cut lineage, and return the set size
+        (observed during the write — no separate count job)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        self.df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path)
         self.df = self.spark.read.parquet(path)  # cut lineage across waves
+        return int(obs.get["n"])
 
     @classmethod
     def restore(cls, spark: SparkSession, path: str) -> "ExactSeenSet":
@@ -202,9 +210,17 @@ class _BucketStateSeenSet:
             .applyInPandas(merge, SEEN_STATE_SCHEMA)
         )
 
-    def checkpoint(self, path: str) -> None:
-        self.df.write.mode("overwrite").parquet(path)
+    def checkpoint(self, path: str) -> int:
+        """Materialize bucket state, cut lineage, and return the item count
+        (sum of per-bucket n_items, observed during the write)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        self.df.observe(
+            obs, F.coalesce(F.sum("n_items"), F.lit(0)).alias("n")
+        ).write.mode("overwrite").parquet(path)
         self.df = self.spark.read.parquet(path)
+        return int(obs.get["n"])
 
     def count(self) -> int:
         row = self.df.agg(F.sum("n_items")).first()
