@@ -1066,6 +1066,33 @@ def _streaming_stateful_dedup(spark, sf):
     )
 
 
+def _streaming_tws_dedup(spark, sf):
+    """Same seen-set state machine on transformWithStateInPandas (Spark 4
+    arbitrary stateful API): RocksDB state store, per-bucket bloom state,
+    warm-startable from a batch crawl checkpoint, TTL-expirable
+    (streaming/tws.py; tests/test_tws.py pins parity with the
+    applyInPandasWithState path, warm start, and TTL re-emit)."""
+    from hk_housing_datahub_spark.streaming import run_streaming_dedup_tws
+
+    d = _t(spark, sf, "documents").limit(400)
+    urls = d.select(
+        F.concat(
+            F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
+            F.lit(".example.com/d/"), F.col("doc_id"),
+        ).alias("url_canon"),
+        (F.col("doc_id") * 7919).alias("url_hash"),
+        F.pmod("doc_id", F.lit(8)).cast("int").alias("bucket"),
+    )
+    root = tempfile.mkdtemp(prefix="hk_twsdedup_")
+    urls.coalesce(1).write.parquet(os.path.join(root, "b1"))
+    urls.filter(F.pmod(F.col("url_hash") / 7919, F.lit(2)) == 0).coalesce(
+        1
+    ).write.parquet(os.path.join(root, "b2"))
+    return run_streaming_dedup_tws(
+        spark, os.path.join(root, "*", "*.parquet"), query_name="twsdedup_q"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -1140,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_chunks": _embed_chunks,
         "ivf_ann_topk": _ivf_ann_topk,
         "streaming_stateful_dedup": _streaming_stateful_dedup,
+        "streaming_tws_dedup": _streaming_tws_dedup,
     }
 
 

@@ -43,6 +43,32 @@ def package_zip(dest_dir: str = "/tmp") -> str:
     return out
 
 
+_GAE_SDK = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def _protobuf_shim() -> None:
+    """transformWithState's state-server protocol imports ``google.protobuf``
+    in every spawned Python worker. This sandbox ships no protobuf wheel, but
+    its Google Cloud SDK bundles a pure-Python protobuf runtime (6.32): when
+    protobuf is missing and that bundle exists, expose it on PYTHONPATH so
+    the JVM's Python children inherit it (must happen BEFORE the JVM starts),
+    and disable protobuf's gencode/runtime minor-version gate (pyspark's
+    gencode is 6.33; one minor apart, wire-compatible). On a real deployment
+    protobuf is pip-installed and this is a no-op."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    if not os.path.isdir(os.path.join(_GAE_SDK, "google", "protobuf")):
+        return
+    pp = os.environ.get("PYTHONPATH", "")
+    if _GAE_SDK not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pp + os.pathsep if pp else "") + _GAE_SDK
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+
+
 def get_spark(
     app_name: str = "hk_housing_datahub_spark",
     cores: int | None = None,
@@ -59,6 +85,7 @@ def get_spark(
     # closest local stand-in for a real N-executor cluster (and the mode the
     # N-vs-4N scaling evidence uses, since executor JVMs are isolated exactly
     # as they are under spark-submit).
+    _protobuf_shim()
     master_env = os.environ.get("SPARK_GRAFT_MASTER", "")
     if cores is None:
         cores_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
