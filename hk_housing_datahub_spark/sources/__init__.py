@@ -1,1 +1,1 @@
-from .tables import TableCatalog  # noqa: F401
+from .tables import IncrementalConsumer, TableCatalog  # noqa: F401

@@ -192,6 +192,9 @@ class TableCatalog:
     def history(self, table: str) -> list[dict]:
         return self._load_manifest(table)["history"]
 
+    def current_snapshot(self, table: str) -> int:
+        return self._load_manifest(table)["snapshot"]
+
     def vacuum(self, table: str) -> int:
         """Delete data dirs not referenced by the current snapshot — the
         Iceberg ``expire_snapshots`` trade: reclaims space, expires time
@@ -208,3 +211,51 @@ class TableCatalog:
                     shutil.rmtree(os.path.join(data_root, d))
                     removed += 1
         return removed
+
+
+class IncrementalConsumer:
+    """Durable CDC-style consumer over a catalog table's append stream.
+
+    The downstream half of ``TableCatalog.read_changes``: a named consumer
+    polls the delta since its committed cursor, processes it, then commits
+    the new cursor. Until ``commit`` the cursor does not move, so a consumer
+    that crashes mid-processing re-polls the same delta (at-least-once; pair
+    with an idempotent sink — e.g. the star pipeline's PK anti-join — for
+    exactly-once effect). Cursors are one JSON file per consumer inside the
+    catalog root, committed tmp+rename like the table manifests.
+
+    Scale: each poll reads only the files appended after the cursor —
+    O(delta), never O(table) — so a consumer lagging N snapshots behind
+    catches up by reading exactly those N snapshots' files.
+    """
+
+    def __init__(self, catalog: TableCatalog, name: str):
+        self.catalog = catalog
+        self.path = os.path.join(catalog.root, f"_consumer_{name}.json")
+
+    def _cursors(self) -> dict:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def cursor(self, table: str) -> int:
+        return int(self._cursors().get(table, 0))
+
+    def poll(self, table: str) -> tuple[DataFrame, int]:
+        """(delta rows since the committed cursor, head snapshot to commit
+        after processing). The head is pinned at poll time: appends landing
+        while the delta is processed stay for the next poll."""
+        head = self.catalog.current_snapshot(table)
+        return (
+            self.catalog.read_changes(table, since=self.cursor(table), until=head),
+            head,
+        )
+
+    def commit(self, table: str, snapshot: int) -> None:
+        cur = self._cursors()
+        cur[table] = int(snapshot)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cur, f, indent=1)
+        os.replace(tmp, self.path)

@@ -55,6 +55,33 @@ def test_time_travel_read(spark, cat):
     assert cat.read("t", snapshot=s3).count() == 5
 
 
+def test_incremental_consumer_cursor_and_redelivery(spark, cat):
+    from hk_housing_datahub_spark.sources import IncrementalConsumer
+
+    s1 = cat.append("t", spark.range(0, 10))
+    cat.append("t", spark.range(10, 25))
+    c = IncrementalConsumer(cat, "rollup")
+    # first poll: everything so far
+    delta, head = c.poll("t")
+    assert delta.count() == 25
+    # crash before commit → re-poll re-delivers the same delta
+    delta2, head2 = c.poll("t")
+    assert head2 == head and delta2.count() == 25
+    c.commit("t", head)
+    # appends after the commit are the only next delta
+    cat.append("t", spark.range(25, 30))
+    delta3, head3 = c.poll("t")
+    assert sorted(r.id for r in delta3.collect()) == list(range(25, 30))
+    c.commit("t", head3)
+    # caught up → empty delta
+    delta4, _ = c.poll("t")
+    assert delta4.count() == 0
+    # a second named consumer has its own independent cursor
+    c2 = IncrementalConsumer(cat, "audit")
+    assert c2.poll("t")[0].count() == 30
+    assert s1 == 1  # sanity: snapshots started at 1
+
+
 def test_incremental_read_changes(spark, cat):
     s1 = cat.append("t", spark.range(0, 10))
     s2 = cat.append("t", spark.range(10, 25))
