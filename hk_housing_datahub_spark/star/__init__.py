@@ -25,9 +25,12 @@ from .extractor import (
     extract_estate_tables,
     extract_monthly_market,
 )
+from .consumer import maintain_monthly_rollup, rollup_vs_full_recompute
 from .pipeline import run_star_pipeline
 
 __all__ = [
+    "maintain_monthly_rollup",
+    "rollup_vs_full_recompute",
     "BUILDING_RESPONSE_SCHEMA",
     "ESTATE_RESPONSE_SCHEMA",
     "MONTHLY_RESPONSE_SCHEMA",

@@ -617,3 +617,45 @@ def test_streaming_pairs_straddle_batches_via_pending_state(spark, sf_small, tmp
     oneshot = extract_estate_tables(resp)
     assert cat.read("estates").count() == oneshot["estates"].count()
     assert cat.read(PENDING_TABLE).count() == 0  # fully drained
+
+
+def test_incremental_rollup_exactly_once(spark, tmp_path):
+    """Incrementally-maintained monthly rollup: O(delta) refreshes, cursor
+    stored inside the rollup rows (atomic with the data), replay-safe,
+    bit-identical to a full recompute (decimal sums)."""
+    from hk_housing_datahub_spark.star.consumer import (
+        ROLLUP_TABLE,
+        maintain_monthly_rollup,
+        rollup_vs_full_recompute,
+    )
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+
+    def tx(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("T"), "id").alias("tx_id"),
+            F.timestamp_seconds(
+                F.lit(1500000000) + F.col("id") * 86400 * 3
+            ).alias("tx_date"),
+            (F.col("id") * 1000 + 0.25).alias("price"),
+            F.lit(None).cast("timestamp").alias("last_tx_date"),
+            F.lit(None).cast("double").alias("gain"),
+            F.lit(None).cast("double").alias("net_ft_price"),
+            F.concat(F.lit("U"), F.pmod("id", F.lit(7))).alias("unit_id"),
+        )
+
+    cat.append("transactions", tx(0, 50))
+    assert maintain_monthly_rollup(spark, cat) == 50
+    # two appends, one refresh catches both snapshots' delta
+    cat.append("transactions", tx(50, 120))
+    cat.append("transactions", tx(120, 150))
+    assert maintain_monthly_rollup(spark, cat) == 100
+    # caught-up / replayed refresh is a no-op
+    assert maintain_monthly_rollup(spark, cat) == 0
+    inc, full = rollup_vs_full_recompute(spark, cat)
+    assert {tuple(r) for r in inc.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    # the cursor the rollup claims is exactly the head it aggregates
+    as_of = cat.read(ROLLUP_TABLE).select(F.max("as_of_snapshot")).first()[0]
+    assert int(as_of) == cat.current_snapshot("transactions")
