@@ -31,6 +31,7 @@ def main() -> None:
     from hk_housing_datahub_spark.session import get_spark
     from hk_housing_datahub_spark.sources.tables import TableCatalog
     from hk_housing_datahub_spark.star import (
+        maintain_monthly_rollup,
         render_building_responses,
         render_estate_responses,
         render_monthly_responses,
@@ -48,7 +49,18 @@ def main() -> None:
         render_building_responses(t("orders"), t("lineitem")),
         n_batches=args.batches,
     )
-    print(json.dumps({"appended": appended, "catalog": args.catalog}))
+    # downstream incremental view: refresh the monthly rollup from the
+    # snapshots this run appended (O(delta); replay-safe no-op if caught up)
+    rollup_delta = maintain_monthly_rollup(spark, cat)
+    print(
+        json.dumps(
+            {
+                "appended": appended,
+                "rollup_delta_rows": rollup_delta,
+                "catalog": args.catalog,
+            }
+        )
+    )
     spark.stop()
 
 
