@@ -127,6 +127,29 @@ class TableCatalog:
         self._commit(table, m)
         return snap
 
+    def compact(self, table: str, partitions: int | None = None) -> int:
+        """Rewrite the table's current files into ``partitions`` coalesced
+        files as a new snapshot — Iceberg's ``rewrite_data_files``. The
+        small-file antidote for append-heavy tables (every crawl wave /
+        pipeline batch adds a file set; scan-planning cost grows with file
+        count). Data-equivalent by construction: time travel to older
+        snapshots still works (until vacuum) and ``read_changes`` skips
+        compact entries — a consumer's delta is unaffected because row
+        content never changed. Returns the new snapshot id."""
+        m = self._load_manifest(table)
+        cur = self.read(table)
+        if partitions:
+            cur = cur.coalesce(partitions)
+        snap = m["snapshot"] + 1
+        new_files, n = self._write_data(table, cur, snap)
+        m["snapshot"] = snap
+        m["files"] = new_files
+        m["history"].append(
+            {"snapshot": snap, "op": "compact", "rows": n, "added": new_files}
+        )
+        self._commit(table, m)
+        return snap
+
     def _files_at(self, m: dict, snapshot: int) -> list[str]:
         """File list as of ``snapshot``, replayed from manifest history.
 
@@ -139,7 +162,7 @@ class TableCatalog:
             op = h["op"]
             if op == "append":
                 files = files + h.get("added", [])
-            elif op == "replace":
+            elif op in ("replace", "compact"):
                 files = list(h.get("added", []))
         return files
 
@@ -168,7 +191,9 @@ class TableCatalog:
         The CDC-style downstream contract (Iceberg's incremental read): a
         consumer that has processed up to snapshot S re-reads only the files
         added after S — O(delta), not O(table). A ``replace`` inside the
-        range invalidates append-only semantics and raises."""
+        range invalidates append-only semantics and raises; a ``compact``
+        is data-equivalent (same rows, fewer files) and is skipped — its
+        pre-compaction append files remain readable until ``vacuum``."""
         m = self._load_manifest(table)
         hi = m["snapshot"] if until is None else until
         added: list[str] = []
@@ -180,6 +205,8 @@ class TableCatalog:
                         f"{h['snapshot']}; incremental read since {since} "
                         "is not append-only — restart from a full read"
                     )
+                if h["op"] == "compact":
+                    continue
                 added += h.get("added", [])
         if not added:
             ddl = self.schema_of(table)

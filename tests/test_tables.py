@@ -55,6 +55,44 @@ def test_time_travel_read(spark, cat):
     assert cat.read("t", snapshot=s3).count() == 5
 
 
+def test_compaction_is_data_equivalent(spark, cat):
+    """compact() solves the small-file problem without disturbing readers:
+    same rows, fewer files, time travel intact, incremental deltas
+    unaffected (consumers skip the compact snapshot)."""
+    import glob as _glob
+    import os as _os
+
+    from hk_housing_datahub_spark.sources import IncrementalConsumer
+
+    for lo in range(0, 40, 10):  # 4 small appends
+        cat.append("t", spark.range(lo, lo + 10).repartition(4))
+    s_pre = cat.current_snapshot("t")
+    n_files_pre = len(_glob.glob(_os.path.join(cat.root, "t", "data", "*", "*.parquet")))
+
+    c = IncrementalConsumer(cat, "lagging")
+    c.commit("t", 2)  # consumer mid-stream before the compaction
+
+    s_c = cat.compact("t", partitions=1)
+    # same rows, strictly fewer live files
+    assert cat.read("t").count() == 40
+    live = cat._load_manifest("t")["files"]
+    assert len(live) < n_files_pre and len(live) == 1
+    # time travel to pre-compaction snapshots still works (until vacuum)
+    assert cat.read("t", snapshot=s_pre).count() == 40
+    assert cat.read("t", snapshot=2).count() == 20
+    # the lagging consumer's delta skips the compact entry: rows 20..40 once
+    delta, head = c.poll("t")
+    assert head == s_c
+    assert sorted(r.id for r in delta.collect()) == list(range(20, 40))
+    c.commit("t", head)
+    # appends after compaction flow through as usual
+    cat.append("t", spark.range(40, 45))
+    assert sorted(r.id for r in c.poll("t")[0].collect()) == list(range(40, 45))
+    # vacuum now expires the pre-compaction files; current read unaffected
+    assert cat.vacuum("t") >= 4
+    assert cat.read("t").count() == 45
+
+
 def test_incremental_consumer_cursor_and_redelivery(spark, cat):
     from hk_housing_datahub_spark.sources import IncrementalConsumer
 
