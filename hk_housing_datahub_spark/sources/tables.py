@@ -17,6 +17,11 @@ a real Iceberg catalog by replacing these four methods with
   appended after ``since``) — both resolved purely from manifest history,
   no data listing.
 - per-snapshot lineage: row counts and added-file list per commit.
+- **schema evolution** (add-column): every commit records its write schema in
+  the manifest; ``read`` projects the metadata-resolved schema onto the files
+  (older files return NULL for later-added columns) instead of
+  ``mergeSchema``, which at 100 TB would read every parquet footer at plan
+  time. Time travel reads the schema *as of* that snapshot.
 
 Layout:  <root>/<table>/data/<snapshot>-<uuid>/part-*.parquet
          <root>/<table>/manifest.json   (current snapshot, committed last)
@@ -85,11 +90,61 @@ class TableCatalog:
         self._commit(table, m)
         return True
 
-    def schema_of(self, table: str):
+    def schema_of(self, table: str, snapshot: int | None = None):
+        """Table schema resolved purely from manifest metadata — the Iceberg
+        contract (schema travels with snapshots, never parquet-footer
+        merging, which at 100 TB means listing+reading every file footer).
+        ``snapshot=N`` returns the schema as of that snapshot, so time travel
+        reads pre-evolution data with its pre-evolution shape."""
+        m = self._load_manifest(table)
+        return self._schema_as_of(m, snapshot)
+
+    def _schema_as_of(self, m: dict, snapshot: int | None = None):
+        """Fold the per-commit write schemas into the table schema: columns
+        union in first-seen order; a column added by a later append is
+        nullable (older files lack it and read back as NULL — Iceberg's
+        add-column rule). Type conflicts were rejected at write time."""
         from pyspark.sql import types as T
 
-        m = self._load_manifest(table)
-        return T.StructType.fromJson(json.loads(m["ddl"])) if m.get("ddl") else None
+        fields: dict[str, T.StructField] = {}
+        if m.get("ddl"):
+            for f in T.StructType.fromJson(json.loads(m["ddl"])).fields:
+                fields[f.name] = f
+        for h in m["history"]:
+            if snapshot is not None and h["snapshot"] > snapshot:
+                break
+            if "schema" not in h:
+                continue
+            if h["op"] == "replace":
+                fields = {}  # REPLACE TABLE may redefine the schema outright
+            for f in T.StructType.fromJson(json.loads(h["schema"])).fields:
+                if f.name not in fields:
+                    # added after table creation → some files miss it → must
+                    # be readable as NULL
+                    nullable = f.nullable or bool(fields)
+                    fields[f.name] = T.StructField(f.name, f.dataType, nullable)
+                elif fields[f.name].nullable != f.nullable:
+                    old = fields[f.name]
+                    fields[f.name] = T.StructField(old.name, old.dataType, True)
+        return T.StructType(list(fields.values())) if fields else None
+
+    def _check_write_schema(self, m: dict, df: DataFrame, table: str) -> None:
+        """Add-column evolution only: a written column that already exists
+        must keep its exact dataType (Iceberg would also allow widening
+        promotions; we keep the stricter rule so every file in a table is
+        bit-compatible with the resolved read schema)."""
+        cur = self._schema_as_of(m)
+        if cur is None:
+            return
+        have = {f.name: f.dataType for f in cur.fields}
+        for f in df.schema.fields:
+            if f.name in have and f.dataType != have[f.name]:
+                raise ValueError(
+                    f"schema evolution on table {table!r} rejected: column "
+                    f"{f.name!r} is {have[f.name].simpleString()} but the "
+                    f"write has {f.dataType.simpleString()} — only adding "
+                    "new columns is supported"
+                )
 
     def append(self, table: str, df: DataFrame, rows: int | None = None) -> int:
         """Append rows as a new snapshot; readers see them only after the
@@ -103,12 +158,19 @@ class TableCatalog:
         catalog exists to provide. Omit it to have the catalog verify by
         re-reading what was written."""
         m = self._load_manifest(table)
+        self._check_write_schema(m, df, table)
         snap = m["snapshot"] + 1
         new_files, n = self._write_data(table, df, snap, rows)
         m["snapshot"] = snap
         m["files"] = m["files"] + new_files
         m["history"].append(
-            {"snapshot": snap, "op": "append", "rows": n, "added": new_files}
+            {
+                "snapshot": snap,
+                "op": "append",
+                "rows": n,
+                "added": new_files,
+                "schema": df.schema.json(),
+            }
         )
         self._commit(table, m)
         return snap
@@ -122,7 +184,13 @@ class TableCatalog:
         m["snapshot"] = snap
         m["files"] = new_files
         m["history"].append(
-            {"snapshot": snap, "op": "replace", "rows": n, "added": new_files}
+            {
+                "snapshot": snap,
+                "op": "replace",
+                "rows": n,
+                "added": new_files,
+                "schema": df.schema.json(),
+            }
         )
         self._commit(table, m)
         return snap
@@ -145,7 +213,13 @@ class TableCatalog:
         m["snapshot"] = snap
         m["files"] = new_files
         m["history"].append(
-            {"snapshot": snap, "op": "compact", "rows": n, "added": new_files}
+            {
+                "snapshot": snap,
+                "op": "compact",
+                "rows": n,
+                "added": new_files,
+                "schema": cur.schema.json(),
+            }
         )
         self._commit(table, m)
         return snap
@@ -172,16 +246,22 @@ class TableCatalog:
         whose files survive — ``vacuum`` expires non-current ones."""
         m = self._load_manifest(table)
         files = m["files"] if snapshot is None else self._files_at(m, snapshot)
+        schema = self._schema_as_of(m, snapshot)
         if not files:
-            ddl = self.schema_of(table)
-            if ddl is not None:
-                return self.spark.createDataFrame([], ddl)
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
             raise FileNotFoundError(
                 f"table {table} has no committed snapshot"
                 + (f" at version {snapshot}" if snapshot is not None else "")
             )
         paths = [os.path.join(self._tdir(table), f) for f in files]
-        return self.spark.read.parquet(*paths)
+        if schema is not None:
+            # metadata-resolved schema projection: files written before an
+            # add-column read the new column as NULL; files written after a
+            # time-travel target drop columns the target never had. No
+            # mergeSchema footer listing — O(1) planning, not O(files).
+            return self.spark.read.schema(schema).parquet(*paths)
+        return self.spark.read.parquet(*paths)  # pre-evolution manifests
 
     def read_changes(
         self, table: str, since: int, until: int | None = None
@@ -208,12 +288,14 @@ class TableCatalog:
                 if h["op"] == "compact":
                     continue
                 added += h.get("added", [])
+        schema = self._schema_as_of(m, hi)
         if not added:
-            ddl = self.schema_of(table)
-            if ddl is not None:
-                return self.spark.createDataFrame([], ddl)
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
             return self.read(table).limit(0)
         paths = [os.path.join(self._tdir(table), f) for f in added]
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(*paths)
         return self.spark.read.parquet(*paths)
 
     def history(self, table: str) -> list[dict]:

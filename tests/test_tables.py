@@ -136,3 +136,55 @@ def test_incremental_read_changes(spark, cat):
     cat.replace("t", spark.range(0, 3))
     with pytest.raises(ValueError, match="replaced"):
         cat.read_changes("t", since=s1)
+
+
+def test_schema_evolution_add_column(spark, cat):
+    """Add-column evolution, resolved from manifest metadata (no
+    mergeSchema): old files read the new column as NULL; time travel sees
+    the pre-evolution schema; incompatible type changes are rejected."""
+    from pyspark.sql import functions as F
+
+    s1 = cat.append("t", spark.range(0, 5).select("id"))
+    s2 = cat.append(
+        "t", spark.range(5, 8).select("id", F.lit("web").alias("source"))
+    )
+    cur = cat.read("t")
+    assert [f.name for f in cur.schema.fields] == ["id", "source"]
+    rows = {r.id: r.source for r in cur.collect()}
+    assert len(rows) == 8
+    assert all(rows[i] is None for i in range(5))        # pre-evolution files
+    assert all(rows[i] == "web" for i in range(5, 8))
+    # schema as of the first snapshot has no 'source'; data reads that way
+    assert [f.name for f in cat.schema_of("t", snapshot=s1).fields] == ["id"]
+    assert cat.read("t", snapshot=s1).columns == ["id"]
+    assert cat.read("t", snapshot=s2).columns == ["id", "source"]
+    # the added column is nullable in the resolved schema
+    assert dict((f.name, f.nullable) for f in cat.schema_of("t").fields)["source"]
+    # type conflict on an existing column is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema evolution"):
+        cat.append("t", spark.range(0, 1).select(F.lit("oops").alias("id")))
+
+
+def test_schema_evolution_incremental_and_replace(spark, cat):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.sources import IncrementalConsumer
+
+    cat.append("t", spark.range(0, 4).select("id"))
+    c = IncrementalConsumer(cat, "evo")
+    c.commit("t", cat.current_snapshot("t"))
+    cat.append("t", spark.range(4, 6).select("id", F.lit(1.5).alias("w")))
+    delta, head = c.poll("t")  # delta carries the evolved schema
+    assert delta.columns == ["id", "w"]
+    assert delta.count() == 2
+    c.commit("t", head)
+    # REPLACE may redefine the schema outright; fold resets at the replace
+    cat.replace("t", spark.range(0, 3).select(F.col("id").alias("pk")))
+    assert cat.read("t").columns == ["pk"]
+    # compaction preserves the evolved schema
+    cat.append("t", spark.range(3, 5).select(F.col("id").alias("pk")))
+    cat.compact("t", partitions=1)
+    assert cat.read("t").columns == ["pk"]
+    assert cat.read("t").count() == 5
