@@ -22,6 +22,15 @@ a real Iceberg catalog by replacing these four methods with
   (older files return NULL for later-added columns) instead of
   ``mergeSchema``, which at 100 TB would read every parquet footer at plan
   time. Time travel reads the schema *as of* that snapshot.
+- **column-stats file skipping**: each commit folds the written parquet
+  footers (driver-side, pyarrow, footers only — read once at write time,
+  never again) into per-file min/max/null-count stats in the manifest;
+  ``read(table, where=[...])`` prunes files whose stats prove the predicate
+  false BEFORE Spark ever plans the scan. At 10^10 URLs this is the
+  difference between "open every seen-set checkpoint file" and "open the one
+  bucket file the key hashes into". ``append(..., cluster_by=[cols])``
+  range-partitions + sorts the write so files carry disjoint ranges and the
+  skipping has teeth.
 
 Layout:  <root>/<table>/data/<snapshot>-<uuid>/part-*.parquet
          <root>/<table>/manifest.json   (current snapshot, committed last)
@@ -65,14 +74,95 @@ class TableCatalog:
 
     def _write_data(
         self, table: str, df: DataFrame, snapshot: int, rows: int | None = None
-    ) -> tuple[list[str], int]:
+    ) -> tuple[list[str], int, dict]:
         dirname = f"{snapshot:06d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self._tdir(table), "data", dirname)
         df.write.mode("overwrite").parquet(out)
         # callers that already know the row count (e.g. they just counted
         # the frame) skip the verification re-read — one job per commit
         n = self.spark.read.parquet(out).count() if rows is None else rows
-        return [os.path.join("data", dirname)], n
+        rel = os.path.join("data", dirname)
+        return [rel], n, self._collect_file_stats(out, rel)
+
+    def _collect_file_stats(self, out_dir: str, rel_dir: str) -> dict:
+        """Fold each written part-file's parquet footer into
+        ``{rel_path: {"rows": n, "cols": {col: {"min","max","nulls"}}}}``.
+
+        Driver-side and footer-only — the one moment the footers are read;
+        every later scan prunes from the manifest without touching storage
+        (Iceberg's manifest-stats contract, the core of its 100-TB scan
+        planning). Columns whose stats are absent or unordered (nested,
+        NaN-polluted floats) are simply omitted → never pruned on."""
+        try:
+            import pyarrow.parquet as pq
+        except Exception:  # pragma: no cover - pyarrow ships in this env
+            return {}
+        stats: dict = {}
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            try:
+                md = pq.ParquetFile(os.path.join(out_dir, fn)).metadata
+            except Exception:
+                continue
+            cols: dict = {}
+            rows = md.num_rows
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    ch = rg.column(c_i)
+                    name = ch.path_in_schema
+                    if "." in name:  # nested leaf — ordering undefined here
+                        cols[name] = None
+                        continue
+                    st = ch.statistics
+                    if st is None or not st.has_null_count:
+                        cols[name] = None
+                        continue
+                    nulls = st.null_count
+                    if st.has_min_max:
+                        lo, hi = self._json_stat(st.min), self._json_stat(st.max)
+                    else:
+                        lo = hi = None
+                    if (lo is None or hi is None) and nulls < ch.num_values:
+                        # non-null values exist but no usable bounds
+                        # (parquet num_values counts nulls too)
+                        cols[name] = None
+                        continue
+                    # NaN poisons float ordering — drop bounds, keep nulls
+                    if isinstance(lo, float) and lo != lo:
+                        lo = hi = None
+                    if isinstance(hi, float) and hi != hi:
+                        lo = hi = None
+                    prev = cols.get(name, {"min": None, "max": None, "nulls": 0})
+                    if prev is None:
+                        continue
+                    cols[name] = {
+                        "min": lo if prev["min"] is None
+                        else (prev["min"] if lo is None else min(prev["min"], lo)),
+                        "max": hi if prev["max"] is None
+                        else (prev["max"] if hi is None else max(prev["max"], hi)),
+                        "nulls": prev["nulls"] + nulls,
+                    }
+            stats[os.path.join(rel_dir, fn)] = {
+                "rows": rows,
+                "cols": {k: v for k, v in cols.items() if v is not None},
+            }
+        return stats
+
+    @staticmethod
+    def _json_stat(v):
+        """Parquet footer min/max → JSON-storable, order-preserving value.
+        datetime/date → ISO text (lexicographic == chronological for a fixed
+        format); bytes → utf-8 text when decodable, else dropped."""
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return v
 
     # ------------------------------------------------------------------ api
     def create(self, table: str, schema) -> bool:
@@ -146,7 +236,14 @@ class TableCatalog:
                     "new columns is supported"
                 )
 
-    def append(self, table: str, df: DataFrame, rows: int | None = None) -> int:
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        rows: int | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_partitions: int | None = None,
+    ) -> int:
         """Append rows as a new snapshot; readers see them only after the
         manifest commit. Returns the new snapshot id.
 
@@ -156,11 +253,27 @@ class TableCatalog:
         It is recorded verbatim into the snapshot lineage; a stale or
         recomputed-lineage count would silently corrupt the history the
         catalog exists to provide. Omit it to have the catalog verify by
-        re-reading what was written."""
+        re-reading what was written.
+
+        ``cluster_by=[cols]`` range-partitions and sorts the write on those
+        columns (Iceberg's write-ordered/clustered table): each part file
+        then covers a disjoint slice of the key space, so the manifest
+        min/max stats prune point/range reads on those columns down to the
+        files that can match. One extra shuffle at write time buys
+        metadata-only scan planning on every later read.
+        ``cluster_partitions`` fixes the file count (AQE otherwise coalesces
+        small writes into one file, which defeats the point at test scale —
+        at 100 TB you'd size it to ~targetFileSize per partition)."""
         m = self._load_manifest(table)
         self._check_write_schema(m, df, table)
+        if cluster_by:
+            if cluster_partitions:
+                df = df.repartitionByRange(cluster_partitions, *cluster_by)
+            else:
+                df = df.repartitionByRange(*cluster_by)
+            df = df.sortWithinPartitions(*cluster_by)
         snap = m["snapshot"] + 1
-        new_files, n = self._write_data(table, df, snap, rows)
+        new_files, n, fstats = self._write_data(table, df, snap, rows)
         m["snapshot"] = snap
         m["files"] = m["files"] + new_files
         m["history"].append(
@@ -170,6 +283,7 @@ class TableCatalog:
                 "rows": n,
                 "added": new_files,
                 "schema": df.schema.json(),
+                "file_stats": fstats,
             }
         )
         self._commit(table, m)
@@ -180,7 +294,7 @@ class TableCatalog:
         (old files stay on disk for time travel until vacuumed)."""
         m = self._load_manifest(table)
         snap = m["snapshot"] + 1
-        new_files, n = self._write_data(table, df, snap)
+        new_files, n, fstats = self._write_data(table, df, snap)
         m["snapshot"] = snap
         m["files"] = new_files
         m["history"].append(
@@ -190,6 +304,7 @@ class TableCatalog:
                 "rows": n,
                 "added": new_files,
                 "schema": df.schema.json(),
+                "file_stats": fstats,
             }
         )
         self._commit(table, m)
@@ -209,7 +324,7 @@ class TableCatalog:
         if partitions:
             cur = cur.coalesce(partitions)
         snap = m["snapshot"] + 1
-        new_files, n = self._write_data(table, cur, snap)
+        new_files, n, fstats = self._write_data(table, cur, snap)
         m["snapshot"] = snap
         m["files"] = new_files
         m["history"].append(
@@ -219,6 +334,7 @@ class TableCatalog:
                 "rows": n,
                 "added": new_files,
                 "schema": cur.schema.json(),
+                "file_stats": fstats,
             }
         )
         self._commit(table, m)
@@ -240,31 +356,196 @@ class TableCatalog:
                 files = list(h.get("added", []))
         return files
 
-    def read(self, table: str, snapshot: int | None = None) -> DataFrame:
+    # ------------------------------------------------- stats-based pruning
+    @staticmethod
+    def _norm_pred_value(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    @classmethod
+    def _part_may_match(cls, pstat: dict, schema_cols, col, op, val) -> bool:
+        """True unless this part-file's manifest stats PROVE no row matches
+        ``col op val``. Unknown stats always keep the file — pruning is an
+        optimization, never a filter."""
+        rows = pstat.get("rows")
+        if schema_cols is not None and col not in schema_cols:
+            # file written before the column was added → reads as all-NULL
+            st = {"min": None, "max": None, "nulls": rows}
+        else:
+            st = pstat.get("cols", {}).get(col)
+        if st is None or rows is None:
+            return True
+        lo, hi, nulls = st["min"], st["max"], st["nulls"]
+        if op == "is_null":
+            return nulls > 0
+        if op == "is_not_null":
+            return nulls < rows
+        if lo is None or hi is None:
+            # bounds absent in a kept entry ⇒ every row-group was all-NULL
+            # (partial-bounds entries are dropped at collect time), and NULL
+            # never satisfies a comparison
+            return False
+        try:
+            if op in ("=", "=="):
+                return lo <= val <= hi
+            if op == "in":
+                return any(lo <= cls._norm_pred_value(x) <= hi for x in val)
+            if op == "<":
+                return lo < val
+            if op == "<=":
+                return lo <= val
+            if op == ">":
+                return hi > val
+            if op == ">=":
+                return hi >= val
+        except TypeError:
+            return True  # incomparable literal/stat types: keep
+        return True
+
+    def _select_files(
+        self, m: dict, files: list[str], where
+    ) -> tuple[list[str], dict]:
+        """Resolve the dir-level file list into concrete scan paths, pruning
+        part-files whose manifest stats refute ``where`` (a conjunct list of
+        ``(col, op, value)``). Metadata-only: O(parts) driver work over the
+        manifest, zero storage reads — at 10^10 URLs the scan plan is built
+        without opening a single footer. Returns (paths, report)."""
+        by_dir: dict[str, dict] = {}
+        for h in m["history"]:
+            for d in h.get("added", []):
+                by_dir[d] = h
+        norm = []
+        for conj in where or []:
+            c, op, v = conj if len(conj) == 3 else (*conj, None)
+            norm.append((c, op, self._norm_pred_value(v) if op != "in" else v))
+        paths, kept, total, unpruned = [], 0, 0, 0
+        for d in files:
+            h = by_dir.get(d)
+            fstats = (h or {}).get("file_stats") or {}
+            parts = {p: s for p, s in fstats.items()
+                     if os.path.dirname(p) == d}
+            if not norm or not parts:
+                # no predicate, or a pre-stats manifest entry: whole dir
+                paths.append(d)
+                n = len(parts) or 1
+                total += n
+                kept += n
+                if not parts:
+                    unpruned += 1
+                continue
+            schema_cols = None
+            if h is not None and "schema" in h:
+                schema_cols = {
+                    f["name"] for f in json.loads(h["schema"])["fields"]
+                }
+            for p, pstat in sorted(parts.items()):
+                total += 1
+                if all(
+                    self._part_may_match(pstat, schema_cols, c, op, v)
+                    for c, op, v in norm
+                ):
+                    kept += 1
+                    paths.append(p)
+        report = {
+            "parts_total": total,
+            "parts_kept": kept,
+            "dirs_without_stats": unpruned,
+        }
+        return paths, report
+
+    @staticmethod
+    def _residual_filter(df: DataFrame, where) -> DataFrame:
+        """Apply ``where`` exactly — pruning only skipped files that cannot
+        match; surviving files still carry non-matching rows."""
+        from pyspark.sql import functions as F
+
+        for conj in where or []:
+            c, op, v = conj if len(conj) == 3 else (*conj, None)
+            col = F.col(c)
+            if op in ("=", "=="):
+                df = df.filter(col == v)
+            elif op == "<":
+                df = df.filter(col < v)
+            elif op == "<=":
+                df = df.filter(col <= v)
+            elif op == ">":
+                df = df.filter(col > v)
+            elif op == ">=":
+                df = df.filter(col >= v)
+            elif op == "in":
+                df = df.filter(col.isin(list(v)))
+            elif op == "is_null":
+                df = df.filter(col.isNull())
+            elif op == "is_not_null":
+                df = df.filter(col.isNotNull())
+            else:
+                raise ValueError(f"unsupported predicate op {op!r}")
+        return df
+
+    def scan_report(
+        self, table: str, where, snapshot: int | None = None
+    ) -> dict:
+        """Planning-only dry run of ``read(..., where=...)``: how many part
+        files the manifest stats keep vs prune. Observability for the same
+        decision the read path makes (and the hook tests pin)."""
+        m = self._load_manifest(table)
+        files = m["files"] if snapshot is None else self._files_at(m, snapshot)
+        _, report = self._select_files(m, files, where)
+        return report
+
+    def read(
+        self,
+        table: str,
+        snapshot: int | None = None,
+        where=None,
+    ) -> DataFrame:
         """Current-snapshot read, or time travel with ``snapshot=N`` (the
         Iceberg ``VERSION AS OF`` contract). Time travel only sees snapshots
-        whose files survive — ``vacuum`` expires non-current ones."""
+        whose files survive — ``vacuum`` expires non-current ones.
+
+        ``where=[(col, op, value), ...]`` (ops ``= < <= > >= in is_null
+        is_not_null``, AND-ed) prunes part-files via manifest min/max stats
+        before Spark plans the scan, then applies the same predicate to the
+        surviving rows — identical results to ``read().filter(...)``, minus
+        the files that provably cannot match."""
         m = self._load_manifest(table)
         files = m["files"] if snapshot is None else self._files_at(m, snapshot)
         schema = self._schema_as_of(m, snapshot)
         if not files:
             if schema is not None:
-                return self.spark.createDataFrame([], schema)
+                return self._residual_filter(
+                    self.spark.createDataFrame([], schema), where
+                )
             raise FileNotFoundError(
                 f"table {table} has no committed snapshot"
                 + (f" at version {snapshot}" if snapshot is not None else "")
             )
-        paths = [os.path.join(self._tdir(table), f) for f in files]
+        rel_paths, _ = self._select_files(m, files, where)
+        if not rel_paths:  # every part pruned: statically empty
+            if schema is not None:
+                return self._residual_filter(
+                    self.spark.createDataFrame([], schema), where
+                )
+            base = self.spark.read.parquet(
+                *[os.path.join(self._tdir(table), f) for f in files]
+            ).limit(0)
+            return self._residual_filter(base, where)
+        paths = [os.path.join(self._tdir(table), f) for f in rel_paths]
         if schema is not None:
             # metadata-resolved schema projection: files written before an
             # add-column read the new column as NULL; files written after a
             # time-travel target drop columns the target never had. No
             # mergeSchema footer listing — O(1) planning, not O(files).
-            return self.spark.read.schema(schema).parquet(*paths)
-        return self.spark.read.parquet(*paths)  # pre-evolution manifests
+            df = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            df = self.spark.read.parquet(*paths)  # pre-evolution manifests
+        return self._residual_filter(df, where)
 
     def read_changes(
-        self, table: str, since: int, until: int | None = None
+        self,
+        table: str,
+        since: int,
+        until: int | None = None,
+        where=None,
     ) -> DataFrame:
         """Incremental scan: rows appended in snapshots (since, until].
 
@@ -291,12 +572,23 @@ class TableCatalog:
         schema = self._schema_as_of(m, hi)
         if not added:
             if schema is not None:
-                return self.spark.createDataFrame([], schema)
-            return self.read(table).limit(0)
-        paths = [os.path.join(self._tdir(table), f) for f in added]
+                return self._residual_filter(
+                    self.spark.createDataFrame([], schema), where
+                )
+            return self._residual_filter(self.read(table).limit(0), where)
+        rel_paths, _ = self._select_files(m, added, where)
+        if not rel_paths:
+            if schema is not None:
+                return self._residual_filter(
+                    self.spark.createDataFrame([], schema), where
+                )
+            return self._residual_filter(self.read(table).limit(0), where)
+        paths = [os.path.join(self._tdir(table), f) for f in rel_paths]
         if schema is not None:
-            return self.spark.read.schema(schema).parquet(*paths)
-        return self.spark.read.parquet(*paths)
+            df = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            df = self.spark.read.parquet(*paths)
+        return self._residual_filter(df, where)
 
     def history(self, table: str) -> list[dict]:
         return self._load_manifest(table)["history"]

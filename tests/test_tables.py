@@ -188,3 +188,93 @@ def test_schema_evolution_incremental_and_replace(spark, cat):
     cat.compact("t", partitions=1)
     assert cat.read("t").columns == ["pk"]
     assert cat.read("t").count() == 5
+
+
+def test_stats_pruning_across_snapshots(spark, cat):
+    """Each append's footer stats land in the manifest; a point/range read
+    prunes whole part-files from metadata and still returns exactly what an
+    unpruned read + filter would."""
+    for lo in (0, 100, 200):
+        cat.append("t", spark.range(lo, lo + 100).coalesce(1))
+    rep = cat.scan_report("t", [("id", "=", 150)])
+    assert rep["parts_total"] == 3 and rep["parts_kept"] == 1
+    assert rep["dirs_without_stats"] == 0
+    got = sorted(r.id for r in cat.read("t", where=[("id", "=", 150)]).collect())
+    assert got == [150]
+    rep = cat.scan_report("t", [("id", ">=", 120), ("id", "<", 210)])
+    assert rep["parts_kept"] == 2
+    got = sorted(
+        r.id
+        for r in cat.read(
+            "t", where=[("id", ">=", 120), ("id", "<", 210)]
+        ).collect()
+    )
+    assert got == list(range(120, 210))
+    # predicate that nothing matches: zero files planned, empty result
+    rep = cat.scan_report("t", [("id", ">", 10_000)])
+    assert rep["parts_kept"] == 0
+    assert cat.read("t", where=[("id", ">", 10_000)]).count() == 0
+
+
+def test_cluster_by_prunes_within_one_snapshot(spark, cat):
+    """cluster_by range-sorts the write so a single append's part files
+    carry disjoint key ranges — a point lookup then opens one file."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 1000)
+        .withColumn("id", F.pmod(F.col("id") * 389, F.lit(1000)))
+        .repartition(7)  # deliberately scrambled before the write
+    )
+    cat.append("t", df, cluster_by=["id"], cluster_partitions=4)
+    rep0 = cat.scan_report("t", None)
+    assert rep0["parts_total"] > 1
+    rep = cat.scan_report("t", [("id", "=", 500)])
+    assert rep["parts_kept"] == 1
+    assert [r.id for r in cat.read("t", where=[("id", "=", 500)]).collect()] == [500]
+    # range read keeps only the covering files, never loses rows
+    rep = cat.scan_report("t", [("id", ">=", 900)])
+    assert rep["parts_kept"] < rep0["parts_total"]
+    assert cat.read("t", where=[("id", ">=", 900)]).count() == 100
+
+
+def test_pruning_with_schema_evolution_and_nulls(spark, cat):
+    """Files written before an add-column are all-NULL for it: comparison
+    predicates prune them from metadata alone; is_null keeps them."""
+    from pyspark.sql import functions as F
+
+    cat.append("t", spark.range(0, 5).coalesce(1))
+    cat.append(
+        "t",
+        spark.range(5, 9).select("id", F.lit("web").alias("source")).coalesce(1),
+    )
+    rep = cat.scan_report("t", [("source", "=", "web")])
+    assert rep["parts_total"] == 2 and rep["parts_kept"] == 1
+    assert cat.read("t", where=[("source", "=", "web")]).count() == 4
+    rep = cat.scan_report("t", [("source", "is_null")])
+    assert rep["parts_kept"] == 1
+    assert cat.read("t", where=[("source", "is_null")]).count() == 5
+    assert cat.read("t", where=[("source", "is_not_null")]).count() == 4
+
+
+def test_pruning_strings_and_read_changes(spark, cat):
+    from pyspark.sql import functions as F
+
+    hosts = [("a.example", 1), ("b.example", 2)]
+    s0 = 0
+    for h, k in hosts:
+        cat.append(
+            "t",
+            spark.range(0, 10).select(
+                F.lit(h).alias("host"), (F.col("id") + 10 * k).alias("rank")
+            ).coalesce(1),
+        )
+    rep = cat.scan_report("t", [("host", "=", "b.example")])
+    assert rep["parts_total"] == 2 and rep["parts_kept"] == 1
+    # incremental scan composes with pruning and stays exact
+    delta = cat.read_changes("t", since=s0, where=[("host", "=", "a.example")])
+    assert delta.count() == 10
+    assert cat.read_changes("t", since=1, where=[("host", "=", "a.example")]).count() == 0
+    # "in" and incomparable-literal conservatism
+    assert cat.read("t", where=[("host", "in", ["a.example", "zz"])]).count() == 10
+    assert cat.read("t", where=[("rank", "=", 15)]).count() == 1
