@@ -128,6 +128,11 @@ def get_spark(
         # page-size corpora. 16 MB compressed ≈ 150-200 MB decoded per task.
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
+        # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96: INT96
+        # carries no usable parquet footer min/max, which blinds both the
+        # catalog's manifest-stats file skipping and parquet row-group
+        # skipping on every timestamp column (warc_ts, tx_date).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     # Only pin the master when we are not running under spark-submit.
     if "SPARK_SUBMIT_MODE" not in os.environ:

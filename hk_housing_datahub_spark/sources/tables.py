@@ -115,15 +115,23 @@ class TableCatalog:
                     if "." in name:  # nested leaf — ordering undefined here
                         cols[name] = None
                         continue
-                    st = ch.statistics
-                    if st is None or not st.has_null_count:
+                    try:
+                        st = ch.statistics
+                        if st is None or not st.has_null_count:
+                            cols[name] = None
+                            continue
+                        nulls = st.null_count
+                        if st.has_min_max:
+                            lo = self._json_stat(st.min)
+                            hi = self._json_stat(st.max)
+                        else:
+                            lo = hi = None
+                    except Exception:
+                        # pyarrow can't extract stats for every physical
+                        # type (e.g. INT96 timestamps) — such columns just
+                        # never prune
                         cols[name] = None
                         continue
-                    nulls = st.null_count
-                    if st.has_min_max:
-                        lo, hi = self._json_stat(st.min), self._json_stat(st.max)
-                    else:
-                        lo = hi = None
                     if (lo is None or hi is None) and nulls < ch.num_values:
                         # non-null values exist but no usable bounds
                         # (parquet num_values counts nulls too)
@@ -161,8 +169,20 @@ class TableCatalog:
             except UnicodeDecodeError:
                 return None
         if hasattr(v, "isoformat"):
+            # normalize to UTC-naive ISO so footer stats (tz-aware, parquet
+            # isAdjustedToUTC) and predicate literals (naive, session tz is
+            # UTC) land in one comparable text form
+            if getattr(v, "tzinfo", None) is not None:
+                from datetime import timezone
+
+                v = v.astimezone(timezone.utc).replace(tzinfo=None)
             return v.isoformat()
-        return v
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        # Decimal etc.: JSON round-trip or ordering isn't guaranteed — omit
+        # the bound (the column simply never prunes) rather than risk a
+        # wrong-way rounding that would skip a matching file.
+        return None
 
     # ------------------------------------------------------------------ api
     def create(self, table: str, schema) -> bool:
@@ -352,14 +372,109 @@ class TableCatalog:
             op = h["op"]
             if op == "append":
                 files = files + h.get("added", [])
+            elif op == "merge":
+                removed = set(h.get("removed", []))
+                files = [f for f in files if f not in removed] + h.get(
+                    "added", []
+                )
             elif op in ("replace", "compact"):
                 files = list(h.get("added", []))
         return files
 
+    def merge_upsert(
+        self, table: str, updates: DataFrame, keys: list[str]
+    ) -> int:
+        """Copy-on-write MERGE: rows of ``updates`` replace committed rows
+        with the same key tuple; unmatched update rows are inserted
+        (Iceberg's ``MERGE INTO … WHEN MATCHED UPDATE / NOT MATCHED
+        INSERT``). The reference's re-crawl path needs exactly this —
+        a listing fetched again overwrites its earlier fields
+        (/root/reference/src/processors/agency/agency_base.py upsert-by-id
+        loop) — and append+dedup cannot express it.
+
+        Scale shape: the manifest min/max stats of the key columns select
+        which committed file-dirs can possibly contain a matched key; ONLY
+        those dirs are read and rewritten (one snapshot-dir = one commit's
+        files — commit granularity, coarser than Iceberg's per-file rewrite
+        but the same contract). Every other dir is carried into the new
+        snapshot untouched: merge cost is O(overlapping dirs + updates),
+        not O(table). Clustered appends (``cluster_by``) make the overlap
+        test sharp. Time travel to pre-merge snapshots still sees the old
+        rows (rewritten dirs stay on disk until ``vacuum``); incremental
+        reads across a merge raise, as for ``replace`` — a merge rewrites
+        history, it is not an append."""
+        from pyspark.sql import functions as F
+
+        m = self._load_manifest(table)
+        self._check_write_schema(m, updates, table)
+        cur_files = m["files"]
+        # metadata overlap test: updates' global key ranges vs file stats
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"_lo_{k}"), F.max(k).alias(f"_hi_{k}")]
+        bounds = updates.agg(*aggs).collect()[0].asDict()
+        if all(v is None for v in bounds.values()) and updates.isEmpty():
+            return m["snapshot"]  # nothing to merge
+        overlap_where = []
+        for k in keys:
+            lo, hi = bounds[f"_lo_{k}"], bounds[f"_hi_{k}"]
+            if lo is not None:
+                overlap_where.append((k, ">=", lo))
+            if hi is not None:
+                overlap_where.append((k, "<=", hi))
+        touched: list[str] = []
+        for d in cur_files:
+            kept_parts, _ = self._select_files(
+                m, [d], overlap_where if overlap_where else None
+            )
+            if kept_parts:
+                touched.append(d)
+        untouched = [f for f in cur_files if f not in set(touched)]
+        if touched:
+            paths = [os.path.join(self._tdir(table), f) for f in touched]
+            schema = self._schema_as_of(m)
+            old = (
+                self.spark.read.schema(schema).parquet(*paths)
+                if schema is not None
+                else self.spark.read.parquet(*paths)
+            )
+            survivors = old.join(
+                updates.select(*keys).distinct(), keys, "left_anti"
+            )
+            out = survivors.unionByName(
+                updates, allowMissingColumns=True
+            )
+        else:
+            out = updates
+        snap = m["snapshot"] + 1
+        new_files, n, fstats = self._write_data(table, out, snap)
+        m["snapshot"] = snap
+        m["files"] = untouched + new_files
+        m["history"].append(
+            {
+                "snapshot": snap,
+                "op": "merge",
+                "rows": n,
+                "added": new_files,
+                "removed": touched,
+                "schema": out.schema.json(),
+                "file_stats": fstats,
+            }
+        )
+        self._commit(table, m)
+        return snap
+
     # ------------------------------------------------- stats-based pruning
-    @staticmethod
-    def _norm_pred_value(v):
-        return v.isoformat() if hasattr(v, "isoformat") else v
+    @classmethod
+    def _norm_pred_value(cls, v):
+        """Predicate literals go through the same normalization as the
+        stored stats so the two compare in one domain; a literal the stats
+        domain can't represent normalizes to None, which every comparison
+        treats as unknown → keep the file (the residual filter still applies
+        the original literal exactly)."""
+        if isinstance(v, (bytes, str, bool, int, float)) or v is None:
+            return v if not isinstance(v, bytes) else cls._json_stat(v)
+        return cls._json_stat(v)
 
     @classmethod
     def _part_may_match(cls, pstat: dict, schema_cols, col, op, val) -> bool:
@@ -560,9 +675,9 @@ class TableCatalog:
         added: list[str] = []
         for h in m["history"]:
             if since < h["snapshot"] <= hi:
-                if h["op"] == "replace":
+                if h["op"] in ("replace", "merge"):
                     raise ValueError(
-                        f"table {table} was replaced at snapshot "
+                        f"table {table} was {h['op']}d at snapshot "
                         f"{h['snapshot']}; incremental read since {since} "
                         "is not append-only — restart from a full read"
                     )

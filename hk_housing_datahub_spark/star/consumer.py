@@ -59,7 +59,8 @@ def maintain_monthly_rollup(
 ) -> int:
     """Refresh ROLLUP_TABLE with the transactions appended since its own
     recorded cursor. Returns the number of delta rows applied (0 = caught
-    up). Safe to call at any time, any number of times."""
+    up; -1 = upstream history was rewritten and the rollup was rebuilt from
+    a full scan). Safe to call at any time, any number of times."""
     head = cat.current_snapshot(tx_table)
     try:
         cur = cat.read(ROLLUP_TABLE)
@@ -69,7 +70,21 @@ def maintain_monthly_rollup(
         cur, as_of = None, 0
     if head <= as_of:
         return 0  # caught up (or a replayed refresh) — no-op
-    delta = cat.read_changes(tx_table, since=as_of, until=head).persist()
+    try:
+        delta = cat.read_changes(tx_table, since=as_of, until=head)
+    except ValueError:
+        # upstream history was rewritten (replace / merge-upsert — e.g. a
+        # re-crawl correcting committed listings): the delta stream is no
+        # longer append-only, so incremental maintenance is unsound. Rebuild
+        # from the rewritten table and re-pin the cursor at its head — the
+        # same atomic store-offsets-with-data commit, just O(table) once.
+        full = _aggregate(cat.read(tx_table, snapshot=head))
+        cat.replace(
+            ROLLUP_TABLE,
+            full.withColumn("as_of_snapshot", F.lit(head).cast("long")),
+        )
+        return -1  # signal: rebuilt, not incremental
+    delta = delta.persist()
     n_delta = delta.count()
     partial = _aggregate(delta)
     merged = partial if cur is None else _merge(cur, partial)

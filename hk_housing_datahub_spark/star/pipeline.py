@@ -91,7 +91,11 @@ class _Progress:
 
 
 def _append_deduped(
-    catalog: TableCatalog, table: str, rows: DataFrame, bloom=None
+    catalog: TableCatalog,
+    table: str,
+    rows: DataFrame,
+    bloom=None,
+    cluster: tuple[list[str], int | None] | None = None,
 ) -> int:
     """Dedup a batch against the committed table, append only new keys.
 
@@ -112,8 +116,14 @@ def _append_deduped(
     The batch frame is persisted across its uses (classify, count, then
     write) so the extraction lineage — including the nested-JSON render
     upstream — runs once, not per consumer; the known count also lets
-    the catalog skip its post-write verification re-read."""
+    the catalog skip its post-write verification re-read.
+
+    ``cluster=(keys, partitions)`` range-sorts the appended files on those
+    columns so the manifest min/max stats prune later time/key-bounded
+    reads of the table (catalog ``where=`` scans) down to the covering
+    files."""
     pk = STAR_PRIMARY_KEYS[table]
+    ck, cp = cluster if cluster else (None, None)
     for c in pk:
         rows = rows.filter(F.col(c).isNotNull())
     if bloom is None:
@@ -122,7 +132,9 @@ def _append_deduped(
         try:
             n = fresh.count()
             if n:
-                catalog.append(table, fresh, rows=n)
+                catalog.append(
+                    table, fresh, rows=n, cluster_by=ck, cluster_partitions=cp
+                )
         finally:
             fresh.unpersist()
         return n
@@ -145,7 +157,9 @@ def _append_deduped(
         # so they double as the exact append count — no separate count job
         n = bloom.update(table, fresh.select(*pk), pk)
         if n:
-            catalog.append(table, fresh, rows=n)
+            catalog.append(
+                table, fresh, rows=n, cluster_by=ck, cluster_partitions=cp
+            )
     finally:
         probed.unpersist()
     return n
@@ -156,6 +170,7 @@ def _append_tables_parallel(
     frames: dict[str, DataFrame],
     bloom=None,
     max_workers: int = 8,
+    cluster_keys: dict[str, tuple[list[str], int | None]] | None = None,
 ) -> dict[str, int]:
     """Run ``_append_deduped`` for several tables concurrently.
 
@@ -170,13 +185,17 @@ def _append_tables_parallel(
     (the persisted batch slice) is computed once; Spark's block-level
     cache locking makes concurrent first-readers wait, not recompute."""
     items = list(frames.items())
+    ck = cluster_keys or {}
     if max_workers <= 1 or len(items) <= 1:
-        return {t: _append_deduped(catalog, t, df, bloom) for t, df in items}
+        return {
+            t: _append_deduped(catalog, t, df, bloom, ck.get(t))
+            for t, df in items
+        }
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(max_workers, len(items))) as ex:
         futures = {
-            t: ex.submit(_append_deduped, catalog, t, df, bloom)
+            t: ex.submit(_append_deduped, catalog, t, df, bloom, ck.get(t))
             for t, df in items
         }
         return {t: f.result() for t, f in futures.items()}
@@ -192,6 +211,7 @@ def run_star_pipeline(
     state_dir: str | None = None,
     use_pk_bloom: bool = True,
     max_parallel_tables: int = 8,
+    cluster_keys: dict[str, tuple[list[str], int | None]] | None = None,
 ) -> dict[str, int]:
     """Run the full two-stage batched load; returns rows appended per table
     (zero for batches skipped on resume).
@@ -203,7 +223,13 @@ def run_star_pipeline(
 
     ``max_parallel_tables`` appends that many tables concurrently within
     a batch (driver threads submitting independent Spark jobs); 1 falls
-    back to strictly sequential appends."""
+    back to strictly sequential appends.
+
+    ``cluster_keys`` maps table → (sort columns, file count) to range-sort
+    that table's appended files (e.g. ``{"transactions": (["tx_date"],
+    4)}``): time-bounded serving reads then skip non-covering files from
+    manifest stats alone. Costs one extra shuffle per batch append of that
+    table — the standard write-time/read-time trade, off by default."""
     from ..sources.pkbloom import PKBloomIndex
 
     create_star_tables(catalog)
@@ -237,7 +263,7 @@ def run_star_pipeline(
             batch_monthly
         )
         for t, n in _append_tables_parallel(
-            catalog, frames, bloom, max_parallel_tables
+            catalog, frames, bloom, max_parallel_tables, cluster_keys
         ).items():
             appended[t] += n
         batch_est.unpersist()
@@ -258,6 +284,7 @@ def run_star_pipeline(
             {t: tables[t] for t in BUILDING_TABLES},
             bloom,
             max_parallel_tables,
+            cluster_keys,
         ).items():
             appended[t] += n
         batch_bld.unpersist()

@@ -659,3 +659,75 @@ def test_incremental_rollup_exactly_once(spark, tmp_path):
     # the cursor the rollup claims is exactly the head it aggregates
     as_of = cat.read(ROLLUP_TABLE).select(F.max("as_of_snapshot")).first()[0]
     assert int(as_of) == cat.current_snapshot("transactions")
+
+
+def test_rollup_rebuilds_after_upstream_merge(spark, tmp_path):
+    """A merge-upsert on the transactions table (re-crawl correcting
+    committed listings) breaks append-only incremental maintenance; the
+    consumer detects it, rebuilds from a full scan, re-pins its cursor,
+    and subsequent appends go back to O(delta) refreshes."""
+    from hk_housing_datahub_spark.star.consumer import (
+        maintain_monthly_rollup,
+        rollup_vs_full_recompute,
+    )
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+
+    def tx(lo, hi, price_bump=0.25):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("T"), "id").alias("tx_id"),
+            F.timestamp_seconds(
+                F.lit(1500000000) + F.col("id") * 86400 * 3
+            ).alias("tx_date"),
+            (F.col("id") * 1000 + price_bump).alias("price"),
+            F.lit(None).cast("timestamp").alias("last_tx_date"),
+            F.lit(None).cast("double").alias("gain"),
+            F.lit(None).cast("double").alias("net_ft_price"),
+            F.concat(F.lit("U"), F.pmod("id", F.lit(7))).alias("unit_id"),
+        )
+
+    cat.append("transactions", tx(0, 60))
+    assert maintain_monthly_rollup(spark, cat) == 60
+    # re-crawl corrects 10 committed transactions' prices
+    cat.merge_upsert("transactions", tx(20, 30, price_bump=999.75), keys=["tx_id"])
+    assert maintain_monthly_rollup(spark, cat) == -1  # rebuilt, not incremental
+    inc, full = rollup_vs_full_recompute(spark, cat)
+    assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in full.collect()}
+    # back to incremental after the rebuild
+    cat.append("transactions", tx(60, 80))
+    assert maintain_monthly_rollup(spark, cat) == 20
+    inc, full = rollup_vs_full_recompute(spark, cat)
+    assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_pipeline_clustered_transactions_prune_serving_reads(
+    spark, sf_small, tmp_path
+):
+    """cluster_keys range-sorts each transactions append on tx_date, so a
+    time-bounded serving read skips non-covering files from manifest stats
+    alone — and returns exactly what an unpruned filter would."""
+    from hk_housing_datahub_spark.star import run_star_pipeline
+
+    est, monthly, bld = _pipeline_inputs(spark, sf_small)
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    run_star_pipeline(
+        spark,
+        cat,
+        est,
+        monthly,
+        bld,
+        n_batches=2,
+        cluster_keys={"transactions": (["tx_date"], 4)},
+    )
+    lo = cat.read("transactions").agg(F.min("tx_date")).first()[0]
+    hi = cat.read("transactions").agg(F.max("tx_date")).first()[0]
+    cut = lo + (hi - lo) * 7 // 8
+    rep = cat.scan_report("transactions", [("tx_date", ">=", cut)])
+    assert rep["parts_total"] >= 8  # 2 batches × 4 clustered files
+    assert 0 < rep["parts_kept"] < rep["parts_total"]
+    pruned = cat.read("transactions", where=[("tx_date", ">=", cut)])
+    full = cat.read("transactions").filter(F.col("tx_date") >= cut)
+    assert pruned.count() == full.count() > 0
+    assert {r.tx_id for r in pruned.collect()} == {
+        r.tx_id for r in full.collect()
+    }

@@ -278,3 +278,95 @@ def test_pruning_strings_and_read_changes(spark, cat):
     # "in" and incomparable-literal conservatism
     assert cat.read("t", where=[("host", "in", ["a.example", "zz"])]).count() == 10
     assert cat.read("t", where=[("rank", "=", 15)]).count() == 1
+
+
+def test_merge_upsert_rewrites_only_overlapping_dirs(spark, cat):
+    """COW merge: updates replace matched keys, insert unmatched ones, and
+    only snapshot dirs whose manifest key ranges overlap the updates are
+    rewritten — the others are carried into the new snapshot untouched."""
+    from pyspark.sql import functions as F
+
+    def mk(lo, hi, tag):
+        return spark.range(lo, hi).select(
+            "id", F.lit(tag).alias("v")
+        ).coalesce(1)
+
+    cat.append("t", mk(0, 100, "a"))
+    cat.append("t", mk(100, 200, "b"))
+    cat.append("t", mk(200, 300, "c"))
+    files_before = cat._load_manifest("t")["files"]
+    pre_merge_snap = cat.current_snapshot("t")
+
+    upd = mk(150, 160, "UPDATED").union(mk(300, 305, "NEW"))
+    cat.merge_upsert("t", upd, keys=["id"])
+
+    h = cat.history("t")[-1]
+    assert h["op"] == "merge"
+    # only the middle dir (100-200) and the insert range dir (200-300)?
+    # updates span 150..304 → overlaps dirs 2 and 3, not dir 1
+    assert files_before[0] not in h["removed"]
+    assert files_before[1] in h["removed"]
+    got = {r.id: r.v for r in cat.read("t").collect()}
+    assert len(got) == 305
+    assert got[0] == "a" and got[149] == "b" and got[199] == "b"
+    assert all(got[i] == "UPDATED" for i in range(150, 160))
+    assert all(got[i] == "NEW" for i in range(300, 305))
+    # time travel: pre-merge snapshot still shows the old rows
+    old = {r.id: r.v for r in cat.read("t", snapshot=pre_merge_snap).collect()}
+    assert len(old) == 300 and old[155] == "b"
+    # incremental read across the merge is refused
+    with pytest.raises(ValueError, match="merged"):
+        cat.read_changes("t", since=pre_merge_snap - 1)
+
+
+def test_merge_upsert_pure_insert_touches_nothing(spark, cat):
+    from pyspark.sql import functions as F
+
+    cat.append(
+        "t",
+        spark.range(0, 50).select("id", F.lit("x").alias("v")).coalesce(1),
+    )
+    files_before = list(cat._load_manifest("t")["files"])
+    cat.merge_upsert(
+        "t",
+        spark.range(1000, 1010).select("id", F.lit("y").alias("v")),
+        keys=["id"],
+    )
+    h = cat.history("t")[-1]
+    assert h["removed"] == []
+    assert set(files_before) < set(cat._load_manifest("t")["files"])
+    assert cat.read("t").count() == 60
+
+
+def test_pruning_timestamps(spark, cat):
+    """TIMESTAMP_MICROS writes carry footer min/max; tz-aware footer stats
+    and naive predicate literals normalize into one comparable domain."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    for day in (1, 10, 20):
+        cat.append(
+            "t",
+            spark.range(0, 24).select(
+                F.timestamp_seconds(
+                    F.lit(
+                        int(
+                            dt.datetime(
+                                2024, 3, day, tzinfo=dt.timezone.utc
+                            ).timestamp()
+                        )
+                    )
+                    + F.col("id") * 3600
+                ).alias("warc_ts"),
+                "id",
+            ).coalesce(1),
+        )
+    cut = dt.datetime(2024, 3, 15)
+    rep = cat.scan_report("t", [("warc_ts", ">=", cut)])
+    assert rep["parts_total"] == 3 and rep["parts_kept"] == 1
+    assert cat.read("t", where=[("warc_ts", ">=", cut)]).count() == 24
+    point = dt.datetime(2024, 3, 10, 5, 0, 0)
+    rep = cat.scan_report("t", [("warc_ts", "=", point)])
+    assert rep["parts_kept"] == 1
+    assert cat.read("t", where=[("warc_ts", "=", point)]).count() == 1
