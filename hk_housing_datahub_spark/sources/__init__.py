@@ -1,1 +1,5 @@
-from .tables import IncrementalConsumer, TableCatalog  # noqa: F401
+from .tables import (  # noqa: F401
+    CommitConflict,
+    IncrementalConsumer,
+    TableCatalog,
+)

@@ -45,6 +45,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed to this table between manifest load and
+    commit — the optimistic-concurrency failure Iceberg surfaces as
+    CommitFailedException. ``append`` retries internally (data files are
+    already on disk; only the metadata fold re-runs); replace / compact /
+    merge derive their file lists from the loaded base state, so a retry
+    must re-derive — they propagate the conflict to the caller."""
+
+
 class TableCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -65,12 +74,44 @@ class TableCatalog:
         with open(p) as f:
             return json.load(f)
 
-    def _commit(self, table: str, manifest: dict) -> None:
+    @staticmethod
+    def _version_of(m: dict) -> tuple[int, int]:
+        # (snapshot, history length): history length catches same-snapshot
+        # metadata commits (create) that a snapshot-only CAS would miss
+        return (m["snapshot"], len(m["history"]))
+
+    def _commit(
+        self, table: str, manifest: dict, expect: tuple[int, int] | None = None
+    ) -> None:
+        """Atomically publish the manifest. With ``expect`` (the version the
+        writer loaded), this is a compare-and-swap under a per-table file
+        lock — the optimistic-concurrency commit Iceberg runs against its
+        catalog: writers never block each other during data writes (the
+        expensive part), and a lost race costs one metadata retry, not a
+        data rewrite. Raises CommitConflict if another writer got there
+        first."""
         os.makedirs(self._tdir(table), exist_ok=True)
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path(table))
+        if expect is None:
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path(table))
+            return
+        import fcntl
+
+        lockp = os.path.join(self._tdir(table), ".commit.lock")
+        with open(lockp, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            cur = self._load_manifest(table)
+            if self._version_of(cur) != expect:
+                raise CommitConflict(
+                    f"table {table!r}: expected version {expect}, found "
+                    f"{self._version_of(cur)} — a concurrent commit won"
+                )
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path(table))
 
     def _write_data(
         self, table: str, df: DataFrame, snapshot: int, rows: int | None = None
@@ -195,9 +236,14 @@ class TableCatalog:
         m = self._load_manifest(table)
         if m.get("ddl") is not None or m["files"]:
             return False
+        expect = self._version_of(m)
         m["ddl"] = schema.json()
         m["history"].append({"snapshot": m["snapshot"], "op": "create"})
-        self._commit(table, m)
+        try:
+            self._commit(table, m, expect)
+        except CommitConflict:
+            # concurrent writer won the race; IF NOT EXISTS semantics hold
+            return False
         return True
 
     def schema_of(self, table: str, snapshot: int | None = None):
@@ -292,27 +338,43 @@ class TableCatalog:
             else:
                 df = df.repartitionByRange(*cluster_by)
             df = df.sortWithinPartitions(*cluster_by)
-        snap = m["snapshot"] + 1
-        new_files, n, fstats = self._write_data(table, df, snap, rows)
-        m["snapshot"] = snap
-        m["files"] = m["files"] + new_files
-        m["history"].append(
-            {
-                "snapshot": snap,
-                "op": "append",
-                "rows": n,
-                "added": new_files,
-                "schema": df.schema.json(),
-                "file_stats": fstats,
-            }
+        # data written once; only the metadata fold re-runs on a lost commit
+        # race (concurrent appenders to one table are valid — each publishes
+        # its own snapshot, CAS-ordered)
+        new_files, n, fstats = self._write_data(
+            table, df, m["snapshot"] + 1, rows
         )
-        self._commit(table, m)
-        return snap
+        schema_json = df.schema.json()
+        for _ in range(100):
+            expect = self._version_of(m)
+            snap = m["snapshot"] + 1
+            m["snapshot"] = snap
+            m["files"] = m["files"] + new_files
+            m["history"].append(
+                {
+                    "snapshot": snap,
+                    "op": "append",
+                    "rows": n,
+                    "added": new_files,
+                    "schema": schema_json,
+                    "file_stats": fstats,
+                }
+            )
+            try:
+                self._commit(table, m, expect)
+                return snap
+            except CommitConflict:
+                m = self._load_manifest(table)
+                self._check_write_schema(m, df, table)
+        raise CommitConflict(
+            f"table {table!r}: append lost 100 consecutive commit races"
+        )
 
     def replace(self, table: str, df: DataFrame) -> int:
         """REPLACE TABLE semantics: new snapshot referencing only new files
         (old files stay on disk for time travel until vacuumed)."""
         m = self._load_manifest(table)
+        expect = self._version_of(m)
         snap = m["snapshot"] + 1
         new_files, n, fstats = self._write_data(table, df, snap)
         m["snapshot"] = snap
@@ -327,7 +389,7 @@ class TableCatalog:
                 "file_stats": fstats,
             }
         )
-        self._commit(table, m)
+        self._commit(table, m, expect)
         return snap
 
     def compact(self, table: str, partitions: int | None = None) -> int:
@@ -340,6 +402,7 @@ class TableCatalog:
         compact entries — a consumer's delta is unaffected because row
         content never changed. Returns the new snapshot id."""
         m = self._load_manifest(table)
+        expect = self._version_of(m)
         cur = self.read(table)
         if partitions:
             cur = cur.coalesce(partitions)
@@ -357,7 +420,7 @@ class TableCatalog:
                 "file_stats": fstats,
             }
         )
-        self._commit(table, m)
+        self._commit(table, m, expect)
         return snap
 
     def _files_at(self, m: dict, snapshot: int) -> list[str]:
@@ -406,6 +469,7 @@ class TableCatalog:
         from pyspark.sql import functions as F
 
         m = self._load_manifest(table)
+        expect = self._version_of(m)
         self._check_write_schema(m, updates, table)
         cur_files = m["files"]
         # metadata overlap test: updates' global key ranges vs file stats
@@ -461,7 +525,7 @@ class TableCatalog:
                 "file_stats": fstats,
             }
         )
-        self._commit(table, m)
+        self._commit(table, m, expect)
         return snap
 
     # ------------------------------------------------- stats-based pruning
