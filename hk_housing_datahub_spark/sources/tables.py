@@ -591,7 +591,9 @@ class TableCatalog:
         by_dir: dict[str, dict] = {}
         for h in m["history"]:
             for d in h.get("added", []):
-                by_dir[d] = h
+                # first writer wins: a rollback re-references earlier dirs
+                # without stats; the original entry carries them
+                by_dir.setdefault(d, h)
         norm = []
         for conj in where or []:
             c, op, v = conj if len(conj) == 3 else (*conj, None)
@@ -768,6 +770,50 @@ class TableCatalog:
         else:
             df = self.spark.read.parquet(*paths)
         return self._residual_filter(df, where)
+
+    def rollback(self, table: str, snapshot: int) -> int:
+        """Restore the table to ``snapshot``'s state as a NEW commit
+        (Iceberg's ``rollback_to_snapshot``): the bad-batch undo. Pure
+        metadata — the old snapshot's file list and schema are re-published
+        under a new version; no data moves, the bad snapshots' files simply
+        stop being referenced (and expire at the next ``vacuum``). History
+        is append-only: the rollback itself is recorded, so lineage shows
+        both the mistake and the undo. Downstream incremental consumers see
+        it as a history rewrite (their ``read_changes`` raises) and rebuild,
+        exactly as for ``merge``/``replace``."""
+        m = self._load_manifest(table)
+        expect = self._version_of(m)
+        if snapshot > m["snapshot"]:
+            raise ValueError(
+                f"table {table!r} has no snapshot {snapshot} to roll back to"
+            )
+        files = self._files_at(m, snapshot)
+        schema = self._schema_as_of(m, snapshot)
+        snap = m["snapshot"] + 1
+        m["snapshot"] = snap
+        m["files"] = files
+        entry = {
+            "snapshot": snap,
+            "op": "replace",  # downstream semantics of a history rewrite
+            "rolled_back_to": snapshot,
+            "added": files,
+        }
+        # row count from the referenced files' manifest stats — metadata
+        # only; omitted if any referenced dir predates stats collection
+        part_rows: dict[str, int] = {}
+        for h in m["history"]:
+            for p, ps in (h.get("file_stats") or {}).items():
+                part_rows.setdefault(p, ps.get("rows", 0))
+        per_dir: dict[str, int] = {}
+        for p, r in part_rows.items():
+            per_dir[os.path.dirname(p)] = per_dir.get(os.path.dirname(p), 0) + r
+        if all(d in per_dir for d in files):
+            entry["rows"] = sum(per_dir[d] for d in files)
+        if schema is not None:
+            entry["schema"] = schema.json()
+        m["history"].append(entry)
+        self._commit(table, m, expect)
+        return snap
 
     def history(self, table: str) -> list[dict]:
         return self._load_manifest(table)["history"]

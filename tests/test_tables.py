@@ -400,3 +400,31 @@ def test_concurrent_appends_cas_lose_nothing(spark, cat):
     cat.append("t", spark.range(200, 210))
     with pytest.raises(CommitConflict):
         cat._commit("t", m, expect=cat._version_of(m))
+
+
+def test_rollback_restores_snapshot_as_new_commit(spark, cat):
+    """rollback_to_snapshot semantics: pure-metadata undo of bad commits,
+    recorded in history; data pruning still works on restored dirs;
+    incremental consumers past the rollback see a history rewrite."""
+    s1 = cat.append("t", spark.range(0, 50).coalesce(1))
+    s2 = cat.append("t", spark.range(50, 80).coalesce(1))
+    cat.append("t", spark.range(999, 1099).coalesce(1))  # the bad batch
+    assert cat.read("t").count() == 180
+    s4 = cat.rollback("t", s2)
+    assert s4 == 4
+    assert sorted(r.id for r in cat.read("t").collect()) == list(range(80))
+    h = cat.history("t")[-1]
+    assert h["rolled_back_to"] == s2 and h["rows"] == 80
+    # stats pruning still resolves through the rollback's re-referenced dirs
+    rep = cat.scan_report("t", [("id", "=", 60)])
+    assert rep["parts_total"] == 2 and rep["parts_kept"] == 1
+    # time travel to the bad snapshot still works until vacuum
+    assert cat.read("t", snapshot=3).count() == 180
+    # a consumer whose cursor predates the rollback must rebuild
+    with pytest.raises(ValueError, match="replaced"):
+        cat.read_changes("t", since=s1)
+    # vacuum expires the bad batch's files; current read unaffected
+    assert cat.vacuum("t") == 1
+    assert cat.read("t").count() == 80
+    with pytest.raises(ValueError, match="no snapshot"):
+        cat.rollback("t", 99)
