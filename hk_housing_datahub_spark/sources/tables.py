@@ -815,6 +815,76 @@ class TableCatalog:
         self._commit(table, m, expect)
         return snap
 
+    def add_files(
+        self, table: str, src_dir: str, lineage: dict | None = None
+    ) -> int:
+        """Iceberg's ``add_files`` procedure: commit an externally-written
+        parquet directory into the table as an append snapshot — METADATA
+        ONLY, zero data copied or moved. This is how bulk producers (the
+        crawl engine's per-wave ``listings/wave=N/`` directories) publish
+        into the catalog without paying a second write of the data: the
+        commit cost is one footer pass for stats + one manifest CAS,
+        independent of data size.
+
+        Semantics mirrored from Iceberg:
+        - duplicate-import guard (``check_duplicate_files``): a directory
+          already referenced by any live history entry is rejected, so a
+          crashed-and-replayed publisher cannot double the rows;
+        - imported files are *referenced, not owned*: they live outside the
+          table's ``data/`` root, so ``vacuum`` never deletes them — the
+          producer keeps ownership of its files;
+        - full citizens otherwise: footer stats are folded into the manifest
+          (reads prune them like native files), the write schema joins the
+          evolution fold, ``read_changes`` delivers them as a normal append
+          delta, time travel and rollback see them as one snapshot.
+
+        ``lineage`` (e.g. the crawl wave's per-partition watermark/row
+        metrics) is recorded verbatim on the snapshot entry.
+        """
+        src = os.path.abspath(src_dir)
+        if not os.path.isdir(src):
+            raise FileNotFoundError(f"add_files: no such directory {src!r}")
+        ext = self.spark.read.parquet(src)
+        fstats = self._collect_file_stats(src, src)
+        # row count from the footers just statted — no Spark count job
+        rows = (
+            sum(s["rows"] for s in fstats.values())
+            if fstats
+            else ext.count()
+        )
+        m = self._load_manifest(table)
+        for _ in range(100):
+            self._check_write_schema(m, ext, table)
+            if any(src in h.get("added", []) for h in m["history"]):
+                raise ValueError(
+                    f"add_files: {src!r} is already imported into table "
+                    f"{table!r} (duplicate-file guard)"
+                )
+            expect = self._version_of(m)
+            snap = m["snapshot"] + 1
+            m["snapshot"] = snap
+            m["files"] = m["files"] + [src]
+            entry = {
+                "snapshot": snap,
+                "op": "append",
+                "rows": rows,
+                "added": [src],
+                "schema": ext.schema.json(),
+                "file_stats": fstats,
+                "external": True,
+            }
+            if lineage:
+                entry["lineage"] = lineage
+            m["history"].append(entry)
+            try:
+                self._commit(table, m, expect)
+                return snap
+            except CommitConflict:
+                m = self._load_manifest(table)
+        raise CommitConflict(
+            f"table {table!r}: add_files lost 100 consecutive commit races"
+        )
+
     def history(self, table: str) -> list[dict]:
         return self._load_manifest(table)["history"]
 

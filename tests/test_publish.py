@@ -1,0 +1,174 @@
+"""add_files metadata-only import + crawl-wave → catalog-snapshot publish.
+
+The north rule's "frontier over Iceberg tables" integration: every crawl
+wave becomes a catalog snapshot (zero data copied), downstream consumers
+read waves incrementally, and crash-replay at any point never doubles rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.datagen import (
+    generate_pages,
+    generate_robots,
+    generate_seeds,
+)
+from hk_housing_datahub_spark.frontier import CrawlEngine
+from hk_housing_datahub_spark.frontier.publish import (
+    publish_crawl,
+    _published_waves,
+)
+from hk_housing_datahub_spark.sources import TableCatalog
+from hk_housing_datahub_spark.sources.tables import IncrementalConsumer
+
+
+@pytest.fixture()
+def cat(spark):
+    d = tempfile.mkdtemp(prefix="cat_")
+    yield TableCatalog(spark, d)
+    shutil.rmtree(d)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = generate_pages(spark, 600, n_hosts=10).cache()
+    seeds = generate_seeds(spark, 10, 600, n_hosts=10)
+    robots = generate_robots(spark, n_hosts=10)
+    pages.count()
+    return pages, seeds, robots
+
+
+def _engine(spark, corpus, tmp, **kw):
+    pages, seeds, robots = corpus
+    return CrawlEngine(spark, pages, robots, tmp, wave_ms=800, max_depth=2, **kw)
+
+
+def test_add_files_is_metadata_only_and_guarded(spark, cat):
+    ext = tempfile.mkdtemp(prefix="ext_")
+    try:
+        src = os.path.join(ext, "batch0")
+        spark.range(0, 100).withColumn(
+            "k", (F.col("id") % 4).cast("int")
+        ).coalesce(2).write.parquet(src)
+        before = {  # no file under the table's data/ root may appear
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(cat.root)
+            for f in fs
+        }
+        s1 = cat.add_files("t", src)
+        after = {
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(cat.root)
+            for f in fs
+        }
+        # metadata only: exactly the manifest (+lock) changed, no parquet
+        assert not any(p.endswith(".parquet") for p in after - before)
+        assert cat.read("t").count() == 100
+        h = cat.history("t")[-1]
+        assert h["external"] and h["rows"] == 100 and h["snapshot"] == s1
+        # footer stats folded → pruning works on imported files
+        rep = cat.scan_report("t", [("id", "=", 5)])
+        assert rep["parts_total"] == 2 and rep["parts_kept"] == 1
+        assert sorted(
+            r.id for r in cat.read("t", where=[("id", "<", 3)]).collect()
+        ) == [0, 1, 2]
+        # duplicate-import guard: replaying the same dir is rejected
+        with pytest.raises(ValueError, match="already imported"):
+            cat.add_files("t", src)
+        # imported files are referenced, not owned: vacuum leaves them
+        cat.replace("t", spark.range(0, 5).withColumn("k", F.lit(0)))
+        cat.vacuum("t")
+        assert os.path.isdir(src) and len(os.listdir(src)) > 0
+        # schema evolution fold applies to imports too
+        src2 = os.path.join(ext, "batch1")
+        spark.range(100, 110).withColumn("k", F.lit(1)).withColumn(
+            "extra", F.lit("x")
+        ).coalesce(1).write.parquet(src2)
+        cat.add_files("t", src2)
+        got = cat.read("t")
+        assert "extra" in got.columns
+        assert got.filter(F.col("extra").isNull()).count() == 5
+    finally:
+        shutil.rmtree(ext)
+
+
+def test_publish_crawl_wave_snapshots_incremental_and_replay(spark, cat, corpus):
+    tmp = tempfile.mkdtemp(prefix="crawlpub_")
+    try:
+        eng = _engine(spark, corpus, tmp)
+        res = publish_crawl(eng, corpus[1], cat, "listings", max_waves=4)
+        assert res.waves_published == sorted(res.waves_published)
+        assert len(res.waves_published) >= 2
+        # one catalog snapshot per wave, lineage carried on the entry
+        ext_entries = [h for h in cat.history("listings") if h.get("external")]
+        assert [h["lineage"]["wave"] for h in ext_entries] == res.waves_published
+        # catalog read == the engine's own listings output, row for row
+        cat_rows = cat.read("listings").count()
+        eng_rows = spark.read.parquet(os.path.join(tmp, "listings")).count()
+        assert cat_rows == eng_rows > 0
+        # incremental consumer sees exactly the post-cursor waves
+        w0 = res.waves_published[0]
+        delta = cat.read_changes("listings", since=res.snapshots[w0])
+        later = sum(h["rows"] for h in ext_entries[1:])
+        assert delta.count() == later
+        # re-running resumes the crawl: only NEW waves publish, committed
+        # ones are never re-imported (exactly-once), rows stay in lockstep
+        res2 = publish_crawl(eng, corpus[1], cat, "listings", max_waves=4)
+        assert not set(res2.waves_published) & set(res.waves_published)
+        assert cat.read("listings").count() == spark.read.parquet(
+            os.path.join(tmp, "listings")
+        ).count()
+    finally:
+        shutil.rmtree(tmp)
+
+
+def test_publish_reconciles_engine_committed_unpublished_wave(
+    spark, cat, corpus
+):
+    """Crash between the engine's wave commit and the catalog publish:
+    the next publish_crawl run imports the orphan wave FIRST, then
+    continues crawling — no wave lost, none doubled."""
+    tmp = tempfile.mkdtemp(prefix="crawlrec_")
+    try:
+        eng = _engine(spark, corpus, tmp)
+        eng.run(corpus[1], max_waves=1)  # wave 0 committed, never published
+        assert _published_waves(cat, "listings") == set()
+        res = publish_crawl(eng, corpus[1], cat, "listings", max_waves=3)
+        assert res.waves_published[0] == 0  # reconciled before new waves
+        ext_entries = [h for h in cat.history("listings") if h.get("external")]
+        waves = [h["lineage"]["wave"] for h in ext_entries]
+        assert waves == sorted(set(waves))  # each wave exactly once
+        cat_rows = cat.read("listings").count()
+        eng_rows = spark.read.parquet(os.path.join(tmp, "listings")).count()
+        assert cat_rows == eng_rows
+    finally:
+        shutil.rmtree(tmp)
+
+
+def test_incremental_consumer_over_published_waves(spark, cat, corpus):
+    """The star-consumer pattern over crawl output: a durable consumer
+    polls per-wave deltas; host totals folded from deltas == full read."""
+    tmp = tempfile.mkdtemp(prefix="crawlcons_")
+    try:
+        eng = _engine(spark, corpus, tmp)
+        publish_crawl(eng, corpus[1], cat, "listings", max_waves=4)
+        cons = IncrementalConsumer(cat, "host_counts")
+        totals: dict[str, int] = {}
+        for _ in range(3):  # poll → fold → commit, repeatedly
+            delta, head = cons.poll("listings")
+            for r in delta.groupBy("host").count().collect():
+                totals[r["host"]] = totals.get(r["host"], 0) + r["count"]
+            cons.commit("listings", head)
+        full = {
+            r["host"]: r["count"]
+            for r in cat.read("listings").groupBy("host").count().collect()
+        }
+        assert totals == full
+    finally:
+        shutil.rmtree(tmp)
