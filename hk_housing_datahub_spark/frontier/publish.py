@@ -96,13 +96,23 @@ def publish_crawl(
     catalog: TableCatalog,
     table: str,
     max_waves: int = 10,
+    publish_seen: bool = True,
 ) -> PublishResult:
     """Run (or resume) the crawl, committing every wave's listings into
     ``catalog.table`` as its own snapshot. Safe to re-run after a crash at
     any point: committed waves are never re-crawled, published waves are
     never re-imported, and an engine-committed-but-unpublished wave is
-    reconciled before crawling continues."""
+    reconciled before crawling continues.
+
+    With ``publish_seen`` (default), each wave's seen-set checkpoint is
+    also registered, as a metadata-only REPLACE of ``<table>_seen`` — the
+    north rule's "seen-set checkpointed to Iceberg": the current snapshot
+    is the live salted-bucket state, older snapshots time-travel to the
+    seen-set as of any earlier wave (until vacuum; the catalog never owns
+    or deletes the engine's checkpoint files)."""
     published = _published_waves(catalog, table)
+    seen_tbl = f"{table}_seen"
+    seen_published = _published_waves(catalog, seen_tbl)
     snapshots: dict[int, int] = {}
     waves: list[int] = []
 
@@ -113,6 +123,18 @@ def publish_crawl(
                 snapshots[w] = _publish_wave(catalog, table, engine, w)
                 published.add(w)
                 waves.append(w)
+            if publish_seen and w not in seen_published:
+                catalog.add_files(
+                    seen_tbl,
+                    os.path.join(engine.dir, f"seen_v{w}"),
+                    lineage={
+                        "wave": w,
+                        "seen_mode": engine.seen_mode,
+                        "seen_count": m.seen_count if m.wave == w else None,
+                    },
+                    mode="replace",
+                )
+                seen_published.add(w)
 
     _sync()  # reconcile a crash between engine commit and publish
     for _ in range(max_waves):

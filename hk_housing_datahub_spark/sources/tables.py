@@ -816,7 +816,11 @@ class TableCatalog:
         return snap
 
     def add_files(
-        self, table: str, src_dir: str, lineage: dict | None = None
+        self,
+        table: str,
+        src_dir: str,
+        lineage: dict | None = None,
+        mode: str = "append",
     ) -> int:
         """Iceberg's ``add_files`` procedure: commit an externally-written
         parquet directory into the table as an append snapshot — METADATA
@@ -840,7 +844,15 @@ class TableCatalog:
 
         ``lineage`` (e.g. the crawl wave's per-partition watermark/row
         metrics) is recorded verbatim on the snapshot entry.
+
+        ``mode="replace"`` publishes the directory as the table's ENTIRE new
+        state (REPLACE TABLE semantics, still metadata-only) — the shape for
+        full-state-per-version producers like the crawl's per-wave seen-set
+        checkpoints: the current snapshot references the latest wave's
+        directory, and time travel reads the seen-set *as of* any wave.
         """
+        if mode not in ("append", "replace"):
+            raise ValueError(f"add_files: unknown mode {mode!r}")
         src = os.path.abspath(src_dir)
         if not os.path.isdir(src):
             raise FileNotFoundError(f"add_files: no such directory {src!r}")
@@ -854,7 +866,8 @@ class TableCatalog:
         )
         m = self._load_manifest(table)
         for _ in range(100):
-            self._check_write_schema(m, ext, table)
+            if mode == "append":  # replace may redefine the schema outright
+                self._check_write_schema(m, ext, table)
             if any(src in h.get("added", []) for h in m["history"]):
                 raise ValueError(
                     f"add_files: {src!r} is already imported into table "
@@ -863,10 +876,10 @@ class TableCatalog:
             expect = self._version_of(m)
             snap = m["snapshot"] + 1
             m["snapshot"] = snap
-            m["files"] = m["files"] + [src]
+            m["files"] = (m["files"] + [src]) if mode == "append" else [src]
             entry = {
                 "snapshot": snap,
-                "op": "append",
+                "op": mode,
                 "rows": rows,
                 "added": [src],
                 "schema": ext.schema.json(),

@@ -117,6 +117,20 @@ def test_publish_crawl_wave_snapshots_incremental_and_replay(spark, cat, corpus)
         delta = cat.read_changes("listings", since=res.snapshots[w0])
         later = sum(h["rows"] for h in ext_entries[1:])
         assert delta.count() == later
+        # seen-set checkpointed to the catalog: current snapshot == the
+        # latest wave's state; time travel reads the seen-set as of wave 0
+        seen_hist = [h for h in cat.history("listings_seen") if h.get("external")]
+        assert [h["lineage"]["wave"] for h in seen_hist] == res.waves_published
+        assert all(h["op"] == "replace" for h in seen_hist)
+        last_w = res.waves_published[-1]
+        live = spark.read.parquet(os.path.join(tmp, f"seen_v{last_w}"))
+        assert cat.read("listings_seen").count() == live.count()
+        w0_seen = spark.read.parquet(os.path.join(tmp, f"seen_v{w0}"))
+        assert (
+            cat.read("listings_seen", snapshot=seen_hist[0]["snapshot"]).count()
+            == w0_seen.count()
+            < live.count()
+        )
         # re-running resumes the crawl: only NEW waves publish, committed
         # ones are never re-imported (exactly-once), rows stay in lockstep
         res2 = publish_crawl(eng, corpus[1], cat, "listings", max_waves=4)
@@ -124,6 +138,10 @@ def test_publish_crawl_wave_snapshots_incremental_and_replay(spark, cat, corpus)
         assert cat.read("listings").count() == spark.read.parquet(
             os.path.join(tmp, "listings")
         ).count()
+        seen_hist2 = [h for h in cat.history("listings_seen") if h.get("external")]
+        assert [h["lineage"]["wave"] for h in seen_hist2] == sorted(
+            res.waves_published + res2.waves_published
+        )
     finally:
         shutil.rmtree(tmp)
 
