@@ -33,6 +33,14 @@ def main() -> None:
     ap.add_argument("--max-depth", type=int, default=2)
     ap.add_argument("--max-attempts", type=int, default=1)
     ap.add_argument("--politeness-salt", type=int, default=0)
+    ap.add_argument(
+        "--catalog",
+        default="",
+        help="table-catalog root: publish each wave's listings as a catalog "
+        "snapshot (metadata-only add_files) and the seen-set as a "
+        "replace-mode snapshot of <table>_seen",
+    )
+    ap.add_argument("--catalog-table", default="listings")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_SUBMIT_MODE", "1")
@@ -63,7 +71,21 @@ def main() -> None:
         max_attempts=args.max_attempts,
         politeness_salt=args.politeness_salt,
     )
-    res = eng.run(seeds, max_waves=args.waves)
+    out: dict = {}
+    if args.catalog:
+        from hk_housing_datahub_spark.frontier import publish_crawl
+        from hk_housing_datahub_spark.sources import TableCatalog
+
+        cat = TableCatalog(spark, args.catalog)
+        pres = publish_crawl(
+            eng, seeds, cat, args.catalog_table, max_waves=args.waves
+        )
+        out["published_waves"] = pres.waves_published
+        out["catalog_snapshots"] = pres.snapshots
+        out["catalog_rows"] = cat.read(args.catalog_table).count()
+        res = eng.run(seeds, max_waves=0)  # summary from the manifest
+    else:
+        res = eng.run(seeds, max_waves=args.waves)
     print(
         json.dumps(
             {
@@ -71,6 +93,7 @@ def main() -> None:
                 "n_seen": res.n_seen,
                 "n_extracted": res.n_extracted,
                 "checkpoint": res.checkpoint_dir,
+                **out,
             }
         )
     )
