@@ -904,14 +904,22 @@ class TableCatalog:
     def current_snapshot(self, table: str) -> int:
         return self._load_manifest(table)["snapshot"]
 
-    def vacuum(self, table: str) -> int:
-        """Delete data dirs not referenced by the current snapshot — the
-        Iceberg ``expire_snapshots`` trade: reclaims space, expires time
-        travel to the removed snapshots."""
+    def vacuum(self, table: str, retain_last: int = 1) -> int:
+        """Delete owned data dirs not referenced by any of the last
+        ``retain_last`` snapshots — Iceberg's ``expire_snapshots(
+        retain_last=N)`` trade: reclaims space, expires time travel to the
+        removed snapshots, keeps it for the retained window. Also sweeps
+        orphans: dirs under ``data/`` that no live history entry references
+        (a writer that crashed between its data write and its manifest
+        commit). External (``add_files``-imported) directories are
+        referenced, not owned — never touched."""
         import shutil
 
         m = self._load_manifest(table)
-        keep = {os.path.basename(f) for f in m["files"]}
+        keep: set[str] = set()
+        lo = m["snapshot"] - max(1, retain_last) + 1
+        for s in range(lo, m["snapshot"] + 1):
+            keep |= {os.path.basename(f) for f in self._files_at(m, s)}
         data_root = os.path.join(self._tdir(table), "data")
         removed = 0
         if os.path.isdir(data_root):

@@ -428,3 +428,24 @@ def test_rollback_restores_snapshot_as_new_commit(spark, cat):
     assert cat.read("t").count() == 80
     with pytest.raises(ValueError, match="no snapshot"):
         cat.rollback("t", 99)
+
+
+def test_vacuum_retain_last_keeps_time_travel_window(spark, cat):
+    """expire_snapshots(retain_last=N): time travel survives inside the
+    retained window, expires outside it; current read always intact."""
+    cat.append("t", spark.range(0, 10).coalesce(1))
+    cat.append("t", spark.range(10, 20).coalesce(1))
+    cat.replace("t", spark.range(0, 5).coalesce(1))  # snapshot 3
+    cat.replace("t", spark.range(0, 7).coalesce(1))  # snapshot 4
+    # retain the last 2 snapshots: 3 and 4 → only snapshots 1-2's dirs go
+    assert cat.vacuum("t", retain_last=2) == 2
+    assert cat.read("t").count() == 7
+    assert cat.read("t", snapshot=3).count() == 5  # retained window
+    # expired: snapshot 2's files are gone
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        cat.read("t", snapshot=2).count()
+    # default retain_last=1 keeps only the current snapshot
+    assert cat.vacuum("t") == 1
+    assert cat.read("t").count() == 7
