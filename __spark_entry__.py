@@ -290,6 +290,44 @@ def _drop_near_dups(spark, sf):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _drop_dup_filters(spark, sf):
+    """The two corpus dedup filters union-merged under a method label (one
+    driver window slot carries both hash checks): exact keeps the lowest-id
+    doc per normalized fingerprint, near keeps each transitive near-dup
+    cluster's canonical doc."""
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    ex = _drop_exact_dups(spark, sf).select(
+        F.lit("exact").alias("method"), *cols
+    )
+    nr = _drop_near_dups(spark, sf).select(
+        F.lit("near").alias("method"), *cols
+    )
+    return ex.unionByName(nr)
+
+
+def _sample_pack_corpus(spark, sf):
+    """Deterministic training-data layout: stratified hash-sample the corpus
+    (50% en, 35% zh, 20% rest — md5-keyed, so membership is re-derivable by
+    any engine), then pack the sample head-to-tail into 20k-char bins within
+    256 hash buckets (operators/sampling.py, operators/packing.py)."""
+    from hk_housing_datahub_spark.operators.packing import pack_greedy
+    from hk_housing_datahub_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    samp = stratified_hash_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "zh": 0.35},
+        default_rate=0.2,
+        key_cols=["doc_id"],
+        salt="r3",
+    )
+    packed = pack_greedy(samp, "doc_id", "n_chars", budget=20_000)
+    return packed.select("doc_id", "lang", "bucket", "bin_id", "n_chars")
+
+
 def _lang_confusion(spark, sf):
     return TO.lang_confusion(_t(spark, sf, "documents"))
 
@@ -1122,8 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lang_profile": _corpus_lang_profile,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "dedup_clusters": _dedup_clusters,
-        "drop_exact_dups": _drop_exact_dups,
-        "drop_near_dups": _drop_near_dups,
+        "drop_dup_filters": _drop_dup_filters,
+        "sample_pack_corpus": _sample_pack_corpus,
         "lsh_dedup_drop": _lsh_dedup_drop,
         "lang_confusion": _lang_confusion,
         "quality_by_source": _quality_by_source,
@@ -1181,6 +1219,35 @@ def _norm_sql(col: str) -> str:
 
 _NORM = _norm_sql("text")
 _TOKS = f"string_split({_NORM}, ' ')"
+
+# Transitive near-dup survivor set (DuckDB recursive-CTE twin) — shared by
+# the drop_dup_filters union oracle and the composed LSH-dedup oracle.
+_NEAR_DROP_SQL = f"""
+            WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+                   FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                   WHERE len(t) >= 3),
+            sh AS (SELECT doc_id, s FROM sh0
+                   QUALIFY count(*) OVER (PARTITION BY s) <= 50),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            co AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+                   FROM sh l JOIN sh r USING (s) WHERE l.doc_id < r.doc_id
+                   GROUP BY 1, 2),
+            pairs AS (
+                SELECT a, b FROM co
+                JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+                WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+            edges AS (SELECT a AS s, b AS d FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            reach AS (
+                SELECT s AS n, d AS m FROM edges
+                UNION
+                SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+            lbl AS (SELECT n, min(m) AS mn FROM reach GROUP BY n)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
+            WHERE coalesce(least(l.n, l.mn), d.doc_id) = d.doc_id
+"""
 
 
 def _chunk_cte_sql(src_sql: str, id_col: str = "doc_id") -> str:
@@ -1812,39 +1879,41 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS is_canonical
             FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
         """,
-        "drop_exact_dups": f"""
-            SELECT doc_id, lang, source, n_chars FROM (
+        "drop_dup_filters": f"""
+            SELECT 'exact' AS method, doc_id, lang, source, n_chars FROM (
                 SELECT doc_id, lang, source, n_chars,
                        row_number() OVER (PARTITION BY md5({_NORM})
                                           ORDER BY doc_id) AS _rn
                 FROM documents)
             WHERE _rn = 1
+            UNION ALL
+            SELECT 'near' AS method, doc_id, lang, source, n_chars
+            FROM ({_NEAR_DROP_SQL})
         """,
-        "drop_near_dups": f"""
-            WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-            sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-                   FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
-                   WHERE len(t) >= 3),
-            sh AS (SELECT doc_id, s FROM sh0
-                   QUALIFY count(*) OVER (PARTITION BY s) <= 50),
-            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            co AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
-                   FROM sh l JOIN sh r USING (s) WHERE l.doc_id < r.doc_id
-                   GROUP BY 1, 2),
-            pairs AS (
-                SELECT a, b FROM co
-                JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-                WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
-            edges AS (SELECT a AS s, b AS d FROM pairs
-                      UNION SELECT b, a FROM pairs),
-            reach AS (
-                SELECT s AS n, d AS m FROM edges
-                UNION
-                SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
-            lbl AS (SELECT n, min(m) AS mn FROM reach GROUP BY n)
-            SELECT d.doc_id, d.lang, d.source, d.n_chars
-            FROM documents d LEFT JOIN lbl l ON l.n = d.doc_id
-            WHERE coalesce(least(l.n, l.mn), d.doc_id) = d.doc_id
+        # stratified md5 sampling + per-bucket offset packing: membership and
+        # bin assignment are decided by the same md5/window expressions in
+        # both engines, so the twin is bit-exact (operators/sampling.py,
+        # operators/packing.py)
+        "sample_pack_corpus": """
+            WITH samp AS (
+                SELECT doc_id, lang, n_chars
+                FROM documents
+                WHERE substr(md5(concat_ws(chr(31), 'r3',
+                                           CAST(doc_id AS VARCHAR))), 1, 8)
+                      < CASE lang WHEN 'en' THEN '80000000'
+                                  WHEN 'zh' THEN '59999999'
+                                  ELSE '33333333' END
+            )
+            SELECT doc_id, lang,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+                   CAST(floor(
+                       (sum(n_chars) OVER (
+                            PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_chars) / 20000.0) AS BIGINT) AS bin_id,
+                   n_chars
+            FROM samp
         """,
         "lang_confusion": """
             SELECT lang,
@@ -2083,7 +2152,7 @@ def oracle_sql() -> dict[str, str]:
     # The composed LSH dedup must land on the SAME survivor set as the
     # exact path — candidate verification makes precision exact and the
     # band design makes recall 1 on this corpus, so one twin serves both.
-    d["lsh_dedup_drop"] = d["drop_near_dups"]
+    d["lsh_dedup_drop"] = _NEAR_DROP_SQL
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless
     # and duplicate-free end to end.

@@ -1,0 +1,66 @@
+"""Sequence packing — assign documents to fixed-budget training bins.
+
+LLM pre-training wants examples packed head-to-tail into fixed token
+budgets (constant-length batches, no padding waste). True first-fit-
+decreasing is inherently sequential; the distributed re-statement here is
+**offset packing within salted buckets**:
+
+1. bucket each doc by a hash prefix of its id (256 buckets — uniform,
+   deterministic, engine-agnostic);
+2. within a bucket, lay docs head-to-tail in id order and give each doc
+   the bin its START offset falls in: ``bin = floor(cum_before / budget)``.
+
+Properties: fully parallel (each bucket is an independent window — one
+shuffle on the bucket key, no global sort); deterministic (same input →
+same bins, any cluster size); every bin except a bucket's last is filled
+to >= budget once its straddling doc lands (waste is bounded by one doc
+per bin boundary, the usual packing trade); oversized docs own their bins.
+At 10^10 docs the window state is one running sum per bucket partition —
+nothing driver-side.
+
+Oracle twin: the same two expressions (md5 prefix, windowed running sum)
+in DuckDB SQL — bit-identical assignment, which is the point: bin
+membership is re-derivable by any engine, so a training run's data layout
+is auditable after the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Add ``bucket`` (hash stratum) and ``bin_id`` (packing bin within the
+    bucket) to ``df``. ``weight_col`` is the doc's cost (tokens, chars);
+    ``budget`` the bin capacity; ``16**bucket_hex`` buckets."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, bucket_hex)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(weight_col).over(w) - F.col(weight_col)
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn(
+            "bin_id", F.floor(start / F.lit(float(budget))).cast("bigint")
+        )
+    )
+
+
+def bin_stats(packed: DataFrame, weight_col: str) -> DataFrame:
+    """Per-bin fill metrics — the packing-quality audit (bins short of
+    budget are the waste; only each bucket's tail bin should be short)."""
+    return packed.groupBy("bucket", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(weight_col).alias("fill"),
+    )

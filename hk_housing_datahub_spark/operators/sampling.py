@@ -1,0 +1,74 @@
+"""Deterministic corpus sampling — reproducible training-data downsampling.
+
+``rand()``-based sampling is non-reproducible across runs/planners and
+unstable under retries (a recomputed partition draws new randoms — rows
+flicker in and out of the sample). Hash sampling decides per ROW KEY:
+``md5(salt || key) < threshold`` — the same row is always in or always out,
+across runs, partitionings, engines, and retries. That determinism is what
+makes a 100-TB sample auditable (any engine can re-derive membership) and
+is why the oracle twin (DuckDB ``md5``) matches bit-for-bit.
+
+Scale: a pure JVM Column predicate in the scan — no shuffle, no UDF, no
+state; pushdown-friendly (the filter runs before anything else).
+
+Reference parity: the reference samples nothing (it crawls everything);
+this is part of the training-data battery the engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SEP = "\x1f"  # unit separator: never appears in keys worth sampling on
+
+
+def rate_to_hex(rate: float, digits: int = 8) -> str:
+    """Inclusion threshold for ``substr(md5, 1, digits) < threshold``.
+
+    The first ``digits`` hex chars of md5 are uniform on [0, 16^digits);
+    lexicographic compare of lowercase hex == numeric compare, identically
+    in every engine that prints lowercase md5 (Spark, DuckDB, Python)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * 16**digits), 16**digits - 1), f"0{digits}x")
+
+
+def _key_hash(key_cols: list[str], salt: str) -> Column:
+    return F.substring(
+        F.md5(
+            F.concat_ws(
+                _SEP, F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+            )
+        ),
+        1,
+        8,
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided deterministically by key hash.
+    Change ``salt`` to draw an independent sample of the same corpus."""
+    return df.where(_key_hash(key_cols, salt) < F.lit(rate_to_hex(rate)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    key_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum rates (e.g. keep 50% of ``en``, 20% of the rest) — the
+    corpus-rebalancing primitive. Same per-key determinism; the threshold
+    is a branch-free CASE on the stratum, still a single scan predicate."""
+    keys = key_cols or [strata_col]
+    thr: Column = F.lit(rate_to_hex(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(rate_to_hex(rate))
+        ).otherwise(thr)
+    return df.where(_key_hash(keys, salt) < thr)

@@ -1,0 +1,89 @@
+"""Deterministic hash sampling + per-bucket offset packing properties."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.operators.packing import bin_stats, pack_greedy
+from hk_housing_datahub_spark.operators.sampling import (
+    hash_sample,
+    rate_to_hex,
+    stratified_hash_sample,
+)
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def test_rate_to_hex_bounds():
+    assert rate_to_hex(0.0) == "00000000"
+    assert rate_to_hex(1.0) == "ffffffff"
+    assert rate_to_hex(0.5) == "80000000"
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, sf_small):
+    d = _docs(spark, sf_small)
+    a = {r.doc_id for r in hash_sample(d, ["doc_id"], 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(d.repartition(13), ["doc_id"], 0.3).collect()
+    }
+    assert a == b and a  # same membership under any partitioning
+    # monotone in rate: a smaller sample is a subset of a larger one
+    small = {r.doc_id for r in hash_sample(d, ["doc_id"], 0.1).collect()}
+    assert small <= a
+    # rate is approximately honored (md5 uniformity)
+    n = d.count()
+    assert abs(len(a) / n - 0.3) < 0.08
+    # a different salt draws a genuinely different sample
+    c = {r.doc_id for r in hash_sample(d, ["doc_id"], 0.3, salt="x").collect()}
+    assert c != a
+
+
+def test_stratified_rates_and_default(spark, sf_small):
+    d = _docs(spark, sf_small)
+    s = stratified_hash_sample(
+        d, "lang", {"en": 0.8, "zh": 0.2}, default_rate=0.0,
+        key_cols=["doc_id"],
+    )
+    got = {r["lang"]: r["n"] for r in
+           s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in
+           d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= {"en", "zh"}  # default 0 drops other strata entirely
+    assert abs(got["en"] / tot["en"] - 0.8) < 0.15
+    assert abs(got.get("zh", 0) / tot["zh"] - 0.2) < 0.15
+
+
+def test_pack_greedy_matches_sequential_recompute(spark, sf_small):
+    d = _docs(spark, sf_small).select("doc_id", "n_chars")
+    budget = 20_000
+    packed = pack_greedy(d, "doc_id", "n_chars", budget).toPandas()
+    # sequential twin: per bucket, lay docs head-to-tail in id order
+    for bucket, g in packed.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        start = g["n_chars"].cumsum() - g["n_chars"]
+        expect = (start // budget).astype("int64")
+        assert list(g["bin_id"]) == list(expect), f"bucket {bucket}"
+    # bins within a bucket are dense from 0
+    for _, g in packed.groupby("bucket"):
+        bins = sorted(set(g["bin_id"]))
+        assert bins[0] == 0 and bins == list(range(len(bins)))
+
+
+def test_bin_stats_fill_audit(spark, sf_small):
+    d = _docs(spark, sf_small).select("doc_id", "n_chars")
+    budget = 20_000
+    packed = pack_greedy(d, "doc_id", "n_chars", budget)
+    stats = bin_stats(packed, "n_chars").toPandas()
+    # every non-tail bin of a bucket reaches the budget once its straddling
+    # doc lands: fill >= budget - (weight that spilled into the next bin)
+    tail = stats.sort_values("bin_id").groupby("bucket").tail(1)
+    tail_keys = set(zip(tail["bucket"], tail["bin_id"]))
+    non_tail = stats[
+        ~stats.apply(lambda r: (r["bucket"], r["bin_id"]) in tail_keys, axis=1)
+    ]
+    max_w = d.agg(F.max("n_chars")).first()[0]
+    assert (non_tail["fill"] + max_w >= budget).all()
