@@ -179,3 +179,27 @@ def test_composed_pipelines_stay_vectorized(spark):
     assert "ArrowEvalPython" not in lsh
     assert "BatchEvalPython" not in lsh
     assert "CartesianProduct" not in lsh
+
+
+def test_sample_pack_one_exchange_and_pruned_scan(spark):
+    """sample_pack_corpus at 100 TB: the sampling predicate runs inside the
+    scan stage (never a separate pass), the scan reads only the 3 needed
+    columns (text never loads), and packing costs exactly ONE shuffle (the
+    bucket hash) with a per-bucket sort — no global sort anywhere."""
+    import __spark_entry__ as E
+
+    df = E.queries()["sample_pack_corpus"](spark, SF)
+    p = plan_of(df)
+    import re
+
+    assert p.count("+- Exchange") == 1, p  # tree section: one shuffle node
+    assert "hashpartitioning(bucket" in p, p
+    rs = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" not in rs and "doc_id" in rs and "n_chars" in rs, rs
+    # the md5 sampling threshold runs in the scan stage's Filter
+    assert "Condition : (substring(md5" in p, p
+    # per-bucket sort only — the trailing `false` = non-global sort
+    assert re.search(
+        r"Arguments: \[bucket#\d+L? ASC NULLS FIRST, doc_id#\d+L? ASC NULLS"
+        r" FIRST\], false", p
+    ), p
