@@ -173,6 +173,7 @@ def main() -> None:
             "search_similar",
             "wiki_pipeline_docs",
             "lsh_dedup_drop",
+            "sample_pack_corpus",
         ]
         qs = E.queries()
         for name in bench_queries:

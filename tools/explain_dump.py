@@ -49,6 +49,12 @@ def _wiki_docs(spark):
     return E.queries()["wiki_pipeline_docs"](spark, SF)
 
 
+def _sample_pack(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["sample_pack_corpus"](spark, SF)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -141,6 +147,15 @@ def main() -> None:
             "non-SQL-expressible stages); variant lookup, gating and section "
             "concat are codegen Column expressions.",
             _wiki_docs(spark),
+        ),
+        (
+            "Sample + pack (deterministic md5 sampling, bucketed offset packing)",
+            "Look for: the md5-threshold Filter fused into the scan stage "
+            "(sampling costs zero extra passes), a 3-column ReadSchema "
+            "(text never loads), exactly ONE Exchange "
+            "(hashpartitioning(bucket…)), and a NON-global Sort — packing "
+            "state is one running sum per bucket partition.",
+            _sample_pack(spark),
         ),
     ]
 
