@@ -54,6 +54,45 @@ def hash_sample(
     return df.where(_key_hash(key_cols, salt) < F.lit(rate_to_hex(rate)))
 
 
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    target_weights: dict[str, float],
+    total: int,
+    key_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Resample the corpus toward a target mixture: ``target_weights``
+    gives the desired share of each stratum in a ``total``-row output
+    (e.g. web 0.6, books 0.3, code 0.1 — the pre-training data-mixing
+    step). Per-stratum rates are derived from the actual stratum counts
+    (one aggregate; the per-stratum dict is tiny driver state) and capped
+    at 1.0 — an under-supplied stratum contributes everything it has and
+    the result is proportionally short, which is reported honestly rather
+    than silently re-normalized (the caller chooses whether to re-weight).
+
+    Membership is then decided by the same deterministic md5 rule as
+    :func:`stratified_hash_sample` — reproducible across runs, engines
+    and partitionings. Scale: one count aggregate + one scan predicate;
+    nothing else."""
+    weights = {k: float(v) for k, v in target_weights.items()}
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = {
+        k: min((w / wsum) * total / counts[k], 1.0)
+        for k, w in weights.items()
+        if counts.get(k)
+    }
+    return stratified_hash_sample(
+        df, strata_col, rates, default_rate=0.0, key_cols=key_cols, salt=salt
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,

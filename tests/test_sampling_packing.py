@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from hk_housing_datahub_spark.operators.packing import bin_stats, pack_greedy
 from hk_housing_datahub_spark.operators.sampling import (
     hash_sample,
+    mixture_sample,
     rate_to_hex,
     stratified_hash_sample,
 )
@@ -87,3 +88,43 @@ def test_bin_stats_fill_audit(spark, sf_small):
     ]
     max_w = d.agg(F.max("n_chars")).first()[0]
     assert (non_tail["fill"] + max_w >= budget).all()
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_small):
+    d = _docs(spark, sf_small)
+    srcs = [r["source"] for r in d.select("source").distinct().collect()]
+    assert len(srcs) >= 2
+    a, b = sorted(srcs)[:2]
+    total = 300
+    m = mixture_sample(
+        d, "source", {a: 0.7, b: 0.3}, total, key_cols=["doc_id"]
+    )
+    got = {r["source"]: r["n"] for r in
+           m.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= {a, b}
+    n = sum(got.values())
+    counts = {r["source"]: r["n"] for r in
+              d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # a stratum can only be short if it was under-supplied (rate capped)
+    if counts[a] >= 0.7 * total and counts[b] >= 0.3 * total:
+        assert abs(n - total) / total < 0.25
+        assert abs(got.get(a, 0) / n - 0.7) < 0.15
+    # determinism: same call → same membership
+    ids1 = {r.doc_id for r in m.collect()}
+    ids2 = {r.doc_id for r in mixture_sample(
+        d, "source", {a: 0.7, b: 0.3}, total, key_cols=["doc_id"]).collect()}
+    assert ids1 == ids2
+
+
+def test_mixture_sample_caps_undersupplied_stratum(spark, sf_small):
+    d = _docs(spark, sf_small)
+    counts = {r["source"]: r["n"] for r in
+              d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    rare = min(counts, key=counts.get)
+    # demand far more of the rare stratum than exists → rate caps at 1.0:
+    # every rare row is kept, none duplicated, and the result is short
+    m = mixture_sample(
+        d, "source", {rare: 1.0}, counts[rare] * 10, key_cols=["doc_id"]
+    )
+    assert m.count() == counts[rare]
+    assert m.select("source").distinct().collect()[0][0] == rare
