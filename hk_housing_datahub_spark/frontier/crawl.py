@@ -230,14 +230,15 @@ class CrawlEngine:
             # DURING this write (one action computes the schedule into
             # cache, writes the log, and counts) instead of a separate
             # count job.
+            # wave=N subdir + overwrite: a wave that crashed before its
+            # manifest commit is REWRITTEN on resume, not appended twice —
+            # the dir name carries the wave column (hive partition read).
             obs = Observation()
             (
                 wave_rows.observe(obs, F.count(F.lit(1)).alias("n"))
-                .select(
-                    F.lit(wave).alias("wave"), "host", "host_rank", "url_canon"
-                )
-                .write.mode("append")
-                .parquet(os.path.join(self.dir, "schedule"))
+                .select("host", "host_rank", "url_canon")
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.dir, "schedule", f"wave={wave}"))
             )
             n_sched = int(obs.get["n"])
             t = tick(f"schedule+log write+count ({n_sched})", t)
@@ -277,8 +278,12 @@ class CrawlEngine:
                 "outlinks",
             ).persist()
             # The wave=N partition directory encodes the wave; keeping the
-            # column in the files too would duplicate it on read.
-            listings.drop("outlinks", "wave").write.mode("append").parquet(
+            # column in the files too would duplicate it on read. Overwrite
+            # (not append): resuming a wave that crashed after this write
+            # but before the manifest commit replaces the dir instead of
+            # doubling its rows — exactly-once per wave survives a crash at
+            # ANY point, and catalog imports of the dir stay duplicate-free.
+            listings.drop("outlinks", "wave").write.mode("overwrite").parquet(
                 os.path.join(self.dir, "listings", f"wave={wave}")
             )
             t = tick("fetch+extract+listings write", t)

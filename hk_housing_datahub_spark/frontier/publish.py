@@ -58,13 +58,9 @@ class PublishResult:
 
 def _published_waves(catalog: TableCatalog, table: str) -> set[int]:
     """Waves already imported, from the snapshot entries' lineage."""
-    try:
-        hist = catalog.history(table)
-    except FileNotFoundError:
-        return set()
     return {
         h["lineage"]["wave"]
-        for h in hist
+        for h in catalog.history(table)
         if h.get("external") and "wave" in h.get("lineage", {})
     }
 
@@ -116,10 +112,20 @@ def publish_crawl(
     snapshots: dict[int, int] = {}
     waves: list[int] = []
 
+    def _has_parts(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        )
+
     def _sync() -> None:
         m = read_manifest(engine.dir)
         for w in m.waves_done if m else []:
             if w not in published:
+                # a committed wave can legitimately extract zero rows (all
+                # scheduled urls dead): nothing to import, nothing to wedge
+                # on — the wave is simply absent from the catalog
+                if not _has_parts(_wave_dir(engine, w)):
+                    continue
                 snapshots[w] = _publish_wave(catalog, table, engine, w)
                 published.add(w)
                 waves.append(w)
@@ -139,10 +145,9 @@ def publish_crawl(
     _sync()  # reconcile a crash between engine commit and publish
     for _ in range(max_waves):
         before = read_manifest(engine.dir)
-        res = engine.run(seeds, max_waves=1)
+        engine.run(seeds, max_waves=1)
         after = read_manifest(engine.dir)
         if after is None or (before is not None and after.wave == before.wave):
             break  # frontier drained — no new wave committed
         _sync()
-        del res
     return PublishResult(table=table, waves_published=waves, snapshots=snapshots)

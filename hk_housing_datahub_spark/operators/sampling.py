@@ -28,17 +28,32 @@ def rate_to_hex(rate: float, digits: int = 8) -> str:
 
     The first ``digits`` hex chars of md5 are uniform on [0, 16^digits);
     lexicographic compare of lowercase hex == numeric compare, identically
-    in every engine that prints lowercase md5 (Spark, DuckDB, Python)."""
+    in every engine that prints lowercase md5 (Spark, DuckDB, Python).
+    ``rate >= 1.0`` returns ``'g'*digits``, which sorts after every hex
+    string — keep-all must be expressible exactly (a strict ``<`` against
+    ``'ffffffff'`` would drop the ~1-in-2^32 rows whose prefix IS
+    ``ffffffff``, i.e. a couple of real rows per 10^10)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return format(min(int(rate * 16**digits), 16**digits - 1), f"0{digits}x")
+    if rate >= 1.0:
+        return "g" * digits
+    return format(int(rate * 16**digits), f"0{digits}x")
 
 
 def _key_hash(key_cols: list[str], salt: str) -> Column:
+    # NULL keys are coalesced to a sentinel BEFORE concat_ws, which would
+    # otherwise silently skip them — (a, NULL, b) must not hash like
+    # (a, b, NULL), and a NULL-keyed population must not move in and out
+    # of the sample as one block.
     return F.substring(
         F.md5(
             F.concat_ws(
-                _SEP, F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+                _SEP,
+                F.lit(salt),
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in key_cols
+                ],
             )
         ),
         1,
@@ -103,8 +118,18 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Per-stratum rates (e.g. keep 50% of ``en``, 20% of the rest) — the
     corpus-rebalancing primitive. Same per-key determinism; the threshold
-    is a branch-free CASE on the stratum, still a single scan predicate."""
-    keys = key_cols or [strata_col]
+    is a branch-free CASE on the stratum, still a single scan predicate.
+
+    ``key_cols`` must identify rows (e.g. the doc id). It is required:
+    hashing the stratum value itself would give every row of a stratum
+    the SAME hash, turning a 50% rate into all-or-nothing."""
+    if not key_cols:
+        raise ValueError(
+            "stratified sampling needs row-identifying key_cols; hashing "
+            f"the stratum column {strata_col!r} alone would include or "
+            "exclude each stratum wholesale"
+        )
+    keys = key_cols
     thr: Column = F.lit(rate_to_hex(default_rate))
     for value, rate in sorted(rates.items()):
         thr = F.when(

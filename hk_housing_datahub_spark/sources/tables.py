@@ -856,6 +856,12 @@ class TableCatalog:
         src = os.path.abspath(src_dir)
         if not os.path.isdir(src):
             raise FileNotFoundError(f"add_files: no such directory {src!r}")
+        if not any(f.endswith(".parquet") for f in os.listdir(src)):
+            # a schema-less import would poison every later read; callers
+            # with legitimately-empty batches should skip the commit
+            raise ValueError(
+                f"add_files: {src!r} contains no parquet part files"
+            )
         ext = self.spark.read.parquet(src)
         fstats = self._collect_file_stats(src, src)
         # row count from the footers just statted — no Spark count job
@@ -904,29 +910,52 @@ class TableCatalog:
     def current_snapshot(self, table: str) -> int:
         return self._load_manifest(table)["snapshot"]
 
-    def vacuum(self, table: str, retain_last: int = 1) -> int:
+    def vacuum(
+        self, table: str, retain_last: int = 1, orphan_age_s: float = 86_400
+    ) -> int:
         """Delete owned data dirs not referenced by any of the last
         ``retain_last`` snapshots — Iceberg's ``expire_snapshots(
         retain_last=N)`` trade: reclaims space, expires time travel to the
-        removed snapshots, keeps it for the retained window. Also sweeps
-        orphans: dirs under ``data/`` that no live history entry references
-        (a writer that crashed between its data write and its manifest
-        commit). External (``add_files``-imported) directories are
-        referenced, not owned — never touched."""
+        removed snapshots, keeps it for the retained window.
+
+        Dirs that appear in NO history entry at all are orphans — either a
+        writer that crashed between its data write and its manifest commit,
+        or a concurrent appender whose data is written but whose CAS commit
+        hasn't landed yet. Those two are indistinguishable from metadata, so
+        (like Iceberg's ``remove_orphan_files`` ``older_than`` guard) an
+        orphan is only deleted once its directory mtime is older than
+        ``orphan_age_s`` — a live appender's minutes-old dir survives.
+        External (``add_files``-imported) directories are referenced, not
+        owned — never touched."""
         import shutil
+        import time
 
         m = self._load_manifest(table)
         keep: set[str] = set()
         lo = m["snapshot"] - max(1, retain_last) + 1
         for s in range(lo, m["snapshot"] + 1):
             keep |= {os.path.basename(f) for f in self._files_at(m, s)}
+        known = {
+            os.path.basename(f)
+            for h in m["history"]
+            for f in h.get("added", [])
+        }
         data_root = os.path.join(self._tdir(table), "data")
         removed = 0
         if os.path.isdir(data_root):
+            now = time.time()
             for d in os.listdir(data_root):
-                if d not in keep:
-                    shutil.rmtree(os.path.join(data_root, d))
-                    removed += 1
+                if d in keep:
+                    continue
+                p = os.path.join(data_root, d)
+                if d not in known:  # orphan: age-guarded
+                    try:
+                        if now - os.path.getmtime(p) < orphan_age_s:
+                            continue
+                    except OSError:
+                        continue
+                shutil.rmtree(p)
+                removed += 1
         return removed
 
 

@@ -82,7 +82,10 @@ def main() -> None:
         )
         out["published_waves"] = pres.waves_published
         out["catalog_snapshots"] = pres.snapshots
-        out["catalog_rows"] = cat.read(args.catalog_table).count()
+        try:
+            out["catalog_rows"] = cat.read(args.catalog_table).count()
+        except FileNotFoundError:
+            out["catalog_rows"] = 0  # crawl published no waves
         res = eng.run(seeds, max_waves=0)  # summary from the manifest
     else:
         res = eng.run(seeds, max_waves=args.waves)

