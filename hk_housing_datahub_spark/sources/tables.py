@@ -271,6 +271,10 @@ class TableCatalog:
                 break
             if "schema" not in h:
                 continue
+            if h["op"] == "stage":
+                # staged rows are invisible; their schema joins the table
+                # only when published (the publish entry repeats it)
+                continue
             if h["op"] == "replace":
                 fields = {}  # REPLACE TABLE may redefine the schema outright
             for f in T.StructType.fromJson(json.loads(h["schema"])).fields:
@@ -309,6 +313,7 @@ class TableCatalog:
         rows: int | None = None,
         cluster_by: list[str] | None = None,
         cluster_partitions: int | None = None,
+        staged: bool = False,
     ) -> int:
         """Append rows as a new snapshot; readers see them only after the
         manifest commit. Returns the new snapshot id.
@@ -329,7 +334,15 @@ class TableCatalog:
         metadata-only scan planning on every later read.
         ``cluster_partitions`` fixes the file count (AQE otherwise coalesces
         small writes into one file, which defeats the point at test scale —
-        at 100 TB you'd size it to ~targetFileSize per partition)."""
+        at 100 TB you'd size it to ~targetFileSize per partition).
+
+        ``staged=True`` is the write half of write-audit-publish (Iceberg's
+        WAP pattern): the data is written and committed to HISTORY but not
+        to the table's visible file list — readers never see it until
+        ``publish_staged`` flips it in (or ``discard_staged`` drops it).
+        Audit jobs read the pending rows via ``read_staged``. The gate for
+        untrusted batches: a crawl wave is staged, validated, then
+        published, and a bad wave never becomes visible at all."""
         m = self._load_manifest(table)
         self._check_write_schema(m, df, table)
         if cluster_by:
@@ -349,11 +362,12 @@ class TableCatalog:
             expect = self._version_of(m)
             snap = m["snapshot"] + 1
             m["snapshot"] = snap
-            m["files"] = m["files"] + new_files
+            if not staged:
+                m["files"] = m["files"] + new_files
             m["history"].append(
                 {
                     "snapshot": snap,
-                    "op": "append",
+                    "op": "stage" if staged else "append",
                     "rows": n,
                     "added": new_files,
                     "schema": schema_json,
@@ -369,6 +383,69 @@ class TableCatalog:
         raise CommitConflict(
             f"table {table!r}: append lost 100 consecutive commit races"
         )
+
+    def _staged_entry(self, m: dict, snapshot: int) -> dict:
+        for h in m["history"]:
+            if h["snapshot"] == snapshot and h["op"] == "stage":
+                if h.get("resolved"):
+                    raise ValueError(
+                        f"staged snapshot {snapshot} was already "
+                        f"{h['resolved']}"
+                    )
+                return h
+        raise ValueError(f"no staged snapshot {snapshot}")
+
+    def read_staged(self, table: str, snapshot: int) -> DataFrame:
+        """The audit half of WAP: read exactly the rows a staged snapshot
+        would add, without them being visible to normal readers."""
+        m = self._load_manifest(table)
+        h = self._staged_entry(m, snapshot)
+        paths = [os.path.join(self._tdir(table), f) for f in h["added"]]
+        from pyspark.sql import types as T
+
+        return self.spark.read.schema(
+            T.StructType.fromJson(json.loads(h["schema"]))
+        ).parquet(*paths)
+
+    def publish_staged(self, table: str, snapshot: int) -> int:
+        """Flip a staged snapshot visible — pure metadata (the cheap half
+        of WAP: the expensive data write already happened at stage time).
+        Downstream incremental readers receive the rows at the PUBLISH
+        snapshot, i.e. only after the audit passed."""
+        m = self._load_manifest(table)
+        expect = self._version_of(m)
+        h = self._staged_entry(m, snapshot)
+        snap = m["snapshot"] + 1
+        m["snapshot"] = snap
+        m["files"] = m["files"] + h["added"]
+        h["resolved"] = "published"
+        m["history"].append(
+            {
+                "snapshot": snap,
+                "op": "append",
+                "rows": h["rows"],
+                "added": h["added"],
+                "schema": h["schema"],
+                "file_stats": h.get("file_stats", {}),
+                "published_from": snapshot,
+            }
+        )
+        self._commit(table, m, expect)
+        return snap
+
+    def discard_staged(self, table: str, snapshot: int) -> None:
+        """Reject a staged snapshot: its rows never become visible and its
+        files become vacuum-eligible (no retained snapshot references
+        them). The audit-failed path — recorded in history, like every
+        other decision."""
+        m = self._load_manifest(table)
+        expect = self._version_of(m)
+        h = self._staged_entry(m, snapshot)
+        h["resolved"] = "discarded"
+        m["history"].append(
+            {"snapshot": m["snapshot"], "op": "discard", "of": snapshot}
+        )
+        self._commit(table, m, expect)
 
     def replace(self, table: str, df: DataFrame) -> int:
         """REPLACE TABLE semantics: new snapshot referencing only new files
@@ -747,7 +824,10 @@ class TableCatalog:
                         f"{h['snapshot']}; incremental read since {since} "
                         "is not append-only — restart from a full read"
                     )
-                if h["op"] == "compact":
+                if h["op"] != "append":
+                    # compact is data-equivalent; stage is not yet visible
+                    # (its rows arrive as the later publish-append);
+                    # discard/create add nothing
                     continue
                 added += h.get("added", [])
         schema = self._schema_as_of(m, hi)
@@ -935,6 +1015,11 @@ class TableCatalog:
         lo = m["snapshot"] - max(1, retain_last) + 1
         for s in range(lo, m["snapshot"] + 1):
             keep |= {os.path.basename(f) for f in self._files_at(m, s)}
+        # an unresolved staged snapshot's files are pending an audit
+        # decision — not expired, must survive
+        for h in m["history"]:
+            if h["op"] == "stage" and not h.get("resolved"):
+                keep |= {os.path.basename(f) for f in h.get("added", [])}
         known = {
             os.path.basename(f)
             for h in m["history"]

@@ -479,3 +479,46 @@ def test_add_files_rejects_partless_dir(spark, cat):
             cat.add_files("t", d)
     finally:
         _os.rmdir(d)
+
+
+def test_write_audit_publish_flow(spark, cat):
+    """WAP: staged rows are invisible until published; audits read them;
+    a discarded stage never lands and its files vacuum away; incremental
+    consumers receive rows at the PUBLISH snapshot (post-audit)."""
+    cat.append("t", spark.range(0, 10).coalesce(1))
+    from hk_housing_datahub_spark.sources import IncrementalConsumer
+
+    c = IncrementalConsumer(cat, "wap")
+    c.commit("t", cat.current_snapshot("t"))
+    s_stage = cat.append("t", spark.range(10, 20).coalesce(1), staged=True)
+    # invisible to readers and to the incremental delta
+    assert cat.read("t").count() == 10
+    assert c.poll("t")[0].count() == 0
+    # the audit job sees exactly the staged rows
+    staged = cat.read_staged("t", s_stage)
+    assert sorted(r.id for r in staged.collect()) == list(range(10, 20))
+    # publish: metadata-only flip; delta arrives now
+    s_pub = cat.publish_staged("t", s_stage)
+    assert cat.read("t").count() == 20
+    delta, head = c.poll("t")
+    assert head == s_pub and delta.count() == 10
+    # double-resolution is rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="already published"):
+        cat.publish_staged("t", s_stage)
+    # a failed audit: stage, discard — rows never land, files vacuumable
+    s_bad = cat.append("t", spark.range(99, 199).coalesce(1), staged=True)
+    assert cat.read("t").count() == 20
+    cat.discard_staged("t", s_bad)
+    assert cat.read("t").count() == 20
+    with _pt.raises(ValueError, match="already discarded"):
+        cat.read_staged("t", s_bad)
+    # unresolved stages survive vacuum; resolved-discarded ones are swept
+    s_pend = cat.append("t", spark.range(500, 510).coalesce(1), staged=True)
+    removed = cat.vacuum("t", orphan_age_s=0)
+    assert removed >= 1  # the discarded stage's dir went
+    assert cat.read_staged("t", s_pend).count() == 10  # pending intact
+    assert cat.read("t").count() == 20
+    # time travel: as of the stage snapshot, the rows were NOT visible
+    assert cat.read("t", snapshot=s_stage).count() == 10
