@@ -51,6 +51,7 @@ class PublishResult:
     table: str
     waves_published: list[int]
     snapshots: dict[int, int]  # wave -> catalog snapshot id
+    waves_rejected: list[int] | None = None  # audit-failed (WAP discard)
 
     def listings(self, catalog: TableCatalog) -> DataFrame:
         return catalog.read(self.table)
@@ -70,7 +71,11 @@ def _wave_dir(engine: CrawlEngine, wave: int) -> str:
 
 
 def _publish_wave(
-    catalog: TableCatalog, table: str, engine: CrawlEngine, wave: int
+    catalog: TableCatalog,
+    table: str,
+    engine: CrawlEngine,
+    wave: int,
+    mode: str = "append",
 ) -> int:
     m = read_manifest(engine.dir)
     return catalog.add_files(
@@ -83,6 +88,7 @@ def _publish_wave(
             "partitions": m.lineage if m and m.wave == wave else None,
             "source_checkpoint": engine.dir,
         },
+        mode=mode,
     )
 
 
@@ -93,6 +99,7 @@ def publish_crawl(
     table: str,
     max_waves: int = 10,
     publish_seen: bool = True,
+    audit=None,
 ) -> PublishResult:
     """Run (or resume) the crawl, committing every wave's listings into
     ``catalog.table`` as its own snapshot. Safe to re-run after a crash at
@@ -105,12 +112,21 @@ def publish_crawl(
     north rule's "seen-set checkpointed to Iceberg": the current snapshot
     is the live salted-bucket state, older snapshots time-travel to the
     seen-set as of any earlier wave (until vacuum; the catalog never owns
-    or deletes the engine's checkpoint files)."""
+    or deletes the engine's checkpoint files).
+
+    ``audit`` (a ``DataFrame -> bool`` callable) turns each wave's import
+    into a write-audit-publish gate: the wave is STAGED (invisible), the
+    audit runs on exactly the staged rows, and the wave is then published
+    or discarded. A rejected wave never becomes visible to any reader —
+    the production guard against a bad extraction batch reaching training
+    data. Rejected waves are listed in ``waves_rejected`` and recorded in
+    the snapshot history either way (an audited decision is lineage too)."""
     published = _published_waves(catalog, table)
     seen_tbl = f"{table}_seen"
     seen_published = _published_waves(catalog, seen_tbl)
     snapshots: dict[int, int] = {}
     waves: list[int] = []
+    rejected: list[int] = []
 
     def _has_parts(d: str) -> bool:
         return os.path.isdir(d) and any(
@@ -126,9 +142,20 @@ def publish_crawl(
                 # on — the wave is simply absent from the catalog
                 if not _has_parts(_wave_dir(engine, w)):
                     continue
-                snapshots[w] = _publish_wave(catalog, table, engine, w)
+                if audit is None:
+                    snapshots[w] = _publish_wave(catalog, table, engine, w)
+                    waves.append(w)
+                else:
+                    staged = _publish_wave(
+                        catalog, table, engine, w, mode="stage"
+                    )
+                    if audit(catalog.read_staged(table, staged)):
+                        snapshots[w] = catalog.publish_staged(table, staged)
+                        waves.append(w)
+                    else:
+                        catalog.discard_staged(table, staged)
+                        rejected.append(w)
                 published.add(w)
-                waves.append(w)
             if publish_seen and w not in seen_published:
                 catalog.add_files(
                     seen_tbl,
@@ -150,4 +177,9 @@ def publish_crawl(
         if after is None or (before is not None and after.wave == before.wave):
             break  # frontier drained — no new wave committed
         _sync()
-    return PublishResult(table=table, waves_published=waves, snapshots=snapshots)
+    return PublishResult(
+        table=table,
+        waves_published=waves,
+        snapshots=snapshots,
+        waves_rejected=rejected,
+    )

@@ -930,8 +930,13 @@ class TableCatalog:
         full-state-per-version producers like the crawl's per-wave seen-set
         checkpoints: the current snapshot references the latest wave's
         directory, and time travel reads the seen-set *as of* any wave.
+
+        ``mode="stage"`` imports the directory as a WAP staged snapshot:
+        invisible to readers until ``publish_staged`` (or dropped by
+        ``discard_staged``) — the audit gate for imported batches, e.g.
+        crawl waves validated before exposure.
         """
-        if mode not in ("append", "replace"):
+        if mode not in ("append", "replace", "stage"):
             raise ValueError(f"add_files: unknown mode {mode!r}")
         src = os.path.abspath(src_dir)
         if not os.path.isdir(src):
@@ -952,7 +957,7 @@ class TableCatalog:
         )
         m = self._load_manifest(table)
         for _ in range(100):
-            if mode == "append":  # replace may redefine the schema outright
+            if mode != "replace":  # replace may redefine the schema outright
                 self._check_write_schema(m, ext, table)
             if any(src in h.get("added", []) for h in m["history"]):
                 raise ValueError(
@@ -962,7 +967,11 @@ class TableCatalog:
             expect = self._version_of(m)
             snap = m["snapshot"] + 1
             m["snapshot"] = snap
-            m["files"] = (m["files"] + [src]) if mode == "append" else [src]
+            if mode == "append":
+                m["files"] = m["files"] + [src]
+            elif mode == "replace":
+                m["files"] = [src]
+            # stage: the visible file list is untouched
             entry = {
                 "snapshot": snap,
                 "op": mode,

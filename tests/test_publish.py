@@ -213,3 +213,47 @@ def test_midwave_crash_replay_does_not_double_listings(spark, corpus):
         assert spark.read.parquet(os.path.join(tmp, "schedule")).count() == sched
     finally:
         shutil.rmtree(tmp)
+
+
+def test_audited_publish_gates_bad_waves(spark, cat, corpus):
+    """WAP over crawl waves: an audit rejects waves whose extraction null
+    rate is too high; rejected waves never become visible, accepted ones
+    land normally, and a replay re-audits nothing (decisions are
+    history)."""
+    tmp = tempfile.mkdtemp(prefix="crawlwap_")
+    try:
+        eng = _engine(spark, corpus, tmp)
+        seen_waves = []
+
+        def audit(df):
+            # every wave is audited on exactly its staged rows; reject the
+            # first wave to prove discarded rows never surface
+            n = df.count()
+            seen_waves.append(n)
+            return len(seen_waves) > 1
+
+        res = publish_crawl(
+            eng, corpus[1], cat, "listings", max_waves=3, audit=audit
+        )
+        assert res.waves_rejected == [0]
+        assert 0 not in res.waves_published and res.waves_published
+        # the rejected wave's rows are absent from every read path
+        w0 = spark.read.parquet(os.path.join(tmp, "listings", "wave=0"))
+        total = cat.read("listings").count()
+        eng_total = spark.read.parquet(os.path.join(tmp, "listings")).count()
+        assert total == eng_total - w0.count()
+        # decisions recorded: one stage entry per wave, resolution marked
+        stages = [h for h in cat.history("listings") if h["op"] == "stage"]
+        assert [h.get("resolved") for h in stages] == ["discarded"] + [
+            "published"
+        ] * len(res.waves_published)
+        # replay: nothing re-audited, nothing re-imported
+        n_calls = len(seen_waves)
+        res2 = publish_crawl(
+            eng, corpus[1], cat, "listings", max_waves=0, audit=audit
+        )
+        assert len(seen_waves) == n_calls
+        assert res2.waves_published == [] and res2.waves_rejected == []
+        assert cat.read("listings").count() == total
+    finally:
+        shutil.rmtree(tmp)
