@@ -41,6 +41,14 @@ def main() -> None:
         "replace-mode snapshot of <table>_seen",
     )
     ap.add_argument("--catalog-table", default="listings")
+    ap.add_argument(
+        "--audit-price-rate",
+        type=float,
+        default=None,
+        help="WAP gate: stage each wave, publish only if the fraction of "
+        "rows with a non-null extracted price is >= this; else discard "
+        "(rejected waves never become visible)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_SUBMIT_MODE", "1")
@@ -77,10 +85,22 @@ def main() -> None:
         from hk_housing_datahub_spark.sources import TableCatalog
 
         cat = TableCatalog(spark, args.catalog)
+        audit = None
+        if args.audit_price_rate is not None:
+            from pyspark.sql import functions as F
+
+            def audit(df, _r=args.audit_price_rate):
+                n, ok = df.agg(
+                    F.count(F.lit(1)), F.count("price")
+                ).first()
+                return n > 0 and ok / n >= _r
+
         pres = publish_crawl(
-            eng, seeds, cat, args.catalog_table, max_waves=args.waves
+            eng, seeds, cat, args.catalog_table, max_waves=args.waves,
+            audit=audit,
         )
         out["published_waves"] = pres.waves_published
+        out["rejected_waves"] = pres.waves_rejected
         out["catalog_snapshots"] = pres.snapshots
         try:
             out["catalog_rows"] = cat.read(args.catalog_table).count()
