@@ -844,6 +844,42 @@ def _crawl_frontier_run(spark, sf):
     return res.listings(spark).drop("outlinks")
 
 
+def _crawl_catalog_publish(spark, sf):
+    """Rows-only: the round-3 centerpiece end to end — crawl waves →
+    metadata-only catalog snapshots (Iceberg add_files) with per-wave
+    lineage, seen-set replace snapshots, and a WAP audit accepting every
+    wave. Returns the per-snapshot lineage ledger (deterministic:
+    wave/rows/op per snapshot)."""
+    from hk_housing_datahub_spark.frontier.publish import publish_crawl
+    from hk_housing_datahub_spark.sources import TableCatalog
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    n, hosts = 1200, 16
+    pages = generate_pages(spark, n, n_hosts=hosts)
+    robots = generate_robots(spark, n_hosts=hosts)
+    seeds = generate_seeds(spark, 15, n, n_hosts=hosts)
+    ckpt = tempfile.mkdtemp(prefix="hkcrawl_pub_")
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="hkcrawl_cat_"))
+    eng = CrawlEngine(spark, pages, robots, ckpt, seen_mode="exact", max_depth=2)
+    publish_crawl(
+        eng, seeds, cat, "listings", max_waves=3,
+        audit=lambda df: df.count() >= 0,
+    )
+    ledger = [
+        (
+            int(h["snapshot"]),
+            h["op"],
+            int(h["lineage"]["wave"]) if "lineage" in h else -1,
+            int(h.get("rows", -1)),
+            h.get("resolved", ""),
+        )
+        for h in cat.history("listings")
+    ]
+    return spark.createDataFrame(
+        ledger, "snapshot int, op string, wave int, rows int, resolved string"
+    )
+
+
 def _extract_listings(spark, sf):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     pages = generate_pages(spark, 3000, n_hosts=24)
@@ -1194,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_streaming_ingest": _star_streaming_ingest,
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
+        "crawl_catalog_publish": _crawl_catalog_publish,
         "extract_listings": _extract_listings,
         "minhash_lsh_candidates": _minhash_lsh_candidates,
         "simhash_neardup": _simhash_neardup,

@@ -419,17 +419,21 @@ class TableCatalog:
         m["snapshot"] = snap
         m["files"] = m["files"] + h["added"]
         h["resolved"] = "published"
-        m["history"].append(
-            {
-                "snapshot": snap,
-                "op": "append",
-                "rows": h["rows"],
-                "added": h["added"],
-                "schema": h["schema"],
-                "file_stats": h.get("file_stats", {}),
-                "published_from": snapshot,
-            }
-        )
+        entry = {
+            "snapshot": snap,
+            "op": "append",
+            "rows": h["rows"],
+            "added": h["added"],
+            "schema": h["schema"],
+            "file_stats": h.get("file_stats", {}),
+            "published_from": snapshot,
+        }
+        # the published snapshot stays self-describing: provenance rides
+        # along from the stage entry
+        for k in ("external", "lineage"):
+            if k in h:
+                entry[k] = h[k]
+        m["history"].append(entry)
         self._commit(table, m, expect)
         return snap
 
