@@ -997,6 +997,37 @@ class TableCatalog:
             f"table {table!r}: add_files lost 100 consecutive commit races"
         )
 
+    def tag(self, table: str, name: str, snapshot: int | None = None) -> int:
+        """Name a snapshot (Iceberg tag / ``VERSION AS OF 'name'``): a
+        durable pointer for reproducibility — "the corpus train run X used"
+        is a tag, immune to later appends. Defaults to the current
+        snapshot. Tagged snapshots' files survive ``vacuum`` regardless of
+        the retention window (a tag is a retention pin)."""
+        m = self._load_manifest(table)
+        expect = self._version_of(m)
+        snap = m["snapshot"] if snapshot is None else snapshot
+        if snap > m["snapshot"]:
+            raise ValueError(f"table {table!r} has no snapshot {snap} to tag")
+        refs = m.setdefault("refs", {})
+        if name in refs:
+            raise ValueError(
+                f"tag {name!r} already points at snapshot {refs[name]} — "
+                "tags are immutable; pick a new name"
+            )
+        refs[name] = snap
+        m["history"].append(
+            {"snapshot": m["snapshot"], "op": "tag", "name": name, "at": snap}
+        )
+        self._commit(table, m, expect)
+        return snap
+
+    def read_tag(self, table: str, name: str, where=None) -> DataFrame:
+        m = self._load_manifest(table)
+        refs = m.get("refs", {})
+        if name not in refs:
+            raise FileNotFoundError(f"table {table!r} has no tag {name!r}")
+        return self.read(table, snapshot=refs[name], where=where)
+
     def history(self, table: str) -> list[dict]:
         return self._load_manifest(table)["history"]
 
@@ -1033,6 +1064,9 @@ class TableCatalog:
         for h in m["history"]:
             if h["op"] == "stage" and not h.get("resolved"):
                 keep |= {os.path.basename(f) for f in h.get("added", [])}
+        # tags pin their snapshots' files past the retention window
+        for s in (m.get("refs") or {}).values():
+            keep |= {os.path.basename(f) for f in self._files_at(m, s)}
         known = {
             os.path.basename(f)
             for h in m["history"]

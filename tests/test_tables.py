@@ -522,3 +522,25 @@ def test_write_audit_publish_flow(spark, cat):
     assert cat.read("t").count() == 20
     # time travel: as of the stage snapshot, the rows were NOT visible
     assert cat.read("t", snapshot=s_stage).count() == 10
+
+
+def test_tags_pin_snapshots_through_vacuum(spark, cat):
+    """Iceberg tags: immutable named pointers; reads resolve through them;
+    their files survive vacuum even outside the retention window."""
+    cat.append("t", spark.range(0, 10).coalesce(1))
+    s2 = cat.append("t", spark.range(10, 30).coalesce(1))
+    cat.tag("t", "train-v1", s2)
+    cat.replace("t", spark.range(0, 3).coalesce(1))
+    cat.replace("t", spark.range(0, 4).coalesce(1))
+    # outside retain_last=1, but pinned by the tag
+    assert cat.vacuum("t") == 1  # only the untagged snapshot-3 dir goes
+    assert cat.read_tag("t", "train-v1").count() == 30
+    assert cat.read("t").count() == 4
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="immutable"):
+        cat.tag("t", "train-v1")
+    with _pt.raises(FileNotFoundError, match="no tag"):
+        cat.read_tag("t", "nope")
+    with _pt.raises(ValueError, match="no snapshot"):
+        cat.tag("t", "future", 99)
