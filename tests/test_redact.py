@@ -1,0 +1,78 @@
+"""PII redaction: golden spans, count/replace agreement, DuckDB parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.operators.redact import (
+    _CLASSES,
+    redact_pii,
+)
+
+GOLDEN = [
+    ("mail me at jo.smith+x@corp.example.co", "mail me at <EMAIL>", "email"),
+    ("server at 192.168.0.254 is down", "server at <IP> is down", "ip"),
+    ("call +852 2345 6789 now", "call <PHONE> now", "phone"),
+    ("card 4111 1111 1111 1111 exp 12/29", "card <CARD> exp 12/29", "card"),
+    ("no pii here, just 42 and pi", "no pii here, just 42 and pi", None),
+]
+
+
+def test_golden_redactions(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(GOLDEN)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    for i, (_, want, cls) in enumerate(GOLDEN):
+        assert out[i].text_redacted == want, (i, out[i].text_redacted)
+        if cls is None:
+            assert out[i].pii_total == 0
+        else:
+            assert out[i][f"pii_{cls}"] >= 1
+            assert out[i].pii_total >= 1
+
+
+def test_counts_match_replacements(spark, sf_small):
+    """On real corpus text: per-class count == number of placeholder tokens
+    that appear in the redacted output (counting before == replacing
+    after), and rows without PII are byte-identical."""
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = redact_pii(d)
+    for name, _, token in _CLASSES:
+        bad = out.filter(
+            F.col(f"pii_{name}")
+            != (
+                F.length("text_redacted")
+                - F.length(F.replace("text_redacted", F.lit(token), F.lit("")))
+            )
+            / len(token)
+        )
+        # replacement classes interact (a phone inside a redacted card is
+        # gone); require agreement on rows where only this class fired
+        only = bad.filter(F.col("pii_total") == F.col(f"pii_{name}"))
+        assert only.count() == 0, name
+    clean = out.filter(F.col("pii_total") == 0)
+    assert clean.filter(F.col("text") != F.col("text_redacted")).count() == 0
+
+
+def test_duckdb_parity_on_corpus(spark, sf_small):
+    """Engine-parity oracle without a driver slot: the same portable
+    patterns in DuckDB produce byte-identical redacted text per doc."""
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = {
+        r.doc_id: r.text_redacted
+        for r in redact_pii(d).select("doc_id", "text_redacted").collect()
+    }
+    expr = "text"
+    for _, pat, token in _CLASSES:
+        sql_pat = pat.replace("\\.", "\\.")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{token}', 'g')"
+    want = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {expr} AS r FROM "
+            f"'{sf_small}/documents.parquet'"
+        ).fetchall()
+    )
+    assert got == want
