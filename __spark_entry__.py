@@ -844,6 +844,27 @@ def _crawl_frontier_run(spark, sf):
     return res.listings(spark).drop("outlinks")
 
 
+def _prepare_corpus(spark, sf):
+    """Rows-only: the composed training-corpus funnel (dedup → quality
+    gate → PII scrub → pack). Deterministic end to end; each stage's twin
+    is individually oracle-checked (drop_dup_filters, quality_by_source,
+    sample_pack_corpus) and redaction carries a byte-identical DuckDB
+    parity pytest (tests/test_redact.py)."""
+    from hk_housing_datahub_spark.pipelines.corpus import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    out = prepare_training_corpus(
+        _t(spark, sf, "documents"),
+        CorpusRecipe(dedup="exact", min_quality=0.3, pack_budget=512),
+    )
+    return out.select(
+        "doc_id", "lang", "source", "quality", "pii_total", "n_tokens",
+        "bucket", "bin_id",
+    )
+
+
 def _crawl_catalog_publish(spark, sf):
     """Rows-only: the round-3 centerpiece end to end — crawl waves →
     metadata-only catalog snapshots (Iceberg add_files) with per-wave
@@ -1231,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
         "crawl_catalog_publish": _crawl_catalog_publish,
+        "prepare_corpus": _prepare_corpus,
         "extract_listings": _extract_listings,
         "minhash_lsh_candidates": _minhash_lsh_candidates,
         "simhash_neardup": _simhash_neardup,

@@ -1,0 +1,122 @@
+"""Training-corpus preparation — the whole battery composed end to end.
+
+What a user actually runs to turn raw crawled documents into a training
+corpus: dedup → quality gate → PII scrub → (optionally mixture-)sample →
+pack into token-budget bins. Each stage is an already-tested operator;
+this module is the canonical composition and the per-stage accounting.
+
+    docs ──drop exact dups──► uniq
+         ──drop near dups (LSH at scale / exact verifier)──► canon
+         ──quality_score >= min_quality──► kept
+         ──redact_pii (scrubbed text becomes THE text)──► clean
+         ──deterministic hash sample (plain / stratified / mixture)──► samp
+         ──pack_greedy(token budget)──► corpus (bucket, bin_id columns)
+
+Scale shape: dedup is the dominant cost (banded LSH, sub-quadratic);
+quality + redaction are codegen scan projections; sampling is a scan
+predicate; packing is one bucket-keyed shuffle. No stage collects to the
+driver. Every stage is deterministic, so two runs (or two engines) build
+byte-identical corpora — which is the audit story: a training run's
+input is reproducible from (corpus snapshot, recipe parameters).
+
+``corpus_stats`` reports the funnel (rows in/out per stage) the way a
+data-quality dashboard wants it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score, token_count
+from ..operators.dedup import drop_exact_dups, drop_near_dups, minhash_lsh_dedup
+from ..operators.packing import pack_greedy
+from ..operators.redact import redact_pii
+from ..operators.sampling import hash_sample, mixture_sample
+
+
+@dataclass
+class CorpusRecipe:
+    """The reproducibility unit: same recipe + same input snapshot =
+    byte-identical corpus."""
+
+    dedup: str = "lsh"  # "lsh" (100-TB path) | "exact" (verifier path)
+    dedup_threshold: float = 0.5
+    max_shingle_df: int | None = 50
+    min_quality: float = 0.0
+    sample_rate: float = 1.0
+    mixture: dict[str, float] | None = None  # source -> target weight
+    mixture_total: int | None = None
+    pack_budget: int = 4096  # tokens per bin
+    salt: str = ""
+    stages: list[tuple[str, int]] = field(default_factory=list)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    recipe: CorpusRecipe | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Run the full preparation funnel; returns the packed corpus with
+    ``text`` already scrubbed, plus ``n_tokens``, ``pii_total``,
+    ``quality``, ``bucket`` and ``bin_id`` columns."""
+    r = recipe or CorpusRecipe()
+    out = drop_exact_dups(docs, id_col, text_col)
+    if r.dedup == "lsh":
+        out = minhash_lsh_dedup(
+            out, id_col, text_col,
+            threshold=r.dedup_threshold, max_shingle_df=r.max_shingle_df,
+        )
+    elif r.dedup == "exact":
+        out = drop_near_dups(
+            out, id_col, text_col,
+            threshold=r.dedup_threshold, max_shingle_df=r.max_shingle_df,
+        )
+    else:
+        raise ValueError(f"unknown dedup mode {r.dedup!r}")
+    out = out.withColumn("quality", quality_score(F.col(text_col))).filter(
+        F.col("quality") >= r.min_quality
+    )
+    out = redact_pii(out, text_col)
+    # the scrubbed text IS the corpus text from here on
+    out = out.drop(text_col).withColumnRenamed(f"{text_col}_redacted", text_col)
+    if r.mixture:
+        if not r.mixture_total:
+            raise ValueError("mixture needs mixture_total")
+        out = mixture_sample(
+            out, "source", r.mixture, r.mixture_total,
+            key_cols=[id_col], salt=r.salt,
+        )
+    elif r.sample_rate < 1.0:
+        out = hash_sample(out, [id_col], r.sample_rate, salt=r.salt)
+    out = out.withColumn("n_tokens", token_count(F.col(text_col)))
+    return pack_greedy(out, id_col, "n_tokens", r.pack_budget)
+
+
+def corpus_stats(docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """The funnel report: one row — input size, survivors, PII hits
+    removed, bins produced, mean fill. A single aggregate job."""
+    n_in = docs.count()
+    agg = corpus.agg(
+        F.count(F.lit(1)).alias("docs_out"),
+        F.sum("pii_total").alias("pii_spans_scrubbed"),
+        F.countDistinct("bucket", "bin_id").alias("bins"),
+        F.sum("n_tokens").alias("tokens"),
+    ).first()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_in,
+                agg["docs_out"],
+                int(agg["pii_spans_scrubbed"] or 0),
+                agg["bins"],
+                int(agg["tokens"] or 0),
+            )
+        ],
+        "docs_in long, docs_out long, pii_spans_scrubbed long, "
+        "bins long, tokens long",
+    )

@@ -1,0 +1,69 @@
+"""Composed corpus-preparation funnel: stage semantics + determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.operators.dedup import drop_near_dups
+from hk_housing_datahub_spark.pipelines.corpus import (
+    CorpusRecipe,
+    corpus_stats,
+    prepare_training_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return spark.read.parquet(f"{sf_small}/documents.parquet").cache()
+
+
+def test_funnel_semantics_and_columns(spark, docs):
+    recipe = CorpusRecipe(dedup="exact", min_quality=0.3, pack_budget=512)
+    out = prepare_training_corpus(docs, recipe)
+    cols = set(out.columns)
+    assert {"doc_id", "text", "quality", "n_tokens", "pii_total",
+            "bucket", "bin_id"} <= cols
+    rows = out.count()
+    # survivors == dedup survivors passing the quality gate (sampling off)
+    dd = drop_near_dups(docs)
+    from hk_housing_datahub_spark.functions.text import quality_score
+
+    want = dd.filter(quality_score(F.col("text")) >= 0.3).count()
+    assert rows == want > 0
+    # every doc landed in a bin; fills are positive
+    assert out.filter(F.col("bin_id").isNull()).count() == 0
+
+
+def test_funnel_deterministic_and_lsh_matches_exact(spark, docs):
+    a = prepare_training_corpus(docs, CorpusRecipe(dedup="lsh"))
+    b = prepare_training_corpus(docs, CorpusRecipe(dedup="lsh"))
+    ka = sorted((r.doc_id, r.bucket, r.bin_id) for r in a.collect())
+    kb = sorted((r.doc_id, r.bucket, r.bin_id) for r in b.collect())
+    assert ka == kb  # byte-identical corpus layout across runs
+    # the 100-TB LSH path lands on the exact path's survivor set here
+    c = prepare_training_corpus(docs, CorpusRecipe(dedup="exact"))
+    assert sorted(r.doc_id for r in c.collect()) == sorted(
+        r.doc_id for r in a.collect()
+    )
+
+
+def test_funnel_mixture_and_stats(spark, docs):
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    a, b = sorted(srcs)[:2]
+    recipe = CorpusRecipe(
+        dedup="exact", mixture={a: 0.6, b: 0.4}, mixture_total=150,
+        pack_budget=256,
+    )
+    out = prepare_training_corpus(docs, recipe)
+    got_src = {r[0] for r in out.select("source").distinct().collect()}
+    assert got_src <= {a, b}
+    stats = corpus_stats(docs, out).first()
+    assert stats.docs_in == docs.count()
+    assert 0 < stats.docs_out <= stats.docs_in
+    assert stats.bins > 0 and stats.tokens > 0
+    # the scrubbed text carries no raw emails (placeholder may appear)
+    leaked = out.filter(
+        F.col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    )
+    assert leaked.count() == 0
