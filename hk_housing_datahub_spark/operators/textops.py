@@ -64,3 +64,61 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rules-style document filters (Rae et al. 2021, §A1.1) as one
+    codegen projection — the standard web-corpus gate battery. Each flag
+    is True when the document VIOLATES the rule; ``gopher_pass`` ANDs the
+    negations. Pure Column expressions over one scan: at 100 TB this adds
+    zero shuffles to a corpus pipeline.
+
+    Rules (fixed, documented thresholds — determinism over tunability):
+    - word count outside [50, 100000]
+    - mean word length outside [3, 10] chars
+    - symbol-to-word ratio > 0.1  (# and … stand in for the symbol class)
+    - > 90% of lines start with a bullet character
+    - duplicate 3-gram fraction > 0.3 (within-document repetition)
+    """
+    from ..functions.text import tokens, word_shingles
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    n_words_safe = F.greatest(n_words, F.lit(1))
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / n_words_safe
+    symbols = F.length(t) - F.length(F.regexp_replace(t, "[#…]", ""))
+    lines = F.split(t, "\n")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+    )
+    n_lines_safe = F.greatest(F.size(lines), F.lit(1))
+    sh = word_shingles(t, 3)
+    n_sh = F.size(sh)
+    dup_frac = F.when(n_sh <= 0, F.lit(0.0)).otherwise(
+        (n_sh - F.size(F.array_distinct(sh))) / n_sh
+    )
+    out = docs.select(
+        "*",
+        (n_words < 50) | (n_words > 100_000),
+        (mean_len < 3) | (mean_len > 10),
+        (symbols / n_words_safe > 0.1),
+        (bullet_lines / n_lines_safe > 0.9),
+        (dup_frac > 0.3),
+    )
+    names = [
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_symbol_ratio",
+        "flag_bullet_lines",
+        "flag_repetition",
+    ]
+    base = docs.columns
+    out = out.toDF(*base, *names)
+    gate = None
+    for n in names:
+        c = ~F.col(n)
+        gate = c if gate is None else gate & c
+    return out.withColumn("gopher_pass", gate)

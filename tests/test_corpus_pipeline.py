@@ -67,3 +67,31 @@ def test_funnel_mixture_and_stats(spark, docs):
         F.col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
     )
     assert leaked.count() == 0
+
+
+def test_gopher_flags_trip_on_constructed_violations(spark):
+    from hk_housing_datahub_spark.operators.textops import gopher_quality_flags
+
+    # varied vocabulary: no repeated 3-grams, word lengths ~4-8 chars
+    good = " ".join(f"word{i} text{i % 97}x" for i in range(60))
+    cases = [
+        ("short", "too few words here", "flag_word_count"),
+        ("longwords", " ".join(["pneumonoultramicroscopic"] * 60),
+         "flag_mean_word_len"),
+        ("symbols", "# " * 60 + good, "flag_symbol_ratio"),
+        ("bullets", "\n".join("- item %d word word" % i for i in range(60)),
+         "flag_bullet_lines"),
+        ("repeat", "alpha beta gamma " * 40, "flag_repetition"),
+        ("clean", good, None),
+    ]
+    df = spark.createDataFrame(
+        [(k, t) for k, t, _ in cases], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    for k, _, flag in cases:
+        r = out[k]
+        if flag is None:
+            assert r.gopher_pass, r
+        else:
+            assert r[flag], (k, flag, r)
+            assert not r.gopher_pass
