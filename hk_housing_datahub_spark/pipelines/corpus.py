@@ -46,6 +46,7 @@ class CorpusRecipe:
     dedup_threshold: float = 0.5
     max_shingle_df: int | None = 50
     min_quality: float = 0.0
+    gopher: bool = False  # apply the Gopher-rules gate (drops flag cols)
     sample_rate: float = 1.0
     mixture: dict[str, float] | None = None  # source -> target weight
     mixture_total: int | None = None
@@ -80,6 +81,11 @@ def prepare_training_corpus(
     out = out.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") >= r.min_quality
     )
+    if r.gopher:
+        from ..operators.textops import gopher_quality_flags
+
+        flagged = gopher_quality_flags(out, text_col)
+        out = flagged.filter(F.col("gopher_pass")).select(*out.columns)
     out = redact_pii(out, text_col)
     # the scrubbed text IS the corpus text from here on
     out = out.drop(text_col).withColumnRenamed(f"{text_col}_redacted", text_col)

@@ -95,3 +95,19 @@ def test_gopher_flags_trip_on_constructed_violations(spark):
         else:
             assert r[flag], (k, flag, r)
             assert not r.gopher_pass
+
+
+def test_recipe_gopher_gate(spark, docs):
+    from hk_housing_datahub_spark.operators.textops import gopher_quality_flags
+
+    base = prepare_training_corpus(docs, CorpusRecipe(dedup="exact"))
+    gated = prepare_training_corpus(
+        docs, CorpusRecipe(dedup="exact", gopher=True)
+    )
+    assert gated.count() <= base.count()
+    assert set(gated.columns) == set(base.columns)  # flags don't leak
+    # the gated set == base minus gopher violators (on the same text)
+    viol = gopher_quality_flags(base.select("doc_id", "text")).filter(
+        ~F.col("gopher_pass")
+    )
+    assert gated.count() == base.count() - viol.count()
