@@ -37,11 +37,11 @@ exactly once by the engine.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-from ..sources.tables import TableCatalog
+from ..sources.tables import TableCatalog, has_parquet_parts
 from .checkpoint import read_manifest
 from .crawl import CrawlEngine
 
@@ -51,7 +51,7 @@ class PublishResult:
     table: str
     waves_published: list[int]
     snapshots: dict[int, int]  # wave -> catalog snapshot id
-    waves_rejected: list[int] | None = None  # audit-failed (WAP discard)
+    waves_rejected: list[int] = field(default_factory=list)  # WAP discards
 
     def listings(self, catalog: TableCatalog) -> DataFrame:
         return catalog.read(self.table)
@@ -128,11 +128,6 @@ def publish_crawl(
     waves: list[int] = []
     rejected: list[int] = []
 
-    def _has_parts(d: str) -> bool:
-        return os.path.isdir(d) and any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        )
-
     def _sync() -> None:
         m = read_manifest(engine.dir)
         for w in m.waves_done if m else []:
@@ -140,7 +135,7 @@ def publish_crawl(
                 # a committed wave can legitimately extract zero rows (all
                 # scheduled urls dead): nothing to import, nothing to wedge
                 # on — the wave is simply absent from the catalog
-                if not _has_parts(_wave_dir(engine, w)):
+                if not has_parquet_parts(_wave_dir(engine, w)):
                     continue
                 if audit is None:
                     snapshots[w] = _publish_wave(catalog, table, engine, w)

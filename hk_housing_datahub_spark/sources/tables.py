@@ -45,6 +45,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def has_parquet_parts(d: str) -> bool:
+    """True if ``d`` is a directory holding at least one parquet part file
+    (a Spark write of an empty frame may produce only _SUCCESS)."""
+    return os.path.isdir(d) and any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    )
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed to this table between manifest load and
     commit — the optimistic-concurrency failure Iceberg surfaces as
@@ -945,7 +953,7 @@ class TableCatalog:
         src = os.path.abspath(src_dir)
         if not os.path.isdir(src):
             raise FileNotFoundError(f"add_files: no such directory {src!r}")
-        if not any(f.endswith(".parquet") for f in os.listdir(src)):
+        if not has_parquet_parts(src):
             # a schema-less import would poison every later read; callers
             # with legitimately-empty batches should skip the commit
             raise ValueError(
