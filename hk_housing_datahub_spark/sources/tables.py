@@ -99,6 +99,14 @@ class TableCatalog:
         data rewrite. Raises CommitConflict if another writer got there
         first."""
         os.makedirs(self._tdir(table), exist_ok=True)
+        # commit-time stamps: every new history entry gets the wall time of
+        # the commit that published it (TIMESTAMP AS OF resolution). Single
+        # choke point — all ops funnel through here.
+        import time as _time
+
+        now = _time.time()
+        for h in manifest.get("history", []):
+            h.setdefault("ts", now)
         if expect is None:
             tmp = self._manifest_path(table) + ".tmp"
             with open(tmp, "w") as f:
@@ -762,14 +770,39 @@ class TableCatalog:
         _, report = self._select_files(m, files, where)
         return report
 
+    def snapshot_as_of(self, table: str, ts) -> int:
+        """Snapshot id current at wall time ``ts`` (unix seconds or ISO
+        string) — Iceberg's ``TIMESTAMP AS OF`` resolution, from the
+        commit stamps in the manifest. Raises if the table has no commit
+        at or before ``ts``."""
+        if isinstance(ts, str):
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts = dt.timestamp()
+        best = None
+        for h in self._load_manifest(table)["history"]:
+            if h.get("ts") is not None and h["ts"] <= ts:
+                best = h["snapshot"]
+        if best is None:
+            raise ValueError(
+                f"table {table!r} has no commit at or before {ts}"
+            )
+        return best
+
     def read(
         self,
         table: str,
         snapshot: int | None = None,
         where=None,
+        as_of=None,
     ) -> DataFrame:
         """Current-snapshot read, or time travel with ``snapshot=N`` (the
-        Iceberg ``VERSION AS OF`` contract). Time travel only sees snapshots
+        Iceberg ``VERSION AS OF`` contract) or ``as_of=<unix seconds |
+        ISO timestamp>`` (``TIMESTAMP AS OF``, resolved from commit
+        stamps). Time travel only sees snapshots
         whose files survive — ``vacuum`` expires non-current ones.
 
         ``where=[(col, op, value), ...]`` (ops ``= < <= > >= in is_null
@@ -777,6 +810,10 @@ class TableCatalog:
         before Spark plans the scan, then applies the same predicate to the
         surviving rows — identical results to ``read().filter(...)``, minus
         the files that provably cannot match."""
+        if as_of is not None:
+            if snapshot is not None:
+                raise ValueError("pass snapshot= or as_of=, not both")
+            snapshot = self.snapshot_as_of(table, as_of)
         m = self._load_manifest(table)
         files = m["files"] if snapshot is None else self._files_at(m, snapshot)
         schema = self._schema_as_of(m, snapshot)

@@ -544,3 +544,25 @@ def test_tags_pin_snapshots_through_vacuum(spark, cat):
         cat.read_tag("t", "nope")
     with _pt.raises(ValueError, match="no snapshot"):
         cat.tag("t", "future", 99)
+
+
+def test_timestamp_as_of_read(spark, cat):
+    import time as _time
+
+    s1 = cat.append("t", spark.range(0, 10).coalesce(1))
+    t1 = _time.time()
+    _time.sleep(0.05)
+    s2 = cat.append("t", spark.range(10, 30).coalesce(1))
+    assert cat.snapshot_as_of("t", t1) == s1
+    assert cat.snapshot_as_of("t", _time.time()) == s2
+    assert cat.read("t", as_of=t1).count() == 10
+    assert cat.read("t").count() == 30
+    # ISO string form resolves too
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t1, tz=timezone.utc).isoformat()
+    assert cat.read("t", as_of=iso).count() == 10
+    with pytest.raises(ValueError, match="no commit"):
+        cat.snapshot_as_of("t", 0)
+    with pytest.raises(ValueError, match="not both"):
+        cat.read("t", snapshot=s1, as_of=t1)
