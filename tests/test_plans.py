@@ -203,3 +203,15 @@ def test_sample_pack_one_exchange_and_pruned_scan(spark):
         r"Arguments: \[bucket#\d+L? ASC NULLS FIRST, doc_id#\d+L? ASC NULLS"
         r" FIRST\], false", p
     ), p
+
+
+def test_prepare_corpus_funnel_all_jvm(spark):
+    """The composed corpus funnel (exact-dedup recipe): dedup window +
+    cluster propagation + quality gate + PII regex + sampling + packing —
+    ZERO Python evaluation nodes. Every stage is JVM Column expressions,
+    so the whole funnel rides whole-stage codegen at any corpus size."""
+    import __spark_entry__ as E
+
+    df = E.queries()["prepare_corpus"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p[:2000]
