@@ -59,16 +59,32 @@ def test_counts_match_replacements(spark, sf_small):
 
 def test_duckdb_parity_on_corpus(spark, sf_small):
     """Engine-parity oracle without a driver slot: the same portable
-    patterns in DuckDB produce byte-identical redacted text per doc."""
-    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    patterns in DuckDB produce byte-identical redacted text per doc.
+
+    The synthetic corpus carries no natural PII (verified: sum(pii_total)
+    is 0 on the raw table), so both engines inject the SAME deterministic
+    spans per doc_id — every third doc an email, every fifth a phone,
+    every seventh an IP — making the parity check exercise real matches,
+    overlaps, and mixed-class documents."""
+    inject_sql = (
+        "text || CASE WHEN doc_id % 3 = 0 THEN ' mail u' || doc_id ||"
+        " '@ex' || (doc_id % 7) || '.org' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' tel +852 23' || (doc_id % 90 + 10)"
+        " || ' 67' || (doc_id % 90 + 10) ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' at 10.0.' || (doc_id % 250)"
+        " || '.' || (doc_id % 200 + 1) ELSE '' END"
+    )
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").selectExpr(
+        "doc_id", f"{inject_sql} AS text"
+    )
+    assert redact_pii(d).agg(F.sum("pii_total")).first()[0] > 0
     got = {
         r.doc_id: r.text_redacted
         for r in redact_pii(d).select("doc_id", "text_redacted").collect()
     }
-    expr = "text"
+    expr = f"({inject_sql})"
     for _, pat, token in _CLASSES:
-        sql_pat = pat.replace("\\.", "\\.")
-        expr = f"regexp_replace({expr}, '{sql_pat}', '{token}', 'g')"
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
     want = dict(
         duckdb.sql(
             f"SELECT doc_id, {expr} AS r FROM "
