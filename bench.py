@@ -174,6 +174,7 @@ def main() -> None:
             "wiki_pipeline_docs",
             "lsh_dedup_drop",
             "sample_pack_corpus",
+            "prepare_corpus",
         ]
         qs = E.queries()
         for name in bench_queries:
