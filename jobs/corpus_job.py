@@ -1,0 +1,85 @@
+"""Cluster entry point for training-corpus preparation — the downstream
+half of the crawl: documents (parquet dir or catalog table) → dedup →
+quality/Gopher gates → PII scrub → optional mixture sample → token-budget
+packing → catalog table, tagged for reproducibility.
+
+    spark-submit --master <cluster> --py-files <pkg.zip> jobs/corpus_job.py \
+        --input /data/docs.parquet --catalog /warehouse --output-table corpus \
+        --dedup lsh --min-quality 0.3 --gopher --budget 4096 --tag train-v1
+
+Same recipe + same input snapshot = byte-identical corpus (deterministic
+dedup, md5 sampling, offset packing); the tag pins the exact snapshot a
+training run consumed, immune to later appends and vacuum.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="", help="parquet path of documents")
+    ap.add_argument(
+        "--input-table", default="",
+        help="read documents from this catalog table instead of --input",
+    )
+    ap.add_argument("--catalog", required=True, help="table-catalog root")
+    ap.add_argument("--output-table", default="corpus")
+    ap.add_argument("--dedup", default="lsh", choices=["lsh", "exact"])
+    ap.add_argument("--dedup-threshold", type=float, default=0.5)
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--gopher", action="store_true")
+    ap.add_argument("--sample-rate", type=float, default=1.0)
+    ap.add_argument("--budget", type=int, default=4096)
+    ap.add_argument("--salt", default="")
+    ap.add_argument("--tag", default="", help="tag the committed snapshot")
+    args = ap.parse_args()
+    if bool(args.input) == bool(args.input_table):
+        ap.error("pass exactly one of --input / --input-table")
+
+    os.environ.setdefault("SPARK_SUBMIT_MODE", "1")
+    from hk_housing_datahub_spark.session import get_spark
+    from hk_housing_datahub_spark.pipelines import (
+        CorpusRecipe,
+        corpus_stats,
+        prepare_training_corpus,
+    )
+    from hk_housing_datahub_spark.sources import TableCatalog
+
+    spark = get_spark(app_name="hk_corpus_job")
+    cat = TableCatalog(spark, args.catalog)
+    docs = (
+        cat.read(args.input_table)
+        if args.input_table
+        else spark.read.parquet(args.input)
+    )
+    recipe = CorpusRecipe(
+        dedup=args.dedup,
+        dedup_threshold=args.dedup_threshold,
+        min_quality=args.min_quality,
+        gopher=args.gopher,
+        sample_rate=args.sample_rate,
+        pack_budget=args.budget,
+        salt=args.salt,
+    )
+    corpus = prepare_training_corpus(docs, recipe).persist()
+    stats = corpus_stats(docs, corpus).first()
+    snap = cat.append(args.output_table, corpus, rows=stats.docs_out)
+    out = {
+        "output_table": args.output_table,
+        "snapshot": snap,
+        **{k: int(stats[k]) for k in stats.asDict()},
+    }
+    if args.tag:
+        cat.tag(args.output_table, args.tag, snap)
+        out["tag"] = args.tag
+    corpus.unpersist()
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
