@@ -55,6 +55,12 @@ def _sample_pack(spark):
     return E.queries()["sample_pack_corpus"](spark, SF)
 
 
+def _prepare_corpus(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["prepare_corpus"](spark, SF)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -156,6 +162,15 @@ def main() -> None:
             "(hashpartitioning(bucket…)), and a NON-global Sort — packing "
             "state is one running sum per bucket partition.",
             _sample_pack(spark),
+        ),
+        (
+            "Corpus-preparation funnel (dedup → gates → scrub → pack)",
+            "Look for: ZERO ArrowEvalPython/BatchEvalPython nodes — the "
+            "entire funnel (dedup windows + min-label propagation, quality "
+            "score, PII regexes, packing window) is JVM Column expressions "
+            "riding whole-stage codegen; exchanges are only the dedup and "
+            "packing keys.",
+            _prepare_corpus(spark),
         ),
     ]
 
