@@ -66,6 +66,19 @@ def _published_waves(catalog: TableCatalog, table: str) -> set[int]:
     }
 
 
+def _unresolved_stages(catalog: TableCatalog, table: str) -> dict[int, int]:
+    """wave -> staged snapshot id, for imports whose audit never resolved
+    (a crash between staging and publish/discard)."""
+    return {
+        h["lineage"]["wave"]: h["snapshot"]
+        for h in catalog.history(table)
+        if h["op"] == "stage"
+        and h.get("external")
+        and not h.get("resolved")
+        and "wave" in h.get("lineage", {})
+    }
+
+
 def _wave_dir(engine: CrawlEngine, wave: int) -> str:
     return os.path.join(engine.dir, "listings", f"wave={wave}")
 
@@ -128,10 +141,26 @@ def publish_crawl(
     waves: list[int] = []
     rejected: list[int] = []
 
+    pending = _unresolved_stages(catalog, table)
+
+    def _resolve(w: int, staged: int) -> None:
+        if audit is None or audit(catalog.read_staged(table, staged)):
+            snapshots[w] = catalog.publish_staged(table, staged)
+            waves.append(w)
+        else:
+            catalog.discard_staged(table, staged)
+            rejected.append(w)
+        published.add(w)
+
     def _sync() -> None:
         m = read_manifest(engine.dir)
         for w in m.waves_done if m else []:
-            if w not in published:
+            if w in pending:
+                # a crash landed between staging and the audit decision:
+                # the wave is imported but unresolved — resolve it now
+                # (re-staging is blocked by the duplicate-import guard)
+                _resolve(w, pending.pop(w))
+            elif w not in published:
                 # a committed wave can legitimately extract zero rows (all
                 # scheduled urls dead): nothing to import, nothing to wedge
                 # on — the wave is simply absent from the catalog
@@ -140,17 +169,12 @@ def publish_crawl(
                 if audit is None:
                     snapshots[w] = _publish_wave(catalog, table, engine, w)
                     waves.append(w)
+                    published.add(w)
                 else:
                     staged = _publish_wave(
                         catalog, table, engine, w, mode="stage"
                     )
-                    if audit(catalog.read_staged(table, staged)):
-                        snapshots[w] = catalog.publish_staged(table, staged)
-                        waves.append(w)
-                    else:
-                        catalog.discard_staged(table, staged)
-                        rejected.append(w)
-                published.add(w)
+                    _resolve(w, staged)
             if publish_seen and w not in seen_published:
                 catalog.add_files(
                     seen_tbl,

@@ -257,3 +257,34 @@ def test_audited_publish_gates_bad_waves(spark, cat, corpus):
         assert cat.read("listings").count() == total
     finally:
         shutil.rmtree(tmp)
+
+
+def test_orphaned_stage_resolves_on_replay(spark, cat, corpus):
+    """Crash between staging a wave and its audit decision: the next
+    publish run finds the unresolved stage and resolves it (no re-import,
+    no lost wave)."""
+    tmp = tempfile.mkdtemp(prefix="crawlorph_")
+    try:
+        eng = _engine(spark, corpus, tmp)
+        eng.run(corpus[1], max_waves=1)
+        # simulate the crashed publisher: staged, never resolved
+        s = cat.add_files(
+            "listings",
+            os.path.join(tmp, "listings", "wave=0"),
+            lineage={"wave": 0},
+            mode="stage",
+        )
+        # invisible: the staged-only table has no committed visible data
+        with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+            cat.read("listings", snapshot=s)
+        res = publish_crawl(
+            eng, corpus[1], cat, "listings", max_waves=0,
+            audit=lambda df: True,
+        )
+        assert res.waves_published == [0] and res.waves_rejected == []
+        w0 = spark.read.parquet(os.path.join(tmp, "listings", "wave=0"))
+        assert cat.read("listings").count() == w0.count() > 0
+        stage = [h for h in cat.history("listings") if h["op"] == "stage"]
+        assert len(stage) == 1 and stage[0]["resolved"] == "published"
+    finally:
+        shutil.rmtree(tmp)
