@@ -330,6 +330,7 @@ class TableCatalog:
         cluster_by: list[str] | None = None,
         cluster_partitions: int | None = None,
         staged: bool = False,
+        extra: dict | None = None,
     ) -> int:
         """Append rows as a new snapshot; readers see them only after the
         manifest commit. Returns the new snapshot id.
@@ -380,16 +381,19 @@ class TableCatalog:
             m["snapshot"] = snap
             if not staged:
                 m["files"] = m["files"] + new_files
-            m["history"].append(
-                {
-                    "snapshot": snap,
-                    "op": "stage" if staged else "append",
-                    "rows": n,
-                    "added": new_files,
-                    "schema": schema_json,
-                    "file_stats": fstats,
-                }
-            )
+            entry = {
+                "snapshot": snap,
+                "op": "stage" if staged else "append",
+                "rows": n,
+                "added": new_files,
+                "schema": schema_json,
+                "file_stats": fstats,
+            }
+            if extra:
+                # caller metadata (e.g. a streaming sink's batch_id) rides
+                # the SAME commit — atomic with the append itself
+                entry.update(extra)
+            m["history"].append(entry)
             try:
                 self._commit(table, m, expect)
                 return snap

@@ -288,3 +288,50 @@ def test_orphaned_stage_resolves_on_replay(spark, cat, corpus):
         assert len(stage) == 1 and stage[0]["resolved"] == "published"
     finally:
         shutil.rmtree(tmp)
+
+
+def test_catalog_stream_sink_exactly_once(spark, cat, sf_small):
+    """Streaming → catalog with batch-id idempotence: a real file-source
+    stream appends one snapshot per micro-batch; a crash-replayed batch
+    (same id) is a no-op; total rows == source rows exactly."""
+    import os
+
+    from hk_housing_datahub_spark.streaming.catalog_sink import (
+        CatalogStreamSink,
+    )
+
+    src = tempfile.mkdtemp(prefix="sink_src_")
+    ckpt = tempfile.mkdtemp(prefix="sink_ck_")
+    try:
+        events = spark.read.parquet(f"{sf_small}/events.parquet").limit(300)
+        events.repartition(3).write.mode("overwrite").parquet(src)
+        n_src = spark.read.parquet(src).count()
+        schema = spark.read.parquet(src).schema
+        sink = CatalogStreamSink(cat, "events_live")
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert cat.read("events_live").count() == n_src
+        batches = [
+            h["batch_id"] for h in cat.history("events_live")
+            if "batch_id" in h
+        ]
+        assert len(batches) == len(set(batches)) >= 2  # one snapshot/batch
+        # crash-replay: re-deliver an already-committed batch id by hand
+        replay = spark.read.parquet(src).limit(5)
+        sink(replay, batches[0])
+        assert sink.skipped_replays == 1
+        assert cat.read("events_live").count() == n_src  # unchanged
+        # a NEW batch id still lands
+        sink(replay, max(batches) + 1)
+        assert cat.read("events_live").count() == n_src + 5
+    finally:
+        shutil.rmtree(src)
+        shutil.rmtree(ckpt)
