@@ -1,0 +1,72 @@
+"""Benchmark decontamination — drop training docs that leak eval data.
+
+The standard pre-training hygiene step (e.g. GPT-3 §C, PaLM §D.2): a
+training document that shares a long-enough token n-gram with any
+benchmark/eval text is contaminated — the model would memorize the answer
+rather than learn. The distributed shape is a shingle equi-join:
+
+    corpus  ──13-gram shingles──► (doc_id, shingle_hash)
+    evalset ──13-gram shingles──► DISTINCT shingle_hash     (small side)
+    contaminated = corpus-shingles ⋈ eval-shingles, distinct doc_id
+
+All JVM (shingling is the same higher-order-function pipeline the dedup
+ladder uses; hashes are xxhash64 so only 8-byte keys shuffle, never
+text). The eval side is tiny relative to the corpus — Catalyst/AQE
+broadcasts it, so at 100 TB the corpus-side scan is map-local: zero
+corpus shuffles, the contamination check is effectively free next to the
+scan itself.
+
+Default n=13 follows the published convention; lower it for stricter
+screens. Shorter docs than n tokens cannot match (no shingles) — also the
+published behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles
+
+
+def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int):
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_sh"),
+    ).select(id_col, F.xxhash64("_sh").alias("_h"))
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Distinct ids of corpus docs sharing at least one token ``n``-gram
+    with any benchmark row."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                word_shingles(F.col(bench_text_col or text_col), n)
+            ).alias("_sh")
+        )
+        .select(F.xxhash64("_sh").alias("_h"))
+        .distinct()
+    )
+    corpus_sh = _shingle_hashes(docs, id_col, text_col, n)
+    return corpus_sh.join(bench_sh, "_h", "left_semi").select(id_col).distinct()
+
+
+def drop_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """The corpus minus contaminated docs, all columns preserved."""
+    bad = contaminated_ids(docs, benchmark, n, id_col, text_col, bench_text_col)
+    return docs.join(bad, id_col, "left_anti")

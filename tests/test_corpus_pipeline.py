@@ -111,3 +111,42 @@ def test_recipe_gopher_gate(spark, docs):
         ~F.col("gopher_pass")
     )
     assert gated.count() == base.count() - viol.count()
+
+
+def test_decontamination_catches_planted_overlap(spark, docs):
+    from hk_housing_datahub_spark.operators.decontaminate import (
+        contaminated_ids,
+        drop_contaminated,
+    )
+
+    # plant: benchmark rows copy a 13+-token span from two known LONG docs
+    two = (
+        docs.filter(F.size(F.split("text", "\\s+")) >= 30)
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    )
+    n_tok = 13
+
+    def span(text):  # a 20-token snippet from the middle
+        toks = text.split()
+        assert len(toks) >= 25
+        return " ".join(toks[3 : 3 + 20])
+
+    bench = spark.createDataFrame(
+        [("q1", "Which is true? " + span(two[0].text)),
+         ("q2", span(two[1].text) + " (pick one)")],
+        ["qid", "text"],
+    )
+    bad = {r.doc_id for r in contaminated_ids(docs, bench, n=n_tok).collect()}
+    assert {two[0].doc_id, two[1].doc_id} <= bad
+    kept = drop_contaminated(docs, bench, n=n_tok)
+    assert kept.count() == docs.count() - len(bad)
+    assert kept.filter(
+        F.col("doc_id").isin(two[0].doc_id, two[1].doc_id)
+    ).count() == 0
+    # a benchmark sharing nothing flags nothing
+    clean_bench = spark.createDataFrame(
+        [("q", " ".join(f"zz{i}qx" for i in range(30)))], ["qid", "text"]
+    )
+    assert contaminated_ids(docs, clean_bench, n=n_tok).count() == 0
