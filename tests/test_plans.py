@@ -188,6 +188,11 @@ def test_sample_pack_one_exchange_and_pruned_scan(spark):
     bucket hash) with a per-bucket sort — no global sort anywhere."""
     import __spark_entry__ as E
 
+    # another suite may have cached the documents relation; a cache hit
+    # would swap the parquet scan for an all-columns InMemoryRelation and
+    # make this pin measure the cache, not the production plan
+    spark.catalog.clearCache()
+
     df = E.queries()["sample_pack_corpus"](spark, SF)
     p = plan_of(df)
     import re
