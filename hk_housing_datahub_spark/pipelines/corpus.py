@@ -51,6 +51,7 @@ class CorpusRecipe:
     mixture: dict[str, float] | None = None  # source -> target weight
     mixture_total: int | None = None
     pack_budget: int = 4096  # tokens per bin
+    decontaminate_n: int = 13  # n-gram length for the benchmark screen
     salt: str = ""
     stages: list[tuple[str, int]] = field(default_factory=list)
 
@@ -60,12 +61,27 @@ def prepare_training_corpus(
     recipe: CorpusRecipe | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full preparation funnel; returns the packed corpus with
     ``text`` already scrubbed, plus ``n_tokens``, ``pii_total``,
-    ``quality``, ``bucket`` and ``bin_id`` columns."""
+    ``quality``, ``bucket`` and ``bin_id`` columns.
+
+    ``benchmark`` (optional): an eval-set DataFrame with a ``text``
+    column; docs sharing a ``recipe.decontaminate_n``-gram with it are
+    dropped FIRST (cheapest gate — a broadcast semi-join — and removing
+    leaks before dedup keeps a contaminated doc from surviving as its
+    cluster's canonical)."""
     r = recipe or CorpusRecipe()
-    out = drop_exact_dups(docs, id_col, text_col)
+    out = docs
+    if benchmark is not None:
+        from ..operators.decontaminate import drop_contaminated
+
+        out = drop_contaminated(
+            out, benchmark, n=r.decontaminate_n, id_col=id_col,
+            text_col=text_col,
+        )
+    out = drop_exact_dups(out, id_col, text_col)
     if r.dedup == "lsh":
         out = minhash_lsh_dedup(
             out, id_col, text_col,

@@ -150,3 +150,25 @@ def test_decontamination_catches_planted_overlap(spark, docs):
         [("q", " ".join(f"zz{i}qx" for i in range(30)))], ["qid", "text"]
     )
     assert contaminated_ids(docs, clean_bench, n=n_tok).count() == 0
+
+
+def test_funnel_with_benchmark_decontamination(spark, docs):
+    two = (
+        docs.filter(F.size(F.split("text", "\\s+")) >= 30)
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()
+    )
+    snippet = " ".join(two[0].text.split()[2:22])
+    bench = spark.createDataFrame([("q", snippet)], ["qid", "text"])
+    base = prepare_training_corpus(docs, CorpusRecipe(dedup="exact"))
+    gated = prepare_training_corpus(
+        docs, CorpusRecipe(dedup="exact"), benchmark=bench
+    )
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    gated_ids = {r.doc_id for r in gated.select("doc_id").collect()}
+    assert two[0].doc_id in base_ids and two[0].doc_id not in gated_ids
+    # contamination-driven drops may promote a different cluster member to
+    # canonical, so exact subset is not guaranteed — only strictly fewer
+    # docs and the contaminated id gone
+    assert len(gated_ids) < len(base_ids)
