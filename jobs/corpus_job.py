@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--sample-rate", type=float, default=1.0)
     ap.add_argument("--budget", type=int, default=4096)
     ap.add_argument("--salt", default="")
+    ap.add_argument(
+        "--benchmark", default="",
+        help="parquet of eval texts; docs sharing a 13-gram are dropped",
+    )
     ap.add_argument("--tag", default="", help="tag the committed snapshot")
     args = ap.parse_args()
     if bool(args.input) == bool(args.input_table):
@@ -65,7 +69,8 @@ def main() -> None:
         pack_budget=args.budget,
         salt=args.salt,
     )
-    corpus = prepare_training_corpus(docs, recipe).persist()
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    corpus = prepare_training_corpus(docs, recipe, benchmark=bench).persist()
     stats = corpus_stats(docs, corpus).first()
     snap = cat.append(args.output_table, corpus, rows=stats.docs_out)
     out = {
