@@ -98,7 +98,10 @@ def test_pack_greedy_matches_sequential_recompute(spark, sf_small):
         start = g["n_chars"].cumsum() - g["n_chars"]
         expect = (start // budget).astype("int64")
         assert list(g["bin_id"]) == list(expect), f"bucket {bucket}"
-    # bins within a bucket are dense from 0
+    # bins within a bucket are dense from 0 — holds here because no doc
+    # exceeds the budget (an oversized straddler may skip whole bins; that
+    # general case is pinned by hypothesis in test_sampling_properties.py)
+    assert (packed["n_chars"] <= budget).all()
     for _, g in packed.groupby("bucket"):
         bins = sorted(set(g["bin_id"]))
         assert bins[0] == 0 and bins == list(range(len(bins)))
