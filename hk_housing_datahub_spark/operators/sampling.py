@@ -69,6 +69,36 @@ def hash_sample(
     return df.where(_key_hash(key_cols, salt) < F.lit(rate_to_hex(rate)))
 
 
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column by
+    carving the md5 hash space into contiguous bands sized by
+    ``fractions`` (must sum to <= 1; the remainder, if any, is labeled
+    ``NULL`` and can be filtered). Same key → same split, forever, on any
+    engine — a doc can never leak from train to test between runs, which
+    is the whole point. One scan projection; no shuffle."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    h = _key_hash(key_cols, salt)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        hi = F.lit(rate_to_hex(min(cum, 1.0)))
+        cond = h < hi
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn("split", expr)
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str,

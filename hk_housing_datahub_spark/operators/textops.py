@@ -122,3 +122,56 @@ def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         c = ~F.col(n)
         gate = c if gate is None else gate & c
     return out.withColumn("gopher_pass", gate)
+
+
+def drop_boilerplate_lines(
+    docs: DataFrame,
+    max_line_df: int = 5,
+    min_line_chars: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style line-level dedup: a line appearing (normalized) in more
+    than ``max_line_df`` documents is boilerplate — navigation, footers,
+    cookie banners — and is dropped from EVERY document; remaining lines
+    are rejoined in their original order. Lines shorter than
+    ``min_line_chars`` are kept unconditionally (hubs like '-' or blank
+    separators are structure, not boilerplate; counting them would also
+    make the DF side needlessly hot).
+
+    Shape at 100 TB: posexplode lines → hash → one aggregate for the
+    document-frequency per line-hash (map-side combined; only 8-byte
+    hashes shuffle, never text) → the hot-hash set is TINY (it is the
+    boilerplate!) and broadcasts back as an anti-join → group back by doc
+    with order restored via the kept positions. Two shuffles total (the
+    DF count and the regroup), both on compact keys.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lhash", F.xxhash64(F.trim(F.lower(F.col("line")))))
+    countable = lines.filter(F.length(F.trim("line")) >= min_line_chars)
+    hot = (
+        countable.groupBy("lhash")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") > max_line_df)
+        .select("lhash")
+    )
+    kept = lines.join(
+        F.broadcast(hot).withColumn("_hot", F.lit(True)), "lhash", "left"
+    ).filter(
+        F.col("_hot").isNull()
+        | (F.length(F.trim("line")) < min_line_chars)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col)
+    )
+    return docs.drop(text_col).join(rebuilt, id_col, "inner")

@@ -161,3 +161,56 @@ def test_mixture_sample_caps_undersupplied_stratum(spark, sf_small):
     )
     assert m.count() == counts[rare]
     assert m.select("source").distinct().collect()[0][0] == rare
+
+
+def test_hash_split_partitions_and_is_stable(spark, sf_small):
+    from hk_housing_datahub_spark.operators.sampling import hash_split
+
+    d = _docs(spark, sf_small)
+    s = hash_split(d, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r["split"]: r["n"] for r in
+           s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = d.count()
+    assert set(got) == {"train", "val", "test"}  # fractions sum to 1: no NULL
+    assert sum(got.values()) == n
+    assert abs(got["train"] / n - 0.8) < 0.1
+    # stability: same key → same split across calls and partitionings
+    a = {(r.doc_id, r.split) for r in s.select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in hash_split(
+            d.repartition(17), ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "split").collect()
+    }
+    assert a == b
+    # splits are disjoint with the SAME salt as a sample: a 0.8-rate sample
+    # is exactly the train split (band structure is shared)
+    from hk_housing_datahub_spark.operators.sampling import hash_sample
+
+    train_ids = {r.doc_id for r in s.filter("split = 'train'").collect()}
+    samp_ids = {r.doc_id for r in hash_sample(d, ["doc_id"], 0.8).collect()}
+    assert train_ids == samp_ids
+
+
+def test_drop_boilerplate_lines(spark):
+    from hk_housing_datahub_spark.operators.textops import (
+        drop_boilerplate_lines,
+    )
+
+    footer = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (i, f"unique line {i} alpha\n{footer}\nunique line {i} beta")
+            for i in range(10)
+        ]
+        + [(99, "short\n-\nonly unique content here")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text for r in
+           drop_boilerplate_lines(docs, max_line_df=5).collect()}
+    assert len(out) == 11
+    for i in range(10):
+        assert footer not in out[i]  # boilerplate gone everywhere
+        assert f"unique line {i} alpha" in out[i]  # order + content kept
+        assert out[i].index("alpha") < out[i].index("beta")
+    assert out[99] == "short\n-\nonly unique content here"  # untouched
