@@ -47,6 +47,7 @@ class CorpusRecipe:
     max_shingle_df: int | None = 50
     min_quality: float = 0.0
     gopher: bool = False  # apply the Gopher-rules gate (drops flag cols)
+    boilerplate_max_df: int | None = None  # line-DF cap (CCNet line dedup)
     sample_rate: float = 1.0
     mixture: dict[str, float] | None = None  # source -> target weight
     mixture_total: int | None = None
@@ -80,6 +81,15 @@ def prepare_training_corpus(
         out = drop_contaminated(
             out, benchmark, n=r.decontaminate_n, id_col=id_col,
             text_col=text_col,
+        )
+    if r.boilerplate_max_df is not None:
+        # line-level cleanup BEFORE doc-level dedup (the CCNet order):
+        # shared footers otherwise make distinct docs look like near-dups
+        from ..operators.textops import drop_boilerplate_lines
+
+        out = drop_boilerplate_lines(
+            out, max_line_df=r.boilerplate_max_df,
+            id_col=id_col, text_col=text_col,
         )
     out = drop_exact_dups(out, id_col, text_col)
     if r.dedup == "lsh":

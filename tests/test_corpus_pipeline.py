@@ -172,3 +172,22 @@ def test_funnel_with_benchmark_decontamination(spark, docs):
     # canonical, so exact subset is not guaranteed — only strictly fewer
     # docs and the contaminated id gone
     assert len(gated_ids) < len(base_ids)
+
+
+def test_recipe_boilerplate_stage(spark):
+    footer = "all rights reserved contact us terms of service"
+    docs = spark.createDataFrame(
+        [
+            (i, f"real content number {i} with words aplenty\n{footer}")
+            for i in range(12)
+        ],
+        ["doc_id", "text"],
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("web"))
+    out = prepare_training_corpus(
+        docs,
+        CorpusRecipe(dedup="exact", boilerplate_max_df=5, pack_budget=64),
+    )
+    rows = out.collect()
+    assert len(rows) == 12  # docs differ once the shared footer is gone
+    assert all(footer not in r.text for r in rows)
+    assert all(f"number {r.doc_id}" in r.text for r in rows)
