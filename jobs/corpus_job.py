@@ -72,7 +72,15 @@ def main() -> None:
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     corpus = prepare_training_corpus(docs, recipe, benchmark=bench).persist()
     stats = corpus_stats(docs, corpus).first()
-    snap = cat.append(args.output_table, corpus, rows=stats.docs_out)
+    # cluster the output by (bucket, bin_id): training readers consume bin
+    # ranges, and the range-sorted files + manifest stats make a bin-range
+    # read prune to exactly its files
+    snap = cat.append(
+        args.output_table,
+        corpus,
+        rows=stats.docs_out,
+        cluster_by=["bucket", "bin_id"],
+    )
     out = {
         "output_table": args.output_table,
         "snapshot": snap,
