@@ -1077,6 +1077,43 @@ class TableCatalog:
             raise FileNotFoundError(f"table {table!r} has no tag {name!r}")
         return self.read(table, snapshot=refs[name], where=where)
 
+    def describe(self, table: str) -> dict:
+        """Metadata-only table summary (no data reads): current snapshot,
+        live row count folded from snapshot lineage, live file/dir counts,
+        external vs owned split, pending staged snapshots, tags, and the
+        resolved schema — the DESCRIBE TABLE a catalog user expects."""
+        m = self._load_manifest(table)
+        part_rows: dict[str, int] = {}
+        for h in m["history"]:
+            for p, ps in (h.get("file_stats") or {}).items():
+                part_rows.setdefault(p, ps.get("rows", 0))
+        per_dir: dict[str, int] = {}
+        for p, r in part_rows.items():
+            per_dir[os.path.dirname(p)] = per_dir.get(os.path.dirname(p), 0) + r
+        live = m["files"]
+        rows = (
+            sum(per_dir[d] for d in live)
+            if all(d in per_dir for d in live)
+            else None  # a pre-stats dir: exact count needs a read
+        )
+        schema = self._schema_as_of(m)
+        return {
+            "snapshot": m["snapshot"],
+            "rows": rows,
+            "data_dirs": len(live),
+            "files": sum(
+                1 for p in part_rows if os.path.dirname(p) in set(live)
+            ),
+            "external_dirs": sum(1 for d in live if os.path.isabs(d)),
+            "pending_staged": [
+                h["snapshot"]
+                for h in m["history"]
+                if h["op"] == "stage" and not h.get("resolved")
+            ],
+            "tags": dict(m.get("refs", {})),
+            "schema": schema.simpleString() if schema is not None else None,
+        }
+
     def history(self, table: str) -> list[dict]:
         return self._load_manifest(table)["history"]
 

@@ -220,3 +220,19 @@ def test_prepare_corpus_funnel_all_jvm(spark):
     df = E.queries()["prepare_corpus"](spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p[:2000]
+
+
+def test_boilerplate_removal_broadcasts_hot_lines(spark):
+    """drop_boilerplate_lines at 100 TB: the hot-line set (the boilerplate
+    itself — tiny by definition) comes back as a BroadcastHashJoin, and no
+    cartesian or Python nodes appear anywhere."""
+    from hk_housing_datahub_spark.operators.textops import (
+        drop_boilerplate_lines,
+    )
+
+    spark.catalog.clearCache()
+    d = _t(spark, "documents")
+    p = plan_of(drop_boilerplate_lines(d))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

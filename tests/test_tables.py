@@ -566,3 +566,16 @@ def test_timestamp_as_of_read(spark, cat):
         cat.snapshot_as_of("t", 0)
     with pytest.raises(ValueError, match="not both"):
         cat.read("t", snapshot=s1, as_of=t1)
+
+
+def test_describe_is_metadata_only_summary(spark, cat):
+    s1 = cat.append("t", spark.range(0, 10).coalesce(2))
+    cat.append("t", spark.range(10, 30).coalesce(1))
+    cat.append("t", spark.range(99, 100).coalesce(1), staged=True)
+    cat.tag("t", "v1", s1)
+    d = cat.describe("t")
+    assert d["snapshot"] == 3 and d["rows"] == 30
+    assert d["data_dirs"] == 2 and d["files"] == 3
+    assert d["pending_staged"] == [3] and d["tags"] == {"v1": 1}
+    assert d["schema"].startswith("struct<id:bigint")
+    assert d["external_dirs"] == 0
