@@ -40,6 +40,8 @@ def main() -> None:
         help="parquet of eval texts; docs sharing a 13-gram are dropped",
     )
     ap.add_argument("--tag", default="", help="tag the committed snapshot")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
     args = ap.parse_args()
     if bool(args.input) == bool(args.input_table):
         ap.error("pass exactly one of --input / --input-table")
@@ -70,7 +72,10 @@ def main() -> None:
         salt=args.salt,
     )
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
-    corpus = prepare_training_corpus(docs, recipe, benchmark=bench).persist()
+    corpus = prepare_training_corpus(
+        docs, recipe, id_col=args.id_col, text_col=args.text_col,
+        benchmark=bench,
+    ).persist()
     stats = corpus_stats(docs, corpus).first()
     # cluster the output by (bucket, bin_id): training readers consume bin
     # ranges, and the range-sorted files + manifest stats make a bin-range
