@@ -57,9 +57,18 @@ def redact_text(text: Column) -> Column:
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-class match counts on the ORIGINAL text (compute before
-    redacting — counting after would see placeholders)."""
-    return {name: F.regexp_count(text, F.lit(pat)) for name, pat, _ in _CLASSES}
+    """Per-class counts of what the replacement pass ACTUALLY scrubs:
+    each class is counted on the text with the earlier classes already
+    replaced — exactly the replacement pipeline's view — so a span that
+    two patterns overlap (a spaced card is also phone-shaped) is counted
+    once, under the class that redacts it, and ``sum(counts) == number of
+    placeholders`` holds by construction."""
+    counts: dict[str, Column] = {}
+    running = text
+    for name, pat, token in _CLASSES:
+        counts[name] = F.regexp_count(running, F.lit(pat))
+        running = F.regexp_replace(running, pat, token)
+    return counts
 
 
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -89,7 +89,10 @@ def hash_split(
     cum = 0.0
     for name, frac in fractions.items():
         cum += frac
-        hi = F.lit(rate_to_hex(min(cum, 1.0)))
+        # float-summing 0.7+0.15+0.15 lands just UNDER 1.0; snapping the
+        # last band to the keep-all sentinel keeps the 'ffffffff'-prefix
+        # keys from falling out of every split
+        hi = F.lit(rate_to_hex(1.0 if cum >= 1.0 - 1e-9 else cum))
         cond = h < hi
         expr = (
             F.when(cond, F.lit(name))

@@ -174,4 +174,9 @@ def drop_boilerplate_lines(
             ),
         ).alias(text_col)
     )
-    return docs.drop(text_col).join(rebuilt, id_col, "inner")
+    # LEFT join + coalesce: a doc whose every line was boilerplate keeps
+    # its row with EMPTY text (the quality gate downstream drops it with
+    # honest funnel accounting) — this operator drops lines, never docs
+    return docs.drop(text_col).join(rebuilt, id_col, "left").withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )

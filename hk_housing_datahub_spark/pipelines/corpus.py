@@ -25,7 +25,7 @@ data-quality dashboard wants it.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,7 +54,6 @@ class CorpusRecipe:
     pack_budget: int = 4096  # tokens per bin
     decontaminate_n: int = 13  # n-gram length for the benchmark screen
     salt: str = ""
-    stages: list[tuple[str, int]] = field(default_factory=list)
 
 
 def prepare_training_corpus(

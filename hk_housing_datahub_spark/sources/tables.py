@@ -99,14 +99,17 @@ class TableCatalog:
         data rewrite. Raises CommitConflict if another writer got there
         first."""
         os.makedirs(self._tdir(table), exist_ok=True)
-        # commit-time stamps: every new history entry gets the wall time of
-        # the commit that published it (TIMESTAMP AS OF resolution). Single
-        # choke point — all ops funnel through here.
+        # commit-time stamp: every op appends exactly ONE history entry
+        # before funneling through here, so the last entry is this commit's
+        # and gets the wall time (TIMESTAMP AS OF resolution). Earlier
+        # unstamped entries — a manifest written before stamping existed —
+        # stay unstamped: honestly unresolvable by snapshot_as_of instead
+        # of all acquiring today's time and resolving WRONG.
         import time as _time
 
-        now = _time.time()
-        for h in manifest.get("history", []):
-            h.setdefault("ts", now)
+        hist = manifest.get("history", [])
+        if hist:
+            hist[-1].setdefault("ts", _time.time())
         if expect is None:
             tmp = self._manifest_path(table) + ".tmp"
             with open(tmp, "w") as f:
@@ -305,6 +308,9 @@ class TableCatalog:
         return T.StructType(list(fields.values())) if fields else None
 
     def _check_write_schema(self, m: dict, df: DataFrame, table: str) -> None:
+        self._check_schema_compat(m, df.schema, table)
+
+    def _check_schema_compat(self, m: dict, schema, table: str) -> None:
         """Add-column evolution only: a written column that already exists
         must keep its exact dataType (Iceberg would also allow widening
         promotions; we keep the stricter rule so every file in a table is
@@ -313,7 +319,7 @@ class TableCatalog:
         if cur is None:
             return
         have = {f.name: f.dataType for f in cur.fields}
-        for f in df.schema.fields:
+        for f in schema.fields:
             if f.name in have and f.dataType != have[f.name]:
                 raise ValueError(
                     f"schema evolution on table {table!r} rejected: column "
@@ -435,6 +441,15 @@ class TableCatalog:
         m = self._load_manifest(table)
         expect = self._version_of(m)
         h = self._staged_entry(m, snapshot)
+        # re-validate against the CURRENT visible schema: commits that
+        # landed after staging (or sibling stages) may conflict — stage
+        # entries are skipped by the schema fold precisely because they
+        # are not yet part of the table's contract
+        from pyspark.sql import types as T
+
+        self._check_schema_compat(
+            m, T.StructType.fromJson(json.loads(h["schema"])), table
+        )
         snap = m["snapshot"] + 1
         m["snapshot"] = snap
         m["files"] = m["files"] + h["added"]
@@ -523,6 +538,21 @@ class TableCatalog:
         )
         self._commit(table, m, expect)
         return snap
+
+    @staticmethod
+    def _rows_per_dir(m: dict) -> dict[str, int]:
+        """Per-data-dir row counts folded from manifest file stats —
+        metadata-only row accounting shared by rollback/describe. First
+        writer wins per part path (rollback re-references dirs without
+        restating their stats)."""
+        part_rows: dict[str, int] = {}
+        for h in m["history"]:
+            for p, ps in (h.get("file_stats") or {}).items():
+                part_rows.setdefault(p, ps.get("rows", 0))
+        per_dir: dict[str, int] = {}
+        for p, r in part_rows.items():
+            per_dir[os.path.dirname(p)] = per_dir.get(os.path.dirname(p), 0) + r
+        return per_dir
 
     def _files_at(self, m: dict, snapshot: int) -> list[str]:
         """File list as of ``snapshot``, replayed from manifest history.
@@ -933,13 +963,7 @@ class TableCatalog:
         }
         # row count from the referenced files' manifest stats — metadata
         # only; omitted if any referenced dir predates stats collection
-        part_rows: dict[str, int] = {}
-        for h in m["history"]:
-            for p, ps in (h.get("file_stats") or {}).items():
-                part_rows.setdefault(p, ps.get("rows", 0))
-        per_dir: dict[str, int] = {}
-        for p, r in part_rows.items():
-            per_dir[os.path.dirname(p)] = per_dir.get(os.path.dirname(p), 0) + r
+        per_dir = self._rows_per_dir(m)
         if all(d in per_dir for d in files):
             entry["rows"] = sum(per_dir[d] for d in files)
         if schema is not None:
@@ -1083,27 +1107,28 @@ class TableCatalog:
         external vs owned split, pending staged snapshots, tags, and the
         resolved schema — the DESCRIBE TABLE a catalog user expects."""
         m = self._load_manifest(table)
-        part_rows: dict[str, int] = {}
-        for h in m["history"]:
-            for p, ps in (h.get("file_stats") or {}).items():
-                part_rows.setdefault(p, ps.get("rows", 0))
-        per_dir: dict[str, int] = {}
-        for p, r in part_rows.items():
-            per_dir[os.path.dirname(p)] = per_dir.get(os.path.dirname(p), 0) + r
+        per_dir = self._rows_per_dir(m)
         live = m["files"]
+        live_set = set(live)
         rows = (
             sum(per_dir[d] for d in live)
             if all(d in per_dir for d in live)
             else None  # a pre-stats dir: exact count needs a read
         )
         schema = self._schema_as_of(m)
+        n_files = len(
+            {
+                p
+                for h in m["history"]
+                for p in (h.get("file_stats") or {})
+                if os.path.dirname(p) in live_set
+            }
+        )
         return {
             "snapshot": m["snapshot"],
             "rows": rows,
             "data_dirs": len(live),
-            "files": sum(
-                1 for p in part_rows if os.path.dirname(p) in set(live)
-            ),
+            "files": n_files,
             "external_dirs": sum(1 for d in live if os.path.isabs(d)),
             "pending_staged": [
                 h["snapshot"]

@@ -28,13 +28,24 @@ from ..sources.tables import TableCatalog
 
 
 class CatalogStreamSink:
-    """``foreachBatch`` callable with batch-id idempotence."""
+    """``foreachBatch`` callable with per-query batch-id idempotence.
+
+    ``sink_id`` identifies the STREAM (tie it to the checkpointLocation —
+    batch ids are only monotone within one query's checkpoint). Dedup is
+    keyed on (sink_id, batch_id): a second stream (or a restart with a
+    fresh checkpoint, whose batch ids restart at 0) writing to the same
+    table is a different producer, not a replay — its batches land."""
 
     def __init__(
-        self, catalog: TableCatalog, table: str, cluster_by=None
+        self,
+        catalog: TableCatalog,
+        table: str,
+        sink_id: str = "default",
+        cluster_by=None,
     ):
         self.catalog = catalog
         self.table = table
+        self.sink_id = sink_id
         self.cluster_by = cluster_by
         self.skipped_replays = 0  # observability: replayed batch count
 
@@ -42,7 +53,7 @@ class CatalogStreamSink:
         return {
             h["batch_id"]
             for h in self.catalog.history(self.table)
-            if "batch_id" in h
+            if "batch_id" in h and h.get("sink_id") == self.sink_id
         }
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -57,5 +68,5 @@ class CatalogStreamSink:
             self.table,
             batch_df,
             cluster_by=self.cluster_by,
-            extra={"batch_id": int(batch_id)},
+            extra={"batch_id": int(batch_id), "sink_id": self.sink_id},
         )

@@ -335,3 +335,22 @@ def test_catalog_stream_sink_exactly_once(spark, cat, sf_small):
     finally:
         shutil.rmtree(src)
         shutil.rmtree(ckpt)
+
+
+def test_two_stream_sinks_do_not_collide(spark, cat, sf_small):
+    """Batch ids are per-query: a second stream (fresh checkpoint, ids
+    restarting at 0) into the same table is a producer, not a replay."""
+    from hk_housing_datahub_spark.streaming.catalog_sink import (
+        CatalogStreamSink,
+    )
+
+    rows = spark.read.parquet(f"{sf_small}/events.parquet").limit(10)
+    a = CatalogStreamSink(cat, "ev", sink_id="live")
+    b = CatalogStreamSink(cat, "ev", sink_id="backfill")
+    a(rows, 0)
+    b(rows, 0)  # same batch id, different query → must land
+    assert cat.read("ev").count() == 20
+    assert b.skipped_replays == 0
+    a(rows, 0)  # true replay of A's batch 0 → no-op
+    assert a.skipped_replays == 1
+    assert cat.read("ev").count() == 20

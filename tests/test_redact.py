@@ -35,10 +35,17 @@ def test_golden_redactions(spark):
 
 
 def test_counts_match_replacements(spark, sf_small):
-    """On real corpus text: per-class count == number of placeholder tokens
-    that appear in the redacted output (counting before == replacing
-    after), and rows without PII are byte-identical."""
+    """Per-class count == number of that class's placeholders in the
+    redacted output, on EVERY row (progressive counting sees exactly what
+    the replacement pass sees, so overlapping classes cannot double-count);
+    rows without PII are byte-identical."""
     d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    # inject an overlap-heavy span too: a spaced card is also phone-shaped
+    d = d.selectExpr(
+        "doc_id",
+        "text || CASE WHEN doc_id % 4 = 0"
+        " THEN ' pay 4111 1111 1111 1111 now' ELSE '' END AS text",
+    )
     out = redact_pii(d)
     for name, _, token in _CLASSES:
         bad = out.filter(
@@ -49,12 +56,14 @@ def test_counts_match_replacements(spark, sf_small):
             )
             / len(token)
         )
-        # replacement classes interact (a phone inside a redacted card is
-        # gone); require agreement on rows where only this class fired
-        only = bad.filter(F.col("pii_total") == F.col(f"pii_{name}"))
-        assert only.count() == 0, name
+        assert bad.count() == 0, name
     clean = out.filter(F.col("pii_total") == 0)
     assert clean.filter(F.col("text") != F.col("text_redacted")).count() == 0
+    # the overlap rows scrub exactly ONE span, attributed to the card class
+    overlap = out.filter(F.col("doc_id") % 4 == 0)
+    assert overlap.filter(
+        (F.col("pii_card") != 1) | (F.col("pii_phone") != 0)
+    ).count() == 0
 
 
 def test_duckdb_parity_on_corpus(spark, sf_small):

@@ -579,3 +579,47 @@ def test_describe_is_metadata_only_summary(spark, cat):
     assert d["pending_staged"] == [3] and d["tags"] == {"v1": 1}
     assert d["schema"].startswith("struct<id:bigint")
     assert d["external_dirs"] == 0
+
+
+def test_publish_staged_revalidates_schema(spark, cat):
+    """A stage is not part of the schema contract until published: a
+    conflicting commit that lands in between must make the publish fail
+    (the stage stays unresolved for the operator to discard)."""
+    from pyspark.sql import functions as F
+
+    cat.append("t", spark.range(0, 5))
+    s = cat.append(
+        "t", spark.range(5, 8).select("id", F.lit(1.5).alias("price")),
+        staged=True,
+    )
+    # a visible append claims price as STRING before the stage publishes
+    cat.append(
+        "t", spark.range(8, 9).select("id", F.lit("9.99").alias("price"))
+    )
+    with pytest.raises(ValueError, match="schema evolution"):
+        cat.publish_staged("t", s)
+    # unresolved → still discardable; table stays readable and consistent
+    cat.discard_staged("t", s)
+    assert cat.read("t").count() == 6
+
+
+def test_commit_stamps_only_new_entries(spark, cat):
+    """Pre-stamping manifests keep early entries unstamped (honestly
+    unresolvable) instead of inheriting today's commit time."""
+    import json as _json
+    import os as _os
+
+    cat.append("t", spark.range(0, 3).coalesce(1))
+    # simulate a manifest written before commit stamping existed
+    mp = cat._manifest_path("t")
+    m = _json.load(open(mp))
+    del m["history"][0]["ts"]
+    _json.dump(m, open(mp, "w"))
+    cat.append("t", spark.range(3, 6).coalesce(1))
+    hist = cat.history("t")
+    assert "ts" not in hist[0] and "ts" in hist[1]
+    import time as _time
+
+    assert cat.snapshot_as_of("t", _time.time()) == 2
+    with pytest.raises(ValueError, match="no commit"):
+        cat.snapshot_as_of("t", hist[1]["ts"] - 1)
