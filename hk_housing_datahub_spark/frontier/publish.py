@@ -155,6 +155,22 @@ def publish_crawl(
     def _sync() -> None:
         m = read_manifest(engine.dir)
         for w in m.waves_done if m else []:
+            # the seen-set snapshot must be registered even for a wave
+            # that extracted zero listings — a consumer warm-starting
+            # dedup from <table>_seen's current snapshot must see the
+            # state AFTER the last wave, not one wave stale
+            if publish_seen and w not in seen_published:
+                catalog.add_files(
+                    seen_tbl,
+                    os.path.join(engine.dir, f"seen_v{w}"),
+                    lineage={
+                        "wave": w,
+                        "seen_mode": engine.seen_mode,
+                        "seen_count": m.seen_count if m.wave == w else None,
+                    },
+                    mode="replace",
+                )
+                seen_published.add(w)
             if w in pending:
                 # a crash landed between staging and the audit decision:
                 # the wave is imported but unresolved — resolve it now
@@ -175,18 +191,6 @@ def publish_crawl(
                         catalog, table, engine, w, mode="stage"
                     )
                     _resolve(w, staged)
-            if publish_seen and w not in seen_published:
-                catalog.add_files(
-                    seen_tbl,
-                    os.path.join(engine.dir, f"seen_v{w}"),
-                    lineage={
-                        "wave": w,
-                        "seen_mode": engine.seen_mode,
-                        "seen_count": m.seen_count if m.wave == w else None,
-                    },
-                    mode="replace",
-                )
-                seen_published.add(w)
 
     _sync()  # reconcile a crash between engine commit and publish
     for _ in range(max_waves):

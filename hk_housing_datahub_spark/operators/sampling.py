@@ -37,7 +37,13 @@ def rate_to_hex(rate: float, digits: int = 8) -> str:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     if rate >= 1.0:
         return "g" * digits
-    return format(int(rate * 16**digits), f"0{digits}x")
+    n = int(rate * 16**digits)
+    # float rounding can push rates in (1 - 2^-33, 1) up to exactly
+    # 16^digits — formatted, that is a 9-char '100000000' which sorts
+    # BELOW most 8-char hex strings and would keep ~6% instead of ~100%
+    if n >= 16**digits:
+        return "g" * digits
+    return format(n, f"0{digits}x")
 
 
 def _key_hash(key_cols: list[str], salt: str) -> Column:

@@ -603,6 +603,30 @@ class TableCatalog:
         expect = self._version_of(m)
         self._check_write_schema(m, updates, table)
         cur_files = m["files"]
+        # the updates frame is evaluated in three separate jobs (bounds
+        # agg, isEmpty, final write) — pin it so a nondeterministic input
+        # (sample, rand, reordered shuffle) cannot yield key bounds that
+        # fail to cover the rows actually written, which would let the
+        # stats-overlap prune skip a dir containing matched keys
+        updates = updates.persist()
+        try:
+            return self._merge_upsert_pinned(
+                table, updates, keys, m, expect, cur_files
+            )
+        finally:
+            updates.unpersist()
+
+    def _merge_upsert_pinned(
+        self,
+        table: str,
+        updates: DataFrame,
+        keys: list[str],
+        m: dict,
+        expect,
+        cur_files: list[str],
+    ) -> int:
+        from pyspark.sql import functions as F
+
         # metadata overlap test: updates' global key ranges vs file stats
         aggs = []
         for k in keys:
@@ -1161,7 +1185,29 @@ class TableCatalog:
         orphan is only deleted once its directory mtime is older than
         ``orphan_age_s`` — a live appender's minutes-old dir survives.
         External (``add_files``-imported) directories are referenced, not
-        owned — never touched."""
+        owned — never touched.
+
+        The keep-set is computed and the deletes performed under the same
+        per-table ``.commit.lock`` the CAS commits use — otherwise a
+        concurrent rollback/tag could re-reference a pre-retention dir
+        between the manifest read and the rmtree, leaving the table
+        pointing at deleted files (appends are already protected by the
+        orphan age guard; history rewrites are not). Writers only hold
+        that lock for the metadata swap, never during data writes, so
+        vacuum blocks commits only for its own O(dirs) delete pass."""
+        import fcntl
+        import shutil
+        import time
+
+        os.makedirs(self._tdir(table), exist_ok=True)
+        lockp = os.path.join(self._tdir(table), ".commit.lock")
+        with open(lockp, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            return self._vacuum_locked(table, retain_last, orphan_age_s)
+
+    def _vacuum_locked(
+        self, table: str, retain_last: int, orphan_age_s: float
+    ) -> int:
         import shutil
         import time
 

@@ -175,16 +175,31 @@ def run_streaming_dedup_tws(
         else:
             q = writer.start()
             try:
+                # accumulate rows incrementally from lastProgress, keyed by
+                # batchId — recentProgress is a bounded buffer (~100
+                # entries) that silently drops old batches, so re-summing
+                # it undercounts long runs and an expect_input_rows target
+                # might never be reached
                 deadline = time.time() + timeout_s
+                got = 0
+                seen_batches: set[int] = set()
+                quiet = 0
                 while time.time() < deadline:
-                    progs = q.recentProgress
-                    got = sum(int(p["numInputRows"]) for p in progs)
-                    if expect_input_rows is not None:
-                        if got >= expect_input_rows:
-                            break
-                    elif progs and got > 0 and all(
-                        int(p["numInputRows"]) == 0 for p in progs[-3:]
+                    p = q.lastProgress
+                    if p is not None and p["batchId"] not in seen_batches:
+                        seen_batches.add(p["batchId"])
+                        rows = int(p["numInputRows"])
+                        got += rows
+                        quiet = quiet + 1 if rows == 0 else 0
+                    if expect_input_rows is not None and got >= (
+                        expect_input_rows
                     ):
+                        break
+                    if quiet >= 3:
+                        # input drained (TTL mode keeps cycling empty
+                        # batches to advance the clock) — also the exit
+                        # for an all-empty input, which would otherwise
+                        # always wait the full timeout
                         break
                     time.sleep(0.5)
             finally:
