@@ -141,10 +141,17 @@ def drop_boilerplate_lines(
 
     Shape at 100 TB: posexplode lines → hash → one aggregate for the
     document-frequency per line-hash (map-side combined; only 8-byte
-    hashes shuffle, never text) → the hot-hash set is TINY (it is the
-    boilerplate!) and broadcasts back as an anti-join → group back by doc
-    with order restored via the kept positions. Two shuffles total (the
-    DF count and the regroup), both on compact keys.
+    hashes shuffle, never text) → anti-join the hot-hash set back →
+    group back by doc with order restored via the kept positions.
+
+    The hot-set join carries NO broadcast hint on purpose: with a small
+    ``max_line_df`` at web scale the set of lines appearing in more than
+    a handful of documents is every common sentence on the web — far too
+    large to pin to the driver. AQE decides at runtime from the hot
+    set's ACTUAL size: a genuinely tiny boilerplate set converts to a
+    broadcast join for free, a huge one falls back to one compact-key
+    shuffle on ``lhash`` (8-byte key; the line text rides the exchange
+    exactly once, into the same partitioning the regroup reuses).
     """
     lines = docs.select(
         F.col(id_col),
@@ -158,7 +165,7 @@ def drop_boilerplate_lines(
         .select("lhash")
     )
     kept = lines.join(
-        F.broadcast(hot).withColumn("_hot", F.lit(True)), "lhash", "left"
+        hot.withColumn("_hot", F.lit(True)), "lhash", "left"
     ).filter(
         F.col("_hot").isNull()
         | (F.length(F.trim("line")) < min_line_chars)

@@ -98,3 +98,50 @@ def test_bloom_rejects_bad_config(spark, tmp_path):
     PKBloomIndex(cat, m_bits=1 << 16).ensure("regions", ["region_id"])
     with pytest.raises(ValueError, match="wrong bits"):
         PKBloomIndex(cat, m_bits=1 << 17).ensure("regions", ["region_id"])
+
+
+def test_run_star_pipeline_default_uses_bloom_fast_path(
+    spark, sf_small, tmp_path
+):
+    """The production entry point — the same call jobs/star_job.py and the
+    star_pipeline_counts oracle query make — defaults ``use_pk_bloom=True``,
+    so disjoint-keyed batches never re-read the committed table for dedup.
+    Expected committed reads across a fresh 2-batch load: each table once
+    at bloom ``ensure`` (the backfill emptiness check), ``buildings`` once
+    more for the stage-2 harvest, and the repeated-key DIMENSION tables
+    (regions appear in every batch) once more for their exact maybe-verify.
+    Disjoint-keyed tables (estates, units, transactions) must show ZERO
+    per-batch dedup reads."""
+    import os as _os
+
+    from hk_housing_datahub_spark.star import (
+        render_building_responses,
+        render_estate_responses,
+        render_monthly_responses,
+        run_star_pipeline,
+    )
+
+    cust = spark.read.parquet(_os.path.join(sf_small, "customer.parquet"))
+    orders = spark.read.parquet(_os.path.join(sf_small, "orders.parquet"))
+    li = spark.read.parquet(_os.path.join(sf_small, "lineitem.parquet"))
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    reads: list[str] = []
+    orig = cat.read
+
+    def recording_read(table, *a, **k):
+        reads.append(table)
+        return orig(table, *a, **k)
+
+    cat.read = recording_read
+    run_star_pipeline(
+        spark,
+        cat,
+        render_estate_responses(cust),
+        render_monthly_responses(orders),
+        render_building_responses(orders, li),
+        n_batches=2,
+    )
+    for t in ("estates", "units", "transactions", "phases"):
+        assert reads.count(t) == 1, (t, reads.count(t))  # ensure() only
+    assert reads.count("buildings") == 2  # ensure() + stage-2 harvest

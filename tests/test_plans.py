@@ -222,9 +222,13 @@ def test_prepare_corpus_funnel_all_jvm(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p[:2000]
 
 
-def test_boilerplate_removal_broadcasts_hot_lines(spark):
-    """drop_boilerplate_lines at 100 TB: the hot-line set (the boilerplate
-    itself — tiny by definition) comes back as a BroadcastHashJoin, and no
+def test_boilerplate_removal_no_forced_broadcast(spark):
+    """drop_boilerplate_lines at 100 TB: the hot-line set is
+    corpus-dependent (with a small max_line_df at web scale it is every
+    common sentence on the web), so the plan must carry NO hard broadcast
+    hint — AQE decides from the hot set's runtime size. At this SF the
+    set really is tiny, so after execution AQE's final plan should have
+    converted the hot-set join to a broadcast join on its own; and no
     cartesian or Python nodes appear anywhere."""
     from hk_housing_datahub_spark.operators.textops import (
         drop_boilerplate_lines,
@@ -232,7 +236,47 @@ def test_boilerplate_removal_broadcasts_hot_lines(spark):
 
     spark.catalog.clearCache()
     d = _t(spark, "documents")
-    p = plan_of(drop_boilerplate_lines(d))
-    assert "BroadcastHashJoin" in p, p
+    df = drop_boilerplate_lines(d)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed[:2000]
+    p = plan_of(df)
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    df.count()  # run it so AQE finalizes the join strategies
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final[:3000]
+
+
+def test_pk_bloom_fast_path_plan_no_committed_exchange(spark, tmp_path):
+    """The star load's per-batch dedup at 100 TB: when the committed-PK
+    bloom flags nothing as maybe-committed (the normal case — fresh keys),
+    the frame that gets appended is the probe output alone. Its plan must
+    contain NO join and NO exchange — in particular no shuffle of the
+    committed key set, which is what the bloom exists to avoid — and
+    exactly the one Arrow pass for the probe UDF."""
+    from hk_housing_datahub_spark.sources.pkbloom import PKBloomIndex
+    from hk_housing_datahub_spark.sources.tables import TableCatalog
+    from hk_housing_datahub_spark.star.pipeline import _append_deduped
+    from hk_housing_datahub_spark.star.schema import create_star_tables
+
+    schema = "region_id string, region_name_zh string, region_name_en string"
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    create_star_tables(cat)
+    bloom = PKBloomIndex(cat).ensure("regions", ["region_id"])
+    _append_deduped(
+        cat,
+        "regions",
+        spark.createDataFrame(
+            [(f"R{i}", f"區{i}", f"Region {i}") for i in range(100)], schema
+        ),
+        bloom,
+    )
+    batch = spark.createDataFrame(
+        [(f"R{i}", f"區{i}", f"Region {i}") for i in range(100, 200)], schema
+    )
+    probed = bloom.probe("regions", batch, ["region_id"])
+    assert probed.filter(F.col("_pk_maybe")).isEmpty()  # all fresh keys
+    definite = probed.filter(~F.col("_pk_maybe")).drop("_pk_maybe")
+    tree = plan_of(definite).split("\n\n")[0]
+    assert "Join" not in tree and "Exchange" not in tree, tree
+    assert tree.count("ArrowEvalPython") == 1, tree

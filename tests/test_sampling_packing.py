@@ -214,3 +214,71 @@ def test_drop_boilerplate_lines(spark):
         assert f"unique line {i} alpha" in out[i]  # order + content kept
         assert out[i].index("alpha") < out[i].index("beta")
     assert out[99] == "short\n-\nonly unique content here"  # untouched
+
+
+def test_drop_boilerplate_large_hot_set_shuffle_path(spark):
+    """The web-scale case the broadcast hint used to break: a LARGE hot
+    set (thousands of distinct lines each above max_line_df) must
+    produce identical output whether the hot-set join broadcasts or
+    shuffles — so the operator is correct when AQE declines to broadcast
+    a corpus-dependent set that would OOM the driver at 100 TB."""
+    from hk_housing_datahub_spark.operators.textops import (
+        drop_boilerplate_lines,
+    )
+
+    # 2000 distinct boilerplate lines, each appearing in 4 docs (> df 2);
+    # every doc also keeps one unique line
+    rows = []
+    for j in range(2000):
+        for rep in range(4):
+            i = (j * 4 + rep) % 800
+            rows.append((i, j))
+    docs = (
+        spark.createDataFrame(rows, ["doc_id", "j"])
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.array_insert(
+                    F.array_sort(
+                        F.collect_list(
+                            F.format_string(
+                                "boilerplate navigation row %08d", "j"
+                            )
+                        )
+                    ),
+                    1,
+                    F.format_string("unique content kept %08d", "doc_id"),
+                ),
+            ).alias("text")
+        )
+    )
+    expected = {
+        r.doc_id: r.text
+        for r in drop_boilerplate_lines(docs, max_line_df=2).collect()
+    }
+    assert len(expected) == 800
+    assert all(t == f"unique content kept {i:08d}" for i, t in expected.items())
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    prev = {}
+    for key in keys:
+        try:
+            prev[key] = spark.conf.get(key)
+        except Exception:
+            prev[key] = None
+        spark.conf.set(key, "-1")
+    try:
+        df = drop_boilerplate_lines(docs, max_line_df=2)
+        got = {r.doc_id: r.text for r in df.collect()}
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in final  # genuinely the shuffle path
+    finally:
+        for key in keys:
+            if prev[key] is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev[key])
+    assert got == expected
