@@ -502,45 +502,42 @@ def _star_geo_dims(spark, sf):
     return r.unionByName(s).unionByName(d)
 
 
-def _star_facility_dims(spark, sf):
-    """facilities dimension ∪ estate_facilities bridge, one frame."""
+def _star_facility_links(spark, sf):
+    """facilities dimension ∪ estate_facilities bridge ∪ the two
+    per-estate link tables (school nets, MTR lines), one (tbl, id,
+    estate_id, name_zh, name_en) frame — every row and column of the four
+    extractions still hash-checked, in ONE driver slot (the per-table
+    selects are pure renames, no information dropped)."""
     t = _star_estate_tables(spark, sf)
     fac = t["facilities"].select(
         F.lit("facilities").alias("tbl"),
-        F.col("facility_id"),
+        F.col("facility_id").alias("id"),
         _NS().alias("estate_id"),
         F.col("facility_name_zh").alias("name_zh"),
         F.col("facility_name_en").alias("name_en"),
     )
     br = t["estate_facilities"].select(
         F.lit("estate_facilities").alias("tbl"),
-        F.col("facility_id"),
+        F.col("facility_id").alias("id"),
         F.col("estate_id"),
         _NS().alias("name_zh"),
         _NS().alias("name_en"),
     )
-    return fac.unionByName(br)
-
-
-def _star_estate_links(spark, sf):
-    """estate_school_nets ∪ estate_mtr_lines (the two per-estate link
-    tables), one (tbl, estate_id, link_id, name_zh, name_en) frame."""
-    t = _star_estate_tables(spark, sf)
     sn = t["estate_school_nets"].select(
         F.lit("estate_school_nets").alias("tbl"),
+        F.col("school_net_id").alias("id"),
         F.col("estate_id"),
-        F.col("school_net_id").alias("link_id"),
         F.col("school_net_name_zh").alias("name_zh"),
         F.col("school_net_name_en").alias("name_en"),
     )
     mtr = t["estate_mtr_lines"].select(
         F.lit("estate_mtr_lines").alias("tbl"),
+        _NS().alias("id"),
         F.col("estate_id"),
-        _NS().alias("link_id"),
         F.col("mtr_line_name_zh").alias("name_zh"),
         F.col("mtr_line_name_en").alias("name_en"),
     )
-    return sn.unionByName(mtr)
+    return fac.unionByName(br).unionByName(sn).unionByName(mtr)
 
 
 def _star_structures(spark, sf):
@@ -845,9 +842,10 @@ def _crawl_frontier_run(spark, sf):
 
 
 def _prepare_corpus(spark, sf):
-    """Rows-only: the composed training-corpus funnel (dedup → quality
-    gate → PII scrub → pack). Deterministic end to end; each stage's twin
-    is individually oracle-checked (drop_dup_filters, quality_by_source,
+    """The composed training-corpus funnel (dedup → quality gate → PII
+    scrub → pack), end-to-end hash-checked against the composed DuckDB
+    twin (_prepare_corpus_sql). Each stage's twin is also individually
+    oracle-checked (drop_dup_filters, quality_by_source,
     sample_pack_corpus) and redaction carries a byte-identical DuckDB
     parity pytest (tests/test_redact.py)."""
     from hk_housing_datahub_spark.pipelines.corpus import (
@@ -1192,9 +1190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
     small star dimensions are checked through union-shaped merge queries
-    (star_geo_dims, star_facility_dims, star_estate_links,
-    star_structures; pure renames, every row/column still hash-checked)
-    so no oracle falls outside the window."""
+    (star_geo_dims, star_facility_links, star_structures; pure renames,
+    every row/column still hash-checked) so no oracle falls outside the
+    window, and the composed corpus funnel (prepare_corpus) is inside it."""
     return {
         # relational parity (SURVEY §2.3–2.7)
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1220,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_dup_filters": _drop_dup_filters,
         "sample_pack_corpus": _sample_pack_corpus,
         "lsh_dedup_drop": _lsh_dedup_drop,
+        "prepare_corpus": _prepare_corpus,
         "lang_confusion": _lang_confusion,
         "quality_by_source": _quality_by_source,
         "doc_fingerprints": _doc_fingerprints,
@@ -1239,8 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # star-schema extraction surface (nested JSON → 14 FK-linked tables)
         "star_estates": _star_estates,
         "star_geo_dims": _star_geo_dims,
-        "star_facility_dims": _star_facility_dims,
-        "star_estate_links": _star_estate_links,
+        "star_facility_links": _star_facility_links,
         "star_structures": _star_structures,
         "star_monthly_market": _star_monthly_market,
         "star_units": _star_units,
@@ -1252,7 +1250,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
         "crawl_catalog_publish": _crawl_catalog_publish,
-        "prepare_corpus": _prepare_corpus,
         "extract_listings": _extract_listings,
         "minhash_lsh_candidates": _minhash_lsh_candidates,
         "simhash_neardup": _simhash_neardup,
@@ -1699,6 +1696,97 @@ def _union_sql(*parts: tuple, cols: tuple) -> str:
     return "\nUNION ALL\n".join(sels)
 
 
+def _prepare_corpus_sql() -> str:
+    """DuckDB twin of the COMPOSED training-corpus funnel
+    (pipelines/corpus.py, exact-dedup recipe: threshold 0.5, shingle-DF
+    cap 50, min_quality 0.3, pack_budget 512): exact dedup → transitive
+    near-dup canonicalization (recursive CTE over the DEDUPED set — the
+    shingle-DF cap must see the funnel's input, not raw documents) →
+    quality gate → progressive PII scrub (operators/redact.py order) →
+    token count over the SCRUBBED text → md5-bucket offset packing. Each
+    stage twin is individually oracle-proven; this composes them so the
+    end-to-end funnel is hash-checked too."""
+    from hk_housing_datahub_spark.operators.redact import _CLASSES
+
+    quality = f"""round(0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                + 0.3 * least(len(list_filter({_TOKS}, x -> x IN
+                      ('the','a','of','and','to','in','is','for')))
+                      * 5.0 / greatest(len({_TOKS}), 1), 1.0)
+                + 0.3 * (1.0 - least((length(text) - length(regexp_replace(
+                      text, '[.,;:!?''"()-]', '', 'g')))
+                      * 10.0 / greatest(length(text), 1), 1.0)), 6)"""
+    # progressive per-class scrub: each class is counted on the text with
+    # the earlier classes already replaced — redact.py's pii_counts view
+    reds = []
+    for i, (_name, pat, token) in enumerate(_CLASSES, start=1):
+        src = "gated" if i == 1 else f"r{i - 1}"
+        keep = "".join(f"c{j}, " for j in range(1, i))
+        reds.append(
+            f"r{i} AS (SELECT doc_id, lang, source, quality, {keep}"
+            f"len(regexp_extract_all(t, '{pat}')) AS c{i}, "
+            f"regexp_replace(t, '{pat}', '{token}', 'g') AS t FROM {src})"
+        )
+    red_sql = ",\n        ".join(reds)
+    total = " + ".join(f"c{i}" for i in range(1, len(_CLASSES) + 1))
+    last = f"r{len(_CLASSES)}"
+    ntok = f"len(string_split({_norm_sql('t')}, ' '))"
+    return f"""
+        WITH RECURSIVE
+        ex AS (
+            SELECT doc_id, lang, source, text FROM (
+                SELECT doc_id, lang, source, text,
+                       row_number() OVER (PARTITION BY md5({_NORM})
+                                          ORDER BY doc_id) AS _rn
+                FROM documents)
+            WHERE _rn = 1),
+        toks AS (SELECT doc_id, {_TOKS} AS tk FROM ex),
+        sh0 AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+                FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+                WHERE len(tk) >= 3),
+        sh AS (SELECT doc_id, s FROM sh0
+               QUALIFY count(*) OVER (PARTITION BY s) <= 50),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        co AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+               FROM sh l JOIN sh r USING (s) WHERE l.doc_id < r.doc_id
+               GROUP BY 1, 2),
+        pairs AS (
+            SELECT a, b FROM co
+            JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+        edges AS (SELECT a AS s, b AS d FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        reach AS (
+            SELECT s AS n, d AS m FROM edges
+            UNION
+            SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+        lbl AS (SELECT n, min(m) AS mn FROM reach GROUP BY n),
+        canon AS (
+            SELECT e.doc_id, e.lang, e.source, e.text
+            FROM ex e LEFT JOIN lbl l ON l.n = e.doc_id
+            WHERE coalesce(least(l.n, l.mn), e.doc_id) = e.doc_id),
+        gated AS (
+            SELECT * FROM (
+                SELECT doc_id, lang, source, {quality} AS quality,
+                       text AS t
+                FROM canon)
+            WHERE quality >= 0.3),
+        {red_sql},
+        fin AS (
+            SELECT doc_id, lang, source, quality,
+                   CAST({total} AS INT) AS pii_total,
+                   {ntok} AS n_tokens,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+            FROM {last})
+        SELECT doc_id, lang, source, quality, pii_total, n_tokens, bucket,
+               CAST(floor(
+                   (sum(n_tokens) OVER (
+                        PARTITION BY bucket ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens) / 512.0) AS BIGINT) AS bin_id
+        FROM fin
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "q1_pricing_summary": """
@@ -2089,19 +2177,16 @@ def oracle_sql() -> dict[str, str]:
              "district_name_en", "subregion_id"),
             cols=("id", "name_zh", "name_en", "parent_id"),
         ),
-        "star_facility_dims": _union_sql(
+        "star_facility_links": _union_sql(
             ("facilities", "facility_id", "CAST(NULL AS VARCHAR)",
              "facility_name_zh", "facility_name_en"),
             ("estate_facilities", "facility_id", "estate_id",
              "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
-            cols=("facility_id", "estate_id", "name_zh", "name_en"),
-        ),
-        "star_estate_links": _union_sql(
-            ("estate_school_nets", "estate_id", "school_net_id",
+            ("estate_school_nets", "school_net_id", "estate_id",
              "school_net_name_zh", "school_net_name_en"),
-            ("estate_mtr_lines", "estate_id", "CAST(NULL AS VARCHAR)",
+            ("estate_mtr_lines", "CAST(NULL AS VARCHAR)", "estate_id",
              "mtr_line_name_zh", "mtr_line_name_en"),
-            cols=("estate_id", "link_id", "name_zh", "name_en"),
+            cols=("id", "estate_id", "name_zh", "name_en"),
         ),
         "star_structures": _union_sql(
             ("phases", "phase_id", "phase_name_zh", "phase_name_en",
@@ -2212,6 +2297,8 @@ def oracle_sql() -> dict[str, str]:
     # exact path — candidate verification makes precision exact and the
     # band design makes recall 1 on this corpus, so one twin serves both.
     d["lsh_dedup_drop"] = _NEAR_DROP_SQL
+    # The composed funnel (exact-dedup recipe), end-to-end hash-checked
+    d["prepare_corpus"] = _prepare_corpus_sql()
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless
     # and duplicate-free end to end.

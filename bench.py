@@ -81,10 +81,38 @@ def _host_health() -> dict:
     }
 
 
+def _await_healthy_window() -> tuple[dict, dict]:
+    """Probe-gate the run: the VM's allocation bandwidth swings ~3x between
+    windows (see BENCH/BASELINE.md), which moved the round-3 suite ~2x with
+    zero engine change. Before timing anything, re-probe (bounded) until the
+    median allocation bandwidth clears BENCH_PROBE_MIN_GBPS, so recorded
+    numbers land on comparable windows. Every attempt is recorded in the
+    output; if the budget runs out the bench proceeds anyway with
+    ``probe_gate_passed: false`` — an honest degraded-window record beats
+    no record. Set BENCH_PROBE_MIN_GBPS=0 to disable."""
+    min_gbps = float(os.environ.get("BENCH_PROBE_MIN_GBPS", "10"))
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "8"))
+    sleep_s = float(os.environ.get("BENCH_PROBE_SLEEP_S", "20"))
+    health = _host_health()
+    attempts = [health["host_alloc_gb_per_sec_med"]]
+    while (
+        health["host_alloc_gb_per_sec_med"] < min_gbps
+        and len(attempts) <= retries
+    ):
+        time.sleep(sleep_s)
+        health = _host_health()
+        attempts.append(health["host_alloc_gb_per_sec_med"])
+    return health, {
+        "probe_gate_gbps": min_gbps,
+        "probe_attempts_med": attempts,
+        "probe_gate_passed": health["host_alloc_gb_per_sec_med"] >= min_gbps,
+    }
+
+
 def main() -> None:
     from hk_housing_datahub_spark.session import get_spark
 
-    health = _host_health()
+    health, gate = _await_healthy_window()
 
     spark = get_spark(app_name="hk_bench", cores=CPUS, shuffle_partitions=max(8, CPUS))
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -224,6 +252,11 @@ def main() -> None:
         "frontier_extracted": res.n_extracted,
         "extract_rows": n_ex,
         **health,
+        **gate,
+        # the window can degrade mid-run: a closing probe bounds when
+        "host_alloc_gb_per_sec_med_end": _host_health()[
+            "host_alloc_gb_per_sec_med"
+        ],
     }
     print(json.dumps(out))
     shutil.rmtree(tmp_root, ignore_errors=True)
