@@ -27,21 +27,53 @@ DEFAULT_WAVE_MS = 1_000
 # depth (+ attempt for retry bookkeeping).
 
 
+def _url_path(url_canon) -> "F.Column":
+    return F.regexp_replace(
+        F.regexp_replace(url_canon, "^[a-z]+://[^/]*", ""), "\\?.*$", ""
+    )
+
+
 def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop disallowed urls; attach crawl_delay_ms (default when no rule).
 
-    The robots table is a small dimension → broadcast join, no shuffle of the
-    frontier side.
+    Two rule schemas are accepted, detected by column name:
+
+    - RFC 9309 rule lists (``allow_paths``/``disallow_paths`` arrays, from
+      ``functions.robots.parse_robots_rules``): per-URL longest-match
+      allow/deny precedence with ``*``/``$`` rule wildcards
+      (``robots_permits``), evaluated as a higher-order fold over each
+      host's small rule array.
+    - the coarse (``allow``, ``path_prefix``) schema: host-level disallow
+      plus one allowed prefix.
+
+    Either way the robots table is a small dimension → broadcast join, no
+    shuffle of the frontier side, and the gate is a codegen'd filter.
     """
     if robots is None:
         return frontier.withColumn(
             "crawl_delay_ms", F.lit(DEFAULT_CRAWL_DELAY_MS)
         )
+    path = _url_path(F.col("url_canon"))
+    if "disallow_paths" in robots.columns:
+        from ..functions.robots import robots_permits
+
+        r = robots.select(
+            "host", "allow_paths", "disallow_paths", "crawl_delay_ms"
+        )
+        joined = frontier.join(F.broadcast(r), "host", "left")
+        allowed = F.col("disallow_paths").isNull() | robots_permits(
+            path, F.col("allow_paths"), F.col("disallow_paths")
+        )
+        return (
+            joined.filter(allowed)
+            .withColumn(
+                "crawl_delay_ms",
+                F.coalesce("crawl_delay_ms", F.lit(DEFAULT_CRAWL_DELAY_MS)),
+            )
+            .drop("allow_paths", "disallow_paths")
+        )
     r = robots.select("host", "allow", "path_prefix", "crawl_delay_ms")
     joined = frontier.join(F.broadcast(r), "host", "left")
-    path = F.regexp_replace(
-        F.regexp_replace(F.col("url_canon"), "^[a-z]+://[^/]*", ""), "\\?.*$", ""
-    )
     allowed = (
         F.col("allow").isNull()
         | (F.col("allow") & path.startswith(F.coalesce("path_prefix", F.lit(""))))

@@ -292,3 +292,107 @@ def test_parsed_robots_feed_the_scheduler(spark):
     # crawl-delay 1s with a 2s wave → at most 2 urls for h0
     h0 = sched.filter(F.col("host") == "h0.example.com").count()
     assert 1 <= h0 <= 2
+
+
+def test_robots_rfc_multigroup_merge(spark):
+    """RFC 9309: ALL `User-agent: *` groups merge (not just the first),
+    including a `*` inside a stacked run of User-agent lines."""
+    from hk_housing_datahub_spark.functions.robots import (
+        parse_robots_rules,
+        parse_robots_txt,
+    )
+
+    bodies = [
+        (
+            "merged",
+            "User-agent: *\nDisallow: /a/\n\nUser-agent: bot\nDisallow: /\n"
+            "\nUser-agent: *\nAllow: /a/pub/\nCrawl-delay: 2\n",
+        ),
+        ("stacked", "User-agent: googlebot\nUser-agent: *\nDisallow: /priv/\n"),
+        (
+            "full_via_merge",
+            "User-agent: *\nAllow: /x/\n\nUser-agent: *\nDisallow: /\n",
+        ),
+    ]
+    df = spark.createDataFrame(bodies, "host string, robots_txt string")
+    coarse = {r.host: r for r in parse_robots_txt(df).collect()}
+    # the delay directive lives in the SECOND * group — merge finds it
+    assert coarse["merged"].crawl_delay_ms == 2000
+    assert coarse["merged"].path_prefix == "/a/pub/"
+    assert coarse["stacked"].allow  # stacked * group parsed, /priv/ ≠ /
+    # `Disallow: /` in the second group makes the merged body a full deny
+    assert not coarse["full_via_merge"].allow
+
+    rules = {r.host: r for r in parse_robots_rules(df).collect()}
+    assert rules["merged"].disallow_paths == ["/a/"]
+    assert rules["merged"].allow_paths == ["/a/pub/"]
+    assert rules["stacked"].disallow_paths == ["/priv/"]
+    assert rules["full_via_merge"].disallow_paths == ["/"]
+
+
+def test_robots_longest_match_precedence(spark):
+    """RFC 9309 §2.2.2: longest matched rule path wins; Allow wins equal
+    lengths; `*` wildcard and `$` end anchor supported; no match ⇒ allow."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.functions.robots import robots_permits
+
+    cases = [
+        # (path, allow_paths, disallow_paths, expected)
+        ("/a/pub/x", ["/a/pub/"], ["/a/"], True),  # longer allow wins
+        ("/a/secret", ["/a/pub/"], ["/a/"], False),
+        ("/b", ["/a/pub/"], ["/a/"], True),  # nothing matches
+        ("/doc/x.pdf", [], ["/*.pdf$"], False),  # wildcard + anchor
+        ("/doc/x.pdfs", [], ["/*.pdf$"], True),  # anchor respected
+        ("/t", ["/t"], ["/t"], True),  # equal length: Allow wins
+        ("/anything", [], ["/"], False),  # full disallow
+    ]
+    df = spark.createDataFrame(
+        [(p, a, d, e) for p, a, d, e in cases],
+        "path string, ap array<string>, dp array<string>, want boolean",
+    )
+    got = df.select(
+        "path",
+        "want",
+        robots_permits(F.col("path"), F.col("ap"), F.col("dp")).alias("got"),
+    ).collect()
+    for r in got:
+        assert r.got == r.want, r.path
+
+
+def test_rfc_rules_feed_the_scheduler(spark):
+    """parse_robots_rules output drives schedule_wave's longest-match
+    gate: a host with `Disallow: /` + `Allow: /listing/` schedules ONLY
+    listing urls; a host with `Disallow: /listing/` schedules nothing."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.datagen import generate_seeds
+    from hk_housing_datahub_spark.frontier.scheduler import schedule_wave
+    from hk_housing_datahub_spark.functions.robots import parse_robots_rules
+    from hk_housing_datahub_spark.functions.urls import with_url_columns
+
+    frontier = (
+        with_url_columns(generate_seeds(spark, 60, 1000, n_hosts=3))
+        .withColumn("discovered_ts", F.timestamp_seconds(F.lit(0)))
+        .withColumn("depth", F.lit(0))
+        .withColumn("attempt", F.lit(0))
+    )
+    raw = spark.createDataFrame(
+        [
+            (
+                "h0.example.com",
+                "User-agent: *\nDisallow: /\nAllow: /listing/\nCrawl-delay: 0.1\n",
+            ),
+            ("h1.example.com", "User-agent: *\nDisallow: /listing/\n"),
+            ("h2.example.com", ""),
+        ],
+        "host string, robots_txt string",
+    )
+    sched = schedule_wave(
+        frontier, parse_robots_rules(raw), wave_ms=10_000
+    ).filter("scheduled")
+    hosts = {r.host for r in sched.select("host").distinct().collect()}
+    assert "h1.example.com" not in hosts  # every url is under /listing/
+    assert "h0.example.com" in hosts and "h2.example.com" in hosts
+    h0 = sched.filter(F.col("host") == "h0.example.com")
+    assert h0.filter(~F.col("url_canon").contains("/listing/")).count() == 0
