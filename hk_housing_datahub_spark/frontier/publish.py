@@ -52,6 +52,7 @@ class PublishResult:
     waves_published: list[int]
     snapshots: dict[int, int]  # wave -> catalog snapshot id
     waves_rejected: list[int] = field(default_factory=list)  # WAP discards
+    rows_rejected: dict[int, int] = field(default_factory=dict)  # wave -> rows
 
     def listings(self, catalog: TableCatalog) -> DataFrame:
         return catalog.read(self.table)
@@ -140,6 +141,7 @@ def publish_crawl(
     snapshots: dict[int, int] = {}
     waves: list[int] = []
     rejected: list[int] = []
+    rows_rejected: dict[int, int] = {}
 
     pending = _unresolved_stages(catalog, table)
 
@@ -148,8 +150,14 @@ def publish_crawl(
             snapshots[w] = catalog.publish_staged(table, staged)
             waves.append(w)
         else:
+            stage_entry = next(
+                h
+                for h in catalog.history(table)
+                if h["op"] == "stage" and h["snapshot"] == staged
+            )
             catalog.discard_staged(table, staged)
             rejected.append(w)
+            rows_rejected[w] = stage_entry.get("rows", 0)
         published.add(w)
 
     def _sync() -> None:
@@ -205,4 +213,5 @@ def publish_crawl(
         waves_published=waves,
         snapshots=snapshots,
         waves_rejected=rejected,
+        rows_rejected=rows_rejected,
     )

@@ -33,10 +33,11 @@ the driver, which ORs each into its stored shard one file at a time
 (tmp+rename, atomic). Probes broadcast the shard blobs once per batch.
 
 Sizing: the defaults (64 × 2^20 bits = 8 MiB/table, k=7) hold ~10^7 keys
-per table at <1% FPR. At 10^9+ committed keys, scale ``m_bits`` (the
-driver never holds more than one shard during update) or promote the
-shards to the distributed bucket-state table ``frontier/seen.py``
-already implements — probe/update contract unchanged.
+per table at <1% FPR. At 10^9+ committed keys, pass ``backend="table"``:
+the shards become a distributed bucket-state parquet table (the
+``frontier/seen.py`` shape) probed/updated via per-bucket cogroups —
+same probe/update contract and identical classification
+(property-tested in tests/test_pkbloom.py), no driver memory ceiling.
 """
 
 from __future__ import annotations
@@ -54,20 +55,39 @@ from .tables import TableCatalog
 
 
 class PKBloomIndex:
+    """``backend="files"`` (default) keeps one 8 MiB-ish blob per bucket as
+    driver-local files — broadcast probes, zero shuffle, right up to ~10^7
+    keys/table. ``backend="table"`` is the 10^9+-keys promotion the file
+    mode's docstring defers: the SAME per-bucket blobs live as a
+    bucket-state parquet table (the ``frontier/seen.py`` shape), probes and
+    updates are per-bucket ``cogroup().applyInPandas`` jobs — the batch
+    shuffles on its bucket key (compact: hash + key columns) but NO single
+    process ever holds more than one bucket's blob, so ``m_bits`` scales
+    with key count without a driver/executor memory ceiling. State writes
+    go to a NEW versioned directory and the meta pointer flips atomically
+    afterwards (tmp+rename): a crash mid-write leaves the previous state
+    intact, preserving the ``bloom ⊇ committed`` invariant that makes the
+    update-before-append ordering safe. Probe/update contract and bit math
+    are identical across backends (property-tested)."""
+
     def __init__(
         self,
         catalog: TableCatalog,
         n_buckets: int = 64,
         m_bits: int = 1 << 20,
         k: int = 7,
+        backend: str = "files",
     ):
         if n_buckets & (n_buckets - 1):
             raise ValueError(
                 f"n_buckets must be a power of two (got {n_buckets}) — "
                 "signed pmod and uint64 modulo must pick the same shard"
             )
+        if backend not in ("files", "table"):
+            raise ValueError(f"unknown pk-bloom backend {backend!r}")
         self.catalog = catalog
         self.n_buckets, self.m_bits, self.k = n_buckets, m_bits, k
+        self.backend = backend
 
     # ---------------------------------------------------------------- layout
     def _dir(self, table: str) -> str:
@@ -79,12 +99,18 @@ class PKBloomIndex:
     def _shard_path(self, table: str, bucket: int) -> str:
         return os.path.join(self._dir(table), f"shard_{bucket:04d}.bin")
 
+    def _state_dir(self, table: str, version: int) -> str:
+        return os.path.join(self._dir(table), f"state_v{version:06d}")
+
     def exists(self, table: str) -> bool:
         return os.path.exists(self._meta_path(table))
 
-    def n_items(self, table: str) -> int:
+    def _meta(self, table: str) -> dict:
         with open(self._meta_path(table)) as f:
-            return json.load(f)["n_items"]
+            return json.load(f)
+
+    def n_items(self, table: str) -> int:
+        return self._meta(table)["n_items"]
 
     def ensure(self, table: str, pk_cols: list[str]) -> "PKBloomIndex":
         """Create the index if missing. A pre-existing non-empty table
@@ -92,8 +118,7 @@ class PKBloomIndex:
         scan of its committed PKs — paid once, amortized over every
         subsequent batch."""
         if self.exists(table):
-            with open(self._meta_path(table)) as f:
-                meta = json.load(f)
+            meta = self._meta(table)
             cfg = (meta["n_buckets"], meta["m_bits"], meta["k"])
             if cfg != (self.n_buckets, self.m_bits, self.k):
                 raise ValueError(
@@ -102,26 +127,37 @@ class PKBloomIndex:
                     f"{(self.n_buckets, self.m_bits, self.k)} would probe "
                     "the wrong bits"
                 )
+            if meta.get("backend", "files") != self.backend:
+                raise ValueError(
+                    f"pk-bloom for {table} was written by the "
+                    f"{meta.get('backend', 'files')!r} backend; reopening "
+                    f"as {self.backend!r} would read the wrong state"
+                )
             return self
         os.makedirs(self._dir(table), exist_ok=True)
-        self._write_meta(table, 0)
+        self._write_meta(table, 0, version=0)
         committed = self.catalog.read(table).select(*pk_cols)
         if not committed.isEmpty():
             self.update(table, committed, pk_cols)
         return self
 
-    def _write_meta(self, table: str, n_items: int) -> None:
+    def _write_meta(
+        self, table: str, n_items: int, version: int | None = None
+    ) -> None:
+        meta = {
+            "n_buckets": self.n_buckets,
+            "m_bits": self.m_bits,
+            "k": self.k,
+            "n_items": n_items,
+            "backend": self.backend,
+        }
+        if version is not None:
+            meta["version"] = version
+        elif self.backend == "table":
+            meta["version"] = self._meta(table).get("version", 0)
         tmp = self._meta_path(table) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "n_buckets": self.n_buckets,
-                    "m_bits": self.m_bits,
-                    "k": self.k,
-                    "n_items": n_items,
-                },
-                f,
-            )
+            json.dump(meta, f)
         os.replace(tmp, self._meta_path(table))
 
     # ------------------------------------------------------------------- api
@@ -133,6 +169,8 @@ class PKBloomIndex:
         """``rows`` + boolean ``_pk_maybe`` column: False ⇒ the PK is
         definitely not committed (no-false-negative guarantee); True ⇒
         maybe committed, verify with the exact anti-join."""
+        if self.backend == "table":
+            return self._probe_table(table, rows, pk_cols)
         shards: dict[int, bytes] = {}
         for b in range(self.n_buckets):
             p = self._shard_path(table, b)
@@ -167,6 +205,8 @@ class PKBloomIndex:
         bitmaps; driver ORs them file-at-a-time (bounded memory). Returns
         the number of rows folded in — callers appending PK-unique frames
         use it as the exact batch row count, saving a separate count job."""
+        if self.backend == "table":
+            return self._update_table(table, rows, pk_cols)
         m_bits, k = self.m_bits, self.k
         hdf = rows.select(self._hash(pk_cols).alias("h")).withColumn(
             "b", F.pmod("h", F.lit(self.n_buckets))
@@ -198,4 +238,128 @@ class PKBloomIndex:
             os.replace(tmp, p)
             added += row["n"]
         self._write_meta(table, self.n_items(table) + added)
+        return added
+
+    # ------------------------------------------------ table-backed backend
+    _STATE_SCHEMA = "b int, blob binary, n long"
+
+    def _state_df(self, table: str) -> "DataFrame | None":
+        v = self._meta(table).get("version", 0)
+        d = self._state_dir(table, v)
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            return None
+        return self.catalog.spark.read.parquet(d)
+
+    def _bucketed(self, rows: DataFrame, pk_cols: list[str]) -> DataFrame:
+        return rows.withColumn("_pk_h", self._hash(pk_cols)).withColumn(
+            "_pk_b", F.pmod("_pk_h", F.lit(self.n_buckets)).cast("int")
+        )
+
+    def _probe_table(
+        self, table: str, rows: DataFrame, pk_cols: list[str]
+    ) -> DataFrame:
+        """Per-bucket cogroup probe: each task sees ONE bucket's blob and
+        that bucket's slice of the batch — no broadcast, no process ever
+        holds the whole filter. Bit math identical to the file backend
+        (shared _bloom_contains)."""
+        state = self._state_df(table)
+        if state is None:
+            return rows.withColumn("_pk_maybe", F.lit(False))
+        from pyspark.sql import types as T
+
+        m_bits, k = self.m_bits, self.k
+        cand = self._bucketed(rows, pk_cols)
+        # StructType.add mutates in place — a copy keeps the input frame's
+        # python-side schema honest for applyInPandas' column extraction
+        out_schema = T.StructType(
+            list(cand.schema.fields)
+            + [T.StructField("_pk_maybe", T.BooleanType())]
+        )
+        cols = cand.columns + ["_pk_maybe"]
+
+        def probe(key, cands: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
+            out = cands.copy()
+            if len(st):
+                out["_pk_maybe"] = _bloom_contains(
+                    np.frombuffer(bytes(st["blob"].iloc[0]), dtype=np.uint8),
+                    cands["_pk_h"].to_numpy(np.int64).astype(np.uint64),
+                    m_bits,
+                    k,
+                )
+            else:
+                out["_pk_maybe"] = False
+            return out[cols]
+
+        return (
+            cand.groupBy("_pk_b")
+            .cogroup(state.groupBy("b"))
+            .applyInPandas(probe, out_schema)
+            .drop("_pk_h", "_pk_b")
+        )
+
+    def _update_table(
+        self, table: str, rows: DataFrame, pk_cols: list[str]
+    ) -> int:
+        """Per-bucket cogroup merge into a NEW versioned state dir; the
+        meta pointer flips atomically only after the write succeeds, so a
+        crash mid-write leaves the previous state intact (bloom ⊇
+        committed is never violated by a torn write). Returns rows folded,
+        observed during the state write — no extra count job."""
+        from pyspark.sql import Observation
+
+        meta = self._meta(table)
+        cur_v = meta.get("version", 0)
+        state = self._state_df(table)
+        if state is None:
+            state = self.catalog.spark.createDataFrame([], self._STATE_SCHEMA)
+        m_bits, k = self.m_bits, self.k
+        keys = self._bucketed(rows.select(*pk_cols), pk_cols).select(
+            "_pk_b", "_pk_h"
+        )
+
+        def merge(key, kdf: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(key[0])
+            if len(st):
+                filt = np.frombuffer(
+                    bytes(st["blob"].iloc[0]), dtype=np.uint8
+                ).copy()
+                n = int(st["n"].iloc[0])
+            else:
+                filt = np.zeros(m_bits // 8, dtype=np.uint8)
+                n = 0
+            added = len(kdf)
+            if added:
+                _bloom_add(
+                    filt,
+                    kdf["_pk_h"].to_numpy(np.int64).astype(np.uint64),
+                    m_bits,
+                    k,
+                )
+            return pd.DataFrame(
+                {
+                    "b": [bucket],
+                    "blob": [filt.tobytes()],
+                    "n": [n + added],
+                    "added": [added],
+                }
+            )
+
+        merged = (
+            keys.groupBy("_pk_b")
+            .cogroup(state.groupBy("b"))
+            .applyInPandas(merge, self._STATE_SCHEMA + ", added long")
+        )
+        obs = Observation()
+        new_dir = self._state_dir(table, cur_v + 1)
+        merged.observe(obs, F.coalesce(F.sum("added"), F.lit(0)).alias("a")).select(
+            "b", "blob", "n"
+        ).write.mode("overwrite").parquet(new_dir)
+        added = int(obs.get["a"])
+        self._write_meta(table, meta["n_items"] + added, version=cur_v + 1)
+        # previous version is now unreferenced — reclaim, best-effort
+        old = self._state_dir(table, cur_v)
+        if os.path.exists(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
         return added

@@ -481,9 +481,18 @@ class TableCatalog:
         expect = self._version_of(m)
         h = self._staged_entry(m, snapshot)
         h["resolved"] = "discarded"
-        m["history"].append(
-            {"snapshot": m["snapshot"], "op": "discard", "of": snapshot}
-        )
+        # the discard entry quantifies what was rejected — rows and the
+        # stage's lineage ride along so audits can account for every
+        # gated batch from history alone
+        entry = {
+            "snapshot": m["snapshot"],
+            "op": "discard",
+            "of": snapshot,
+            "rows": h.get("rows", 0),
+        }
+        if "lineage" in h:
+            entry["lineage"] = h["lineage"]
+        m["history"].append(entry)
         self._commit(table, m, expect)
 
     def replace(self, table: str, df: DataFrame) -> int:

@@ -145,3 +145,67 @@ def test_run_star_pipeline_default_uses_bloom_fast_path(
     for t in ("estates", "units", "transactions", "phases"):
         assert reads.count(t) == 1, (t, reads.count(t))  # ensure() only
     assert reads.count("buildings") == 2  # ensure() + stage-2 harvest
+
+
+def test_table_backend_classifies_identically_to_files(spark, tmp_path):
+    """The 10^9+-keys promotion: at a FORCED small m_bits (so false
+    positives actually occur), the table-backed bucket-state bloom must
+    classify every probe key exactly like the file-shard bloom — same
+    bits, same buckets, same false positives — and agree on n_items and
+    the update counts. Also: crash-safety ordering holds (a torn state
+    write cannot lose old bits, because the meta pointer only flips after
+    the new version lands)."""
+    cfg = dict(n_buckets=8, m_bits=1 << 10, k=3)
+    cat_f = TableCatalog(spark, str(tmp_path / "cf"))
+    cat_t = TableCatalog(spark, str(tmp_path / "ct"))
+    create_star_tables(cat_f)
+    create_star_tables(cat_t)
+    bf = PKBloomIndex(cat_f, **cfg).ensure("regions", ["region_id"])
+    bt = PKBloomIndex(cat_t, **cfg, backend="table").ensure(
+        "regions", ["region_id"]
+    )
+
+    batches = [(0, 120), (120, 300), (300, 301)]  # incl. a 1-row batch
+    for lo, hi in batches:
+        rows = _regions(spark, lo, hi).select("region_id")
+        assert bf.update("regions", rows, ["region_id"]) == hi - lo
+        assert bt.update("regions", rows, ["region_id"]) == hi - lo
+    assert bf.n_items("regions") == bt.n_items("regions") == 301
+
+    # probe a mix of present keys and absent keys (at 2^10 bits / 301 keys
+    # many absent keys WILL false-positive — both backends must agree on
+    # exactly which)
+    probes = _regions(spark, 0, 900)
+    got_f = {
+        r.region_id: r._pk_maybe
+        for r in bf.probe("regions", probes, ["region_id"]).collect()
+    }
+    got_t = {
+        r.region_id: r._pk_maybe
+        for r in bt.probe("regions", probes, ["region_id"]).collect()
+    }
+    assert got_f == got_t
+    assert all(got_f[f"R{i}"] for i in range(301))  # no false negatives
+    fps = sum(got_f[f"R{i}"] for i in range(301, 900))
+    assert 0 < fps < 599  # the small filter really is saturating
+
+    # backend mismatch on reopen is rejected, not silently misread
+    with pytest.raises(ValueError, match="backend"):
+        PKBloomIndex(cat_t, **cfg).ensure("regions", ["region_id"])
+
+
+def test_table_backend_drives_append_dedup(spark, tmp_path):
+    """_append_deduped over the table-backed bloom: same dedup behavior
+    as the file backend — disjoint batch appends without reading the
+    committed table, replay appends nothing."""
+    cat, reads = _counting_catalog(spark, str(tmp_path / "cat"))
+    create_star_tables(cat)
+    bloom = PKBloomIndex(cat, n_buckets=8, backend="table").ensure(
+        "regions", ["region_id"]
+    )
+    assert _append_deduped(cat, "regions", _regions(spark, 0, 40), bloom) == 40
+    reads["n"] = 0
+    assert _append_deduped(cat, "regions", _regions(spark, 40, 80), bloom) == 40
+    assert reads["n"] == 0  # disjoint keys: committed table never read
+    assert _append_deduped(cat, "regions", _regions(spark, 40, 80), bloom) == 0
+    assert cat.read("regions").count() == 80

@@ -242,6 +242,13 @@ def test_audited_publish_gates_bad_waves(spark, cat, corpus):
         total = cat.read("listings").count()
         eng_total = spark.read.parquet(os.path.join(tmp, "listings")).count()
         assert total == eng_total - w0.count()
+        # the rejection is QUANTIFIED: the result and the history's discard
+        # entry both carry the rejected row count and the wave's lineage
+        assert res.rows_rejected == {0: w0.count()}
+        discards = [h for h in cat.history("listings") if h["op"] == "discard"]
+        assert len(discards) == 1
+        assert discards[0]["rows"] == w0.count()
+        assert discards[0]["lineage"]["wave"] == 0
         # decisions recorded: one stage entry per wave, resolution marked
         stages = [h for h in cat.history("listings") if h["op"] == "stage"]
         assert [h.get("resolved") for h in stages] == ["discarded"] + [
