@@ -1,0 +1,193 @@
+"""10x scale probe of the training-corpus funnel (VERDICT r3 item #6).
+
+Times each funnel stage on the sf documents table (N) and on a
+deterministic 10x expansion of it (10N), reporting per-stage wall-clock at
+both scales and the growth ratio — the check that nothing in the funnel is
+superlinear (candidate-pair blowup, component-loop rounds) before it's
+theory. Stage inputs are MATERIALIZED to parquet between stages so each
+stage's timing is its own cost, not its upstream lineage's.
+
+The 10x corpus models the two ways a web corpus grows: copies 1,3,5,...
+are NEAR-DUPLICATES of the base docs (a short unique prefix, Jaccard
+~0.9 — dedup pressure grows with scale), copies 2,4,... are FRESH docs
+(every 4-gram rewritten, so shingles are disjoint from the base). Both
+transforms are deterministic — two runs probe identical corpora.
+
+Usage: python tools/funnel_scale_probe.py [--sf /root/testdata/sf0.1]
+       [--mult 10] [--cpus 32]
+Prints one JSON line; paste the table into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def expanded(docs, mult: int):
+    from pyspark.sql import functions as F
+
+    parts = [docs]
+    n = docs.count()
+    for i in range(1, mult):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10 * n))
+        if i % 2 == 1:  # near-duplicate of the base doc
+            c = c.withColumn(
+                "text",
+                F.concat(
+                    F.substring(F.md5(F.concat("doc_id", F.lit(i))), 1, 8),
+                    F.lit(" "),
+                    F.col("text"),
+                ),
+            )
+        else:  # fresh doc: rewrite every 4-letter run per copy
+            c = c.withColumn(
+                "text",
+                F.regexp_replace(
+                    F.col("text"), "[a-zA-Z]{4}", f"w{i}x{i % 7}"
+                ),
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from hk_housing_datahub_spark.operators.dedup import (
+        drop_exact_dups,
+        minhash_lsh_dedup,
+    )
+    from hk_housing_datahub_spark.operators.packing import pack_greedy
+    from hk_housing_datahub_spark.operators.redact import redact_pii
+    from hk_housing_datahub_spark.pipelines.corpus import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    res: dict = {}
+
+    def stage(name: str, fn, src: str) -> str:
+        dst = os.path.join(tmp, f"{tag}_{name}")
+        df = spark.read.parquet(src)
+        t0 = time.perf_counter()
+        out = fn(df)
+        out.write.mode("overwrite").parquet(dst)
+        sec = time.perf_counter() - t0
+        n = spark.read.parquet(dst).count()
+        res[name] = {"sec": round(sec, 2), "rows_out": n}
+        return dst
+
+    p = stage("exact_dedup", lambda d: drop_exact_dups(d), docs_path)
+    p = stage(
+        "lsh_dedup",
+        lambda d: minhash_lsh_dedup(d, max_shingle_df=50),
+        p,
+    )
+    p = stage(
+        "quality_redact",
+        lambda d: redact_pii(
+            d.withColumn("quality", quality_score(F.col("text"))).filter(
+                F.col("quality") >= 0.3
+            )
+        )
+        .drop("text")
+        .withColumnRenamed("text_redacted", "text"),
+        p,
+    )
+    stage(
+        "tokens_pack",
+        lambda d: pack_greedy(
+            d.withColumn("n_tokens", token_count(F.col("text"))),
+            "doc_id",
+            "n_tokens",
+            4096,
+        ),
+        p,
+    )
+    # the composed funnel, unstaged (what a user actually calls)
+    df = spark.read.parquet(docs_path)
+    t0 = time.perf_counter()
+    n = prepare_training_corpus(
+        df, CorpusRecipe(dedup="lsh", min_quality=0.3)
+    ).count()
+    res["composed_prepare"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "rows_out": n,
+    }
+    return res
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    from hk_housing_datahub_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="funnel_scale_probe",
+        cores=args.cpus,
+        shuffle_partitions=args.cpus,
+    )
+    tmp = tempfile.mkdtemp(prefix="funnel_probe_")
+    try:
+        docs = spark.read.parquet(os.path.join(args.sf, "documents.parquet"))
+        base = os.path.join(tmp, "docs_1x")
+        docs.write.parquet(base)
+        big = os.path.join(tmp, "docs_10x")
+        expanded(docs, args.mult).coalesce(64).write.parquet(big)
+        n1 = spark.read.parquet(base).count()
+        n10 = spark.read.parquet(big).count()
+
+        r1 = run_funnel(spark, base, tmp, "s1")
+        r10 = run_funnel(spark, big, tmp, "s10")
+        stages = {}
+        for k in r1:
+            ratio = (
+                round(r10[k]["sec"] / r1[k]["sec"], 1)
+                if r1[k]["sec"] > 0
+                else None
+            )
+            stages[k] = {
+                "sec_1x": r1[k]["sec"],
+                "sec_10x": r10[k]["sec"],
+                "ratio": ratio,
+                "rows_out_1x": r1[k]["rows_out"],
+                "rows_out_10x": r10[k]["rows_out"],
+            }
+        print(
+            json.dumps(
+                {
+                    "rows_1x": n1,
+                    "rows_10x": n10,
+                    "mult": args.mult,
+                    "cpus": args.cpus,
+                    "stages": stages,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
