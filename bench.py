@@ -174,6 +174,9 @@ def main() -> None:
     n_urls = res.n_seen  # scheduled (incl. dead links) — extraction ⊆ this
     timings["crawl_frontier"] = round(crawl_sec, 3)
     urls_per_sec = round(n_urls / crawl_sec, 1)
+    # window context for the headline alone (the window can degrade
+    # mid-run; this separates "crawl window" from "suite window")
+    mid_probe = _host_health()["host_alloc_gb_per_sec_med"]
 
     n_ex = 0
     if MODE == "full":
@@ -253,6 +256,7 @@ def main() -> None:
         "extract_rows": n_ex,
         **health,
         **gate,
+        "host_alloc_gb_per_sec_med_after_crawl": mid_probe,
         # the window can degrade mid-run: a closing probe bounds when
         "host_alloc_gb_per_sec_med_end": _host_health()[
             "host_alloc_gb_per_sec_med"
