@@ -147,6 +147,11 @@ def main() -> None:
              "microbenchmarks re-run",
     )
     ap.add_argument(
+        "--md-out", default=os.path.join(REPO, "BENCH", "BASELINE.md"),
+        help="markdown report path; point elsewhere to keep a hand-curated "
+             "BASELINE.md intact and merge manually",
+    )
+    ap.add_argument(
         "--kernel-json", default="",
         help="reuse prior spark-kernel rates: JSON {cpus: pages_per_sec} "
              "(e.g. medians of repeated runs — single runs are noisy)",
@@ -240,7 +245,7 @@ def main() -> None:
     }
     print(json.dumps(report))
 
-    _write_md(report, crawl, alu, extract, alloc, pairs)
+    _write_md(report, crawl, alu, extract, alloc, pairs, args.md_out)
 
 
 def _fmt_kernel_section(report) -> list[str]:
@@ -273,8 +278,9 @@ def _fmt_kernel_section(report) -> list[str]:
     return lines
 
 
-def _write_md(report, crawl, alu, extract, alloc, pairs) -> None:
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+def _write_md(report, crawl, alu, extract, alloc, pairs, out_path=None) -> None:
+    out_path = out_path or os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
     lines = [
         "# BENCH/BASELINE — measured throughput & N→4N scaling evidence",
         "",
@@ -401,9 +407,9 @@ def _write_md(report, crawl, alu, extract, alloc, pairs) -> None:
         "the reference's per-URL path, before any cluster scale-out.",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(out_path, "w") as f:
         f.write("\n".join(lines))
-    print(f"[scaling] wrote {os.path.join(REPO, 'BENCH', 'BASELINE.md')}")
+    print(f"[scaling] wrote {out_path}")
 
 
 if __name__ == "__main__":
