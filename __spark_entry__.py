@@ -676,7 +676,7 @@ def _robots_txt_parse(spark, sf):
 
     d = _t(spark, sf, "documents")
     nl = "\n"
-    m = F.pmod("doc_id", F.lit(5))
+    m = F.pmod("doc_id", F.lit(6))
     body = (
         F.when(m == 0, F.lit(f"User-agent: googlebot{nl}Disallow: /private{nl}"))
         .when(m == 1, F.lit(f"User-agent: *{nl}Disallow: /{nl}"))
@@ -688,6 +688,16 @@ def _robots_txt_parse(spark, sf):
             ),
         )
         .when(m == 3, F.lit(f"User-agent: *{nl}Crawl-delay: 0.5{nl}"))
+        .when(
+            # RFC 9309 multi-group merge: the Allow and the delay live in
+            # the SECOND `*` group, the first only has a sub-path Disallow
+            m == 5,
+            F.lit(
+                f"User-agent: *{nl}Disallow: /a/{nl}{nl}"
+                f"User-agent: bot{nl}Disallow: /{nl}{nl}"
+                f"User-agent: *{nl}Allow: /pub/{nl}Crawl-delay: 4{nl}"
+            ),
+        )
         .otherwise(F.lit(f"User-agent: *{nl}Disallow:{nl}"))
     )
     robots = d.select(
@@ -1013,6 +1023,66 @@ def _wiki_section_concat(spark, sf):
     )
 
 
+def _robots_rfc_schedule(spark, sf):
+    """Rows-only: RFC 9309 rule lists driving the scheduler's longest-match
+    gate (functions/robots.py parse_robots_rules + robots_permits wired
+    into scheduler.apply_robots): raw multi-rule robots bodies (full deny
+    + Allow carve-out on even hosts; wildcard/`$`-anchored Disallow on odd
+    hosts) gate a deterministic synthetic frontier. Precedence semantics
+    are pinned by the pytest battery (test_crawl.py
+    test_robots_longest_match_precedence / test_rfc_rules_feed_the_
+    scheduler); this entry keeps the composed path under the driver's
+    smoke + row check."""
+    from hk_housing_datahub_spark.frontier.scheduler import schedule_wave
+    from hk_housing_datahub_spark.functions.robots import parse_robots_rules
+    from hk_housing_datahub_spark.functions.urls import with_url_columns
+
+    d = _t(spark, sf, "documents")
+    path = (
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(F.lit("/listing/"), F.col("doc_id")),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(3)) == 1,
+            F.concat(F.lit("/admin/"), F.col("doc_id")),
+        )
+        .otherwise(F.concat(F.lit("/files/"), F.col("doc_id"), F.lit(".pdf")))
+    )
+    urls = d.select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("doc_id", F.lit(8)),
+            F.lit(".example.com"),
+            path,
+        ).alias("url"),
+        F.lit(0).alias("priority"),
+    )
+    frontier = (
+        with_url_columns(urls)
+        .withColumn("discovered_ts", F.timestamp_seconds(F.lit(0)))
+        .withColumn("depth", F.lit(0))
+        .withColumn("attempt", F.lit(0))
+    )
+    nl = "\n"
+    robots_raw = spark.range(8).select(
+        F.format_string("h%d.example.com", "id").alias("host"),
+        F.when(
+            F.pmod("id", F.lit(2)) == 0,
+            F.lit(
+                f"User-agent: *{nl}Disallow: /{nl}Allow: /listing/{nl}"
+                f"Crawl-delay: 0.1{nl}"
+            ),
+        )
+        .otherwise(
+            F.lit(f"User-agent: *{nl}Disallow: /*.pdf${nl}Disallow: /admin/{nl}")
+        )
+        .alias("robots_txt"),
+    )
+    out = schedule_wave(frontier, parse_robots_rules(robots_raw), wave_ms=100000)
+    return out.filter("scheduled").select("url_canon", "host", "host_rank")
+
+
 def _crawl_frontier_retry(spark, sf):
     """Retry sub-frontier (reference S7, base.py:16-45 3-try retry): corpus
     with dead links, max_attempts=3; dead urls are scheduled up to 3 waves
@@ -1254,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": _minhash_lsh_candidates,
         "simhash_neardup": _simhash_neardup,
         "lsh_ann_topk": _lsh_ann_topk,
+        "robots_rfc_schedule": _robots_rfc_schedule,
         "crawl_frontier_retry": _crawl_frontier_retry,
         "crawl_frontier_bloom": _crawl_frontier_bloom,
         "crawl_frontier_cuckoo": _crawl_frontier_cuckoo,
@@ -2220,11 +2291,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "robots_txt_parse": """
             SELECT 'h' || doc_id || '.example.com' AS host,
-                   CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 1 END AS allow,
-                   CASE WHEN doc_id % 5 = 2 THEN '/listing/' ELSE '' END
+                   CASE WHEN doc_id % 6 = 1 THEN 0 ELSE 1 END AS allow,
+                   CASE WHEN doc_id % 6 = 2 THEN '/listing/'
+                        WHEN doc_id % 6 = 5 THEN '/pub/' ELSE '' END
                        AS path_prefix,
-                   CAST(CASE WHEN doc_id % 5 = 2 THEN 2000
-                             WHEN doc_id % 5 = 3 THEN 500
+                   CAST(CASE WHEN doc_id % 6 = 2 THEN 2000
+                             WHEN doc_id % 6 = 3 THEN 500
+                             WHEN doc_id % 6 = 5 THEN 4000
                              ELSE 100 END AS INT) AS crawl_delay_ms
             FROM documents
         """,
