@@ -39,6 +39,11 @@ from hk_housing_datahub_spark.session import get_spark  # noqa: E402
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     corpus = os.environ.get("BENCH_CORPUS_DIR", "/tmp/hk_scale_corpus")
+    # same probe gate as bench.py: both legs of an N→4N kernel pair must
+    # land on comparable host windows or the pair measures the VM
+    from bench import _await_healthy_window
+
+    health, gate = _await_healthy_window()
     spark = get_spark(app_name=f"kernel_bench_{cpus}", cores=cpus)
 
     pages = spark.read.parquet(os.path.join(corpus, "pages"))
@@ -71,7 +76,8 @@ def main() -> None:
         one_pass()
     dt = time.perf_counter() - t0
     print(json.dumps({"cpus": cpus, "pages": n,
-                      "pages_per_sec": round(passes * n / dt, 1)}))
+                      "pages_per_sec": round(passes * n / dt, 1),
+                      **health, **gate}))
 
 
 if __name__ == "__main__":
