@@ -1023,6 +1023,28 @@ def _wiki_section_concat(spark, sf):
     )
 
 
+def _lm_perplexity_quality(spark, sf):
+    """Rows-only: bigram-LM perplexity quality scoring (the KenLM role in
+    CCNet's pipeline, operators/lm_quality.py) — fit on the even-id half
+    of the corpus, score the odd half. Exactness is pinned by the DuckDB
+    parity pytest (tests/test_lm_quality.py, rel 1e-9); this entry keeps
+    the fit+score path under the driver's smoke + row check."""
+    from hk_housing_datahub_spark.operators.lm_quality import (
+        fit_bigram_lm,
+        perplexity_score,
+    )
+
+    d = _t(spark, sf, "documents")
+    lm = fit_bigram_lm(d.filter(F.pmod("doc_id", F.lit(2)) == 0))
+    out = perplexity_score(d.filter(F.pmod("doc_id", F.lit(2)) == 1), lm)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
 def _robots_rfc_schedule(spark, sf):
     """Rows-only: RFC 9309 rule lists driving the scheduler's longest-match
     gate (functions/robots.py parse_robots_rules + robots_permits wired
@@ -1324,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": _minhash_lsh_candidates,
         "simhash_neardup": _simhash_neardup,
         "lsh_ann_topk": _lsh_ann_topk,
+        "lm_perplexity_quality": _lm_perplexity_quality,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "crawl_frontier_retry": _crawl_frontier_retry,
         "crawl_frontier_bloom": _crawl_frontier_bloom,

@@ -1,0 +1,136 @@
+"""N-gram language-model perplexity scoring — the KenLM role in a CCNet
+quality pipeline, DataFrame-native.
+
+CCNet's strongest quality signal is perplexity under a small LM trained
+on a reference corpus (Wikipedia): low perplexity ≈ fluent prose, high ≈
+boilerplate/gibberish/lists. No KenLM wheel ships in this sandbox — and
+none is needed for the bigram case: an add-k-smoothed bigram model is a
+pair of count tables, and both training and scoring are plain relational
+algebra, so the whole signal stays JVM-side, shuffles only compact keys,
+and is exactly reproducible by any SQL engine (DuckDB-parity pytest).
+
+    fit:    reference docs ──explode bigrams──► count(w1,w2), count(w1)
+            (two map-side-combined aggregates; V = |vocab|, one scalar)
+    score:  corpus docs ──explode bigrams──► left-join the two count
+            tables ──► logp = ln((c12 + k) / (c1 + k·V)) per bigram
+            (unseen bigram → ln(k / (c1 + k·V)); unseen w1 → ln(1/V))
+            ──► per-doc mean; perplexity = exp(−mean)
+
+Scale shape at 100 TB: the model tables grow with the REFERENCE corpus
+vocabulary (bounded — Zipf), not the scored corpus; the score join keys
+on (w1, w2) strings — compact, uniformly distributed — and AQE broadcasts
+the model side whenever it fits, else it is one hash join both of whose
+sides are pre-aggregated. No Python, no UDFs, no driver loop; the only
+driver value is V (one scalar, the fit's hyperparameter denominator).
+
+Reference for the role: /root/reference has no quality model at all —
+this is part of the training-data battery the brief asks for beyond the
+reference's own operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+@dataclass
+class BigramLM:
+    """The fitted model: two count tables + the smoothing constants.
+    ``bigrams``: (w1, w2, c12); ``unigrams``: (w1, c1); ``v``: vocabulary
+    size; ``k``: add-k smoothing mass."""
+
+    bigrams: DataFrame
+    unigrams: DataFrame
+    v: int
+    k: float
+
+    def persist(self) -> "BigramLM":
+        self.bigrams = self.bigrams.persist()
+        self.unigrams = self.unigrams.persist()
+        return self
+
+
+def doc_bigrams(text: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs of the normalized
+    text; docs with <2 tokens yield an empty array. The token array is
+    bound through a lambda variable (the word_shingles trick) so the
+    tokenizer runs once per row, not once per bigram element."""
+
+    def mk(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(
+            n < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.struct(
+                    F.element_at(toks, i + 1).alias("w1"),
+                    F.element_at(toks, i + 2).alias("w2"),
+                ),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), mk), 1)
+
+
+def fit_bigram_lm(
+    reference: DataFrame, text_col: str = "text", k: float = 0.5
+) -> BigramLM:
+    """Train on a reference corpus (the CCNet recipe trains on Wikipedia
+    and scores the crawl). Two aggregates, both map-side combined; the
+    vocabulary size is the single driver-side scalar."""
+    pairs = reference.select(
+        F.explode(doc_bigrams(F.col(text_col))).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unis = reference.select(
+        F.explode(tokens(F.col(text_col))).alias("w1")
+    )
+    unigrams = unis.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = unigrams.count()  # |vocab|: one scalar, the smoothing denominator
+    return BigramLM(bigrams=bigrams, unigrams=unigrams, v=max(v, 1), k=k)
+
+
+def perplexity_score(
+    docs: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``docs`` + ``(n_bigrams, avg_logp, perplexity)`` per document.
+
+    Unseen events degrade smoothly: unseen bigram under a seen w1 gets
+    the smoothed floor ln(k / (c1 + k·V)); a w1 outside the reference
+    vocabulary gets ln(1/V). Documents with <2 tokens score NULL (no
+    evidence either way — let the caller's gate decide).
+    """
+    v, k = float(lm.v), float(lm.k)
+    ex = docs.select(
+        F.col(id_col), F.explode(doc_bigrams(F.col(text_col))).alias("bg")
+    ).select(id_col, "bg.w1", "bg.w2")
+    joined = ex.join(lm.bigrams, ["w1", "w2"], "left").join(
+        lm.unigrams, ["w1"], "left"
+    )
+    logp = F.when(
+        F.col("c1").isNull(), F.log(F.lit(1.0) / F.lit(v))
+    ).otherwise(
+        F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+            / (F.col("c1") + F.lit(k) * F.lit(v))
+        )
+    )
+    scores = (
+        joined.select(F.col(id_col), logp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("lp").alias("avg_logp"),
+        )
+        .withColumn("perplexity", F.exp(-F.col("avg_logp")))
+    )
+    return docs.join(scores, id_col, "left")

@@ -53,6 +53,8 @@ class CorpusRecipe:
     mixture_total: int | None = None
     pack_budget: int = 4096  # tokens per bin
     decontaminate_n: int = 13  # n-gram length for the benchmark screen
+    max_perplexity: float | None = None  # bigram-LM gate (needs lm_reference)
+    lm_k: float = 0.5  # add-k smoothing for the LM gate
     salt: str = ""
 
 
@@ -62,6 +64,7 @@ def prepare_training_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     benchmark: DataFrame | None = None,
+    lm_reference: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full preparation funnel; returns the packed corpus with
     ``text`` already scrubbed, plus ``n_tokens``, ``pii_total``,
@@ -71,7 +74,14 @@ def prepare_training_corpus(
     column; docs sharing a ``recipe.decontaminate_n``-gram with it are
     dropped FIRST (cheapest gate — a broadcast semi-join — and removing
     leaks before dedup keeps a contaminated doc from surviving as its
-    cluster's canonical)."""
+    cluster's canonical).
+
+    ``lm_reference`` (optional, with ``recipe.max_perplexity``): a
+    reference corpus (the CCNet recipe uses Wikipedia) to fit the bigram
+    LM on; documents scoring above the perplexity cap after the heuristic
+    quality gate are dropped (operators/lm_quality.py). Short documents
+    with no bigram evidence score NULL and are KEPT — the heuristic gate
+    already owns the too-short case."""
     r = recipe or CorpusRecipe()
     out = docs
     if benchmark is not None:
@@ -111,6 +121,21 @@ def prepare_training_corpus(
 
         flagged = gopher_quality_flags(out, text_col)
         out = flagged.filter(F.col("gopher_pass")).select(*out.columns)
+    if r.max_perplexity is not None:
+        if lm_reference is None:
+            raise ValueError("max_perplexity needs lm_reference")
+        from ..operators.lm_quality import fit_bigram_lm, perplexity_score
+
+        cols = out.columns
+        lm = fit_bigram_lm(lm_reference, text_col=text_col, k=r.lm_k)
+        out = (
+            perplexity_score(out, lm, id_col=id_col, text_col=text_col)
+            .filter(
+                F.col("perplexity").isNull()
+                | (F.col("perplexity") <= r.max_perplexity)
+            )
+            .select(*cols)
+        )
     out = redact_pii(out, text_col)
     # the scrubbed text IS the corpus text from here on
     out = out.drop(text_col).withColumnRenamed(f"{text_col}_redacted", text_col)
