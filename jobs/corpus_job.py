@@ -39,6 +39,14 @@ def main() -> None:
         "--benchmark", default="",
         help="parquet of eval texts; docs sharing a 13-gram are dropped",
     )
+    ap.add_argument(
+        "--max-perplexity", type=float, default=None,
+        help="bigram-LM perplexity cap (requires --lm-reference)",
+    )
+    ap.add_argument(
+        "--lm-reference", default="",
+        help="parquet of reference texts to fit the perplexity LM on",
+    )
     ap.add_argument("--tag", default="", help="tag the committed snapshot")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
@@ -69,12 +77,16 @@ def main() -> None:
         gopher=args.gopher,
         sample_rate=args.sample_rate,
         pack_budget=args.budget,
+        max_perplexity=args.max_perplexity,
         salt=args.salt,
     )
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    lm_ref = (
+        spark.read.parquet(args.lm_reference) if args.lm_reference else None
+    )
     corpus = prepare_training_corpus(
         docs, recipe, id_col=args.id_col, text_col=args.text_col,
-        benchmark=bench,
+        benchmark=bench, lm_reference=lm_ref,
     ).persist()
     stats = corpus_stats(docs, corpus).first()
     # cluster the output by (bucket, bin_id): training readers consume bin

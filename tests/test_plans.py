@@ -280,3 +280,19 @@ def test_pk_bloom_fast_path_plan_no_committed_exchange(spark, tmp_path):
     tree = plan_of(definite).split("\n\n")[0]
     assert "Join" not in tree and "Exchange" not in tree, tree
     assert tree.count("ArrowEvalPython") == 1, tree
+
+
+def test_lm_perplexity_is_all_jvm(spark):
+    """fit + score of the bigram LM: zero Python evaluation nodes (HOF
+    bigrams, count aggregates, compact-key joins, one per-doc mean), no
+    cartesian product anywhere."""
+    from hk_housing_datahub_spark.operators.lm_quality import (
+        fit_bigram_lm,
+        perplexity_score,
+    )
+
+    d = _t(spark, "documents")
+    lm = fit_bigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+    p = plan_of(perplexity_score(d.filter(F.col("doc_id") % 2 == 1), lm))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p

@@ -61,6 +61,12 @@ def _prepare_corpus(spark):
     return E.queries()["prepare_corpus"](spark, SF)
 
 
+def _lm_score(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["lm_perplexity_quality"](spark, SF)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -162,6 +168,14 @@ def main() -> None:
             "(hashpartitioning(bucket…)), and a NON-global Sort — packing "
             "state is one running sum per bucket partition.",
             _sample_pack(spark),
+        ),
+        (
+            "Bigram-LM perplexity scoring (fit + score, all JVM)",
+            "Look for: NO Python nodes and no CartesianProduct — bigrams "
+            "are a HOF transform, the model tables are pre-aggregated "
+            "count tables, scoring is a compact-key join plus one per-doc "
+            "mean; AQE broadcasts the model side when it fits.",
+            _lm_score(spark),
         ),
         (
             "Corpus-preparation funnel (dedup → gates → scrub → pack)",
