@@ -1023,6 +1023,33 @@ def _wiki_section_concat(spark, sf):
     )
 
 
+def _packed_sequences(spark, sf):
+    """Rows-only: packed-bin materialization (operators/packing.py
+    render_bins) — each pack bin becomes one training sequence with
+    doc-boundary token offsets for attention masking. Exactness is pinned
+    by the DuckDB parity pytest (test_sampling_packing.py); here the
+    sequences render over the sampled sf corpus."""
+    from hk_housing_datahub_spark.operators.packing import (
+        pack_greedy,
+        render_bins,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "text", F.col("n_chars").alias("n_tokens")
+    )
+    out = render_bins(pack_greedy(d, "doc_id", "n_tokens", 20000))
+    return out.select(
+        "bucket",
+        "bin_id",
+        "n_docs",
+        "fill",
+        F.md5("seq_text").alias("seq_md5"),
+        F.concat_ws(",", F.transform("offsets", lambda o: o.cast("string"))).alias(
+            "offsets_csv"
+        ),
+    )
+
+
 def _lm_perplexity_quality(spark, sf):
     """Rows-only: bigram-LM perplexity quality scoring (the KenLM role in
     CCNet's pipeline, operators/lm_quality.py) — fit on the even-id half
@@ -1347,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _simhash_neardup,
         "lsh_ann_topk": _lsh_ann_topk,
         "lm_perplexity_quality": _lm_perplexity_quality,
+        "packed_sequences": _packed_sequences,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "crawl_frontier_retry": _crawl_frontier_retry,
         "crawl_frontier_bloom": _crawl_frontier_bloom,

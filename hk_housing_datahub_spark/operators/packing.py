@@ -64,3 +64,55 @@ def bin_stats(packed: DataFrame, weight_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(weight_col).alias("fill"),
     )
+
+
+def render_bins(
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str = "n_tokens",
+    sep: str = "\n<|eos|>\n",
+) -> DataFrame:
+    """Materialize each packing bin as ONE training sequence: the bin's
+    documents laid head-to-tail in id order (the same order the offset
+    packer counted them in), joined by ``sep``, with the document ids and
+    the exclusive token-offset boundaries riding along — what a trainer
+    needs to build attention masks that stop at document boundaries.
+
+    Output: (bucket, bin_id, n_docs, fill, doc_ids array, offsets array —
+    offsets[i] is where doc i starts, offsets[n] == fill — and seq_text).
+
+    Scale shape: one aggregation keyed on (bucket, bin_id) — compact key,
+    map-side combined collect, each group bounded by the pack budget (a
+    bin holds ~budget tokens by construction, so no group can blow up a
+    task); the offsets are a pure HOF prefix sum over the sorted group.
+    All JVM Column expressions; deterministic given the pack assignment.
+    """
+    docs = F.array_sort(
+        F.collect_list(F.struct(
+            F.col(id_col).alias("i"),
+            F.col(text_col).alias("t"),
+            F.col(weight_col).alias("w"),
+        ))
+    )
+    g = packed.groupBy("bucket", "bin_id").agg(docs.alias("_docs"))
+    offsets = F.aggregate(
+        "_docs",
+        F.array(F.lit(0).cast("long")),
+        lambda acc, d: F.concat(
+            acc, F.array(F.element_at(acc, -1) + d["w"].cast("long"))
+        ),
+    )
+    return g.select(
+        "bucket",
+        "bin_id",
+        F.size("_docs").alias("n_docs"),
+        F.aggregate(
+            "_docs", F.lit(0).cast("long"), lambda a, d: a + d["w"]
+        ).alias("fill"),
+        F.transform("_docs", lambda d: d["i"]).alias("doc_ids"),
+        offsets.alias("offsets"),
+        F.concat_ws(sep, F.transform("_docs", lambda d: d["t"])).alias(
+            "seq_text"
+        ),
+    )

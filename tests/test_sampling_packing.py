@@ -282,3 +282,79 @@ def test_drop_boilerplate_large_hot_set_shuffle_path(spark):
             else:
                 spark.conf.set(key, prev[key])
     assert got == expected
+
+
+def test_render_bins_sequences_and_offsets(spark):
+    """render_bins: docs concatenate in id order with the separator,
+    offsets are the exclusive prefix sums of weights (offsets[-1] == the
+    bin fill), and every packed doc lands in exactly one sequence."""
+    from hk_housing_datahub_spark.operators.packing import (
+        pack_greedy,
+        render_bins,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body", 10 + i % 4) for i in range(200)],
+        ["doc_id", "text", "n_tokens"],
+    )
+    packed = pack_greedy(docs, "doc_id", "n_tokens", 64)
+    out = render_bins(packed).collect()
+    seen_ids: list[int] = []
+    for r in out:
+        assert r.n_docs == len(r.doc_ids) == len(r.offsets) - 1
+        assert r.offsets[0] == 0 and r.offsets[-1] == r.fill
+        widths = [r.offsets[i + 1] - r.offsets[i] for i in range(r.n_docs)]
+        assert widths == [10 + i % 4 for i in r.doc_ids]
+        assert r.doc_ids == sorted(r.doc_ids)
+        assert r.seq_text == "\n<|eos|>\n".join(
+            f"doc {i} body" for i in r.doc_ids
+        )
+        seen_ids += list(r.doc_ids)
+    assert sorted(seen_ids) == list(range(200))
+
+
+def test_render_bins_duckdb_parity(spark, sf_small):
+    """Engine parity on the real corpus: per-bin sequence text and offset
+    arrays identical to DuckDB's string_agg/window recomputation."""
+    import duckdb
+
+    from hk_housing_datahub_spark.operators.packing import (
+        pack_greedy,
+        render_bins,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", "text", F.col("n_chars").alias("n_tokens")
+    )
+    out = render_bins(pack_greedy(docs, "doc_id", "n_tokens", 20000))
+    got = {
+        (r.bucket, r.bin_id): (list(r.doc_ids), list(r.offsets), r.seq_text)
+        for r in out.collect()
+    }
+    want = {}
+    for b, bid, ids, offs, txt in duckdb.sql(
+        f"""
+        WITH p AS (
+            SELECT doc_id, text, n_chars AS w,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+            FROM '{sf_small}/documents.parquet'),
+        q AS (
+            SELECT *, CAST(floor(
+                (sum(w) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - w) / 20000.0) AS BIGINT) AS bin_id
+            FROM p),
+        q2 AS (
+            SELECT *, sum(w) OVER (
+                PARTITION BY bucket, bin_id ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+            FROM q)
+        SELECT bucket, bin_id,
+               list(doc_id ORDER BY doc_id),
+               [0] || list(run ORDER BY doc_id),
+               string_agg(text, '\n<|eos|>\n' ORDER BY doc_id)
+        FROM q2 GROUP BY bucket, bin_id
+        """
+    ).fetchall():
+        want[(b, bid)] = (ids, offs, txt)
+    assert got == want
