@@ -1188,28 +1188,39 @@ def _crawl_frontier_cuckoo(spark, sf):
     return res.listings(spark).drop("outlinks")
 
 
-def _multimodal_meta(spark, sf):
-    d = attach_payload(_t(spark, sf, "documents"))
-    return decode_payload_meta(d)
-
-
-def _multimodal_frames(spark, sf):
-    """Frame-sampling plumbing (multimodal/binary.py): payload → 4 byte
-    slices per doc via mapInPandas; output keeps slice sizes + checksums
-    (raw bytes dropped for stable hashing); oracle recomputes each frame
-    with character substrings + md5."""
+def _multimodal_probe(spark, sf):
+    """Multimodal plumbing (multimodal/binary.py), meta ∪ frames in one
+    driver slot (union-shaped merge, every row/column of BOTH paths still
+    hash-checked): payload → typed metadata decode, and payload → 4 byte
+    slices per doc via mapInPandas (slice sizes + checksums kept, raw
+    bytes dropped for stable hashing); the oracle recomputes metadata and
+    each frame with character substrings + md5."""
     from hk_housing_datahub_spark.multimodal import sample_frames
 
     d = attach_payload(_t(spark, sf, "documents"))
-    out = sample_frames(d, n_frames=4)
-    return out.select(
+    meta = decode_payload_meta(d).select(
+        F.lit("meta").alias("tbl"),
         "doc_id",
-        "frame_index",
-        F.coalesce(F.length("frame_bytes").cast("long"), F.lit(0).cast("long")).alias(
-            "n_frame_bytes"
-        ),
-        "frame_checksum",
+        F.lit(None).cast("int").alias("idx"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("media_type").alias("label"),
+        F.col("width").cast("int").alias("w"),
+        F.col("height").cast("int").alias("h"),
+        "checksum",
     )
+    frames = sample_frames(d, n_frames=4).select(
+        F.lit("frames").alias("tbl"),
+        "doc_id",
+        F.col("frame_index").cast("int").alias("idx"),
+        F.coalesce(
+            F.length("frame_bytes").cast("long"), F.lit(0).cast("long")
+        ).alias("n_bytes"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.col("frame_checksum").alias("checksum"),
+    )
+    return meta.unionByName(frames)
 
 
 def _streaming_windowed(spark, sf):
@@ -1352,8 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "asof_join_events": _asof_join_events,
         "robots_txt_parse": _robots_txt_parse,
-        "multimodal_meta": _multimodal_meta,
-        "multimodal_frames": _multimodal_frames,
+        "multimodal_probe": _multimodal_probe,
+        "lm_perplexity_quality": _lm_perplexity_quality,
         # star-schema extraction surface (nested JSON → 14 FK-linked tables)
         "star_estates": _star_estates,
         "star_geo_dims": _star_geo_dims,
@@ -1373,7 +1384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": _minhash_lsh_candidates,
         "simhash_neardup": _simhash_neardup,
         "lsh_ann_topk": _lsh_ann_topk,
-        "lm_perplexity_quality": _lm_perplexity_quality,
         "packed_sequences": _packed_sequences,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "crawl_frontier_retry": _crawl_frontier_retry,
@@ -2379,32 +2389,62 @@ def oracle_sql() -> dict[str, str]:
                    'd' || doc_id || ',lang=' || lang || ',src=' || source AS csv
             FROM documents
         """,
-        "multimodal_frames": """
+        "multimodal_probe": """
             WITH f AS (
                 SELECT doc_id, text, length(text) AS L, k
                 FROM documents, (VALUES (0), (1), (2), (3)) t(k))
-            SELECT doc_id, CAST(k AS INT) AS frame_index,
-                   CAST(octet_length(encode(substr(text,
-                        CAST(k * L // 4 + 1 AS INT),
-                        CAST((k + 1) * L // 4 - k * L // 4 AS INT))))
-                        AS BIGINT) AS n_frame_bytes,
-                   md5(substr(text,
-                        CAST(k * L // 4 + 1 AS INT),
-                        CAST((k + 1) * L // 4 - k * L // 4 AS INT)))
-                       AS frame_checksum
-            FROM f
-        """,
-        "multimodal_meta": """
-            SELECT doc_id,
+            SELECT 'meta' AS tbl, doc_id, CAST(NULL AS INT) AS idx,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                         WHEN doc_id % 3 = 1 THEN 'audio/wav'
-                        ELSE 'video/mp4' END AS media_type,
-                   CAST(octet_length(encode(text)) % 1920 + 16 AS INT) AS width,
+                        ELSE 'video/mp4' END AS label,
+                   CAST(octet_length(encode(text)) % 1920 + 16 AS INT) AS w,
                    CAST(octet_length(encode(text)) * 7 % 1080 + 16 AS INT)
-                       AS height,
+                       AS h,
                    md5(text) AS checksum
             FROM documents
+            UNION ALL
+            SELECT 'frames' AS tbl, doc_id, CAST(k AS INT) AS idx,
+                   CAST(octet_length(encode(substr(text,
+                        CAST(k * L // 4 + 1 AS INT),
+                        CAST((k + 1) * L // 4 - k * L // 4 AS INT))))
+                        AS BIGINT) AS n_bytes,
+                   CAST(NULL AS VARCHAR) AS label,
+                   CAST(NULL AS INT) AS w, CAST(NULL AS INT) AS h,
+                   md5(substr(text,
+                        CAST(k * L // 4 + 1 AS INT),
+                        CAST((k + 1) * L // 4 - k * L // 4 AS INT)))
+                       AS checksum
+            FROM f
+        """,
+        # the bigram-LM fit (even docs) + score (odd docs), the same
+        # relational algebra as operators/lm_quality.py — per-doc values
+        # also parity-tested at rel 1e-9 in tests/test_lm_quality.py
+        "lm_perplexity_quality": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                   FROM d, unnest(generate_series(1, len(t) - 1)) AS g(i)
+                   WHERE len(t) >= 2),
+            ref_bg AS (SELECT w1, w2, count(*) AS c12 FROM bg
+                       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+            ref_u AS (SELECT w1, count(*) AS c1 FROM
+                        (SELECT doc_id, unnest(t) AS w1 FROM d)
+                      WHERE doc_id % 2 = 0 GROUP BY 1),
+            v AS (SELECT count(*) AS v FROM ref_u),
+            sc AS (
+                SELECT b.doc_id,
+                       CASE WHEN u.c1 IS NULL THEN ln(1.0 / v.v)
+                            ELSE ln((coalesce(r.c12, 0) + 0.5)
+                                    / (u.c1 + 0.5 * v.v)) END AS lp
+                FROM bg b
+                LEFT JOIN ref_bg r USING (w1, w2)
+                LEFT JOIN ref_u u USING (w1)
+                CROSS JOIN v
+                WHERE b.doc_id % 2 = 1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(lp), 6) AS avg_logp,
+                   round(exp(-avg(lp)), 6) AS perplexity
+            FROM sc GROUP BY doc_id
         """,
         # chunk_documents: the sentence-aware chunk loop as a
         # recursive CTE (template shared with the composed EP2/EP3
