@@ -48,6 +48,11 @@ def main() -> None:
         help="parquet of reference texts to fit the perplexity LM on",
     )
     ap.add_argument("--tag", default="", help="tag the committed snapshot")
+    ap.add_argument(
+        "--render-sequences", action="store_true",
+        help="also commit <output-table>_sequences: one trainer-ready row "
+             "per bin (seq_text + doc-boundary token offsets)",
+    )
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     args = ap.parse_args()
@@ -103,6 +108,17 @@ def main() -> None:
         "snapshot": snap,
         **{k: int(stats[k]) for k in stats.asDict()},
     }
+    if args.render_sequences:
+        from hk_housing_datahub_spark.operators.packing import render_bins
+
+        seqs = render_bins(corpus)
+        seq_tbl = f"{args.output_table}_sequences"
+        out["sequences_table"] = seq_tbl
+        out["sequences_snapshot"] = cat.append(
+            seq_tbl, seqs, cluster_by=["bucket", "bin_id"]
+        )
+        if args.tag:
+            cat.tag(seq_tbl, args.tag, out["sequences_snapshot"])
     if args.tag:
         cat.tag(args.output_table, args.tag, snap)
         out["tag"] = args.tag
