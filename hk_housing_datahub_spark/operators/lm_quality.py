@@ -134,3 +134,39 @@ def perplexity_score(
         .withColumn("perplexity", F.exp(-F.col("avg_logp")))
     )
     return docs.join(scores, id_col, "left")
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    by: str = "lang",
+    probs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: per-``by``-group perplexity
+    terciles. The head (lowest perplexity = most Wikipedia-like) is what
+    CCNet keeps for high-quality corpora; the buckets also drive mixture
+    recipes (oversample head, downsample tail).
+
+    Scale shape: thresholds come from ONE ``percentile_approx`` aggregate
+    per group (map-side combined sketches — never a per-group sort, which
+    a window-rank split would need over a 100-TB single-language
+    partition), broadcast back as a tiny join, then the assignment is a
+    codegen comparison. Docs with NULL perplexity (no bigram evidence)
+    bucket as 'unscored'. Threshold sketches are approximate at the
+    stated ``accuracy``: boundary docs may swap buckets across different
+    partitionings — callers needing byte-stable membership should bucket
+    on the exact scores they already persist.
+    """
+    th = scored.groupBy(by).agg(
+        F.percentile_approx(
+            "perplexity", F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+        ).alias("_th")
+    )
+    out = scored.join(F.broadcast(th), by, "left")
+    bucket = (
+        F.when(F.col("perplexity").isNull(), F.lit("unscored"))
+        .when(F.col("perplexity") <= F.element_at("_th", 1), F.lit("head"))
+        .when(F.col("perplexity") <= F.element_at("_th", 2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.withColumn("ppl_bucket", bucket).drop("_th")

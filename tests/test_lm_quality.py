@@ -148,3 +148,45 @@ def test_funnel_lm_gate(spark, sf_small):
         prepare_training_corpus(
             docs, CorpusRecipe(max_perplexity=10.0)
         ).count()
+
+
+def test_perplexity_buckets_ccnet_split(spark, sf_small):
+    """head/middle/tail per language: buckets are roughly balanced within
+    each language, ordered by perplexity (max(head) <= min(tail) within a
+    language), and short docs land in 'unscored'."""
+    from hk_housing_datahub_spark.operators.lm_quality import (
+        perplexity_buckets,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    lm = fit_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    scored = perplexity_score(docs, lm).unionByName(
+        spark.createDataFrame(
+            [(10_001, "en", "x", 1, None, None, None)],
+            "doc_id long, lang string, source string, n_chars long,"
+            "n_bigrams long, avg_logp double, perplexity double",
+        ),
+        allowMissingColumns=True,
+    )
+    out = perplexity_buckets(scored).select(
+        "doc_id", "lang", "perplexity", "ppl_bucket"
+    )
+    rows = out.collect()
+    assert {r.ppl_bucket for r in rows if r.doc_id == 10_001} == {"unscored"}
+    from collections import defaultdict
+
+    per_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        if r.perplexity is not None:
+            per_lang[r.lang][r.ppl_bucket].append(r.perplexity)
+    for lang, buckets in per_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        if n < 30:
+            continue
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        for b in buckets:
+            assert len(buckets[b]) / n == pytest.approx(1 / 3, abs=0.15), (
+                lang,
+                b,
+            )
+        assert max(buckets["head"]) <= min(buckets["tail"]), lang
