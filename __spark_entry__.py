@@ -1319,10 +1319,12 @@ def _streaming_tws_dedup(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
-    small star dimensions are checked through union-shaped merge queries
-    (star_geo_dims, star_facility_links, star_structures; pure renames,
+    small star dimensions and the multimodal meta/frame probes are
+    checked through union-shaped merge queries (star_geo_dims,
+    star_facility_links, star_structures, multimodal_probe; pure renames,
     every row/column still hash-checked) so no oracle falls outside the
-    window, and the composed corpus funnel (prepare_corpus) is inside it."""
+    window, and the composed corpus funnel (prepare_corpus) and the
+    bigram-LM scorer (lm_perplexity_quality) are inside it."""
     return {
         # relational parity (SURVEY §2.3–2.7)
         "q1_pricing_summary": _q1_pricing_summary,

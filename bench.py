@@ -206,6 +206,9 @@ def main() -> None:
             "lsh_dedup_drop",
             "sample_pack_corpus",
             "prepare_corpus",
+            # round-4 additions
+            "lm_perplexity_quality",
+            "packed_sequences",
         ]
         qs = E.queries()
         for name in bench_queries:
