@@ -296,3 +296,25 @@ def test_lm_perplexity_is_all_jvm(spark):
     p = plan_of(perplexity_score(d.filter(F.col("doc_id") % 2 == 1), lm))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_render_bins_reuses_pack_partitioning(spark):
+    """The packed-sequence path (pack_greedy → render_bins) at 100 TB:
+    exactly ONE exchange end to end. The pack step shuffles on bucket for
+    its window; the render's groupBy(bucket, bin_id) is satisfied by that
+    same partitioning (bucket is a prefix of the group key), so Catalyst
+    adds NO second shuffle — the sequences materialize map-side on the
+    packed partitions. Zero Python nodes anywhere."""
+    from hk_housing_datahub_spark.operators.packing import (
+        pack_greedy,
+        render_bins,
+    )
+
+    d = _t(spark, "documents").select(
+        "doc_id", "text", F.col("n_chars").alias("n_tokens")
+    )
+    p = plan_of(render_bins(pack_greedy(d, "doc_id", "n_tokens", 20000)))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "hashpartitioning(bucket" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
