@@ -150,14 +150,8 @@ def publish_crawl(
             snapshots[w] = catalog.publish_staged(table, staged)
             waves.append(w)
         else:
-            stage_entry = next(
-                h
-                for h in catalog.history(table)
-                if h["op"] == "stage" and h["snapshot"] == staged
-            )
-            catalog.discard_staged(table, staged)
+            rows_rejected[w] = catalog.discard_staged(table, staged)
             rejected.append(w)
-            rows_rejected[w] = stage_entry.get("rows", 0)
         published.add(w)
 
     def _sync() -> None:

@@ -27,10 +27,15 @@ DEFAULT_WAVE_MS = 1_000
 # depth (+ attempt for retry bookkeeping).
 
 
-def _url_path(url_canon) -> "F.Column":
-    return F.regexp_replace(
-        F.regexp_replace(url_canon, "^[a-z]+://[^/]*", ""), "\\?.*$", ""
-    )
+def _url_path(url_canon, keep_query: bool = False) -> "F.Column":
+    """URL → the string robots rules match against. RFC 9309 matching
+    operates on path + query (``keep_query=True``, the rules-list gate:
+    a ``Disallow: /*?print=*`` must be able to match); the legacy
+    path_prefix schema has always matched the bare path."""
+    no_authority = F.regexp_replace(url_canon, "^[a-z]+://[^/]*", "")
+    if keep_query:
+        return no_authority
+    return F.regexp_replace(no_authority, "\\?.*$", "")
 
 
 def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
@@ -53,7 +58,6 @@ def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
         return frontier.withColumn(
             "crawl_delay_ms", F.lit(DEFAULT_CRAWL_DELAY_MS)
         )
-    path = _url_path(F.col("url_canon"))
     if "disallow_paths" in robots.columns:
         from ..functions.robots import robots_permits
 
@@ -62,7 +66,9 @@ def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
         )
         joined = frontier.join(F.broadcast(r), "host", "left")
         allowed = F.col("disallow_paths").isNull() | robots_permits(
-            path, F.col("allow_paths"), F.col("disallow_paths")
+            _url_path(F.col("url_canon"), keep_query=True),
+            F.col("allow_paths"),
+            F.col("disallow_paths"),
         )
         return (
             joined.filter(allowed)
@@ -76,7 +82,12 @@ def apply_robots(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     joined = frontier.join(F.broadcast(r), "host", "left")
     allowed = (
         F.col("allow").isNull()
-        | (F.col("allow") & path.startswith(F.coalesce("path_prefix", F.lit(""))))
+        | (
+            F.col("allow")
+            & _url_path(F.col("url_canon")).startswith(
+                F.coalesce("path_prefix", F.lit(""))
+            )
+        )
     )
     return (
         joined.filter(allowed)

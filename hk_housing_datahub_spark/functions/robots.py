@@ -99,8 +99,12 @@ def parse_robots_rules(
     body = F.when(has_group, body).otherwise(F.lit(""))
 
     def paths(directive: str) -> Column:
+        # value = everything up to the first whitespace or '#' — an inline
+        # comment ('Disallow: /private/ # keep out') must not invalidate
+        # the rule (RFC 9309 strips comments); a line-end anchor here
+        # would silently DROP such rules and fail open
         raw = F.regexp_extract_all(
-            body, F.lit(rf"(?im)^{directive}:[ \t]*(\S*)[ \t\r]*$"), 1
+            body, F.lit(rf"(?im)^{directive}:[ \t]*([^ \t\r\n#]*)"), 1
         )
         return F.filter(raw, lambda p: p != "")
 

@@ -127,7 +127,10 @@ def prepare_training_corpus(
         from ..operators.lm_quality import fit_bigram_lm, perplexity_score
 
         cols = out.columns
-        lm = fit_bigram_lm(lm_reference, text_col=text_col, k=r.lm_k)
+        # the model tables feed every downstream action of the returned
+        # corpus — persist them or each count()/write re-aggregates the
+        # whole reference corpus
+        lm = fit_bigram_lm(lm_reference, text_col=text_col, k=r.lm_k).persist()
         out = (
             perplexity_score(out, lm, id_col=id_col, text_col=text_col)
             .filter(

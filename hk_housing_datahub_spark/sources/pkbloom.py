@@ -304,7 +304,26 @@ class PKBloomIndex:
         meta pointer flips atomically only after the write succeeds, so a
         crash mid-write leaves the previous state intact (bloom ⊇
         committed is never violated by a torn write). Returns rows folded,
-        observed during the state write — no extra count job."""
+        observed during the state write — no extra count job.
+
+        Concurrency: the read-merge-write-flip runs under the same
+        per-table ``.commit.lock`` the catalog's CAS commits use —
+        without it, two concurrent updates would both merge against
+        version v and the loser's bits would vanish from v+1 (false
+        NEGATIVES → silent duplicates). Updates of the same table are
+        therefore serialized, matching the caller's own update-then-
+        append sequence; updates of different tables stay concurrent."""
+        import fcntl
+
+        tdir = os.path.join(self.catalog.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        with open(os.path.join(tdir, ".commit.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            return self._update_table_locked(table, rows, pk_cols)
+
+    def _update_table_locked(
+        self, table: str, rows: DataFrame, pk_cols: list[str]
+    ) -> int:
         from pyspark.sql import Observation
 
         meta = self._meta(table)
@@ -356,10 +375,14 @@ class PKBloomIndex:
         ).write.mode("overwrite").parquet(new_dir)
         added = int(obs.get["a"])
         self._write_meta(table, meta["n_items"] + added, version=cur_v + 1)
-        # previous version is now unreferenced — reclaim, best-effort
-        old = self._state_dir(table, cur_v)
-        if os.path.exists(old):
+        # keep the just-superseded version (an in-flight probe that read
+        # meta v before the flip may still be scanning its files); reclaim
+        # the one older than that — updates are serialized under the lock,
+        # so at steady state exactly v and v+1 exist
+        if cur_v >= 1:
             import shutil
 
-            shutil.rmtree(old, ignore_errors=True)
+            old = self._state_dir(table, cur_v - 1)
+            if os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)
         return added

@@ -472,11 +472,11 @@ class TableCatalog:
         self._commit(table, m, expect)
         return snap
 
-    def discard_staged(self, table: str, snapshot: int) -> None:
+    def discard_staged(self, table: str, snapshot: int) -> int:
         """Reject a staged snapshot: its rows never become visible and its
         files become vacuum-eligible (no retained snapshot references
         them). The audit-failed path — recorded in history, like every
-        other decision."""
+        other decision. Returns the rejected row count."""
         m = self._load_manifest(table)
         expect = self._version_of(m)
         h = self._staged_entry(m, snapshot)
@@ -494,6 +494,7 @@ class TableCatalog:
             entry["lineage"] = h["lineage"]
         m["history"].append(entry)
         self._commit(table, m, expect)
+        return entry["rows"]
 
     def replace(self, table: str, df: DataFrame) -> int:
         """REPLACE TABLE semantics: new snapshot referencing only new files

@@ -175,18 +175,31 @@ def run_streaming_dedup_tws(
         else:
             q = writer.start()
             try:
-                # accumulate rows incrementally from lastProgress, keyed by
-                # batchId — recentProgress is a bounded buffer (~100
-                # entries) that silently drops old batches, so re-summing
-                # it undercounts long runs and an expect_input_rows target
-                # might never be reached
+                # accumulate rows incrementally keyed by batchId, draining
+                # BOTH recentProgress (catches micro-batches faster than
+                # the poll interval — maxFilesPerTrigger=1 batches finish
+                # in well under 0.5s) and lastProgress each poll. The
+                # cumulative set fixes recentProgress's bounded-buffer
+                # undercount on long runs; draining the buffer fixes the
+                # fast-batch undercount a lastProgress-only poll has.
                 deadline = time.time() + timeout_s
                 got = 0
                 seen_batches: set[int] = set()
                 quiet = 0
+                # with a row target, give slow producers more empty-batch
+                # slack before concluding the input is drained; without
+                # one, 3 empty batches is the drain signal (and the exit
+                # for an all-empty input, which would otherwise always
+                # wait the full timeout)
+                quiet_limit = 3 if expect_input_rows is None else 10
                 while time.time() < deadline:
-                    p = q.lastProgress
-                    if p is not None and p["batchId"] not in seen_batches:
+                    progs = list(q.recentProgress)
+                    last = q.lastProgress
+                    if last is not None:
+                        progs.append(last)
+                    for p in sorted(progs, key=lambda p: p["batchId"]):
+                        if p["batchId"] in seen_batches:
+                            continue
                         seen_batches.add(p["batchId"])
                         rows = int(p["numInputRows"])
                         got += rows
@@ -195,11 +208,7 @@ def run_streaming_dedup_tws(
                         expect_input_rows
                     ):
                         break
-                    if quiet >= 3:
-                        # input drained (TTL mode keeps cycling empty
-                        # batches to advance the clock) — also the exit
-                        # for an all-empty input, which would otherwise
-                        # always wait the full timeout
+                    if quiet >= quiet_limit:
                         break
                     time.sleep(0.5)
             finally:

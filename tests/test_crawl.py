@@ -396,3 +396,47 @@ def test_rfc_rules_feed_the_scheduler(spark):
     assert "h0.example.com" in hosts and "h2.example.com" in hosts
     h0 = sched.filter(F.col("host") == "h0.example.com")
     assert h0.filter(~F.col("url_canon").contains("/listing/")).count() == 0
+
+
+def test_robots_rules_match_query_and_strip_comments(spark):
+    """RFC 9309 details the review pass caught: rule matching operates on
+    path + QUERY (a `Disallow: /*?print=1` must block ?print=1 urls), and
+    inline comments must be stripped from rule values, not invalidate the
+    whole rule (which would fail open)."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.frontier.scheduler import apply_robots
+    from hk_housing_datahub_spark.functions.robots import parse_robots_rules
+    from hk_housing_datahub_spark.functions.urls import with_url_columns
+
+    raw = spark.createDataFrame(
+        [(
+            "h0.example.com",
+            "User-agent: *\n"
+            "Disallow: /*?print=1\n"
+            "Disallow: /private/ # keep out\n",
+        )],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(raw)
+    got = rules.collect()[0]
+    assert got.disallow_paths == ["/*?print=1", "/private/"]
+
+    urls = spark.createDataFrame(
+        [
+            ("https://h0.example.com/page?print=1",),
+            ("https://h0.example.com/page",),
+            ("https://h0.example.com/private/x",),
+        ],
+        ["url"],
+    )
+    frontier = (
+        with_url_columns(urls)
+        .withColumn("priority", F.lit(0))
+        .withColumn("discovered_ts", F.timestamp_seconds(F.lit(0)))
+        .withColumn("depth", F.lit(0))
+    )
+    kept = {
+        r.url_canon for r in apply_robots(frontier, rules).collect()
+    }
+    assert kept == {"https://h0.example.com/page"}

@@ -36,9 +36,11 @@ def expanded(docs, mult: int):
     from pyspark.sql import functions as F
 
     parts = [docs]
-    n = docs.count()
+    # offset by (max id + 1) so sparse/large ids cannot collide between
+    # copies (a dense-id assumption would silently shrink the 10x corpus)
+    stride = int(docs.agg(F.max("doc_id")).first()[0]) + 1
     for i in range(1, mult):
-        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10 * n))
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
         if i % 2 == 1:  # near-duplicate of the base doc
             c = c.withColumn(
                 "text",

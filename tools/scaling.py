@@ -280,7 +280,7 @@ def _fmt_kernel_section(report) -> list[str]:
 
 def _write_md(report, crawl, alu, extract, alloc, pairs, out_path=None) -> None:
     out_path = out_path or os.path.join(REPO, "BENCH", "BASELINE.md")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     lines = [
         "# BENCH/BASELINE — measured throughput & N→4N scaling evidence",
         "",
