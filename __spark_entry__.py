@@ -1050,6 +1050,37 @@ def _packed_sequences(spark, sf):
     )
 
 
+def _streaming_corpus_ingest(spark, sf):
+    """Rows-only: streaming corpus ingestion (streaming/corpus.py) — two
+    arrival waves with overlapping texts drive foreachBatch intra-batch
+    dedup → committed-fingerprint bloom dedup → quality gate →
+    batch-id-stamped exactly-once appends; output = the committed corpus
+    (fingerprint-unique by construction, pytest-pinned in
+    test_streaming_corpus.py)."""
+    from hk_housing_datahub_spark.sources import TableCatalog
+    from hk_housing_datahub_spark.streaming.corpus import stream_corpus_ingest
+
+    root = tempfile.mkdtemp(prefix="hk_stream_corpus_")
+    src = os.path.join(root, "src")
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(2).write.parquet(
+        os.path.join(src, "w1")
+    )
+    # wave 2 re-sends half of wave 1 under new ids, plus the odd docs
+    resent = (
+        d.filter(F.pmod("doc_id", F.lit(4)) == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    d.filter(F.pmod("doc_id", F.lit(2)) == 1).unionByName(resent).coalesce(
+        2
+    ).write.parquet(os.path.join(src, "w2"))
+    cat = TableCatalog(spark, os.path.join(root, "cat"))
+    stream_corpus_ingest(
+        spark, src, cat, "corpus", checkpoint=os.path.join(root, "ck")
+    )
+    return cat.read("corpus").select("doc_id", "fp", "quality")
+
+
 def _lm_perplexity_quality(spark, sf):
     """Rows-only: bigram-LM perplexity quality scoring (the KenLM role in
     CCNet's pipeline, operators/lm_quality.py) — fit on the even-id half
@@ -1396,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _ivf_ann_topk,
         "streaming_stateful_dedup": _streaming_stateful_dedup,
         "streaming_tws_dedup": _streaming_tws_dedup,
+        "streaming_corpus_ingest": _streaming_corpus_ingest,
     }
 
 
