@@ -291,10 +291,17 @@ def _drop_near_dups(spark, sf):
 
 
 def _drop_dup_filters(spark, sf):
-    """The two corpus dedup filters union-merged under a method label (one
-    driver window slot carries both hash checks): exact keeps the lowest-id
-    doc per normalized fingerprint, near keeps each transitive near-dup
-    cluster's canonical doc."""
+    """The three corpus dedup filters union-merged under a method label (one
+    driver window slot carries all three hash checks): exact keeps the
+    lowest-id doc per normalized fingerprint, near keeps each transitive
+    near-dup cluster's canonical doc, substring keeps docs whose
+    corpus-duplicated-span coverage (Lee et al. 2022 suffix-array dedup,
+    re-expressed as rolling 8-gram hashing — operators/spandedup.py) is
+    <= 20% of their tokens."""
+    from hk_housing_datahub_spark.operators.spandedup import (
+        drop_duplicated_span_docs,
+    )
+
     cols = ["doc_id", "lang", "source", "n_chars"]
     ex = _drop_exact_dups(spark, sf).select(
         F.lit("exact").alias("method"), *cols
@@ -302,7 +309,10 @@ def _drop_dup_filters(spark, sf):
     nr = _drop_near_dups(spark, sf).select(
         F.lit("near").alias("method"), *cols
     )
-    return ex.unionByName(nr)
+    sp = drop_duplicated_span_docs(
+        _t(spark, sf, "documents"), k=8, max_dup_frac=0.2
+    ).select(F.lit("substring").alias("method"), *cols)
+    return ex.unionByName(nr).unionByName(sp)
 
 
 def _sample_pack_corpus(spark, sf):
@@ -1472,6 +1482,41 @@ _NEAR_DROP_SQL = f"""
 """
 
 
+# Duplicated-span (suffix-array-style) doc gate twin: rolling 8-gram
+# occurrence counts → duplicated windows → gaps-and-islands interval merge →
+# per-doc coverage; keep docs at <= 20% duplicated tokens
+# (operators/spandedup.py::drop_duplicated_span_docs with k=8).
+_SPAN_K = 8
+_SPAN_DROP_SQL = f"""
+            WITH toks AS (SELECT doc_id, lang, source, n_chars,
+                                 {_TOKS} AS t FROM documents),
+            g AS (SELECT doc_id, i - 1 AS s,
+                         array_to_string(t[i:i+{_SPAN_K}-1], chr(31)) AS gram
+                  FROM toks,
+                       unnest(generate_series(1, len(t) - {_SPAN_K} + 1)) AS u(i)
+                  WHERE len(t) >= {_SPAN_K}),
+            d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, s, s + {_SPAN_K} AS e FROM g JOIN d USING (gram)),
+            isl AS (SELECT doc_id, s, e,
+                           CASE WHEN s > coalesce(max(e) OVER (
+                                    PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), -1)
+                                THEN 1 ELSE 0 END AS brk
+                    FROM hits),
+            isl2 AS (SELECT doc_id, s, e,
+                            sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+                     FROM isl),
+            merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+                       FROM isl2 GROUP BY doc_id, island),
+            cov AS (SELECT doc_id, sum(e - s) AS dup_tokens
+                    FROM merged GROUP BY doc_id)
+            SELECT t.doc_id, t.lang, t.source, t.n_chars
+            FROM toks t LEFT JOIN cov c USING (doc_id)
+            WHERE coalesce(c.dup_tokens, 0) * 1.0 / greatest(len(t.t), 1) <= 0.2
+"""
+
+
 def _chunk_cte_sql(src_sql: str, id_col: str = "doc_id") -> str:
     """Recursive-CTE twin of functions/chunking.py (500-char window, 50
     overlap, sentence-terminator lookback 100) over an arbitrary
@@ -2202,6 +2247,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'near' AS method, doc_id, lang, source, n_chars
             FROM ({_NEAR_DROP_SQL})
+            UNION ALL
+            SELECT 'substring' AS method, doc_id, lang, source, n_chars
+            FROM ({_SPAN_DROP_SQL})
         """,
         # stratified md5 sampling + per-bucket offset packing: membership and
         # bin assignment are decided by the same md5/window expressions in

@@ -53,6 +53,8 @@ class CorpusRecipe:
     mixture_total: int | None = None
     pack_budget: int = 4096  # tokens per bin
     decontaminate_n: int = 13  # n-gram length for the benchmark screen
+    max_dup_span_frac: float | None = None  # substring-dedup doc gate
+    span_k: int = 15  # duplicated-span window (tokens, Lee et al. use 50)
     max_perplexity: float | None = None  # bigram-LM gate (needs lm_reference)
     lm_k: float = 0.5  # add-k smoothing for the LM gate
     salt: str = ""
@@ -113,6 +115,16 @@ def prepare_training_corpus(
         )
     else:
         raise ValueError(f"unknown dedup mode {r.dedup!r}")
+    if r.max_dup_span_frac is not None:
+        # substring-level pass AFTER doc-level dedup (Lee et al. 2022):
+        # doc dedup removes whole-copy mass first, so the k-gram counts
+        # here flag only genuinely shared spans between surviving docs
+        from ..operators.spandedup import drop_duplicated_span_docs
+
+        out = drop_duplicated_span_docs(
+            out, id_col, text_col,
+            k=r.span_k, max_dup_frac=r.max_dup_span_frac,
+        )
     out = out.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") >= r.min_quality
     )

@@ -191,3 +191,22 @@ def test_recipe_boilerplate_stage(spark):
     assert len(rows) == 12  # docs differ once the shared footer is gone
     assert all(footer not in r.text for r in rows)
     assert all(f"number {r.doc_id}" in r.text for r in rows)
+
+
+def test_recipe_span_dedup_stage(spark, docs):
+    """The substring-dedup gate slots after doc-level dedup: survivors are
+    exactly the doc-dedup survivors whose duplicated-span coverage (counted
+    over the survivor set) is within the cap."""
+    from hk_housing_datahub_spark.operators.spandedup import (
+        drop_duplicated_span_docs,
+    )
+
+    recipe = CorpusRecipe(
+        dedup="exact", max_dup_span_frac=0.2, span_k=8, pack_budget=512
+    )
+    out = prepare_training_corpus(docs, recipe)
+    dd = drop_near_dups(docs)
+    want = drop_duplicated_span_docs(dd, k=8, max_dup_frac=0.2)
+    got_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    want_ids = {r["doc_id"] for r in want.select("doc_id").collect()}
+    assert got_ids == want_ids and got_ids
