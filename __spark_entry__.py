@@ -1060,6 +1060,22 @@ def _packed_sequences(spark, sf):
     )
 
 
+def _span_dedup_profile(spark, sf):
+    """Rows-only: per-doc duplicated-substring coverage
+    (operators/spandedup.py, Lee et al. 2022 suffix-array dedup as rolling
+    8-gram hashing). Exactness is pinned twice: the full-corpus DuckDB
+    parity pytest (test_spandedup.py) and the hash-checked `substring`
+    branch of drop_dup_filters in the driver window."""
+    from hk_housing_datahub_spark.operators.spandedup import (
+        duplicated_span_profile,
+    )
+
+    return duplicated_span_profile(_t(spark, sf, "documents"), k=8).select(
+        "doc_id", "lang", "source", "n_tokens", "dup_tokens",
+        F.round("dup_frac", 6).alias("dup_frac"),
+    )
+
+
 def _streaming_corpus_ingest(spark, sf):
     """Rows-only: streaming corpus ingestion (streaming/corpus.py) — two
     arrival waves with overlapping texts drive foreachBatch intra-batch
@@ -1428,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _simhash_neardup,
         "lsh_ann_topk": _lsh_ann_topk,
         "packed_sequences": _packed_sequences,
+        "span_dedup_profile": _span_dedup_profile,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "crawl_frontier_retry": _crawl_frontier_retry,
         "crawl_frontier_bloom": _crawl_frontier_bloom,

@@ -209,6 +209,7 @@ def main() -> None:
             # round-4 additions
             "lm_perplexity_quality",
             "packed_sequences",
+            "span_dedup_profile",
         ]
         qs = E.queries()
         for name in bench_queries:
