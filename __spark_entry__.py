@@ -1060,6 +1060,57 @@ def _packed_sequences(spark, sf):
     )
 
 
+def _sitemap_discovery(spark, sf):
+    """Rows-only: sitemap seed discovery (functions/sitemaps.py) — robots
+    ``Sitemap:`` lines fetched from a synthetic pages table (leaf sitemaps
+    on even hosts, a sitemap-index hop on odd hosts), ``<loc>`` entries
+    exploded into the crawl's (url, priority) seed contract. Semantics are
+    pinned by test_sitemaps.py (incl. an end-to-end CrawlEngine run over
+    discovered seeds)."""
+    from hk_housing_datahub_spark.functions.sitemaps import (
+        discover_sitemap_seeds,
+    )
+
+    d = _t(spark, sf, "documents").limit(200)
+    host = F.format_string("h%d.example.com", F.pmod("doc_id", F.lit(8)))
+    loc = F.format_string(
+        "<url><loc>https://h%d.example.com/listing/%d</loc></url>",
+        F.pmod("doc_id", F.lit(8)),
+        F.col("doc_id"),
+    )
+    leaf = d.groupBy(host.alias("host")).agg(
+        F.concat(
+            F.lit("<urlset>"), F.concat_ws("", F.collect_list(loc)),
+            F.lit("</urlset>"),
+        ).alias("text"),
+    )
+    leaf_pages = leaf.select(
+        F.format_string("https://%s/sitemap-leaf.xml", "host").alias("url"),
+        F.col("text"),
+    )
+    index_pages = leaf.select(
+        F.format_string("https://%s/sitemap.xml", "host").alias("url"),
+        F.format_string(
+            "<sitemapindex><sitemap><loc>https://%s/sitemap-leaf.xml</loc>"
+            "</sitemap></sitemapindex>",
+            "host",
+        ).alias("text"),
+    )
+    pages = leaf_pages.unionByName(index_pages)
+    robots = leaf.select(
+        "host",
+        F.when(
+            F.pmod(F.substring("host", 2, 1).cast("int"), F.lit(2)) == 0,
+            F.format_string("Sitemap: https://%s/sitemap-leaf.xml\n", "host"),
+        )
+        .otherwise(
+            F.format_string("Sitemap: https://%s/sitemap.xml\n", "host")
+        )
+        .alias("robots_txt"),
+    )
+    return discover_sitemap_seeds(robots, pages, priority=1).orderBy("url")
+
+
 def _span_dedup_profile(spark, sf):
     """Rows-only: per-doc duplicated-substring coverage
     (operators/spandedup.py, Lee et al. 2022 suffix-array dedup as rolling
@@ -1446,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _packed_sequences,
         "span_dedup_profile": _span_dedup_profile,
         "robots_rfc_schedule": _robots_rfc_schedule,
+        "sitemap_discovery": _sitemap_discovery,
         "crawl_frontier_retry": _crawl_frontier_retry,
         "crawl_frontier_bloom": _crawl_frontier_bloom,
         "crawl_frontier_cuckoo": _crawl_frontier_cuckoo,

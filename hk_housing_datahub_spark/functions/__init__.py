@@ -1,1 +1,1 @@
-from . import embedding, text, urls, variants, wikitables  # noqa: F401
+from . import embedding, sitemaps, text, urls, variants, wikitables  # noqa: F401

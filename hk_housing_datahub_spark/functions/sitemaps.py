@@ -1,0 +1,112 @@
+"""Sitemap discovery — robots.txt ``Sitemap:`` lines → frontier seeds.
+
+The reference bootstraps its crawl from a hand-maintained seed list
+(/root/reference/src/orchestrators/agency.py:34-66). Real web crawls also
+bootstrap from sitemaps: RFC 9309 §2.3 / sitemaps.org allow any number of
+global ``Sitemap: <url>`` lines in robots.txt (outside user-agent groups),
+each pointing at an XML document whose ``<loc>`` entries enumerate the
+host's canonical URLs.
+
+In this engine the stored pages table IS the fetch source, so "fetching"
+a sitemap is a join of the sitemap URLs against the corpus on the
+canonical url hash — the same no-html-shuffle fetch discipline as the
+crawl itself (frontier/crawl.py): the tiny discovered-URL side shuffles,
+the page bodies never do, and nothing forces a broadcast (one sitemap
+index per host is small, but AQE decides).
+
+Everything is JVM regex/explode/join — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .urls import canonicalize_url, url_hash
+
+
+def sitemap_urls(robots_txt: Column) -> Column:
+    """array<string> of ``Sitemap:`` targets in a robots.txt body.
+
+    Per sitemaps.org the field is case-insensitive and global (valid
+    anywhere in the file, not scoped to a user-agent group); inline
+    comments are stripped like any other robots line.
+    """
+    no_comment = F.regexp_replace(robots_txt, "(?m)[ \\t]*#.*$", "")
+    return F.regexp_extract_all(
+        no_comment, F.lit("(?im)^\\s*Sitemap\\s*:\\s*(\\S+)\\s*$"), 1
+    )
+
+
+def sitemap_locs(xml: Column) -> Column:
+    """array<string> of ``<loc>`` values in a sitemap/sitemap-index XML
+    body (whitespace inside the element trimmed, tags case-insensitive)."""
+    return F.regexp_extract_all(
+        xml, F.lit("(?is)<loc>\\s*(.*?)\\s*</loc>"), 1
+    )
+
+
+def discover_sitemap_seeds(
+    robots_bodies: DataFrame,
+    pages: DataFrame,
+    priority: int = 1,
+    max_index_depth: int = 1,
+    url_col: str = "url",
+    body_col: str = "text",
+) -> DataFrame:
+    """``(host, robots_txt)`` + stored pages → seed list ``(url, priority)``.
+
+    Steps, each a distributed DataFrame op:
+    1. explode every robots body's ``Sitemap:`` lines;
+    2. "fetch" each sitemap document by joining its canonical url hash
+       against the pages table (a sitemap URL with no stored page is
+       silently skipped, like a 404);
+    3. parse + explode the ``<loc>`` entries;
+    4. if an entry is itself a sitemap (a sitemap-index child, detected by
+       the fetched body containing ``<sitemapindex``), repeat once per
+       ``max_index_depth`` — the loop is driver-side over a BOUNDED,
+       user-chosen constant (index nesting, in practice 1), never over
+       data;
+    5. distinct canonical targets become seeds at ``priority``.
+
+    Returned schema is exactly the crawl seed contract ``(url, priority)``
+    so callers can ``seeds.unionByName(discover_sitemap_seeds(...))``
+    straight into ``CrawlEngine.run``.
+    """
+    fetchable = pages.select(
+        url_hash(canonicalize_url(F.col(url_col))).alias("_h"),
+        F.col(body_col).alias("_body"),
+    )
+
+    def fetch(urls: DataFrame) -> DataFrame:
+        # urls: (_u) — canonical-ish sitemap/loc targets
+        return urls.select(
+            url_hash(canonicalize_url(F.col("_u"))).alias("_h"),
+            F.col("_u"),
+        ).join(fetchable, "_h").select("_u", "_body")
+
+    sm = robots_bodies.select(
+        F.explode(sitemap_urls(F.col("robots_txt"))).alias("_u")
+    ).distinct()
+
+    leaves = None
+    frontier = fetch(sm)
+    for _ in range(max_index_depth + 1):
+        is_index = F.lower(F.col("_body")).contains("<sitemapindex")
+        leaf_locs = (
+            frontier.filter(~is_index)
+            .select(F.explode(sitemap_locs(F.col("_body"))).alias("_u"))
+        )
+        leaves = leaf_locs if leaves is None else leaves.unionByName(leaf_locs)
+        child = frontier.filter(is_index).select(
+            F.explode(sitemap_locs(F.col("_body"))).alias("_u")
+        ).distinct()
+        frontier = fetch(child)
+
+    return (
+        leaves.distinct()
+        .select(
+            F.col("_u").alias("url"),
+            F.lit(priority).cast("int").alias("priority"),
+        )
+    )
