@@ -1060,6 +1060,53 @@ def _packed_sequences(spark, sf):
     )
 
 
+def _token_vocab_top(spark, sf):
+    """Rows-only: tokenizer-fit statistics (operators/vocab.py) — the
+    corpus word-frequency table's top 200 plus BPE first-iteration pair
+    counts' top 200, union-merged under a kind label. Exactness is pinned
+    by the DuckDB parity pytests (test_vocab.py)."""
+    from hk_housing_datahub_spark.operators.vocab import (
+        bpe_pair_counts,
+        token_vocabulary,
+        top_tokens,
+    )
+
+    d = _t(spark, sf, "documents")
+    tt = top_tokens(d, 200).select(
+        F.lit("token").alias("kind"),
+        F.col("token").alias("sym"),
+        F.col("count"),
+    )
+    v = token_vocabulary(d, min_count=2)
+    pp = (
+        bpe_pair_counts(v)
+        .orderBy(F.desc("count"), "left", "right")
+        .limit(200)
+        .select(
+            F.lit("pair").alias("kind"),
+            F.concat_ws("+", "left", "right").alias("sym"),
+            F.col("count"),
+        )
+    )
+    return tt.unionByName(pp)
+
+
+def _training_order_sample(spark, sf):
+    """Rows-only: seeded deterministic global training-order shuffle
+    (operators/packing.py training_order) over the packed corpus head —
+    rank parity vs a DuckDB global window is pytest-pinned
+    (test_sampling_packing.py)."""
+    from hk_housing_datahub_spark.operators.packing import training_order
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return (
+        training_order(d, ["doc_id"], seed="epoch0")
+        .orderBy("order_rank")
+        .limit(500)
+        .select("order_rank", "shuffle_bucket", "doc_id", "lang")
+    )
+
+
 def _sitemap_discovery(spark, sf):
     """Rows-only: sitemap seed discovery (functions/sitemaps.py) — robots
     ``Sitemap:`` lines fetched from a synthetic pages table (leaf sitemaps
@@ -1498,6 +1545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_profile": _span_dedup_profile,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
+        "token_vocab_top": _token_vocab_top,
+        "training_order_sample": _training_order_sample,
         "crawl_frontier_retry": _crawl_frontier_retry,
         "crawl_frontier_bloom": _crawl_frontier_bloom,
         "crawl_frontier_cuckoo": _crawl_frontier_cuckoo,

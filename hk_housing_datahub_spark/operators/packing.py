@@ -116,3 +116,61 @@ def render_bins(
             "seq_text"
         ),
     )
+
+
+def training_order(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: str = "",
+    bucket_hex: int = 2,
+    rank: bool = True,
+) -> DataFrame:
+    """Seeded deterministic GLOBAL shuffle of training examples.
+
+    Trainers consume the packed corpus in a pseudo-random order that must
+    be reproducible (same seed → same order on any engine or cluster
+    size, resumable mid-epoch by rank). The order key is
+    ``md5(seed ⊕ keys)`` — change ``seed`` for an independent epoch
+    permutation; the global order is (order_key, *key_cols), the key
+    columns breaking the astronomically-unlikely md5 tie.
+
+    Scale shape: NO global sort or single-partition window anywhere.
+    ``shuffle_bucket`` is the order key's hex prefix, so sorting by
+    (bucket, key) IS the global order: writers emit
+    ``.repartitionByRange(...).sortWithinPartitions(...)`` on those
+    columns and read back in order. The optional global ``order_rank``
+    (0-based) is one shuffle on the bucket key: rank-within-bucket via a
+    per-bucket window plus a 16**bucket_hex-row cumulative-offset table
+    joined back broadcast (bounded at 256 rows by construction — unlike a
+    corpus-dependent set, this one is SAFE to broadcast).
+
+    DuckDB twin: ``row_number() OVER (ORDER BY md5(...), keys) - 1`` —
+    bit-identical ranks (pytest-pinned in test_sampling_packing.py).
+    """
+    keys = [F.col(c).cast("string") for c in key_cols]
+    okey = F.md5(F.concat_ws(chr(31), F.lit(seed), *keys))
+    out = df.withColumn("order_key", okey).withColumn(
+        "shuffle_bucket", F.substring("order_key", 1, bucket_hex)
+    )
+    if not rank:
+        return out
+    w = Window.partitionBy("shuffle_bucket").orderBy("order_key", *key_cols)
+    ranked = out.withColumn("_r", F.row_number().over(w))
+    counts = (
+        out.groupBy("shuffle_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.sum("_n").over(
+                Window.orderBy("shuffle_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("shuffle_bucket", F.coalesce("_off", F.lit(0)).alias("_off"))
+    )
+    return (
+        ranked.join(F.broadcast(counts), "shuffle_bucket")
+        .withColumn("order_rank", (F.col("_off") + F.col("_r") - 1).cast("long"))
+        .drop("_r", "_off")
+    )

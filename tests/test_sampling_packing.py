@@ -358,3 +358,51 @@ def test_render_bins_duckdb_parity(spark, sf_small):
     ).fetchall():
         want[(b, bid)] = (ids, offs, txt)
     assert got == want
+
+
+def test_training_order_duckdb_parity_and_properties(spark, sf_small):
+    """Global shuffle order: ranks are a 0..n-1 permutation, bit-identical
+    to the DuckDB global-window twin, seed changes the permutation, and
+    the bucketed rank equals the global-sort rank."""
+    import duckdb
+
+    from hk_housing_datahub_spark.operators.packing import training_order
+
+    d = _docs(spark, sf_small).select("doc_id")
+    got = (
+        training_order(d, ["doc_id"], seed="ep0")
+        .select("doc_id", "order_rank")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    n = len(got)
+    assert sorted(got["order_rank"]) == list(range(n))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = con.execute(
+        """
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY md5(concat_ws(chr(31), 'ep0',
+                                          CAST(doc_id AS VARCHAR))),
+                            CAST(doc_id AS VARCHAR)) - 1 AS order_rank
+        FROM documents ORDER BY doc_id
+        """
+    ).df()
+    assert got["order_rank"].astype("int64").tolist() == want[
+        "order_rank"
+    ].astype("int64").tolist()
+    # a different seed is a different permutation (overwhelmingly)
+    other = (
+        training_order(d, ["doc_id"], seed="ep1")
+        .select("doc_id", "order_rank")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert other["order_rank"].tolist() != got["order_rank"].tolist()
+    # rank=False path: just the sortable key columns, no rank join
+    keyed = training_order(d, ["doc_id"], seed="ep0", rank=False)
+    assert "order_rank" not in keyed.columns
+    assert {"order_key", "shuffle_bucket"} <= set(keyed.columns)
