@@ -318,3 +318,53 @@ def test_render_bins_reuses_pack_partitioning(spark):
     assert tree.count("Exchange") == 1, tree
     assert "hashpartitioning(bucket" in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_span_dedup_no_forced_broadcast_all_jvm(spark):
+    """duplicated-span dedup at 100 TB: the duplicated-gram set is
+    corpus-dependent (boilerplate-broadcast lesson) so the plan must carry
+    no hard broadcast hint — AQE sizes the gram join at runtime; the
+    whole operator is JVM HOFs (no Python nodes, no cartesian); and the
+    gram count is map-side combined (partial+final HashAggregate)."""
+    from hk_housing_datahub_spark.operators.spandedup import (
+        duplicated_span_profile,
+    )
+
+    spark.catalog.clearCache()
+    df = duplicated_span_profile(_t(spark, "documents"), k=8)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed[:2000]
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_training_order_broadcasts_bounded_offsets_only(spark):
+    """training_order's global rank: the 256-row offset table joins
+    broadcast (bounded by construction — the one legitimate broadcast),
+    the data side shuffles once on the bucket key, and nothing sorts
+    globally (the only unpartitioned window is the 256-row offsets sum)."""
+    from hk_housing_datahub_spark.operators.packing import training_order
+
+    spark.catalog.clearCache()
+    df = training_order(_t(spark, "documents").select("doc_id"), ["doc_id"])
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # data-side partitioning: the ranking window keys on shuffle_bucket
+    assert "hashpartitioning(shuffle_bucket" in p, p
+
+
+def test_vocab_agg_partial_then_final(spark):
+    """token_vocabulary: the corpus-sized token count must map-side
+    combine (partial+final HashAggregate around one exchange) — at 100 TB
+    the shuffle carries one row per distinct token per partition, not one
+    row per token occurrence."""
+    from hk_housing_datahub_spark.operators.vocab import token_vocabulary
+
+    spark.catalog.clearCache()
+    p = plan_of(token_vocabulary(_t(spark, "documents")))
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
