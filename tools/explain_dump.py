@@ -67,6 +67,18 @@ def _lm_score(spark):
     return E.queries()["lm_perplexity_quality"](spark, SF)
 
 
+def _span_profile(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["span_dedup_profile"](spark, SF)
+
+
+def _training_order(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["training_order_sample"](spark, SF)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -176,6 +188,23 @@ def main() -> None:
             "count tables, scoring is a compact-key join plus one per-doc "
             "mean; AQE broadcasts the model side when it fits.",
             _lm_score(spark),
+        ),
+        (
+            "Duplicated-span dedup (rolling k-gram counts → interval merge)",
+            "Look for: NO ResolvedHint (the duplicated-gram set is "
+            "corpus-dependent — AQE sizes the gram join), HashAggregate "
+            "below and above the gram-count Exchange (map-side combine on "
+            "8-byte xxhash64 keys), and no Python nodes — the interval "
+            "merge is a sort_array + aggregate HOF fold per doc.",
+            _span_profile(spark),
+        ),
+        (
+            "Training-order global shuffle (bucketed rank, no global sort)",
+            "Look for: one data-side Exchange (hashpartitioning("
+            "shuffle_bucket…)) feeding the per-bucket rank Window, the "
+            "256-row offset table under BroadcastExchange, and no "
+            "SortMergeJoin or global Sort.",
+            _training_order(spark),
         ),
         (
             "Corpus-preparation funnel (dedup → gates → scrub → pack)",

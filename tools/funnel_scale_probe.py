@@ -95,10 +95,21 @@ def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
         res[name] = {"sec": round(sec, 2), "rows_out": n}
         return dst
 
+    from hk_housing_datahub_spark.operators.spandedup import (
+        drop_duplicated_span_docs,
+    )
+
     p = stage("exact_dedup", lambda d: drop_exact_dups(d), docs_path)
     p = stage(
         "lsh_dedup",
         lambda d: minhash_lsh_dedup(d, max_shingle_df=50),
+        p,
+    )
+    # duplicated-substring gate AFTER doc-level dedup (the recipe order);
+    # the near-dup half of the 10x corpus stresses the gram-count join
+    p = stage(
+        "span_dedup",
+        lambda d: drop_duplicated_span_docs(d, k=15, max_dup_frac=0.5),
         p,
     )
     p = stage(
