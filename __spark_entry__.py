@@ -1471,6 +1471,111 @@ def _streaming_tws_dedup(spark, sf):
     )
 
 
+def _gopher_repetition(spark, sf):
+    """Full Gopher within-document repetition battery (Rae et al. 2021
+    Table A1; operators/textops.py::gopher_repetition_flags): 13 fraction
+    metrics + flags + rep_pass per document, all per-row sorted-run HOFs
+    — a map-only pass at any scale. Oracle: the per-value GROUP BY twin
+    (_gopher_repetition_sql); the run-scan numerators equal
+    sum((cnt-1)*len) / max(cnt*len) exactly, so every fraction matches to
+    the comparator's 6 decimals."""
+    from hk_housing_datahub_spark.operators.textops import (
+        GOPHER_REPETITION_RULES,
+        gopher_repetition_flags,
+    )
+
+    out = gopher_repetition_flags(_t(spark, sf, "documents"))
+    cols = [F.col("doc_id")]
+    for name, _ in GOPHER_REPETITION_RULES:
+        cols.append(F.round(name, 6).alias(name))
+        cols.append(F.col(f"flag_{name}"))
+    return out.select(*cols, "rep_pass")
+
+
+def _gopher_repetition_sql() -> str:
+    """DuckDB twin of the repetition battery: per-doc element lists via
+    list_transform/list_filter, then one unnest + GROUP BY per metric
+    family computing sum(cnt-1), sum((cnt-1)*len) and max(cnt*len)."""
+    from hk_housing_datahub_spark.operators.textops import (
+        GOPHER_REPETITION_RULES,
+    )
+
+    def ngram_cte(n):
+        return (
+            f"g{n} AS (SELECT doc_id, CAST(max(cnt*length(g)) AS BIGINT)"
+            f" AS top, CAST(sum((cnt-1)*length(g)) AS BIGINT) AS dupc\n"
+            f"  FROM (SELECT doc_id, g, count(*) AS cnt FROM\n"
+            f"    (SELECT doc_id, unnest(list_transform(range(1, "
+            f"greatest(len(w)-{n}+2, 1)), i -> array_to_string("
+            f"w[i:i+{n}-1], ' '))) AS g FROM words)\n"
+            f"   GROUP BY doc_id, g) GROUP BY doc_id)"
+        )
+
+    def grp_cte(alias, src_col, src):
+        return (
+            f"{alias} AS (SELECT doc_id, CAST(sum(cnt-1) AS BIGINT) AS "
+            f"dup_els, CAST(sum((cnt-1)*length(e)) AS BIGINT) AS dup_chars,"
+            f" CAST(sum(cnt) AS BIGINT) AS n_els,"
+            f" CAST(sum(cnt*length(e)) AS BIGINT) AS tot_chars\n"
+            f"  FROM (SELECT doc_id, e, count(*) AS cnt FROM\n"
+            f"    (SELECT doc_id, unnest({src_col}) AS e FROM {src})\n"
+            f"   GROUP BY doc_id, e) GROUP BY doc_id)"
+        )
+
+    ctes = [
+        "base AS (SELECT doc_id, text, trim(regexp_replace(lower(text),"
+        " '\\s+', ' ', 'g')) AS nt FROM documents)",
+        "words AS (SELECT doc_id, CASE WHEN nt = '' THEN"
+        " CAST([] AS VARCHAR[]) ELSE string_split(nt, ' ') END AS w,"
+        " length(nt) AS nc FROM base)",
+        "lines_l AS (SELECT doc_id, list_filter(list_transform("
+        "string_split(text, chr(10)), x -> trim(x)), x -> x <> '')"
+        " AS ls FROM base)",
+        "paras_l AS (SELECT doc_id, list_filter(list_transform("
+        "string_split_regex(text, '\\n{2,}'), x -> trim(x)),"
+        " x -> x <> '') AS ps FROM base)",
+        grp_cte("line_g", "ls", "lines_l"),
+        grp_cte("para_g", "ps", "paras_l"),
+    ] + [ngram_cte(n) for n in range(2, 11)]
+
+    exprs = {
+        "dup_line_frac": "CASE WHEN coalesce(line_g.n_els,0) > 0 THEN"
+        " line_g.dup_els / line_g.n_els ELSE 0.0 END",
+        "dup_para_frac": "CASE WHEN coalesce(para_g.n_els,0) > 0 THEN"
+        " para_g.dup_els / para_g.n_els ELSE 0.0 END",
+        "dup_line_char_frac": "CASE WHEN coalesce(line_g.tot_chars,0) > 0"
+        " THEN line_g.dup_chars / line_g.tot_chars ELSE 0.0 END",
+        "dup_para_char_frac": "CASE WHEN coalesce(para_g.tot_chars,0) > 0"
+        " THEN para_g.dup_chars / para_g.tot_chars ELSE 0.0 END",
+    }
+    for n in (2, 3, 4):
+        exprs[f"top_{n}gram_char_frac"] = (
+            f"CASE WHEN words.nc > 0 THEN coalesce(g{n}.top, 0) / words.nc"
+            " ELSE 0.0 END"
+        )
+    for n in range(5, 11):
+        exprs[f"dup_{n}gram_char_frac"] = (
+            f"CASE WHEN words.nc > 0 THEN coalesce(g{n}.dupc, 0) / words.nc"
+            " ELSE 0.0 END"
+        )
+
+    sel, flags = [], []
+    for name, thr in GOPHER_REPETITION_RULES:
+        sel.append(f"round({exprs[name]}, 6) AS {name}")
+        sel.append(f"({exprs[name]}) > {thr} AS flag_{name}")
+        flags.append(f"NOT (({exprs[name]}) > {thr})")
+    joins = "\n  ".join(
+        f"LEFT JOIN {a} USING (doc_id)"
+        for a in ["line_g", "para_g"] + [f"g{n}" for n in range(2, 11)]
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT words.doc_id, "
+        + ",\n  ".join(sel)
+        + ",\n  (" + " AND ".join(flags) + ") AS rep_pass"
+        + f"\nFROM words\n  {joins}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -1543,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _lsh_ann_topk,
         "packed_sequences": _packed_sequences,
         "span_dedup_profile": _span_dedup_profile,
+        "gopher_repetition": _gopher_repetition,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -2663,6 +2769,10 @@ def oracle_sql() -> dict[str, str]:
     d["lsh_dedup_drop"] = _NEAR_DROP_SQL
     # The composed funnel (exact-dedup recipe), end-to-end hash-checked
     d["prepare_corpus"] = _prepare_corpus_sql()
+    # Gopher repetition battery: outside the driver's 50-entry window
+    # (rows-only there) but fully oracle-backed — tools/check_oracles.py
+    # verifies rows+schema+hash locally like any window entry.
+    d["gopher_repetition"] = _gopher_repetition_sql()
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless
     # and duplicate-free end to end.

@@ -187,3 +187,188 @@ def drop_boilerplate_lines(
     return docs.drop(text_col).join(rebuilt, id_col, "left").withColumn(
         text_col, F.coalesce(F.col(text_col), F.lit(""))
     )
+
+
+def _bound(col, fn):
+    """Bind ``col`` through a lambda variable so ``fn``'s body evaluates it
+    ONCE. Referencing an outer expression inside a higher-order-function
+    lambda re-evaluates it per element (HOFs are interpreted, no CSE) —
+    for a sorted array that would re-sort per access, O(n^2 log n)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def _dup_run_stats(arr):
+    """struct(els, chars): occurrences BEYOND THE FIRST of each distinct
+    value in ``arr`` (count, and their total char length), computed by
+    sorting the array once and counting adjacent equal runs — the
+    per-document equivalent of ``GROUP BY value → sum(cnt-1),
+    sum((cnt-1)*len)`` without leaving the row. Integer arithmetic
+    throughout, so the DuckDB group-by twin is bit-identical."""
+    return _bound(
+        F.array_sort(arr),
+        lambda srt: _bound(
+            F.size(srt),
+            lambda n: F.aggregate(
+                F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                F.struct(
+                    F.lit(0).cast("long").alias("els"),
+                    F.lit(0).cast("long").alias("chars"),
+                ),
+                lambda acc, i: F.struct(
+                    (
+                        acc["els"]
+                        + F.when(
+                            F.element_at(srt, i) == F.element_at(srt, i - 1), 1
+                        ).otherwise(0)
+                    ).alias("els"),
+                    (
+                        acc["chars"]
+                        + F.when(
+                            F.element_at(srt, i) == F.element_at(srt, i - 1),
+                            F.length(F.element_at(srt, i)).cast("long"),
+                        ).otherwise(0)
+                    ).alias("chars"),
+                ),
+            ),
+        ),
+    )
+
+
+def _top_run_chars(arr):
+    """max over distinct values of ``count * char_length`` — the Gopher
+    "top n-gram" mass — via one sort + one linear run-scan (struct
+    accumulator carries the previous element and current run length).
+    A value occurring once still scores ``1 * length`` (Gopher counts the
+    most common n-gram regardless of multiplicity)."""
+    return _bound(
+        F.array_sort(arr),
+        lambda srt: F.aggregate(
+            srt,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: _bound(
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+                lambda run: F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.greatest(acc["best"], run * F.length(x)).alias("best"),
+                ),
+            ),
+            lambda acc: acc["best"],
+        ),
+    )
+
+
+# (name, threshold) in Gopher Table A1 order. Thresholds are the paper's.
+GOPHER_REPETITION_RULES = [
+    ("dup_line_frac", 0.30),
+    ("dup_para_frac", 0.30),
+    ("dup_line_char_frac", 0.20),
+    ("dup_para_char_frac", 0.20),
+    ("top_2gram_char_frac", 0.20),
+    ("top_3gram_char_frac", 0.18),
+    ("top_4gram_char_frac", 0.16),
+    ("dup_5gram_char_frac", 0.15),
+    ("dup_6gram_char_frac", 0.14),
+    ("dup_7gram_char_frac", 0.13),
+    ("dup_8gram_char_frac", 0.12),
+    ("dup_9gram_char_frac", 0.11),
+    ("dup_10gram_char_frac", 0.10),
+]
+
+
+def gopher_repetition_flags(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The FULL Gopher within-document repetition battery (Rae et al. 2021,
+    Table A1) as one codegen projection — the half of the Gopher gate that
+    ``gopher_quality_flags``'s single 3-gram rule approximates. Zero
+    shuffles, zero UDFs: every metric is a per-row sort + linear run-scan
+    over arrays already in the row, so at 100 TB this is a map-only pass.
+
+    Thirteen metrics (fraction columns) + one boolean per rule
+    (True = violates) + ``rep_pass`` (ANDed negations):
+
+    - duplicate line / paragraph fraction: repeated occurrences beyond
+      the first over total elements. Lines = trimmed non-empty splits on
+      ``\\n``; paragraphs on 2+ newlines.
+    - duplicate line / paragraph CHARACTER fraction: chars of those
+      repeated occurrences over total element chars.
+    - top {2,3,4}-gram character fraction: most-common word n-gram's
+      ``count * chars`` over normalized-text chars (counted even when the
+      top n-gram occurs once, matching the reference implementations).
+    - duplicate {5..10}-gram character fraction: chars of repeated n-gram
+      occurrences over normalized-text chars. (The paper's non-overlap
+      skip is sequential state; we count every repeated shingle — a
+      documented, deterministic superset that flags strictly more.)
+
+    n-grams are ``functions/text.py::word_shingles`` strings (normalized,
+    single-space joined); every numerator/denominator is an integer sum
+    or max, so the DuckDB ``GROUP BY`` twin hashes bit-identically.
+    Thresholds are the paper's (``GOPHER_REPETITION_RULES``).
+    """
+    from ..functions.text import normalize_text, word_shingles
+
+    t = F.col(text_col)
+
+    def clean_split(pattern):
+        return F.filter(
+            F.transform(F.split(t, pattern), F.trim), lambda x: x != ""
+        )
+
+    def el_frac(stats_and_arr):
+        stats, arr = stats_and_arr
+        n = F.size(arr)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(stats["els"] / n)
+
+    def char_frac(stats_and_arr):
+        stats, arr = stats_and_arr
+        total = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            stats["chars"] / total
+        )
+
+    lines = clean_split("\n")
+    paras = clean_split("\n{2,}")
+    line_stats = _dup_run_stats(lines)
+    para_stats = _dup_run_stats(paras)
+    norm_chars = F.length(normalize_text(t))
+
+    def over_norm(numer):
+        return F.when(norm_chars <= 0, F.lit(0.0)).otherwise(
+            numer / norm_chars
+        )
+
+    metrics = {
+        "dup_line_frac": el_frac((line_stats, lines)),
+        "dup_para_frac": el_frac((para_stats, paras)),
+        "dup_line_char_frac": char_frac((line_stats, lines)),
+        "dup_para_char_frac": char_frac((para_stats, paras)),
+    }
+    for n in (2, 3, 4):
+        metrics[f"top_{n}gram_char_frac"] = over_norm(
+            _top_run_chars(word_shingles(t, n))
+        )
+    for n in range(5, 11):
+        metrics[f"dup_{n}gram_char_frac"] = over_norm(
+            _dup_run_stats(word_shingles(t, n))["chars"]
+        )
+
+    out = docs.select(
+        "*", *[metrics[name].alias(name) for name, _ in GOPHER_REPETITION_RULES]
+    )
+    gate = None
+    for name, thr in GOPHER_REPETITION_RULES:
+        out = out.withColumn(f"flag_{name}", F.col(name) > thr)
+        c = ~F.col(f"flag_{name}")
+        gate = c if gate is None else gate & c
+    return out.withColumn("rep_pass", gate)

@@ -47,6 +47,7 @@ class CorpusRecipe:
     max_shingle_df: int | None = 50
     min_quality: float = 0.0
     gopher: bool = False  # apply the Gopher-rules gate (drops flag cols)
+    gopher_repetition: bool = False  # full Table-A1 repetition battery
     boilerplate_max_df: int | None = None  # line-DF cap (CCNet line dedup)
     sample_rate: float = 1.0
     mixture: dict[str, float] | None = None  # source -> target weight
@@ -133,6 +134,11 @@ def prepare_training_corpus(
 
         flagged = gopher_quality_flags(out, text_col)
         out = flagged.filter(F.col("gopher_pass")).select(*out.columns)
+    if r.gopher_repetition:
+        from ..operators.textops import gopher_repetition_flags
+
+        flagged = gopher_repetition_flags(out, text_col)
+        out = flagged.filter(F.col("rep_pass")).select(*out.columns)
     if r.max_perplexity is not None:
         if lm_reference is None:
             raise ValueError("max_perplexity needs lm_reference")

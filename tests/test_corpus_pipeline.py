@@ -210,3 +210,90 @@ def test_recipe_span_dedup_stage(spark, docs):
     got_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     want_ids = {r["doc_id"] for r in want.select("doc_id").collect()}
     assert got_ids == want_ids and got_ids
+
+
+def test_gopher_repetition_flags_trip_and_match_reference(spark):
+    """Constructed violations trip each repetition-flag family, and every
+    metric equals a pure-Python reference of the documented definitions
+    (sorted-run numerators == per-value group-by sums)."""
+    import collections
+    import re as _re
+
+    from hk_housing_datahub_spark.operators.textops import (
+        GOPHER_REPETITION_RULES,
+        gopher_repetition_flags,
+    )
+
+    uniq = " ".join(f"tok{i} filler{i % 89}b" for i in range(80))
+    cases = [
+        # same line 10 times -> dup line + dup para fractions
+        ("dup_lines", "\n".join(["repeated line of text"] * 10),
+         ["flag_dup_line_frac", "flag_dup_line_char_frac"]),
+        # two long paragraphs, identical -> dup para char fraction
+        ("dup_paras", (uniq + "\n\n") * 3, ["flag_dup_para_frac",
+         "flag_dup_para_char_frac"]),
+        # one dominant bigram -> top n-gram char mass
+        ("top_gram", "click here " * 50 + uniq,
+         ["flag_top_2gram_char_frac"]),
+        # a repeated 10-word sentence scattered through unique filler
+        ("dup_gram", " ".join(
+            ("the quick brown fox jumps over the lazy sleeping dog "
+             + f"u{i} v{i} w{i}") for i in range(20)),
+         ["flag_dup_10gram_char_frac", "flag_dup_5gram_char_frac"]),
+        ("clean", uniq, []),
+    ]
+    df = spark.createDataFrame(
+        [(k, t) for k, t, _ in cases], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in gopher_repetition_flags(df).collect()}
+    for k, _, flags in cases:
+        r = out[k]
+        if not flags:
+            assert r.rep_pass, r
+        for fl in flags:
+            assert r[fl], (k, fl, r)
+            assert not r.rep_pass
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", t.lower()).strip()
+
+    def sh(t, n):
+        w = norm(t).split(" ") if norm(t) else []
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    def dup(arr):
+        c = collections.Counter(arr)
+        return (sum(v - 1 for v in c.values()),
+                sum((v - 1) * len(k) for k, v in c.items()))
+
+    for k, t, _ in cases:
+        lines = [x.strip() for x in t.split("\n") if x.strip()]
+        paras = [x.strip() for x in _re.split(r"\n{2,}", t) if x.strip()]
+        nc = len(norm(t))
+        exp = {
+            "dup_line_frac": dup(lines)[0] / len(lines) if lines else 0.0,
+            "dup_para_frac": dup(paras)[0] / len(paras) if paras else 0.0,
+            "dup_line_char_frac":
+                dup(lines)[1] / sum(map(len, lines)) if lines else 0.0,
+            "dup_para_char_frac":
+                dup(paras)[1] / sum(map(len, paras)) if paras else 0.0,
+        }
+        for n in (2, 3, 4):
+            c = collections.Counter(sh(t, n))
+            top = max((v * len(g) for g, v in c.items()), default=0)
+            exp[f"top_{n}gram_char_frac"] = top / nc if nc else 0.0
+        for n in range(5, 11):
+            exp[f"dup_{n}gram_char_frac"] = (
+                dup(sh(t, n))[1] / nc if nc else 0.0
+            )
+        for name, _thr in GOPHER_REPETITION_RULES:
+            assert abs(out[k][name] - exp[name]) < 1e-12, (k, name)
+
+
+def test_recipe_gopher_repetition_gate(spark, docs):
+    base = prepare_training_corpus(docs, CorpusRecipe(dedup="exact"))
+    gated = prepare_training_corpus(
+        docs, CorpusRecipe(dedup="exact", gopher_repetition=True)
+    )
+    assert gated.count() <= base.count()
+    assert gated.columns == base.columns
