@@ -1576,6 +1576,81 @@ def _gopher_repetition_sql() -> str:
     )
 
 
+def _link_graph_rank(spark, sf):
+    """Link-graph PageRank (operators/linkgraph.py) over a deterministic
+    synthetic outlink graph on the documents table: every doc with
+    doc_id % 11 != 0 links to (7d+1, 13d+5, 29d+11) mod N, so ~1/11 of
+    nodes are dangling (receive links, emit none) and the uniform
+    redistribution term is exercised. 5 power iterations, fixed — the
+    oracle is the same recurrence unrolled as chained CTEs."""
+    from hk_housing_datahub_spark.operators.linkgraph import pagerank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    linkers = docs.filter(F.pmod("doc_id", F.lit(11)) != 0)
+    parts = [
+        linkers.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 5), (29, 11))
+    ]
+    edges = parts[0].union(parts[1]).union(parts[2])
+    ranks = pagerank(edges, damping=0.85, iterations=5)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _link_graph_rank_sql(iterations: int = 5) -> str:
+    """Unrolled PageRank twin: r0 = 1/n, then per iteration one
+    contribution GROUP BY, one dangling-mass scalar, one rebuild —
+    float literals cast to DOUBLE so DuckDB's decimal arithmetic never
+    enters and the operation order matches the Spark Columns exactly."""
+    ctes = [
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+        "raw AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id AS src, (doc_id*{a}+{b}) % n AS dst"
+            " FROM documents, nd WHERE doc_id % 11 <> 0"
+            for a, b in ((7, 1), (13, 5), (29, 11))
+        )
+        + ")",
+        "e AS (SELECT DISTINCT src, dst FROM raw)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / cnt AS rank"
+        " FROM nodes, nn)",
+    ]
+    d = "CAST(0.85 AS DOUBLE)"
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS contrib"
+            f" FROM e JOIN {p} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"dm{i} AS (SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE))"
+            f" AS dmass FROM {p} r LEFT JOIN deg d ON r.node = d.src"
+            f" WHERE d.src IS NULL)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node,"
+            f" (CAST(1.0 AS DOUBLE) - {d}) / nn.cnt"
+            f" + {d} * (coalesce(c.contrib, CAST(0.0 AS DOUBLE))"
+            f" + dm.dmass / nn.cnt) AS rank"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.node,"
+            f" dm{i} dm, nn)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, round(rank, 6) AS rank"
+        f" FROM r{iterations}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -1649,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _packed_sequences,
         "span_dedup_profile": _span_dedup_profile,
         "gopher_repetition": _gopher_repetition,
+        "link_graph_rank": _link_graph_rank,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -2773,6 +2849,7 @@ def oracle_sql() -> dict[str, str]:
     # (rows-only there) but fully oracle-backed — tools/check_oracles.py
     # verifies rows+schema+hash locally like any window entry.
     d["gopher_repetition"] = _gopher_repetition_sql()
+    d["link_graph_rank"] = _link_graph_rank_sql()
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless
     # and duplicate-free end to end.
