@@ -87,7 +87,20 @@ class CrawlEngine:
         broadcast_fetch_max: int = 4_000_000,
         max_attempts: int = 1,
         politeness_salt: int = 0,
+        rank_priorities: bool = False,
+        rank_iterations: int = 5,
+        rank_bands: int = 4,
     ):
+        # Link-graph prioritization (operators/linkgraph.py): after each
+        # wave, the extracted outlink edges are appended to a per-wave
+        # checkpointed edge log, PageRank runs over the accumulated graph,
+        # and the next frontier's priorities are rewritten from the rank
+        # bands. Opt-in — it adds rank_iterations bounded jobs per wave —
+        # and resume-safe: edges live next to the other wave state, so a
+        # resumed crawl reranks from the identical graph.
+        self.rank_priorities = rank_priorities
+        self.rank_iterations = rank_iterations
+        self.rank_bands = rank_bands
         # >1 → two-phase rank-and-cut (scheduler.schedule_wave): bounds the
         # hot-host politeness sort to salt×budget rows per host at 10^10.
         self.politeness_salt = politeness_salt
@@ -358,6 +371,39 @@ class CrawlEngine:
             ).select(*FRONTIER_COLS)
             frontier = self._dedup_frontier(backlog.unionByName(out_frontier))
             frontier = seen.filter_unseen(frontier)
+
+            if self.rank_priorities:
+                from ..operators.linkgraph import pagerank, rank_to_priority
+
+                # per-wave edge log (src = fetched page, dst = canonical
+                # outlink); overwrite per wave dir = crash-idempotent like
+                # listings/. Ranks are recomputed over the ACCUMULATED
+                # graph, so late-discovered hubs rise across waves.
+                (
+                    with_url_columns(
+                        listings.select(
+                            F.col("url_canon").alias("src"),
+                            F.explode("outlinks").alias("url"),
+                        ),
+                        n_buckets=self.n_buckets,
+                    )
+                    .select("src", F.col("url_canon").alias("dst"))
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(self.dir, "edges", f"wave={wave}"))
+                )
+                all_edges = self.spark.read.parquet(
+                    os.path.join(self.dir, "edges")
+                )
+                ranks = pagerank(
+                    all_edges, iterations=self.rank_iterations
+                )
+                frontier = rank_to_priority(
+                    frontier,
+                    ranks,
+                    n_bands=self.rank_bands,
+                    base_priority=DISCOVERED_PRIORITY,
+                ).select(*FRONTIER_COLS)
+                t = tick("link-graph rerank", t)
 
             # ---- checkpoint commit (manifest last → atomic resume point).
             # Frontier size is observed during the write — the manifest

@@ -117,3 +117,67 @@ def test_rank_to_priority_single_band_is_flat(spark):
     ranks = spark.createDataFrame([("u1", 0.5)], "node string, rank double")
     out = rank_to_priority(frontier, ranks, n_bands=1, base_priority=3)
     assert out.collect()[0]["priority"] == 3
+
+
+def test_crawl_engine_link_graph_reprioritization(spark, tmp_path):
+    """rank_priorities=True: the engine logs per-wave edges, reranks the
+    accumulated graph, and rewrites frontier priorities — hubs (high
+    in-rank urls) outrank never-linked urls in the checkpointed frontier,
+    and a resumed ranked crawl reaches the identical schedule."""
+    from hk_housing_datahub_spark.datagen import (
+        generate_pages,
+        generate_seeds,
+    )
+    from hk_housing_datahub_spark.frontier import CrawlEngine
+
+    pages = generate_pages(spark, 400, n_hosts=8).cache()
+    seeds = generate_seeds(spark, 8, 400, n_hosts=8)
+    kw = dict(
+        wave_ms=400, max_depth=2, rank_priorities=True, rank_iterations=3
+    )
+
+    d1 = str(tmp_path / "full")
+    eng = CrawlEngine(spark, pages, None, d1, **kw)
+    res = eng.run(seeds, max_waves=3)
+    assert res.n_extracted > 0
+
+    # frontier checkpoint priorities come from the rank bands
+    import glob
+    import os as _os
+
+    fdirs = sorted(glob.glob(_os.path.join(d1, "frontier_v*")))
+    front = spark.read.parquet(fdirs[-1])
+    prios = [r["priority"] for r in front.select("priority").collect()]
+    if prios:
+        assert min(prios) >= 2 and max(prios) <= 5
+
+    # ranked urls (in the edge log) that appear in the frontier must never
+    # rank WORSE than the worst band, and some un-linked url sits in it
+    edges = spark.read.parquet(_os.path.join(d1, "edges"))
+    linked = front.join(
+        edges.select(F.col("dst").alias("url_canon")).distinct(),
+        "url_canon",
+        "left_semi",
+    )
+    unlinked = front.join(
+        edges.select(F.col("dst").alias("url_canon")).distinct(),
+        "url_canon",
+        "left_anti",
+    )
+    for r in unlinked.select("priority").collect():
+        assert r["priority"] == 5  # worst band: never linked
+    assert linked.count() + unlinked.count() == front.count()
+
+    # resume parity: stop after wave 0, resume, same final schedule log
+    d2 = str(tmp_path / "split")
+    CrawlEngine(spark, pages, None, d2, **kw).run(seeds, max_waves=1)
+    res2 = CrawlEngine(spark, pages, None, d2, **kw).run(seeds, max_waves=2)
+    log1 = sorted(
+        (r.wave, r.host, r.host_rank, r.url_canon)
+        for r in res.schedule_log(spark).collect()
+    )
+    log2 = sorted(
+        (r.wave, r.host, r.host_rank, r.url_canon)
+        for r in res2.schedule_log(spark).collect()
+    )
+    assert log1 == log2
