@@ -210,6 +210,8 @@ def main() -> None:
             "lm_perplexity_quality",
             "packed_sequences",
             "span_dedup_profile",
+            "gopher_repetition",
+            "link_graph_rank",
         ]
         qs = E.queries()
         for name in bench_queries:

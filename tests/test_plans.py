@@ -368,3 +368,38 @@ def test_vocab_agg_partial_then_final(spark):
     p = plan_of(token_vocabulary(_t(spark, "documents")))
     assert p.count("HashAggregate") >= 2, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_gopher_repetition_is_map_only(spark):
+    """The full repetition battery is one projection over the scan: no
+    Exchange, no Python eval, no join — a pure map pass at any corpus
+    size (the sorted-run aggregates live inside the row)."""
+    from hk_housing_datahub_spark.operators.textops import (
+        gopher_repetition_flags,
+    )
+
+    p = plan_of(gopher_repetition_flags(_t(spark, "documents")))
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Join" not in p
+
+
+def test_pagerank_iteration_plan_compact_key_only(spark):
+    """One PageRank iteration's plan: the heavy joins key on src/node
+    (compact keys), no cartesian product, no Python eval; the dangling
+    scalar enters through a single-row join (BroadcastNestedLoopJoin on
+    a 1-row aggregate is fine — it is the cross join of a scalar), and
+    per-round localCheckpoint keeps the plan O(1) in iteration count:
+    the 3-iteration plan is not ~3x the 1-iteration plan."""
+    from hk_housing_datahub_spark.operators.linkgraph import pagerank
+
+    e = _t(spark, "documents").select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 7 + 1, F.lit(500)).alias("dst"),
+    )
+    p1 = plan_of(pagerank(e, iterations=1))
+    p3 = plan_of(pagerank(e, iterations=3))
+    for p in (p1, p3):
+        assert "CartesianProduct" not in p
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert len(p3) < 2 * len(p1), (len(p1), len(p3))
