@@ -1651,6 +1651,87 @@ def _link_graph_rank_sql(iterations: int = 5) -> str:
     )
 
 
+def _cdx_surt_keys(spark, sf):
+    """SURT keys (functions/surt.py, the Common Crawl CDX sort key) over
+    messy constructed URLs: mixed-case scheme/host/path, default port,
+    fragments, unsorted query params, www and nested-subdomain variants.
+    The oracle constructs the expected strings analytically (same pattern
+    as url_canonicalize's twin)."""
+    from hk_housing_datahub_spark.functions.surt import surt_key
+
+    d = _t(spark, sf, "documents")
+    messy = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit("WWW.")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.pmod("doc_id", F.lit(5)) == 0, F.lit("Sub.")).otherwise(
+                F.lit("")
+            ),
+            F.lit("Host"),
+            F.pmod("doc_id", F.lit(20)),
+            F.lit(".Example.COM:443/Path/"),
+            F.col("doc_id"),
+            F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit("?b=2&a=1"))
+            .when(F.pmod("doc_id", F.lit(3)) == 1, F.lit("?a=1"))
+            .otherwise(F.lit("")),
+            F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("#frag")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    return messy.select(
+        "doc_id",
+        surt_key(F.col("url")).alias("surt"),
+        U.canonicalize_url(F.col("url")).alias("url_canon"),
+    )
+
+
+def _recrawl_schedule(spark, sf):
+    """Cho/Garcia-Molina recrawl scheduling (operators/recrawl.py) over a
+    constructed capture history: each doc gets 1–4 captures at a
+    doc-specific uniform interval, digests flip every second capture
+    (offset by doc) — so the change-rate estimator sees every (n, X)
+    combination including single-capture and never-changed URLs."""
+    from hk_housing_datahub_spark.operators.recrawl import recrawl_schedule
+
+    d = _t(spark, sf, "documents")
+    caps = d.select(
+        "doc_id", F.explode(
+            F.sequence(F.lit(0), F.pmod("doc_id", F.lit(4)))
+        ).alias("j"),
+    ).select(
+        F.concat(
+            F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
+            F.lit(".example.com/d/"), F.col("doc_id"),
+        ).alias("url_canon"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.col("doc_id") * 13
+            + F.col("j") * (F.lit(86_400) + F.pmod("doc_id", F.lit(7)) * 3_600)
+        ).alias("warc_ts"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.floor(
+                    (F.col("j") + F.pmod("doc_id", F.lit(3))) / 2
+                ).cast("string"),
+            )
+        ).alias("digest"),
+    )
+    out = recrawl_schedule(caps)
+    return out.select(
+        "url", "n_captures", "n_changes",
+        F.round("avg_interval_s", 6).alias("avg_interval_s"),
+        F.round("lambda_per_day", 6).alias("lambda_per_day"),
+        F.round("refetch_interval_s", 6).alias("refetch_interval_s"),
+        "next_fetch_epoch",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -1725,6 +1806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_profile": _span_dedup_profile,
         "gopher_repetition": _gopher_repetition,
         "link_graph_rank": _link_graph_rank,
+        "cdx_surt_keys": _cdx_surt_keys,
+        "recrawl_schedule": _recrawl_schedule,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -2850,6 +2933,82 @@ def oracle_sql() -> dict[str, str]:
     # verifies rows+schema+hash locally like any window entry.
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()
+    d["recrawl_schedule"] = """
+        WITH caps AS (
+            SELECT 'https://h' || (doc_id % 10) || '.example.com/d/'
+                       || doc_id AS url,
+                   CAST(1700000000 + doc_id*13
+                        + j * (86400 + (doc_id % 7) * 3600) AS BIGINT) AS ts,
+                   md5(doc_id || '#' || ((j + doc_id % 3) // 2)) AS digest
+            FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS j
+                  FROM documents)
+        ),
+        flagged AS (
+            SELECT url, ts,
+                   CASE WHEN lag(digest) OVER w IS NOT NULL
+                             AND digest <> lag(digest) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM caps WINDOW w AS (PARTITION BY url ORDER BY ts, digest)
+        ),
+        per AS (
+            SELECT url, CAST(count(*) AS BIGINT) AS n_captures,
+                   CAST(sum(chg) AS BIGINT) AS n_changes,
+                   CAST(min(ts) AS BIGINT) AS first_ts,
+                   CAST(max(ts) AS BIGINT) AS last_ts
+            FROM flagged GROUP BY url
+        ),
+        est AS (
+            SELECT *,
+                   CAST(n_captures - 1 AS DOUBLE) AS n_int,
+                   CASE WHEN n_captures > 1
+                        THEN (last_ts - first_ts)
+                             / CAST(n_captures - 1 AS DOUBLE) END
+                       AS avg_interval_s
+            FROM per
+        ),
+        lam AS (
+            SELECT *,
+                   CASE WHEN n_int > 0 AND avg_interval_s > 0
+                        THEN -ln((n_int - n_changes + CAST(0.5 AS DOUBLE))
+                                 / (n_int + CAST(0.5 AS DOUBLE)))
+                             / avg_interval_s END AS lam_s
+            FROM est
+        ),
+        iv AS (
+            SELECT *,
+                   CASE WHEN lam_s > 0
+                        THEN least(greatest(CAST(1.0 AS DOUBLE) / lam_s,
+                                            CAST(3600 AS DOUBLE)),
+                                   CAST(2592000 AS DOUBLE))
+                        ELSE CAST(2592000 AS DOUBLE) END
+                       AS refetch_interval_s
+            FROM lam
+        )
+        SELECT url, n_captures, n_changes,
+               round(avg_interval_s, 6) AS avg_interval_s,
+               round(lam_s * 86400.0, 6) AS lambda_per_day,
+               round(refetch_interval_s, 6) AS refetch_interval_s,
+               CAST(last_ts + floor(refetch_interval_s) AS BIGINT)
+                   AS next_fetch_epoch
+        FROM iv
+    """
+    d["cdx_surt_keys"] = """
+        SELECT doc_id,
+               'com,example,host' || (doc_id % 20) ||
+               CASE WHEN doc_id % 5 = 0 THEN ',sub' ELSE '' END ||
+               ')/path/' || doc_id ||
+               CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2'
+                    WHEN doc_id % 3 = 1 THEN '?a=1'
+                    ELSE '' END AS surt,
+               'https://' ||
+               CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0 THEN 'sub.' ELSE '' END ||
+               'host' || (doc_id % 20) || '.example.com/Path/' || doc_id ||
+               CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2'
+                    WHEN doc_id % 3 = 1 THEN '?a=1'
+                    ELSE '' END AS url_canon
+        FROM documents
+    """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless
     # and duplicate-free end to end.

@@ -1,0 +1,99 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.operators.recrawl import (
+    due_for_refetch,
+    recrawl_schedule,
+)
+
+DAY = 86_400
+
+
+def _caps(spark, rows):
+    return spark.createDataFrame(
+        [(u, F"{''}", t, d) for u, t, d in rows],
+        "url_canon string, pad string, epoch long, digest string",
+    ).select(
+        "url_canon",
+        F.timestamp_seconds(F.col("epoch")).alias("warc_ts"),
+        "digest",
+    )
+
+
+def test_recrawl_estimator_closed_form(spark):
+    t0 = 1_700_000_000
+    rows = (
+        # u_hot: 5 captures daily, digest flips every time -> X = n = 4
+        [("u_hot", t0 + i * DAY, f"h{i}") for i in range(5)]
+        # u_static: 5 captures daily, never changes -> X = 0
+        + [("u_static", t0 + i * DAY, "same") for i in range(5)]
+        # u_half: changes on 2 of 4 intervals
+        + [("u_half", t0 + i * DAY, f"v{i // 2}") for i in range(5)]
+        # u_once: single capture
+        + [("u_once", t0, "x")]
+    )
+    out = {
+        r["url"]: r
+        for r in recrawl_schedule(_caps(spark, rows)).collect()
+    }
+
+    hot = out["u_hot"]
+    lam = -math.log((4 - 4 + 0.5) / (4 + 0.5)) / DAY
+    assert hot["n_captures"] == 5 and hot["n_changes"] == 4
+    assert abs(hot["lambda_per_day"] - lam * DAY) < 1e-9
+    assert abs(hot["refetch_interval_s"] - 1 / lam) < 1e-6
+    assert hot["next_fetch_epoch"] == t0 + 4 * DAY + math.floor(1 / lam)
+
+    static = out["u_static"]
+    assert static["n_changes"] == 0
+    # lambda is exactly 0 -> max interval
+    assert static["refetch_interval_s"] == 30 * DAY
+
+    half = out["u_half"]
+    lam_h = -math.log((4 - 2 + 0.5) / (4 + 0.5)) / DAY
+    assert half["n_changes"] == 2
+    assert abs(half["refetch_interval_s"] - 1 / lam_h) < 1e-6
+
+    once = out["u_once"]
+    assert once["n_captures"] == 1
+    assert once["avg_interval_s"] is None
+    assert once["lambda_per_day"] is None
+    assert once["refetch_interval_s"] == 30 * DAY
+    assert once["next_fetch_epoch"] == t0 + 30 * DAY
+
+
+def test_recrawl_clamps_and_due_filter(spark):
+    t0 = 1_700_000_000
+    # changes every capture at 10-minute spacing -> raw interval < 1h,
+    # clamped up to the hourly floor
+    rows = [("u_fast", t0 + i * 600, f"d{i}") for i in range(10)]
+    sched = recrawl_schedule(_caps(spark, rows))
+    r = sched.collect()[0]
+    assert r["refetch_interval_s"] == 3600.0
+
+    due_now = due_for_refetch(sched, now_epoch=r["next_fetch_epoch"])
+    assert due_now.count() == 1
+    assert due_now.columns == ["url", "priority"]
+    assert (
+        due_for_refetch(sched, now_epoch=r["next_fetch_epoch"] - 1).count()
+        == 0
+    )
+
+
+def test_recrawl_composes_with_cdx_records(spark):
+    """The operator's input contract IS the CDX record schema — build the
+    index records from generated pages and schedule over them."""
+    from hk_housing_datahub_spark.datagen import generate_pages
+    from hk_housing_datahub_spark.sources.cdx import cdx_records
+
+    pages = generate_pages(spark, 300, n_hosts=6)
+    sched = recrawl_schedule(cdx_records(pages))
+    n = sched.count()
+    assert n == sched.select("url").distinct().count()
+    # single-capture corpus: everything lands on the max interval
+    assert (
+        sched.filter(F.col("refetch_interval_s") != 30 * DAY).count() == 0
+    )
