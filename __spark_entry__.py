@@ -1732,6 +1732,44 @@ def _recrawl_schedule(spark, sf):
     )
 
 
+def _cdx_snapshot_diff(spark, sf):
+    """Crawl-to-crawl diff classification (sources/cdx.py
+    cdx_snapshot_diff) over a constructed capture history with a
+    per-doc epoch shift so every class appears: docs whose first capture
+    lands after t0 are ``new``, single-capture docs before t0 are
+    ``stale``, and the digest flip pattern splits the recrawled rest
+    into ``changed`` vs ``refreshed``."""
+    from hk_housing_datahub_spark.sources.cdx import cdx_snapshot_diff
+
+    d = _t(spark, sf, "documents")
+    caps = d.select(
+        "doc_id", F.explode(
+            F.sequence(F.lit(0), F.pmod("doc_id", F.lit(4)))
+        ).alias("j"),
+    ).select(
+        F.concat(
+            F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
+            F.lit(".example.com/d/"), F.col("doc_id"),
+        ).alias("url_canon"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.pmod("doc_id", F.lit(5)) * 40_000
+            + F.col("doc_id") * 13
+            + F.col("j") * (F.lit(86_400) + F.pmod("doc_id", F.lit(7)) * 3_600)
+        ).alias("warc_ts"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.floor(
+                    (F.col("j") + F.pmod("doc_id", F.lit(3))) / 2
+                ).cast("string"),
+            )
+        ).alias("digest"),
+    )
+    return cdx_snapshot_diff(caps, 1_700_100_000, 1_700_400_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -1808,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_rank": _link_graph_rank,
         "cdx_surt_keys": _cdx_surt_keys,
         "recrawl_schedule": _recrawl_schedule,
+        "cdx_snapshot_diff": _cdx_snapshot_diff,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -3008,6 +3047,43 @@ def oracle_sql() -> dict[str, str]:
                     WHEN doc_id % 3 = 1 THEN '?a=1'
                     ELSE '' END AS url_canon
         FROM documents
+    """
+    d["cdx_snapshot_diff"] = """
+        WITH caps AS (
+            SELECT 'https://h' || (doc_id % 10) || '.example.com/d/'
+                       || doc_id AS url,
+                   CAST(1700000000 + (doc_id % 5) * 40000 + doc_id*13
+                        + j * (86400 + (doc_id % 7) * 3600) AS BIGINT) AS ts,
+                   md5(doc_id || '#' || ((j + doc_id % 3) // 2)) AS digest
+            FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS j
+                  FROM documents)
+        ),
+        le1 AS (SELECT * FROM caps WHERE ts <= 1700400000),
+        s1 AS (
+            SELECT url, digest AS digest_t1 FROM (
+                SELECT url, digest, row_number() OVER (
+                    PARTITION BY url ORDER BY ts DESC, digest DESC) AS rn
+                FROM le1) WHERE rn = 1
+        ),
+        s0 AS (
+            SELECT url, digest AS digest_t0 FROM (
+                SELECT url, digest, row_number() OVER (
+                    PARTITION BY url ORDER BY ts DESC, digest DESC) AS rn
+                FROM le1 WHERE ts <= 1700100000) WHERE rn = 1
+        ),
+        cnt AS (
+            SELECT url,
+                   CAST(count(*) FILTER (ts > 1700100000) AS BIGINT)
+                       AS captures_in_window
+            FROM le1 GROUP BY url
+        )
+        SELECT cnt.url,
+               CASE WHEN s0.digest_t0 IS NULL THEN 'new'
+                    WHEN captures_in_window = 0 THEN 'stale'
+                    WHEN s0.digest_t0 <> s1.digest_t1 THEN 'changed'
+                    ELSE 'refreshed' END AS status,
+               s0.digest_t0, s1.digest_t1, captures_in_window
+        FROM cnt JOIN s1 USING (url) LEFT JOIN s0 USING (url)
     """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless

@@ -95,3 +95,79 @@ def cdx_domain_query(
     if subdomains:
         cond = cond | F.col("surt").startswith(p + ",")
     return idx.filter(cond)
+
+
+def _ts_lit(t) -> F.Column:
+    """Timestamp literal from an epoch-seconds int (timezone-proof — the
+    constructed histories use epochs) or an ISO string (session-tz cast)."""
+    if isinstance(t, (int, float)):
+        return F.timestamp_seconds(F.lit(int(t)))
+    return F.lit(t).cast("timestamp")
+
+
+def cdx_snapshot_diff(
+    captures: DataFrame,
+    t0,
+    t1,
+    url_col: str = "url_canon",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Crawl-to-crawl change classification from capture history.
+
+    The standard consumer question over a CDX index ("what changed between
+    the May and June crawls?"): compare, per URL, the latest capture at or
+    before ``t0`` against the latest at or before ``t1`` (timestamp
+    literals, ``t0 < t1``) and classify:
+
+    - ``new``       — first capture falls in (t0, t1];
+    - ``changed``   — captured in the window and the latest content digest
+                      differs from the t0 snapshot's;
+    - ``refreshed`` — captured in the window, digest identical (the
+                      recrawl confirmed freshness; Cho/GM "no change"
+                      observation, operators/recrawl.py feeds on these);
+    - ``stale``     — known at t0 but not re-captured in the window.
+
+    URLs first captured after ``t1`` don't exist in either snapshot and
+    are excluded. Output: url, status, digest_t0, digest_t1,
+    captures_in_window.
+
+    Scale: ONE groupBy on the url — per-URL state is two (ts, digest)
+    structs and a count, so 10^10 URLs is a routine compact-key agg;
+    ``max(when(...))`` keeps the snapshot selection inside the partial
+    aggregate (struct max orders by ts first). Over the sorted CDX index
+    (build_cdx_index) AQE sees near-sorted input; no window function is
+    needed. SQL-expressible — the ``cdx_snapshot_diff`` oracle twin
+    mirrors it with two arg-max CTEs.
+    """
+    u, ts, dg = F.col(url_col), F.col(ts_col), F.col(digest_col)
+    lt0, lt1 = _ts_lit(t0), _ts_lit(t1)
+    cap = F.struct(ts.alias("ts"), dg.alias("digest"))
+    per = (
+        captures.filter(ts <= lt1)
+        .groupBy(u.alias("url"))
+        .agg(
+            F.max(F.when(ts <= lt0, cap)).alias("s0"),
+            F.max(cap).alias("s1"),
+            F.sum(F.when(ts > lt0, 1).otherwise(0)).alias(
+                "captures_in_window"
+            ),
+        )
+    )
+    d0 = F.col("s0.digest")
+    d1 = F.col("s1.digest")
+    status = (
+        F.when(d0.isNull(), F.lit("new"))
+        .when(F.col("captures_in_window") == 0, F.lit("stale"))
+        .when(d0 != d1, F.lit("changed"))
+        .otherwise(F.lit("refreshed"))
+    )
+    return per.select(
+        "url",
+        status.alias("status"),
+        d0.alias("digest_t0"),
+        d1.alias("digest_t1"),
+        F.col("captures_in_window").cast("long").alias(
+            "captures_in_window"
+        ),
+    )

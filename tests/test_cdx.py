@@ -86,3 +86,44 @@ def test_cdx_index_build_and_domain_query(spark, tmp_path):
         cdx_prefix_query(spark, idx_path, "com,example,h3)").explain(True)
     plan = buf.getvalue()
     assert "StartsWith" in plan, plan
+
+
+def test_cdx_snapshot_diff_classes(spark):
+    from datetime import datetime, timezone
+
+    from hk_housing_datahub_spark.sources.cdx import cdx_snapshot_diff
+
+    def ts(e):
+        return datetime.fromtimestamp(e, tz=timezone.utc)
+
+    t0, t1 = 100, 200
+    rows = [
+        # changed: latest<=t0 digest A, re-captured in window with B
+        ("u_changed", ts(50), "A"), ("u_changed", ts(150), "B"),
+        # refreshed: re-captured, same digest (and an older different one
+        # proving "latest at t0" is compared, not "any at t0")
+        ("u_refreshed", ts(10), "X"), ("u_refreshed", ts(90), "C"),
+        ("u_refreshed", ts(160), "C"),
+        # stale: known at t0, nothing in the window (a post-t1 capture
+        # must NOT count as a window capture)
+        ("u_stale", ts(80), "D"), ("u_stale", ts(300), "E"),
+        # new: first capture inside (t0, t1]
+        ("u_new", ts(120), "F"), ("u_new", ts(180), "G"),
+        # unseen at t1: excluded entirely
+        ("u_future", ts(250), "H"),
+    ]
+    caps = spark.createDataFrame(rows, ["url_canon", "warc_ts", "digest"])
+    got = {
+        r["url"]: r.asDict()
+        for r in cdx_snapshot_diff(caps, t0, t1).collect()
+    }
+    assert set(got) == {"u_changed", "u_refreshed", "u_stale", "u_new"}
+    assert got["u_changed"]["status"] == "changed"
+    assert (got["u_changed"]["digest_t0"], got["u_changed"]["digest_t1"]) == ("A", "B")
+    assert got["u_refreshed"]["status"] == "refreshed"
+    assert got["u_stale"]["status"] == "stale"
+    assert got["u_stale"]["captures_in_window"] == 0
+    assert got["u_new"]["status"] == "new"
+    assert got["u_new"]["digest_t0"] is None
+    assert got["u_new"]["digest_t1"] == "G"
+    assert got["u_new"]["captures_in_window"] == 2
