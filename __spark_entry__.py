@@ -1770,6 +1770,72 @@ def _cdx_snapshot_diff(spark, sf):
     return cdx_snapshot_diff(caps, 1_700_100_000, 1_700_400_000)
 
 
+def _host_edges(spark, sf):
+    """Deterministic page-level URL edges for the host-graph queries:
+    every doc links out 3× — two external hosts (one modulus 12 so two
+    hosts exist only as targets: in-degree-only nodes) and one internal
+    self-host link; docs % 6 == 0 duplicate their first outlink (link
+    multiplicity ≠ distinct pages); docs % 4 == 0 carry a ``www.``
+    prefix the SURT fold must erase."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    src = F.concat(
+        F.lit("https://"),
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit("www.")).otherwise(
+            F.lit("")
+        ),
+        F.lit("h"), F.pmod("doc_id", F.lit(10)),
+        F.lit(".example.com/p/"), F.col("doc_id"),
+    )
+
+    def dst(host_expr):
+        return F.concat(
+            F.lit("https://h"), host_expr,
+            F.lit(".example.com/p/"), F.pmod(F.col("doc_id") * 31, F.lit(997)),
+        )
+
+    e1 = d.select(
+        src.alias("src_url"),
+        dst(F.pmod(F.col("doc_id") * 7 + 1, F.lit(10))).alias("dst_url"),
+    )
+    e1dup = e1.join(
+        d.filter(F.pmod("doc_id", F.lit(6)) == 0).select(
+            src.alias("src_url")
+        ),
+        "src_url",
+    )
+    e2 = d.select(
+        src.alias("src_url"),
+        dst(F.pmod(F.col("doc_id") * 13 + 5, F.lit(12))).alias("dst_url"),
+    )
+    e3 = d.select(
+        src.alias("src_url"),
+        dst(F.pmod("doc_id", F.lit(10))).alias("dst_url"),
+    )
+    return e1.union(e1dup).union(e2).union(e3)
+
+
+def _host_graph_rollup(spark, sf):
+    """Host-level webgraph rollup (operators/linkgraph.py host_graph):
+    page edges collapse to SURT-host pairs with link multiplicity,
+    distinct linking pages, and the internal/external flag."""
+    from hk_housing_datahub_spark.operators.linkgraph import host_graph
+
+    return host_graph(_host_edges(spark, sf))
+
+
+def _host_graph_degrees(spark, sf):
+    """Per-host degree table (operators/linkgraph.py host_degrees) over
+    the same rollup — external in/out degree and volume, internal
+    volume; in-degree-only hosts (modulus-12 targets) appear with
+    out_degree 0."""
+    from hk_housing_datahub_spark.operators.linkgraph import (
+        host_degrees,
+        host_graph,
+    )
+
+    return host_degrees(host_graph(_host_edges(spark, sf)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -1847,6 +1913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_surt_keys": _cdx_surt_keys,
         "recrawl_schedule": _recrawl_schedule,
         "cdx_snapshot_diff": _cdx_snapshot_diff,
+        "host_graph_rollup": _host_graph_rollup,
+        "host_graph_degrees": _host_graph_degrees,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -3084,6 +3152,75 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'refreshed' END AS status,
                s0.digest_t0, s1.digest_t1, captures_in_window
         FROM cnt JOIN s1 USING (url) LEFT JOIN s0 USING (url)
+    """
+    _host_edges_cte = """
+        e AS (
+            SELECT 'com,example,h' || (doc_id % 10) AS src_host,
+                   'com,example,h' || ((doc_id*7+1) % 10) AS dst_host,
+                   src_page
+            FROM (SELECT doc_id,
+                         'https://' || CASE WHEN doc_id % 4 = 0
+                                            THEN 'www.' ELSE '' END ||
+                         'h' || (doc_id % 10) || '.example.com/p/'
+                             || doc_id AS src_page
+                  FROM documents)
+            UNION ALL
+            SELECT 'com,example,h' || (doc_id % 10),
+                   'com,example,h' || ((doc_id*7+1) % 10),
+                   'https://' || CASE WHEN doc_id % 4 = 0
+                                      THEN 'www.' ELSE '' END ||
+                   'h' || (doc_id % 10) || '.example.com/p/' || doc_id
+            FROM documents WHERE doc_id % 6 = 0
+            UNION ALL
+            SELECT 'com,example,h' || (doc_id % 10),
+                   'com,example,h' || ((doc_id*13+5) % 12),
+                   'https://' || CASE WHEN doc_id % 4 = 0
+                                      THEN 'www.' ELSE '' END ||
+                   'h' || (doc_id % 10) || '.example.com/p/' || doc_id
+            FROM documents
+            UNION ALL
+            SELECT 'com,example,h' || (doc_id % 10),
+                   'com,example,h' || (doc_id % 10),
+                   'https://' || CASE WHEN doc_id % 4 = 0
+                                      THEN 'www.' ELSE '' END ||
+                   'h' || (doc_id % 10) || '.example.com/p/' || doc_id
+            FROM documents
+        ),
+        per_page AS (
+            SELECT src_host, dst_host, src_page, count(*) AS n
+            FROM e GROUP BY 1, 2, 3
+        ),
+        hg AS (
+            SELECT src_host, dst_host,
+                   CAST(sum(n) AS BIGINT) AS n_links,
+                   CAST(count(*) AS BIGINT) AS n_src_pages,
+                   src_host = dst_host AS is_internal
+            FROM per_page GROUP BY 1, 2
+        )
+    """
+    d["host_graph_rollup"] = f"""
+        WITH {_host_edges_cte}
+        SELECT * FROM hg
+    """
+    d["host_graph_degrees"] = f"""
+        WITH {_host_edges_cte}
+        SELECT host,
+               CAST(sum(od) AS BIGINT) AS out_degree,
+               CAST(sum(ind) AS BIGINT) AS in_degree,
+               CAST(sum(ol) AS BIGINT) AS out_links,
+               CAST(sum(il) AS BIGINT) AS in_links,
+               CAST(sum(nl) AS BIGINT) AS internal_links
+        FROM (
+            SELECT src_host AS host, 1 AS od, 0 AS ind,
+                   n_links AS ol, 0 AS il, 0 AS nl
+            FROM hg WHERE NOT is_internal
+            UNION ALL
+            SELECT dst_host, 0, 1, 0, n_links, 0
+            FROM hg WHERE NOT is_internal
+            UNION ALL
+            SELECT src_host, 0, 0, 0, 0, n_links
+            FROM hg WHERE is_internal
+        ) GROUP BY host
     """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless

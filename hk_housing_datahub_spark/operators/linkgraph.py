@@ -149,3 +149,87 @@ def rank_to_priority(
         .drop("rank", "t")
     )
     return scored
+
+
+def host_graph(
+    edges: DataFrame, src: str = "src_url", dst: str = "dst_url"
+) -> DataFrame:
+    """Host-level webgraph rollup of page-level URL edges (the Common
+    Crawl host-webgraph product: billions of page edges collapse to
+    millions of host pairs, the granularity crawl scheduling and domain
+    reputation actually consume).
+
+    Nodes are SURT hosts (functions/surt.py — reversed labels, www
+    folded) so the output sorts domain-contiguously like the CDX index.
+    Output per (src_host, dst_host): ``n_links`` (page-level edges,
+    duplicates counted — anchor multiplicity is signal), ``n_src_pages``
+    (distinct linking pages), ``is_internal`` (same host both sides;
+    kept but flagged — intra-host navigation boilerplate vs true
+    endorsement). NULL/unparseable hosts drop.
+
+    Scale: ONE groupBy on the compact (src_host, dst_host) key; the
+    distinct-page count stays inside the same shuffle via the two-level
+    (pair, page) pre-aggregate. SQL-expressible (oracle twin).
+    """
+    from ..functions.surt import surt_host
+
+    sh = surt_host(F.col(src))
+    dh = surt_host(F.col(dst))
+    per_page = (
+        edges.select(
+            sh.alias("src_host"),
+            dh.alias("dst_host"),
+            F.col(src).alias("src_page"),
+        )
+        .filter(
+            (F.col("src_host") != "") & (F.col("dst_host") != "")
+        )
+        .groupBy("src_host", "dst_host", "src_page")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_page.groupBy("src_host", "dst_host").agg(
+        F.sum("n").alias("n_links"),
+        F.count(F.lit(1)).alias("n_src_pages"),
+    ).select(
+        "src_host",
+        "dst_host",
+        "n_links",
+        "n_src_pages",
+        (F.col("src_host") == F.col("dst_host")).alias("is_internal"),
+    )
+
+
+def host_degrees(hgraph: DataFrame) -> DataFrame:
+    """Per-host degree summary over a ``host_graph`` rollup: external
+    in/out degree (distinct counterpart hosts), external in/out link
+    volume, and internal link volume — the node table of the host
+    webgraph. Two compact aggregations + one full outer join on host.
+    """
+    ext = hgraph.filter(~F.col("is_internal"))
+    out_side = ext.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("n_links").alias("out_links"),
+    )
+    in_side = ext.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("n_links").alias("in_links"),
+    )
+    internal = (
+        hgraph.filter(F.col("is_internal"))
+        .groupBy(F.col("src_host").alias("host"))
+        .agg(F.sum("n_links").alias("internal_links"))
+    )
+    return (
+        out_side.join(in_side, "host", "full")
+        .join(internal, "host", "full")
+        .select(
+            "host",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_links", F.lit(0)).alias("out_links"),
+            F.coalesce("in_links", F.lit(0)).alias("in_links"),
+            F.coalesce("internal_links", F.lit(0)).alias(
+                "internal_links"
+            ),
+        )
+    )

@@ -181,3 +181,47 @@ def test_crawl_engine_link_graph_reprioritization(spark, tmp_path):
         for r in res2.schedule_log(spark).collect()
     )
     assert log1 == log2
+
+
+def test_host_graph_rollup_and_degrees(spark):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.linkgraph import (
+        host_degrees,
+        host_graph,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # a.com/1 links twice to b.com (multiplicity), once internal
+            ("https://a.com/1", "https://b.com/x"),
+            ("https://a.com/1", "https://b.com/y"),
+            ("https://a.com/1", "https://a.com/2"),
+            # www.a.com folds into a.com; second distinct linking page
+            ("https://www.a.com/2", "https://b.com/x"),
+            # c.com is in-degree-only
+            ("https://b.com/z", "https://c.com/"),
+        ],
+        ["src_url", "dst_url"],
+    )
+    hg = {
+        (r["src_host"], r["dst_host"]): r.asDict()
+        for r in host_graph(edges).collect()
+    }
+    ab = hg[("com,a", "com,b")]
+    assert ab["n_links"] == 3 and ab["n_src_pages"] == 2
+    assert not ab["is_internal"]
+    aa = hg[("com,a", "com,a")]
+    assert aa["n_links"] == 1 and aa["is_internal"]
+    assert ("com,b", "com,c") in hg
+
+    deg = {
+        r["host"]: r.asDict()
+        for r in host_degrees(host_graph(edges)).collect()
+    }
+    assert deg["com,a"]["out_degree"] == 1  # only b.com (internal excluded)
+    assert deg["com,a"]["out_links"] == 3
+    assert deg["com,a"]["internal_links"] == 1
+    assert deg["com,b"]["in_degree"] == 1 and deg["com,b"]["in_links"] == 3
+    assert deg["com,b"]["out_degree"] == 1
+    assert deg["com,c"]["out_degree"] == 0 and deg["com,c"]["in_degree"] == 1
