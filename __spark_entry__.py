@@ -1836,6 +1836,41 @@ def _host_graph_degrees(spark, sf):
     return host_degrees(host_graph(_host_edges(spark, sf)))
 
 
+def _dsir_weights(spark, sf):
+    """DSIR importance sampling (operators/importance.py): fit hashed
+    unigram+bigram log-likelihood ratios with the English docs as the
+    target corpus and the whole table as raw, score every doc, and
+    Gumbel-top-k select 100 under seed 7 — all Columns, the DuckDB twin
+    replays the identical hash/smoothing/Gumbel arithmetic."""
+    from hk_housing_datahub_spark.operators.importance import (
+        dsir_select,
+        fit_logratio,
+        gumbel_key,
+        hashed_ngram_features,
+        importance_weights,
+    )
+
+    docs = _t(spark, sf, "documents")
+    raw_feats = hashed_ngram_features(docs, dim=4096)
+    tgt_feats = hashed_ngram_features(
+        docs.filter(F.col("lang") == "en"), dim=4096
+    )
+    lr = fit_logratio(tgt_feats, raw_feats, dim=4096)
+    w = importance_weights(raw_feats, lr)
+    picked = dsir_select(
+        docs.select("doc_id"), w, k=100, seed=7
+    ).select("doc_id", F.lit(True).alias("selected"))
+    return (
+        w.select(F.col("id").alias("doc_id"), "weight")
+        .join(picked, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round("weight", 6).alias("weight"),
+            F.coalesce("selected", F.lit(False)).alias("selected"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -1915,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_snapshot_diff": _cdx_snapshot_diff,
         "host_graph_rollup": _host_graph_rollup,
         "host_graph_degrees": _host_graph_degrees,
+        "dsir_weights": _dsir_weights,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -3221,6 +3257,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, 0, 0, 0, 0, n_links
             FROM hg WHERE is_internal
         ) GROUP BY host
+    """
+    def _dsir_feats_sql(src_pred: str) -> str:
+        """Twin of operators/importance.py hashed_ngram_features:
+        unigrams + adjacent bigrams → md5 56-bit bucket → counts."""
+        return f"""
+            SELECT doc_id AS id,
+                   ('0x' || substr(md5(g), 1, 14))::BIGINT % 4096
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT doc_id, unnest(list_concat(
+                    t,
+                    list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])
+                )) AS g
+                FROM (SELECT doc_id, {_TOKS} AS t FROM documents
+                      {src_pred})
+            ) GROUP BY 1, 2
+        """
+
+    d["dsir_weights"] = f"""
+        WITH rawf AS ({_dsir_feats_sql("")}),
+        tgtf AS ({_dsir_feats_sql("WHERE lang = 'en'")}),
+        tb AS (SELECT bucket, sum(cnt) AS tc FROM tgtf GROUP BY 1),
+        rb AS (SELECT bucket, sum(cnt) AS rc FROM rawf GROUP BY 1),
+        tot AS (SELECT (SELECT sum(cnt) FROM tgtf) AS t_tot,
+                       (SELECT sum(cnt) FROM rawf) AS r_tot),
+        lr AS (
+            SELECT bucket,
+                   ln((coalesce(tc, 0) + CAST(1.0 AS DOUBLE))
+                      / (t_tot + CAST(4096.0 AS DOUBLE)))
+                   - ln((coalesce(rc, 0) + CAST(1.0 AS DOUBLE))
+                        / (r_tot + CAST(4096.0 AS DOUBLE))) AS logratio
+            FROM tb FULL JOIN rb USING (bucket) CROSS JOIN tot
+        ),
+        w AS (
+            SELECT id AS doc_id, sum(cnt * logratio) AS weight
+            FROM rawf JOIN lr USING (bucket) GROUP BY 1
+        ),
+        keyed AS (
+            SELECT doc_id, weight,
+                   weight / CAST(1.0 AS DOUBLE)
+                   + (-ln(-ln((('0x' || substr(md5(doc_id || '#7'), 1, 13))
+                               ::BIGINT::DOUBLE + CAST(0.5 AS DOUBLE))
+                              / CAST(4503599627370496.0 AS DOUBLE))))
+                       AS gkey
+            FROM w
+        )
+        SELECT doc_id, round(weight, 6) AS weight,
+               row_number() OVER (ORDER BY gkey DESC, doc_id) <= 100
+                   AS selected
+        FROM keyed
     """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless
