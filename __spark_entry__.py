@@ -1871,6 +1871,70 @@ def _dsir_weights(spark, sf):
     )
 
 
+def _host_trap_signals(spark, sf):
+    """Crawl-trap detection (operators/traps.py) over a constructed URL
+    space: hosts 0–5 are healthy (shallow distinct pages), host 6 is a
+    cyclic-path trap (/x/y/x/y/…), host 7 a session-id trap (one page
+    behind ?sid= variants with constant content digest). The oracle
+    computes every per-host signal analytically from the same moduli."""
+    from hk_housing_datahub_spark.operators.traps import (
+        flag_trap_hosts,
+        host_trap_signals,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    h = F.pmod("doc_id", F.lit(8))
+    reps = (F.pmod("doc_id", F.lit(4)) + 1).cast("int")
+    path = (
+        F.when(
+            h == 6,
+            F.concat(
+                F.lit("/"),
+                F.array_join(
+                    F.flatten(
+                        F.array_repeat(
+                            F.array(F.lit("x"), F.lit("y")), reps
+                        )
+                    ),
+                    "/",
+                ),
+            ),
+        )
+        .when(h == 7, F.lit("/page"))
+        .otherwise(F.concat(F.lit("/p/"), F.col("doc_id")))
+    )
+    query = (
+        F.when(h == 7, F.concat(F.lit("?sid="), F.col("doc_id")))
+        .when(
+            (h < 6) & (F.pmod("doc_id", F.lit(3)) == 0),
+            F.lit("?a=1&b=2"),
+        )
+        .otherwise(F.lit(""))
+    )
+    urls = d.select(
+        F.concat(
+            F.lit("https://h"), h, F.lit(".example.com"), path, query
+        ).alias("url"),
+        F.when(h == 7, F.lit("constant"))
+        .otherwise(F.md5(F.col("doc_id").cast("string")))
+        .alias("digest"),
+    )
+    out = flag_trap_hosts(host_trap_signals(urls, digest_col="digest"))
+    return out.select(
+        "host",
+        "n_urls",
+        F.round("avg_depth", 6).alias("avg_depth"),
+        "max_depth",
+        F.round("repeat_seg_share", 6).alias("repeat_seg_share"),
+        F.round("avg_params", 6).alias("avg_params"),
+        "max_params",
+        "n_contents",
+        F.round("urls_per_content", 6).alias("urls_per_content"),
+        F.array_join("trap_reasons", ",").alias("trap_reasons"),
+        "is_trap_suspect",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -1951,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph_rollup": _host_graph_rollup,
         "host_graph_degrees": _host_graph_degrees,
         "dsir_weights": _dsir_weights,
+        "host_trap_signals": _host_trap_signals,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -3309,6 +3374,56 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (ORDER BY gkey DESC, doc_id) <= 100
                    AS selected
         FROM keyed
+    """
+    d["host_trap_signals"] = """
+        WITH u AS (
+            SELECT doc_id, doc_id % 8 AS h,
+                   CASE WHEN doc_id % 8 = 6
+                            THEN CAST(2 * (doc_id % 4 + 1) AS BIGINT)
+                        WHEN doc_id % 8 = 7 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(2 AS BIGINT) END AS depth,
+                   CASE WHEN doc_id % 8 = 6 AND doc_id % 4 > 0
+                        THEN 1.0 ELSE 0.0 END AS rep_flag,
+                   CASE WHEN doc_id % 8 = 7 THEN CAST(1 AS BIGINT)
+                        WHEN doc_id % 8 < 6 AND doc_id % 3 = 0
+                            THEN CAST(2 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS n_params,
+                   CASE WHEN doc_id % 8 = 7 THEN 'constant'
+                        ELSE md5(CAST(doc_id AS VARCHAR)) END AS digest
+            FROM documents
+        ),
+        sig AS (
+            SELECT 'h' || h || '.example.com' AS host,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   avg(CAST(depth AS DOUBLE)) AS avg_depth,
+                   max(depth) AS max_depth,
+                   avg(rep_flag) AS repeat_seg_share,
+                   avg(CAST(n_params AS DOUBLE)) AS avg_params,
+                   max(n_params) AS max_params,
+                   CAST(count(DISTINCT digest) AS BIGINT) AS n_contents
+            FROM u GROUP BY 1
+        ),
+        flagged AS (
+            SELECT *,
+                   CAST(n_urls AS DOUBLE) / n_contents
+                       AS urls_per_content,
+                   CASE WHEN n_urls >= 20 THEN concat_ws(',',
+                        CASE WHEN CAST(n_urls AS DOUBLE) / n_contents
+                                  > 4.0 THEN 'dup_content' END,
+                        CASE WHEN avg_depth > 8.0 THEN 'deep_paths' END,
+                        CASE WHEN repeat_seg_share > 0.5
+                             THEN 'cyclic_paths' END,
+                        CASE WHEN avg_params > 4.0
+                             THEN 'param_blowup' END)
+                   ELSE '' END AS trap_reasons
+            FROM sig
+        )
+        SELECT host, n_urls, round(avg_depth, 6) AS avg_depth,
+               max_depth, round(repeat_seg_share, 6) AS repeat_seg_share,
+               round(avg_params, 6) AS avg_params, max_params,
+               n_contents, round(urls_per_content, 6) AS urls_per_content,
+               trap_reasons, trap_reasons <> '' AS is_trap_suspect
+        FROM flagged
     """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless
