@@ -97,3 +97,59 @@ def test_recrawl_composes_with_cdx_records(spark):
     assert (
         sched.filter(F.col("refetch_interval_s") != 30 * DAY).count() == 0
     )
+
+
+def test_recrawl_loop_closes_into_crawl_engine(spark, tmp_path):
+    """CDX capture history -> change-rate schedule -> due set -> a fresh
+    CrawlEngine wave fetches exactly the due URLs: the freshness loop the
+    reference's cron cadence becomes at web scale."""
+    from hk_housing_datahub_spark.datagen import generate_pages
+    from hk_housing_datahub_spark.frontier.crawl import CrawlEngine
+    from hk_housing_datahub_spark.sources.cdx import cdx_records
+
+    pages = generate_pages(spark, 300, n_hosts=6).cache()
+
+    # two crawl WAVES one day apart (wave-aligned capture timestamps,
+    # like a real recrawl); ~1/3 of pages "changed" between them
+    t0 = 1_700_000_000
+    c1 = cdx_records(pages).select(
+        "url_canon", F.timestamp_seconds(F.lit(t0)).alias("warc_ts"),
+        "digest",
+    )
+    changed = F.pmod(F.xxhash64("url_canon"), F.lit(3)) == 0
+    c2 = c1.select(
+        "url_canon",
+        F.timestamp_seconds(F.lit(t0 + DAY)).alias("warc_ts"),
+        F.when(changed, F.concat(F.col("digest"), F.lit("x")))
+        .otherwise(F.col("digest"))
+        .alias("digest"),
+    )
+    sched = recrawl_schedule(c1.union(c2)).cache()
+
+    # changed pages: n=1 interval, X=1 -> 1/lambda ~ 0.91 day; stable
+    # pages: X=0 -> the 30-day max interval. Two days after the second
+    # wave exactly the changed set is due.
+    now = t0 + 3 * DAY
+    due = due_for_refetch(sched, now_epoch=now, priority=0).cache()
+    expected = {
+        r["url_canon"]
+        for r in c1.filter(changed).select("url_canon").collect()
+    }
+    assert {r["url"] for r in due.collect()} == expected
+    assert 0 < due.count() < pages.count()
+
+    # the due frame IS a seeds frame: one engine wave refetches exactly it
+    # robots=None: the loop under test is freshness, not politeness
+    eng = CrawlEngine(
+        spark, pages, None, str(tmp_path / "recrawl"),
+        wave_ms=10_000_000, max_depth=1,
+    )
+    res = eng.run(due, max_waves=1)
+    got = {
+        r["url_canon"]
+        for r in res.listings(spark)
+        .filter(F.col("wave") == 0)
+        .select("url_canon")
+        .collect()
+    }
+    assert got == expected
