@@ -8,6 +8,7 @@ this module is the canonical composition and the per-stage accounting.
     docs ──drop exact dups──► uniq
          ──drop near dups (LSH at scale / exact verifier)──► canon
          ──quality_score >= min_quality──► kept
+         ──DSIR top-k toward a target corpus (optional)──► selected
          ──redact_pii (scrubbed text becomes THE text)──► clean
          ──deterministic hash sample (plain / stratified / mixture)──► samp
          ──pack_greedy(token budget)──► corpus (bucket, bin_id columns)
@@ -58,6 +59,10 @@ class CorpusRecipe:
     span_k: int = 15  # duplicated-span window (tokens, Lee et al. use 50)
     max_perplexity: float | None = None  # bigram-LM gate (needs lm_reference)
     lm_k: float = 0.5  # add-k smoothing for the LM gate
+    dsir_top_k: int | None = None  # DSIR selection size (needs dsir_reference)
+    dsir_dim: int = 4096  # hashed n-gram buckets for the DSIR model
+    dsir_seed: int = 0  # Gumbel resampling seed
+    dsir_temperature: float = 1.0  # ->0: deterministic top-k by weight
     salt: str = ""
 
 
@@ -68,6 +73,7 @@ def prepare_training_corpus(
     text_col: str = "text",
     benchmark: DataFrame | None = None,
     lm_reference: DataFrame | None = None,
+    dsir_reference: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full preparation funnel; returns the packed corpus with
     ``text`` already scrubbed, plus ``n_tokens``, ``pii_total``,
@@ -84,7 +90,13 @@ def prepare_training_corpus(
     LM on; documents scoring above the perplexity cap after the heuristic
     quality gate are dropped (operators/lm_quality.py). Short documents
     with no bigram evidence score NULL and are KEPT — the heuristic gate
-    already owns the too-short case."""
+    already owns the too-short case.
+
+    ``dsir_reference`` (optional, with ``recipe.dsir_top_k``): a target
+    corpus to select TOWARD (operators/importance.py) — after the
+    negative gates remove junk, DSIR's Gumbel top-k keeps the
+    ``dsir_top_k`` surviving docs whose hashed-n-gram distribution best
+    matches the reference, deterministic under ``recipe.dsir_seed``."""
     r = recipe or CorpusRecipe()
     out = docs
     if benchmark is not None:
@@ -156,6 +168,39 @@ def prepare_training_corpus(
                 | (F.col("perplexity") <= r.max_perplexity)
             )
             .select(*cols)
+        )
+    if r.dsir_top_k is not None:
+        if dsir_reference is None:
+            raise ValueError("dsir_top_k needs dsir_reference")
+        from ..operators.importance import (
+            dsir_select,
+            fit_logratio,
+            hashed_ngram_features,
+            importance_weights,
+        )
+
+        # positive selection AFTER the negative gates (junk that merely
+        # shares vocabulary with the target must not crowd the k budget);
+        # survivor features feed both the raw side of the model fit and
+        # the scoring pass, so persist them across the two consumptions
+        feats = hashed_ngram_features(
+            out, id_col=id_col, text_col=text_col, dim=r.dsir_dim
+        ).persist()
+        lr = fit_logratio(
+            hashed_ngram_features(
+                dsir_reference, id_col=id_col, text_col=text_col,
+                dim=r.dsir_dim,
+            ),
+            feats,
+            dim=r.dsir_dim,
+        )
+        out = dsir_select(
+            out,
+            importance_weights(feats, lr),
+            k=r.dsir_top_k,
+            id_col=id_col,
+            seed=r.dsir_seed,
+            temperature=r.dsir_temperature,
         )
     out = redact_pii(out, text_col)
     # the scrubbed text IS the corpus text from here on

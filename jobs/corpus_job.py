@@ -47,6 +47,15 @@ def main() -> None:
         "--lm-reference", default="",
         help="parquet of reference texts to fit the perplexity LM on",
     )
+    ap.add_argument(
+        "--dsir-top-k", type=int, default=None,
+        help="keep the k docs most like --dsir-reference (DSIR)",
+    )
+    ap.add_argument(
+        "--dsir-reference", default="",
+        help="parquet of target texts the DSIR selection aims toward",
+    )
+    ap.add_argument("--dsir-seed", type=int, default=0)
     ap.add_argument("--tag", default="", help="tag the committed snapshot")
     ap.add_argument(
         "--render-sequences", action="store_true",
@@ -83,15 +92,22 @@ def main() -> None:
         sample_rate=args.sample_rate,
         pack_budget=args.budget,
         max_perplexity=args.max_perplexity,
+        dsir_top_k=args.dsir_top_k,
+        dsir_seed=args.dsir_seed,
         salt=args.salt,
     )
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     lm_ref = (
         spark.read.parquet(args.lm_reference) if args.lm_reference else None
     )
+    dsir_ref = (
+        spark.read.parquet(args.dsir_reference)
+        if args.dsir_reference
+        else None
+    )
     corpus = prepare_training_corpus(
         docs, recipe, id_col=args.id_col, text_col=args.text_col,
-        benchmark=bench, lm_reference=lm_ref,
+        benchmark=bench, lm_reference=lm_ref, dsir_reference=dsir_ref,
     ).persist()
     stats = corpus_stats(docs, corpus).first()
     # cluster the output by (bucket, bin_id): training readers consume bin

@@ -297,3 +297,25 @@ def test_recipe_gopher_repetition_gate(spark, docs):
     )
     assert gated.count() <= base.count()
     assert gated.columns == base.columns
+
+
+def test_funnel_dsir_selection_stage(spark, docs):
+    recipe = CorpusRecipe(dedup="exact", dsir_top_k=50, dsir_seed=11)
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    out = prepare_training_corpus(docs, recipe, dsir_reference=target)
+    assert out.count() == 50
+    # deterministic under the seed
+    out2 = prepare_training_corpus(docs, recipe, dsir_reference=target)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+    # selection aims toward the target: the kept set is en-heavier than
+    # the funnel survivors as a whole
+    base = prepare_training_corpus(docs, CorpusRecipe(dedup="exact"))
+    def en_share(df):
+        n = df.count()
+        return df.filter(F.col("lang") == "en").count() / n
+    assert en_share(out) > en_share(base)
+    # guard: the knob without its reference is an explicit error
+    with pytest.raises(ValueError, match="dsir_reference"):
+        prepare_training_corpus(docs, recipe)
