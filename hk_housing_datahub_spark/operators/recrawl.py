@@ -58,13 +58,17 @@ def recrawl_schedule(
     chg = F.when(
         prev.isNotNull() & (F.col(digest_col) != prev), 1
     ).otherwise(0)
+    # group on the ORIGINAL column (renamed only after the agg): aliasing
+    # before the groupBy makes Catalyst treat the key as a new attribute
+    # and re-shuffle what the window already partitioned — keeping the
+    # identity collapses the plan to one exchange (pinned in test_plans)
     per = (
         captures.select(
-            F.col(url_col).alias("url"),
+            F.col(url_col),
             F.unix_timestamp(ts_col).alias("ts"),
             chg.alias("chg"),
         )
-        .groupBy("url")
+        .groupBy(url_col)
         .agg(
             F.count(F.lit(1)).alias("n_captures"),
             F.sum("chg").alias("n_changes"),
@@ -89,7 +93,7 @@ def recrawl_schedule(
         ),
     ).otherwise(F.lit(float(max_interval_s)))
     return per.select(
-        "url",
+        F.col(url_col).alias("url"),
         "n_captures",
         "n_changes",
         avg_int.alias("avg_interval_s"),

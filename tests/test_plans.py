@@ -403,3 +403,102 @@ def test_pagerank_iteration_plan_compact_key_only(spark):
         assert "CartesianProduct" not in p
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert len(p3) < 2 * len(p1), (len(p1), len(p3))
+
+
+def test_recrawl_schedule_single_exchange(spark):
+    """Change-rate estimation: the lag window and the per-URL aggregate
+    key on the same column, so ONE hash exchange feeds both — per-URL
+    state is a handful of longs at 10^10 URLs."""
+    from hk_housing_datahub_spark.operators.recrawl import recrawl_schedule
+    from hk_housing_datahub_spark.sources.cdx import cdx_records
+
+    caps = cdx_records(_t(spark, "documents").selectExpr(
+        "concat('https://h', doc_id % 10, '.example.com/', doc_id) AS url",
+        "timestamp_seconds(doc_id) AS warc_ts",
+        "lang",
+        "cast(text AS binary) AS html",
+    ))
+    p = plan_of(recrawl_schedule(caps))
+    assert p.count("hashpartitioning(") == 1, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_snapshot_diff_single_aggregate_no_window(spark):
+    """Crawl-to-crawl diff is one groupBy (struct-max snapshot selection
+    stays inside the partial aggregate) — no window, no join."""
+    from hk_housing_datahub_spark.sources.cdx import cdx_snapshot_diff
+
+    caps = _t(spark, "documents").selectExpr(
+        "concat('u', doc_id % 50) AS url_canon",
+        "timestamp_seconds(1700000000 + doc_id) AS warc_ts",
+        "md5(cast(doc_id AS string)) AS digest",
+    )
+    p = plan_of(cdx_snapshot_diff(caps, 1_700_000_100, 1_700_000_400))
+    assert p.count("hashpartitioning(") == 1, p
+    assert "Window" not in p and "Join" not in p
+    assert "partial_max" in p or "HashAggregate" in p
+
+
+def test_host_graph_two_level_agg_one_exchange_chain(spark):
+    """The (pair, page) pre-aggregate and the pair rollup share the
+    prefix of their grouping key: the rollup adds NO second wide
+    shuffle over page-level data (AQE/exchange reuse keeps it one
+    chain keyed by the compact host pair)."""
+    from hk_housing_datahub_spark.operators.linkgraph import host_graph
+
+    edges = _t(spark, "documents").selectExpr(
+        "concat('https://h', doc_id % 10, '.example.com/p/', doc_id)"
+        " AS src_url",
+        "concat('https://h', (doc_id * 7 + 1) % 10, '.example.com/p/',"
+        " doc_id) AS dst_url",
+    )
+    p = plan_of(host_graph(edges))
+    # exchanges key on host-pair columns only — never on the raw URL
+    segs = p.split("hashpartitioning(")[1:]
+    assert segs, p
+    for seg in segs:
+        head = seg[:120]
+        assert "src_url" not in head and "dst_url" not in head, head
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_trap_signals_map_side_features_one_exchange(spark):
+    """Per-URL trap features are codegen projections; the host rollup is
+    the only exchange (count-distinct adds its standard expand, still
+    keyed on host)."""
+    from hk_housing_datahub_spark.operators.traps import host_trap_signals
+
+    urls = _t(spark, "documents").selectExpr(
+        "concat('https://h', doc_id % 10, '.example.com/a/b/', doc_id)"
+        " AS url",
+        "md5(cast(doc_id AS string)) AS digest",
+    )
+    p = plan_of(host_trap_signals(urls, digest_col="digest"))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Join" not in p
+    segs = p.split("hashpartitioning(")[1:]
+    assert segs, p
+    for seg in segs:
+        assert "url#" not in seg[:120], seg[:120]
+
+
+def test_dsir_scoring_broadcasts_model_side(spark):
+    """The fitted log-ratio table is dim-bounded and must broadcast into
+    the feature scoring join — the corpus side never reshuffles on the
+    bucket key."""
+    from hk_housing_datahub_spark.operators.importance import (
+        fit_logratio,
+        hashed_ngram_features,
+        importance_weights,
+    )
+
+    docs = _t(spark, "documents")
+    feats = hashed_ngram_features(docs, dim=512)
+    lr = fit_logratio(
+        hashed_ngram_features(docs.filter(F.col("lang") == "en"), dim=512),
+        feats,
+        dim=512,
+    )
+    p = plan_of(importance_weights(feats, lr))
+    assert "BroadcastHashJoin" in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
