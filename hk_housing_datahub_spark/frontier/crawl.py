@@ -90,7 +90,20 @@ class CrawlEngine:
         rank_priorities: bool = False,
         rank_iterations: int = 5,
         rank_bands: int = 4,
+        trap_guard: bool = False,
+        trap_min_urls: int = 20,
+        trap_thresholds: dict | None = None,
     ):
+        # Trap guard (operators/traps.py): per wave, fetched pages land in
+        # an accumulated (url_canon, digest) capture log; hosts whose URL
+        # space looks pathological (duplicate content behind URL variants,
+        # cyclic paths, param blowup) are dropped from the NEXT frontier —
+        # already-extracted rows are kept (they are real content; the trap
+        # only stops the frontier from chasing the host's infinite tail).
+        # Resume-safe like edges/: per-wave overwritten dirs.
+        self.trap_guard = trap_guard
+        self.trap_min_urls = trap_min_urls
+        self.trap_thresholds = trap_thresholds or {}
         # Link-graph prioritization (operators/linkgraph.py): after each
         # wave, the extracted outlink edges are appended to a per-wave
         # checkpointed edge log, PageRank runs over the accumulated graph,
@@ -404,6 +417,50 @@ class CrawlEngine:
                     base_priority=DISCOVERED_PRIORITY,
                 ).select(*FRONTIER_COLS)
                 t = tick("link-graph rerank", t)
+
+            if self.trap_guard:
+                from ..operators.traps import (
+                    flag_trap_hosts,
+                    host_trap_signals,
+                )
+
+                # per-wave capture log: the content identity is the
+                # extracted text (NULL-extract pages fold into one class —
+                # a trap host serving empty shells still counts as one
+                # content); overwrite per wave = crash-idempotent
+                (
+                    listings.select(
+                        "url_canon",
+                        F.coalesce(
+                            F.md5("extracted_text"), F.lit("null")
+                        ).alias("digest"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(
+                        os.path.join(self.dir, "captures", f"wave={wave}")
+                    )
+                )
+                suspects = (
+                    flag_trap_hosts(
+                        host_trap_signals(
+                            self.spark.read.parquet(
+                                os.path.join(self.dir, "captures")
+                            ),
+                            url_col="url_canon",
+                            digest_col="digest",
+                        ),
+                        min_urls=self.trap_min_urls,
+                        **self.trap_thresholds,
+                    )
+                    .filter(F.col("is_trap_suspect"))
+                    .select("host")
+                )
+                # suspects are a handful of hosts: broadcast anti-join, the
+                # frontier never reshuffles
+                frontier = frontier.join(
+                    F.broadcast(suspects), "host", "left_anti"
+                )
+                t = tick("trap guard", t)
 
             # ---- checkpoint commit (manifest last → atomic resume point).
             # Frontier size is observed during the write — the manifest

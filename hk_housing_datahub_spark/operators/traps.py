@@ -79,9 +79,14 @@ def host_trap_signals(
         )
     out = feats.groupBy("host").agg(*aggs)
     if digest_col is not None:
+        # countDistinct skips NULL digests — an all-NULL host would hit
+        # ANSI's divide-by-zero, so gate on a positive denominator
         out = out.withColumn(
             "urls_per_content",
-            F.col("n_urls") / F.col("n_contents"),
+            F.when(
+                F.col("n_contents") > 0,
+                F.col("n_urls") / F.col("n_contents"),
+            ),
         )
     else:
         out = out.withColumn(

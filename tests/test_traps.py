@@ -63,3 +63,79 @@ def test_signals_without_digest_have_null_content_ratio(spark):
     assert row["n_contents"] is None
     assert row["urls_per_content"] is None
     assert row["n_urls"] == 3
+
+
+def _trap_corpus(spark):
+    """120 pages on a session-id trap host (one content behind ?sid=
+    variants, each linking deeper into the sid space) + 120 healthy
+    pages (distinct content, linear link chain)."""
+    rows = []
+    for i in range(120):
+        t_url = f"https://trap.com/page?sid={i}"
+        t_html = (
+            "<html><body><div id=\"content\">same trap content</div>"
+            f"<a href=\"https://trap.com/page?sid={i + 60}\">n</a>"
+            "</body></html>"
+        )
+        rows.append((t_url, t_html.encode(), "same trap content"))
+        o_url = f"https://ok.com/p/{i}"
+        o_html = (
+            f"<html><body><div id=\"content\">content {i}</div>"
+            f"<a href=\"https://ok.com/p/{i + 60}\">n</a>"
+            "</body></html>"
+        )
+        rows.append((o_url, o_html.encode(), f"content {i}"))
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "url string, html binary, text string"
+    ).select(
+        "url",
+        F.timestamp_seconds(F.lit(1_700_000_000)).alias("warc_ts"),
+        "html",
+        "text",
+        F.lit("en").alias("lang"),
+    )
+
+
+def _seed_urls(spark):
+    from pyspark.sql import functions as F
+
+    seeds = [(f"https://trap.com/page?sid={i}", 0) for i in range(25)]
+    seeds += [(f"https://ok.com/p/{i}", 0) for i in range(25)]
+    return spark.createDataFrame(seeds, ["url", "priority"])
+
+
+def test_trap_guard_stops_the_trap_tail(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.frontier.crawl import CrawlEngine
+
+    pages = _trap_corpus(spark).cache()
+
+    def crawl(name, **kw):
+        eng = CrawlEngine(
+            spark, pages, None, str(tmp_path / name),
+            wave_ms=10_000_000, max_depth=2, **kw,
+        )
+        res = eng.run(_seed_urls(spark), max_waves=2)
+        ls = res.listings(spark)
+        return {
+            (r["wave"], r["host"]): r["n"]
+            for r in ls.groupBy("wave", "host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    # control: without the guard the trap tail IS crawled in wave 1
+    base = crawl("noguard")
+    assert base[(1, "trap.com")] == 25
+
+    guarded = crawl("guard", trap_guard=True, trap_min_urls=20)
+    # wave 0 is identical (the guard reacts to observed captures) ...
+    assert guarded[(0, "trap.com")] == 25
+    assert guarded[(0, "ok.com")] == 25
+    # ... but the trap host is evicted from the next frontier while the
+    # healthy host keeps crawling
+    assert (1, "trap.com") not in guarded
+    assert guarded[(1, "ok.com")] == base[(1, "ok.com")] == 25
