@@ -1935,6 +1935,17 @@ def _host_trap_signals(spark, sf):
     )
 
 
+def _per_source_cap(spark, sf):
+    """Per-domain dominance cap (operators/sampling.py cap_per_group —
+    the RefinedWeb/C4 rule): keep the 12 docs per source with the
+    smallest salted-md5 order key. Deterministic, so the DuckDB twin is
+    the identical window."""
+    from hk_housing_datahub_spark.operators.sampling import cap_per_group
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return cap_per_group(d, ["source"], ["doc_id"], 12, salt="capv1")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -2016,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph_degrees": _host_graph_degrees,
         "dsir_weights": _dsir_weights,
         "host_trap_signals": _host_trap_signals,
+        "per_source_cap": _per_source_cap,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -3424,6 +3436,16 @@ def oracle_sql() -> dict[str, str]:
                n_contents, round(urls_per_content, 6) AS urls_per_content,
                trap_reasons, trap_reasons <> '' AS is_trap_suspect
         FROM flagged
+    """
+    d["per_source_cap"] = """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source
+                ORDER BY substr(md5(concat_ws(chr(31), 'capv1',
+                                CAST(doc_id AS VARCHAR))), 1, 8),
+                         doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= 12
     """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless

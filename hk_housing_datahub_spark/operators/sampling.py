@@ -175,3 +175,31 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(rate_to_hex(rate))
         ).otherwise(thr)
     return df.where(_key_hash(keys, salt) < thr)
+
+
+def cap_per_group(
+    df,
+    group_cols: list[str],
+    key_cols: list[str],
+    max_rows: int,
+    salt: str = "",
+):
+    """Deterministic per-group row cap (the RefinedWeb/C4 per-domain
+    cap: no single host may dominate the corpus). Keeps the ``max_rows``
+    rows of each group with the smallest md5 order key — i.e. a uniform
+    without-replacement sample per group, stable across runs, engines
+    and partitionings (same md5-keyed contract as ``hash_sample``).
+
+    ONE window over the group key; at 10^10 rows the groups are hosts
+    (millions of small groups), so the rank never sees a giant
+    partition — and a skewed mega-host is exactly the row the cap
+    exists to cut."""
+    from pyspark.sql import Window as W
+
+    okey = _key_hash(key_cols, salt)
+    w = W.partitionBy(*group_cols).orderBy(okey, *key_cols)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_rows)
+        .drop("_rk")
+    )

@@ -63,6 +63,8 @@ class CorpusRecipe:
     dsir_dim: int = 4096  # hashed n-gram buckets for the DSIR model
     dsir_seed: int = 0  # Gumbel resampling seed
     dsir_temperature: float = 1.0  # ->0: deterministic top-k by weight
+    cap_per_source: int | None = None  # RefinedWeb/C4 per-domain cap
+    cap_group_col: str = "source"  # the domain/host column to cap on
     salt: str = ""
 
 
@@ -205,6 +207,15 @@ def prepare_training_corpus(
     out = redact_pii(out, text_col)
     # the scrubbed text IS the corpus text from here on
     out = out.drop(text_col).withColumnRenamed(f"{text_col}_redacted", text_col)
+    if r.cap_per_source is not None:
+        # per-domain dominance cap BEFORE the global sample: a mega-host
+        # must not eat the sample budget (RefinedWeb's per-domain rule)
+        from ..operators.sampling import cap_per_group
+
+        out = cap_per_group(
+            out, [r.cap_group_col], [id_col], r.cap_per_source,
+            salt=r.salt,
+        )
     if r.mixture:
         if not r.mixture_total:
             raise ValueError("mixture needs mixture_total")

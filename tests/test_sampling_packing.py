@@ -406,3 +406,51 @@ def test_training_order_duckdb_parity_and_properties(spark, sf_small):
     keyed = training_order(d, ["doc_id"], seed="ep0", rank=False)
     assert "order_rank" not in keyed.columns
     assert {"order_key", "shuffle_bucket"} <= set(keyed.columns)
+
+
+def test_cap_per_group_deterministic_uniform_cap(spark):
+    from hk_housing_datahub_spark.operators.sampling import cap_per_group
+
+    rows = [(f"h{i % 3}", i) for i in range(90)] + [("h_small", 999)]
+    df = spark.createDataFrame(rows, ["host", "doc_id"])
+    capped = cap_per_group(df, ["host"], ["doc_id"], 10)
+    per = {
+        r["host"]: r["n"]
+        for r in capped.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # big groups cut to the cap; small groups untouched
+    assert per == {"h0": 10, "h1": 10, "h2": 10, "h_small": 1}
+    # deterministic: same rows every run, a different salt moves them
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_per_group(df, ["host"], ["doc_id"], 10).collect()
+    )
+    c = sorted(
+        r["doc_id"]
+        for r in cap_per_group(
+            df, ["host"], ["doc_id"], 10, salt="other"
+        ).collect()
+    )
+    assert a == b and a != c
+
+
+def test_funnel_cap_per_source_stage(spark, sf_small):
+    from hk_housing_datahub_spark.pipelines.corpus import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = prepare_training_corpus(
+        docs, CorpusRecipe(dedup="exact", cap_per_source=3)
+    )
+    worst = (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert worst <= 3
