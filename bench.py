@@ -212,6 +212,12 @@ def main() -> None:
             "span_dedup_profile",
             "gopher_repetition",
             "link_graph_rank",
+            # round-4 web-archive + selection battery
+            "cdx_snapshot_diff",
+            "recrawl_schedule",
+            "host_graph_rollup",
+            "host_trap_signals",
+            "dsir_weights",
         ]
         qs = E.queries()
         for name in bench_queries:
