@@ -1946,6 +1946,31 @@ def _per_source_cap(spark, sf):
     return cap_per_group(d, ["source"], ["doc_id"], 12, salt="capv1")
 
 
+def _warc_cdx_locations(spark, sf):
+    """WARC segment pointer table (sources/warc.py warc_locations): each
+    doc becomes a response record; records are split into 4 segments
+    (portable doc_id split so the oracle can mirror it), SURT-ordered
+    within a segment, with byte offsets from the running record-length
+    sum. The oracle recomputes every record length from the header
+    grammar (static field widths + url + digits(payload_len)) — the
+    date field is tz-dependent text but constant 20-byte width."""
+    from hk_housing_datahub_spark.sources.warc import warc_locations
+
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
+            F.lit(".example.com/p/"), F.col("doc_id"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id")
+        ).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.pmod("doc_id", F.lit(4)).alias("seg"),
+    )
+    return warc_locations(pages, segment_col="seg")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -2028,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _dsir_weights,
         "host_trap_signals": _host_trap_signals,
         "per_source_cap": _per_source_cap,
+        "warc_cdx_locations": _warc_cdx_locations,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -3446,6 +3472,35 @@ def oracle_sql() -> dict[str, str]:
                          doc_id) AS rk
             FROM documents
         ) WHERE rk <= 12
+    """
+    d["warc_cdx_locations"] = """
+        WITH recs AS (
+            SELECT 'com,example,h' || (doc_id % 10) || ')/p/' || doc_id
+                       AS surt,
+                   'https://h' || (doc_id % 10) || '.example.com/p/'
+                       || doc_id AS url,
+                   CAST(1700000000 + doc_id AS BIGINT) AS epoch,
+                   CAST(doc_id % 4 AS INT) AS segment,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS plen
+            FROM documents
+        ),
+        sized AS (
+            SELECT surt, url, epoch, segment,
+                   strlen(e'WARC/1.0\r\nWARC-Type: response\r\n'
+                          || 'WARC-Target-URI: ' || url || e'\r\n'
+                          || 'WARC-Date: ')
+                   + 20 + 2
+                   + strlen('Content-Length: ' || CAST(plen AS VARCHAR))
+                   + 4 + plen + 4 AS length
+            FROM recs
+        )
+        SELECT surt, url, segment,
+               CAST(coalesce(sum(length) OVER (
+                   PARTITION BY segment ORDER BY surt, epoch, url
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS offset,
+               CAST(length AS BIGINT) AS length
+        FROM sized
     """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless

@@ -1,0 +1,171 @@
+"""WARC record rendering + parsing (ISO 28500, the Common Crawl
+interchange format) and the cdxj location index over it.
+
+The reference stores fetched listings in a SQL table; a web-scale crawl
+ships its raw captures as WARC segments and serves lookups through a CDX
+index of (surt, segment, offset, length) pointers — exactly how Common
+Crawl's cdxj files reference its warc.gz segments. This module renders
+the record BYTES and computes the pointers; both are pure Column
+expressions, so the cdxj pointer table is oracle-checkable and the
+record layout is engine-independent:
+
+- ``warc_record``: the response record as binary — ``WARC/1.0`` header
+  block (Target-URI, Date, Content-Length) + CRLF CRLF + payload +
+  CRLF CRLF. Header fields are plain octets; the payload is the stored
+  ``html`` bytes verbatim (arbitrary bytes, never re-encoded).
+- ``warc_locations``: assign each capture to a segment (uniform
+  url-hash split, the Common Crawl "1 of N segments" layout), order
+  records within a segment by SURT (so a segment IS a sorted CDX run),
+  and compute each record's byte offset as the running sum of record
+  lengths — ONE window per segment, no driver work. The concatenation
+  of a segment's records in offset order is the segment file.
+- ``parse_warc_record``: recover (url, ts, payload) from record bytes
+  using the Content-Length framing (payload bytes are untouched even if
+  they contain CRLF or header-lookalike bytes).
+
+Scale: segments are the unit of parallelism (Common Crawl uses 100
+segments/crawl at ~1 TB each); the offset window partitions by segment
+and the sort key is the SURT the CDX index already materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.surt import surt_key
+
+_CRLF = "\r\n"
+
+
+def _warc_header(url: Column, ts: Column, payload_len: Column) -> Column:
+    """The header block as a STRING (headers are ASCII; the payload is
+    appended as raw bytes by warc_record)."""
+    return F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: response" + _CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Date: "),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit(_CRLF),
+        F.lit("Content-Length: "),
+        payload_len.cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+
+
+def warc_record(url: Column, ts: Column, payload: Column) -> Column:
+    """Binary WARC response record for one capture."""
+    plen = F.length(payload).cast("long")
+    return F.concat(
+        F.encode(_warc_header(url, ts, plen), "UTF-8"),
+        payload,
+        F.encode(F.lit(_CRLF + _CRLF), "UTF-8"),
+    )
+
+
+def warc_record_length(url: Column, ts: Column, payload: Column) -> Column:
+    """Exact byte length of ``warc_record`` WITHOUT building the bytes —
+    the offset math runs on lengths only (headers are ASCII, 1 byte per
+    char; the payload contributes its octet length)."""
+    plen = F.length(payload).cast("long")
+    return (
+        # octet_length: headers are UTF-8 encoded, a non-ASCII URL makes
+        # byte length exceed char length
+        F.octet_length(_warc_header(url, ts, plen)).cast("long")
+        + plen
+        + F.lit(4).cast("long")  # trailing CRLF CRLF
+    )
+
+
+def warc_locations(
+    pages: DataFrame,
+    n_segments: int = 16,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    segment_col: str | None = None,
+) -> DataFrame:
+    """The cdxj pointer table: (surt, url, segment, offset, length) —
+    records within a segment are SURT-ordered (each segment is a sorted
+    CDX run) and ``offset`` is the running byte position of the record
+    in the concatenated segment file. One window per segment.
+
+    ``segment_col``: use a precomputed segment assignment instead of the
+    default uniform url-hash split (e.g. per-crawl-wave segments, or an
+    engine-portable expression for differential testing)."""
+    u, ts, pl = F.col(url_col), F.col(ts_col), F.col(payload_col)
+    seg = (
+        F.col(segment_col).cast("int")
+        if segment_col
+        else F.pmod(F.xxhash64(u), F.lit(n_segments)).cast("int")
+    )
+    base = pages.select(
+        surt_key(u).alias("surt"),
+        u.alias("url"),
+        ts.alias("ts"),
+        seg.alias("segment"),
+        warc_record_length(u, ts, pl).alias("length"),
+    )
+    w = (
+        W.partitionBy("segment")
+        .orderBy("surt", "ts", "url")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return base.select(
+        "surt",
+        "url",
+        "segment",
+        F.coalesce(F.sum("length").over(w), F.lit(0)).alias("offset"),
+        "length",
+    )
+
+
+def render_segment(
+    pages: DataFrame,
+    segment: int,
+    n_segments: int = 16,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+) -> bytes:
+    """Materialize ONE segment's file bytes (tests / small exports): the
+    SURT-ordered concatenation of its records. The pointer table's
+    (offset, length) slices index into exactly these bytes."""
+    u, ts, pl = F.col(url_col), F.col(ts_col), F.col(payload_col)
+    rows = (
+        pages.select(
+            surt_key(u).alias("surt"),
+            ts.alias("ts"),
+            u.alias("url"),
+            F.pmod(F.xxhash64(u), F.lit(n_segments)).cast("int").alias(
+                "segment"
+            ),
+            warc_record(u, ts, pl).alias("rec"),
+        )
+        .filter(F.col("segment") == segment)
+        .orderBy("surt", "ts", "url")
+        .select("rec")
+        .collect()
+    )
+    return b"".join(bytes(r["rec"]) for r in rows)
+
+
+def parse_warc_record(record: Column) -> Column:
+    """struct(url, date, payload) from record bytes. The bytes round-trip
+    through ISO-8859-1 (a 1:1 byte↔char mapping, so arbitrary payload
+    bytes survive); the payload is sliced by Content-Length, so CRLFs or
+    header-lookalike bytes inside it are returned verbatim."""
+    s = F.decode(record, "ISO-8859-1")
+    sep = F.instr(s, _CRLF + _CRLF)  # 1-based start of the blank line
+    head = F.substr(s, F.lit(1), sep - 1)
+    url = F.regexp_extract(head, "WARC-Target-URI: ([^\r]*)", 1)
+    date = F.regexp_extract(head, "WARC-Date: ([^\r]*)", 1)
+    clen = F.regexp_extract(head, "Content-Length: ([0-9]+)", 1).cast(
+        "long"
+    )
+    payload = F.encode(F.substr(s, sep + 4, clen), "ISO-8859-1")
+    return F.struct(
+        url.alias("url"), date.alias("date"), payload.alias("payload")
+    )

@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.sources.warc import (
+    parse_warc_record,
+    render_segment,
+    warc_locations,
+    warc_record,
+    warc_record_length,
+)
+
+
+def _pages(spark):
+    rows = [
+        # payload with CRLFs, a header-lookalike line, and non-UTF8 bytes
+        ("https://a.com/x", 1_700_000_000,
+         b"line1\r\nContent-Length: 999\r\n\xff\xfe raw"),
+        ("https://a.com/y", 1_700_000_100, b"tiny"),
+        ("https://b.com/", 1_700_000_200, b""),
+        ("https://c.com/p?b=2&a=1", 1_700_000_300, b"x" * 1000),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, epoch long, html binary"
+    ).select(
+        "url", F.timestamp_seconds("epoch").alias("warc_ts"), "html"
+    )
+
+
+def test_warc_record_roundtrip_and_length(spark):
+    pages = _pages(spark)
+    out = pages.select(
+        "url",
+        "html",
+        warc_record(F.col("url"), F.col("warc_ts"), F.col("html")).alias(
+            "rec"
+        ),
+        warc_record_length(
+            F.col("url"), F.col("warc_ts"), F.col("html")
+        ).alias("rlen"),
+        parse_warc_record(
+            warc_record(F.col("url"), F.col("warc_ts"), F.col("html"))
+        ).alias("parsed"),
+    ).collect()
+    for r in out:
+        assert len(bytes(r["rec"])) == r["rlen"]
+        assert r["parsed"]["url"] == r["url"]
+        assert bytes(r["parsed"]["payload"]) == bytes(r["html"])
+        head = bytes(r["rec"]).split(b"\r\n\r\n", 1)[0].decode()
+        assert head.startswith("WARC/1.0")
+        assert f"Content-Length: {len(bytes(r['html']))}" in head
+
+
+def test_warc_locations_slice_the_rendered_segment(spark):
+    from hk_housing_datahub_spark.datagen import generate_pages
+
+    pages = generate_pages(spark, 200, n_hosts=5).cache()
+    n_seg = 4
+    locs = warc_locations(pages, n_segments=n_seg).collect()
+    assert len(locs) == 200
+    by_seg: dict[int, list] = {}
+    for r in locs:
+        by_seg.setdefault(r["segment"], []).append(r)
+    assert set(by_seg) == set(range(n_seg))
+    parse_one = None
+    for seg, rows in by_seg.items():
+        blob = render_segment(pages, seg, n_segments=n_seg)
+        rows.sort(key=lambda r: r["offset"])
+        # offsets tile the segment exactly: contiguous, gapless
+        pos = 0
+        for r in rows:
+            assert r["offset"] == pos
+            pos += r["length"]
+        assert pos == len(blob)
+        # a pointer slice IS the record for its URL
+        probe = rows[len(rows) // 2]
+        rec = blob[probe["offset"]: probe["offset"] + probe["length"]]
+        df = spark.createDataFrame([(bytearray(rec),)], "rec binary")
+        parsed = df.select(
+            parse_warc_record(F.col("rec")).alias("p")
+        ).collect()[0]["p"]
+        assert parsed["url"] == probe["url"]
+        # SURT order within the segment (sorted CDX run)
+        surts = [r["surt"] for r in rows]
+        assert surts == sorted(surts)
