@@ -171,3 +171,50 @@ def cdx_snapshot_diff(
             "captures_in_window"
         ),
     )
+
+
+def cdx_records_with_locations(
+    pages: DataFrame,
+    n_segments: int = 16,
+    url_col: str = "url",
+) -> DataFrame:
+    """Full cdxj rows: the CDX payload fields of ``cdx_records`` plus the
+    WARC pointer columns of ``warc_locations`` (segment, offset, length —
+    ``length`` here is the RECORD length, the cdxj meaning), computed in
+    one pass + one per-segment running-sum window. Feed the result to
+    ``build_cdx_index``-style range partitioning for the queryable index;
+    the (segment, offset, length) triple addresses the record inside the
+    rendered WARC segment (sources/warc.py render_segment)."""
+    from .warc import warc_record_length
+
+    u = F.col(url_col)
+    ts, pl = F.col("warc_ts"), F.col("html")
+    base = pages.select(
+        surt_key(u).alias("surt"),
+        canonicalize_url(u).alias("url_canon"),
+        u.alias("url"),
+        ts,
+        F.col("lang"),
+        F.md5(pl).alias("digest"),
+        F.pmod(F.xxhash64(u), F.lit(n_segments)).cast("int").alias(
+            "segment"
+        ),
+        warc_record_length(u, ts, pl).alias("length"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("segment")
+        .orderBy("surt", "warc_ts", "url")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return base.select(
+        "surt",
+        "url_canon",
+        "warc_ts",
+        "lang",
+        "digest",
+        "segment",
+        F.coalesce(F.sum("length").over(w), F.lit(0)).alias("offset"),
+        "length",
+    )

@@ -83,3 +83,39 @@ def test_warc_locations_slice_the_rendered_segment(spark):
         # SURT order within the segment (sorted CDX run)
         surts = [r["surt"] for r in rows]
         assert surts == sorted(surts)
+
+
+def test_cdx_records_with_locations_address_the_segments(spark):
+    """The composed cdxj rows point at exactly the bytes render_segment
+    produces — the full Common-Crawl-style index/segment contract."""
+    from hk_housing_datahub_spark.datagen import generate_pages
+    from hk_housing_datahub_spark.sources.cdx import (
+        cdx_records_with_locations,
+    )
+
+    pages = generate_pages(spark, 150, n_hosts=4).cache()
+    rows = cdx_records_with_locations(pages, n_segments=3).collect()
+    assert len(rows) == 150
+    for seg in range(3):
+        blob = render_segment(pages, seg, n_segments=3)
+        seg_rows = sorted(
+            (r for r in rows if r["segment"] == seg),
+            key=lambda r: r["offset"],
+        )
+        assert sum(r["length"] for r in seg_rows) == len(blob)
+        probe = seg_rows[0]
+        rec = blob[probe["offset"]: probe["offset"] + probe["length"]]
+        df = spark.createDataFrame([(bytearray(rec),)], "rec binary")
+        parsed = df.select(
+            parse_warc_record(F.col("rec")).alias("p")
+        ).collect()[0]["p"]
+        from hk_housing_datahub_spark.functions.urls import (
+            canonicalize_url,
+        )
+
+        canon = (
+            spark.createDataFrame([(parsed["url"],)], ["u"])
+            .select(canonicalize_url(F.col("u")).alias("c"))
+            .collect()[0]["c"]
+        )
+        assert canon == probe["url_canon"]
