@@ -3496,7 +3496,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT surt, url, segment,
                CAST(coalesce(sum(length) OVER (
-                   PARTITION BY segment ORDER BY surt, epoch, url
+                   PARTITION BY segment ORDER BY surt, epoch, url, length
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS BIGINT) AS offset,
                CAST(length AS BIGINT) AS length

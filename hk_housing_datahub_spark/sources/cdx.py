@@ -205,7 +205,7 @@ def cdx_records_with_locations(
 
     w = (
         W.partitionBy("segment")
-        .orderBy("surt", "warc_ts", "url")
+        .orderBy("surt", "warc_ts", "url", "length")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     return base.select(

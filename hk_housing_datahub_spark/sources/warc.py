@@ -108,9 +108,12 @@ def warc_locations(
         seg.alias("segment"),
         warc_record_length(u, ts, pl).alias("length"),
     )
+    # length as the last sort key: two captures identical in
+    # (surt, ts, url) but different payloads still get deterministic
+    # offsets (equal keys with equal lengths are offset-invariant anyway)
     w = (
         W.partitionBy("segment")
-        .orderBy("surt", "ts", "url")
+        .orderBy("surt", "ts", "url", "length")
         .rowsBetween(W.unboundedPreceding, -1)
     )
     return base.select(
@@ -145,7 +148,7 @@ def render_segment(
             warc_record(u, ts, pl).alias("rec"),
         )
         .filter(F.col("segment") == segment)
-        .orderBy("surt", "ts", "url")
+        .orderBy("surt", "ts", "url", F.length("rec"))
         .select("rec")
         .collect()
     )
