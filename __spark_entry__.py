@@ -3481,11 +3481,12 @@ def oracle_sql() -> dict[str, str]:
                        || doc_id AS url,
                    CAST(1700000000 + doc_id AS BIGINT) AS epoch,
                    CAST(doc_id % 4 AS INT) AS segment,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS plen
+                   CAST(octet_length(encode(text)) AS BIGINT) AS plen,
+                   md5(text) AS pdigest
             FROM documents
         ),
         sized AS (
-            SELECT surt, url, epoch, segment,
+            SELECT surt, url, epoch, segment, pdigest,
                    strlen(e'WARC/1.0\r\nWARC-Type: response\r\n'
                           || 'WARC-Target-URI: ' || url || e'\r\n'
                           || 'WARC-Date: ')
@@ -3496,7 +3497,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT surt, url, segment,
                CAST(coalesce(sum(length) OVER (
-                   PARTITION BY segment ORDER BY surt, epoch, url, length
+                   PARTITION BY segment ORDER BY surt, epoch, url, length, pdigest
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS BIGINT) AS offset,
                CAST(length AS BIGINT) AS length

@@ -102,8 +102,23 @@ class CrawlEngine:
         # only stops the frontier from chasing the host's infinite tail).
         # Resume-safe like edges/: per-wave overwritten dirs.
         self.trap_guard = trap_guard
-        self.trap_min_urls = trap_min_urls
-        self.trap_thresholds = trap_thresholds or {}
+        self.trap_thresholds = dict(trap_thresholds or {})
+        # min_urls may arrive via either knob; the dict wins, and unknown
+        # keys fail HERE, not mid-crawl after a wave's work is done
+        self.trap_min_urls = self.trap_thresholds.pop(
+            "min_urls", trap_min_urls
+        )
+        _allowed = {
+            "max_urls_per_content",
+            "max_avg_depth",
+            "max_repeat_seg_share",
+            "max_avg_params",
+        }
+        unknown = set(self.trap_thresholds) - _allowed
+        if unknown:
+            raise TypeError(
+                f"unknown trap_thresholds keys: {sorted(unknown)}"
+            )
         # Link-graph prioritization (operators/linkgraph.py): after each
         # wave, the extracted outlink edges are appended to a per-wave
         # checkpointed edge log, PageRank runs over the accumulated graph,

@@ -33,13 +33,30 @@ def surt_host(url: Column) -> Column:
 
 
 def surt_key(url: Column) -> Column:
-    """Full SURT: ``rev-host)path[?canonical-query]``, lowercased."""
-    q = url_query_canon(url)
+    """Full SURT: ``rev-host[:port])path[?canonical-query]``, lowercased.
+
+    - The query is canonicalized over the LOWERCASED url so the sort
+      order is applied after case folding (sorting first would leave
+      ``?a=1&B=2`` and ``?A=1&b=2`` with different keys).
+    - A non-default port stays in the key (IA SURT convention:
+      ``com,example:8080)`` — a distinct origin must not collide with
+      the default-port one)."""
+    from .urls import url_port, url_scheme
+
+    # lowering the whole url first: host/path/query all fold together,
+    # and parsing is case-structure-independent
+    lurl = F.lower(url)
+    q = url_query_canon(lurl)
+    scheme = url_scheme(lurl)
+    port = url_port(lurl)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
     return F.concat(
         surt_host(url),
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
         F.lit(")"),
-        F.lower(url_path(url)),
-        F.when(q != "", F.concat(F.lit("?"), F.lower(q))).otherwise(
-            F.lit("")
-        ),
+        url_path(lurl),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )

@@ -34,8 +34,11 @@ CDX_COLUMNS = ["surt", "url_canon", "warc_ts", "lang", "digest", "length"]
 def cdx_records(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """CDX record per page: SURT key + canonical url + capture metadata.
 
-    ``digest``/``length`` mirror the cdxj payload fields (content digest,
-    record size) — computed from the stored body, JVM-side."""
+    ``digest`` is the content digest of the stored body; ``length`` is
+    the PAYLOAD byte count (octet_length — correct for string bodies
+    too). The cdxj "record length" — the full WARC record's bytes, what
+    a segment slice needs — is what ``cdx_records_with_locations``
+    emits; don't mix the two when accounting storage."""
     u = F.col(url_col)
     return pages.select(
         surt_key(u).alias("surt"),
@@ -43,7 +46,7 @@ def cdx_records(pages: DataFrame, url_col: str = "url") -> DataFrame:
         F.col("warc_ts"),
         F.col("lang"),
         F.md5(F.col("html")).alias("digest"),
-        F.length(F.col("html")).cast("long").alias("length"),
+        F.octet_length(F.col("html")).cast("long").alias("length"),
     )
 
 
@@ -157,9 +160,13 @@ def cdx_snapshot_diff(
     d0 = F.col("s0.digest")
     d1 = F.col("s1.digest")
     status = (
-        F.when(d0.isNull(), F.lit("new"))
+        # the STRUCT is null iff no pre-t0 capture exists — testing the
+        # digest would misread a known capture with a NULL digest (e.g.
+        # md5 of a NULL body) as "new"; eqNullSafe keeps NULL↔non-NULL
+        # digest transitions classified as changes
+        F.when(F.col("s0").isNull(), F.lit("new"))
         .when(F.col("captures_in_window") == 0, F.lit("stale"))
-        .when(d0 != d1, F.lit("changed"))
+        .when(~d0.eqNullSafe(d1), F.lit("changed"))
         .otherwise(F.lit("refreshed"))
     )
     return per.select(
@@ -179,42 +186,29 @@ def cdx_records_with_locations(
     url_col: str = "url",
 ) -> DataFrame:
     """Full cdxj rows: the CDX payload fields of ``cdx_records`` plus the
-    WARC pointer columns of ``warc_locations`` (segment, offset, length —
-    ``length`` here is the RECORD length, the cdxj meaning), computed in
-    one pass + one per-segment running-sum window. Feed the result to
-    ``build_cdx_index``-style range partitioning for the queryable index;
-    the (segment, offset, length) triple addresses the record inside the
-    rendered WARC segment (sources/warc.py render_segment)."""
-    from .warc import warc_record_length
+    WARC pointer columns (segment, offset, length — ``length`` here is
+    the RECORD length, the cdxj meaning). Composes ``warc.locate_records``
+    — the ONE definition of segment assignment, in-segment order and
+    offsets — so these pointers always address the bytes
+    ``warc.render_segment`` produces."""
+    from .warc import locate_records
 
     u = F.col(url_col)
-    ts, pl = F.col("warc_ts"), F.col("html")
-    base = pages.select(
-        surt_key(u).alias("surt"),
-        canonicalize_url(u).alias("url_canon"),
-        u.alias("url"),
-        ts,
-        F.col("lang"),
-        F.md5(pl).alias("digest"),
-        F.pmod(F.xxhash64(u), F.lit(n_segments)).cast("int").alias(
-            "segment"
-        ),
-        warc_record_length(u, ts, pl).alias("length"),
-    )
-    from pyspark.sql import Window as W
-
-    w = (
-        W.partitionBy("segment")
-        .orderBy("surt", "warc_ts", "url", "length")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    return base.select(
+    return locate_records(
+        pages,
+        n_segments=n_segments,
+        url_col=url_col,
+        extra={
+            "url_canon": canonicalize_url(u),
+            "lang": F.col("lang"),
+        },
+    ).select(
         "surt",
         "url_canon",
-        "warc_ts",
+        F.col("ts").alias("warc_ts"),
         "lang",
         "digest",
         "segment",
-        F.coalesce(F.sum("length").over(w), F.lit(0)).alias("offset"),
+        "offset",
         "length",
     )

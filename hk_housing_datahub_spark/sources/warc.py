@@ -47,7 +47,14 @@ def _warc_header(url: Column, ts: Column, payload_len: Column) -> Column:
         F.lit("WARC-Type: response" + _CRLF),
         F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
         F.lit("WARC-Date: "),
-        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        # render the INSTANT in UTC regardless of session timezone (the
+        # 'Z' suffix must not label local wall time): to_utc_timestamp
+        # against the session zone cancels date_format's session-zone
+        # rendering
+        F.date_format(
+            F.to_utc_timestamp(ts, F.current_timezone()),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ),
         F.lit(_CRLF),
         F.lit("Content-Length: "),
         payload_len.cast("string"),
@@ -79,6 +86,69 @@ def warc_record_length(url: Column, ts: Column, payload: Column) -> Column:
     )
 
 
+# In-segment record order — ONE definition shared by the pointer table,
+# the segment renderer, and the cdxj composer (sources/cdx.py), so the
+# byte layout cannot drift between them. The payload digest is the last
+# key: two captures identical in (surt, ts, url) with different
+# same-length payloads still get a deterministic record↔pointer pairing.
+ORDER_COLS = ["surt", "ts", "url", "length", "pdigest"]
+
+
+def segment_expr(url: Column, n_segments: int) -> Column:
+    """Uniform url-hash segment split (Common Crawl's 1-of-N layout)."""
+    return F.pmod(F.xxhash64(url), F.lit(n_segments)).cast("int")
+
+
+def locate_records(
+    pages: DataFrame,
+    n_segments: int = 16,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    segment_col: str | None = None,
+    extra: dict | None = None,
+) -> DataFrame:
+    """The layout engine behind every WARC/cdxj surface: per record —
+    (surt, url, ts, segment, digest, offset, length [, extras]) with
+    ``offset`` the running byte position inside the segment file (ONE
+    window per segment, ORDER_COLS order).
+
+    ``segment_col``: use a precomputed segment assignment instead of the
+    url-hash split (per-crawl-wave segments, or an engine-portable
+    expression for differential testing). ``extra``: {name: Column}
+    passthroughs evaluated on the input row (e.g. lang, url_canon)."""
+    u, ts, pl = F.col(url_col), F.col(ts_col), F.col(payload_col)
+    seg = (
+        F.col(segment_col).cast("int")
+        if segment_col
+        else segment_expr(u, n_segments)
+    )
+    base = pages.select(
+        surt_key(u).alias("surt"),
+        u.alias("url"),
+        ts.alias("ts"),
+        seg.alias("segment"),
+        warc_record_length(u, ts, pl).alias("length"),
+        F.md5(pl).alias("pdigest"),
+        *[v.alias(k) for k, v in (extra or {}).items()],
+    )
+    w = (
+        W.partitionBy("segment")
+        .orderBy(*ORDER_COLS)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return base.select(
+        "surt",
+        "url",
+        "ts",
+        "segment",
+        F.col("pdigest").alias("digest"),
+        F.coalesce(F.sum("length").over(w), F.lit(0)).alias("offset"),
+        "length",
+        *(extra or {}).keys(),
+    )
+
+
 def warc_locations(
     pages: DataFrame,
     n_segments: int = 16,
@@ -90,39 +160,10 @@ def warc_locations(
     """The cdxj pointer table: (surt, url, segment, offset, length) —
     records within a segment are SURT-ordered (each segment is a sorted
     CDX run) and ``offset`` is the running byte position of the record
-    in the concatenated segment file. One window per segment.
-
-    ``segment_col``: use a precomputed segment assignment instead of the
-    default uniform url-hash split (e.g. per-crawl-wave segments, or an
-    engine-portable expression for differential testing)."""
-    u, ts, pl = F.col(url_col), F.col(ts_col), F.col(payload_col)
-    seg = (
-        F.col(segment_col).cast("int")
-        if segment_col
-        else F.pmod(F.xxhash64(u), F.lit(n_segments)).cast("int")
-    )
-    base = pages.select(
-        surt_key(u).alias("surt"),
-        u.alias("url"),
-        ts.alias("ts"),
-        seg.alias("segment"),
-        warc_record_length(u, ts, pl).alias("length"),
-    )
-    # length as the last sort key: two captures identical in
-    # (surt, ts, url) but different payloads still get deterministic
-    # offsets (equal keys with equal lengths are offset-invariant anyway)
-    w = (
-        W.partitionBy("segment")
-        .orderBy("surt", "ts", "url", "length")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    return base.select(
-        "surt",
-        "url",
-        "segment",
-        F.coalesce(F.sum("length").over(w), F.lit(0)).alias("offset"),
-        "length",
-    )
+    in the concatenated segment file."""
+    return locate_records(
+        pages, n_segments, url_col, ts_col, payload_col, segment_col
+    ).select("surt", "url", "segment", "offset", "length")
 
 
 def render_segment(
@@ -134,7 +175,7 @@ def render_segment(
     payload_col: str = "html",
 ) -> bytes:
     """Materialize ONE segment's file bytes (tests / small exports): the
-    SURT-ordered concatenation of its records. The pointer table's
+    ORDER_COLS-ordered concatenation of its records. The pointer table's
     (offset, length) slices index into exactly these bytes."""
     u, ts, pl = F.col(url_col), F.col(ts_col), F.col(payload_col)
     rows = (
@@ -142,13 +183,13 @@ def render_segment(
             surt_key(u).alias("surt"),
             ts.alias("ts"),
             u.alias("url"),
-            F.pmod(F.xxhash64(u), F.lit(n_segments)).cast("int").alias(
-                "segment"
-            ),
+            segment_expr(u, n_segments).alias("segment"),
+            warc_record_length(u, ts, pl).alias("length"),
+            F.md5(pl).alias("pdigest"),
             warc_record(u, ts, pl).alias("rec"),
         )
         .filter(F.col("segment") == segment)
-        .orderBy("surt", "ts", "url", F.length("rec"))
+        .orderBy(*ORDER_COLS)
         .select("rec")
         .collect()
     )

@@ -22,6 +22,12 @@ def test_surt_key_examples(spark):
         # "x=" is a named-but-empty param: the canonicalization contract
         # (functions/urls.py) drops only fully-empty params, so it stays
         ("http://www.a.b.c:80/p?x=&", "c,b,a)/p?x="),
+        # params sort AFTER case folding — case-variant-equal queries
+        # must land on one key
+        ("https://a.com/p?b=2&A=1", "com,a)/p?a=1&b=2"),
+        ("https://a.com/p?B=2&a=1", "com,a)/p?a=1&b=2"),
+        # a non-default port is a distinct origin and stays in the key
+        ("http://example.com:8080/X", "com,example:8080)/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r["s"] for r in df.select(surt_key(F.col("url")).alias("s")).collect()]
@@ -111,13 +117,20 @@ def test_cdx_snapshot_diff_classes(spark):
         ("u_new", ts(120), "F"), ("u_new", ts(180), "G"),
         # unseen at t1: excluded entirely
         ("u_future", ts(250), "H"),
+        # NULL digest at t0 (e.g. md5 of a NULL body): the URL is KNOWN,
+        # so a non-NULL recapture is a change, not a discovery
+        ("u_nullbody", ts(60), None), ("u_nullbody", ts(170), "I"),
     ]
     caps = spark.createDataFrame(rows, ["url_canon", "warc_ts", "digest"])
     got = {
         r["url"]: r.asDict()
         for r in cdx_snapshot_diff(caps, t0, t1).collect()
     }
-    assert set(got) == {"u_changed", "u_refreshed", "u_stale", "u_new"}
+    assert set(got) == {
+        "u_changed", "u_refreshed", "u_stale", "u_new", "u_nullbody",
+    }
+    assert got["u_nullbody"]["status"] == "changed"
+    assert got["u_nullbody"]["digest_t0"] is None
     assert got["u_changed"]["status"] == "changed"
     assert (got["u_changed"]["digest_t0"], got["u_changed"]["digest_t1"]) == ("A", "B")
     assert got["u_refreshed"]["status"] == "refreshed"

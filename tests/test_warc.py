@@ -119,3 +119,22 @@ def test_cdx_records_with_locations_address_the_segments(spark):
             .collect()[0]["c"]
         )
         assert canon == probe["url_canon"]
+
+
+def test_warc_date_is_utc_regardless_of_session_timezone(spark):
+    """ISO 28500's 'Z' suffix must label UTC, not session wall time."""
+    df = spark.createDataFrame([(1_700_000_000,)], ["epoch"]).select(
+        warc_record(
+            F.lit("https://a.com/"),
+            F.timestamp_seconds(F.col("epoch")),
+            F.lit(b""),
+        ).alias("rec")
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "Asia/Hong_Kong", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            head = bytes(df.collect()[0]["rec"]).decode()
+            assert "WARC-Date: 2023-11-14T22:13:20Z" in head, (tz, head)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
