@@ -79,6 +79,36 @@ def _training_order(spark):
     return E.queries()["training_order_sample"](spark, SF)
 
 
+def _snapshot_diff(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["cdx_snapshot_diff"](spark, SF)
+
+
+def _recrawl(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["recrawl_schedule"](spark, SF)
+
+
+def _host_graph(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["host_graph_rollup"](spark, SF)
+
+
+def _dsir(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["dsir_weights"](spark, SF)
+
+
+def _warc_locs(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["warc_cdx_locations"](spark, SF)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -215,6 +245,42 @@ def main() -> None:
             "packing keys.",
             _prepare_corpus(spark),
         ),
+        (
+            "Crawl-to-crawl snapshot diff (single compact-key aggregate)",
+            "Look for: ONE Exchange (hashpartitioning(url…)), struct-max "
+            "partial aggregates below it, and NO Window or Join — the "
+            "snapshot selection happens inside the map-side combine.",
+            _snapshot_diff(spark),
+        ),
+        (
+            "Recrawl change-rate schedule (window + agg share one exchange)",
+            "Look for: exactly ONE Exchange — the lag window and the "
+            "per-URL aggregate key on the same column, so Catalyst reuses "
+            "the partitioning; everything after is codegen arithmetic.",
+            _recrawl(spark),
+        ),
+        (
+            "Host-graph rollup (two-level agg, exchanges on compact keys)",
+            "Look for: exchanges keyed on (src_host, dst_host[, src_page]) "
+            "— never on raw URLs — and HashAggregate pairs around each "
+            "(map-side combine); no Python nodes.",
+            _host_graph(spark),
+        ),
+        (
+            "DSIR importance weights (dim-bounded model broadcast)",
+            "Look for: BroadcastHashJoin with the log-ratio table side "
+            "under BroadcastExchange (the model is ≤dim rows no matter the "
+            "corpus), one doc-keyed Exchange for the weight sum, and no "
+            "Python nodes — featurization is explode/HOF codegen.",
+            _dsir(spark),
+        ),
+        (
+            "WARC pointer table (per-segment running-sum window)",
+            "Look for: ONE Exchange (hashpartitioning(segment…)) feeding a "
+            "Sort + Window running sum; record lengths are computed from "
+            "the header grammar without materializing record bytes.",
+            _warc_locs(spark),
+        ),
     ]
 
     out = [
@@ -225,8 +291,14 @@ def main() -> None:
     ]
     for title, note, df in sections:
         out += ["", f"## {title}", "", note, "", "```", plan_of(df), "```"]
+    text = "\n".join(out) + "\n"
+    # WARC header literals put raw CR/control bytes into plan text —
+    # escape them so the doc stays valid markdown/text
+    text = text.replace("\r", "\\r").replace("\x01", "\\x01").replace(
+        "\x02", "\\x02"
+    )
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
-        f.write("\n".join(out) + "\n")
+        f.write(text)
     print("wrote PLANS.md")
     spark.stop()
 

@@ -123,6 +123,33 @@ def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
         .withColumnRenamed("text_redacted", "text"),
         p,
     )
+    # round-4 selection stages, on the gate survivors
+    from hk_housing_datahub_spark.operators.importance import (
+        dsir_select,
+        fit_logratio,
+        hashed_ngram_features,
+        importance_weights,
+    )
+    from hk_housing_datahub_spark.operators.sampling import cap_per_group
+
+    def dsir(d):
+        k = max(1, int(d.count() * 0.3))
+        feats = hashed_ngram_features(d, dim=4096).persist()
+        lr = fit_logratio(
+            hashed_ngram_features(
+                d.filter(F.col("lang") == "en"), dim=4096
+            ),
+            feats,
+            dim=4096,
+        )
+        return dsir_select(d, importance_weights(feats, lr), k=k)
+
+    p = stage("dsir_select_30pct", dsir, p)
+    p = stage(
+        "per_source_cap",
+        lambda d: cap_per_group(d, ["source"], ["doc_id"], 10_000),
+        p,
+    )
     stage(
         "tokens_pack",
         lambda d: pack_greedy(
@@ -132,6 +159,59 @@ def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
             4096,
         ),
         p,
+    )
+
+    # round-4 archive ops, each over a constructed capture view of the
+    # WHOLE input corpus (they scale with captures, not gate survivors)
+    from hk_housing_datahub_spark.operators.recrawl import recrawl_schedule
+    from hk_housing_datahub_spark.sources.cdx import cdx_snapshot_diff
+    from hk_housing_datahub_spark.sources.warc import locate_records
+
+    def pageify(d):
+        return d.select(
+            F.concat(
+                F.lit("https://h"), F.pmod("doc_id", F.lit(1000)),
+                F.lit(".example.com/p/"), F.col("doc_id"),
+            ).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.pmod("doc_id", F.lit(500_000))
+            ).alias("warc_ts"),
+            F.encode("text", "UTF-8").alias("html"),
+        )
+
+    def capify(d):
+        # two captures per doc a day apart; ~1/3 change digests
+        pg = pageify(d)
+        c1 = pg.select(
+            F.col("url").alias("url_canon"), "warc_ts",
+            F.md5("html").alias("digest"),
+        )
+        c2 = c1.select(
+            "url_canon",
+            (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+            F.when(
+                F.pmod(F.xxhash64("url_canon"), F.lit(3)) == 0,
+                F.concat("digest", F.lit("x")),
+            ).otherwise(F.col("digest")).alias("digest"),
+        )
+        return c1.union(c2)
+
+    stage(
+        "warc_locations",
+        lambda d: locate_records(pageify(d), n_segments=100),
+        docs_path,
+    )
+    stage(
+        "snapshot_diff",
+        lambda d: cdx_snapshot_diff(
+            capify(d), 1_700_000_000 + 250_000, 1_700_700_000
+        ),
+        docs_path,
+    )
+    stage(
+        "recrawl_schedule",
+        lambda d: recrawl_schedule(capify(d)),
+        docs_path,
     )
     # the composed funnel, unstaged (what a user actually calls)
     df = spark.read.parquet(docs_path)
