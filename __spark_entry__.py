@@ -1971,6 +1971,34 @@ def _warc_cdx_locations(spark, sf):
     return warc_locations(pages, segment_col="seg")
 
 
+def _redirect_resolve(spark, sf):
+    """Redirect-chain resolution (operators/redirects.py): chains of
+    length doc_id%10 down to multiple-of-ten terminals, plus 2-cycles
+    on doc_id%50==7 — pointer doubling resolves terminals + hop counts
+    and flags cycle members; the oracle is a recursive CTE with a
+    visited guard."""
+    from hk_housing_datahub_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    chains = d.filter(F.pmod("doc_id", F.lit(10)) != 0).select(
+        F.concat(F.lit("u"), F.col("doc_id")).alias("src_url"),
+        F.concat(F.lit("u"), F.col("doc_id") - 1).alias("dst_url"),
+    )
+    loops = d.filter(F.pmod("doc_id", F.lit(50)) == 7)
+    cyc = loops.select(
+        F.concat(F.lit("cA"), F.col("doc_id")).alias("src_url"),
+        F.concat(F.lit("cB"), F.col("doc_id")).alias("dst_url"),
+    ).union(
+        loops.select(
+            F.concat(F.lit("cB"), F.col("doc_id")).alias("src_url"),
+            F.concat(F.lit("cA"), F.col("doc_id")).alias("dst_url"),
+        )
+    )
+    return resolve_redirects(chains.union(cyc))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -2054,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trap_signals": _host_trap_signals,
         "per_source_cap": _per_source_cap,
         "warc_cdx_locations": _warc_cdx_locations,
+        "redirect_resolve": _redirect_resolve,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -3502,6 +3531,38 @@ def oracle_sql() -> dict[str, str]:
                ), 0) AS BIGINT) AS offset,
                CAST(length AS BIGINT) AS length
         FROM sized
+    """
+    d["redirect_resolve"] = """
+        WITH RECURSIVE e AS (
+            SELECT 'u' || doc_id AS u, 'u' || (doc_id - 1) AS t
+            FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT 'cA' || doc_id, 'cB' || doc_id
+            FROM documents WHERE doc_id % 50 = 7
+            UNION ALL
+            SELECT 'cB' || doc_id, 'cA' || doc_id
+            FROM documents WHERE doc_id % 50 = 7
+        ),
+        walk AS (
+            SELECT u, t, CAST(1 AS BIGINT) AS hops, [u] AS path FROM e
+            UNION ALL
+            SELECT w.u, e.t, w.hops + 1, list_append(w.path, w.t)
+            FROM walk w JOIN e ON w.t = e.u
+            WHERE NOT list_contains(w.path, e.t)
+        ),
+        furthest AS (
+            SELECT u, t, hops,
+                   row_number() OVER (
+                       PARTITION BY u ORDER BY hops DESC) AS rn
+            FROM walk
+        ),
+        srcs AS (SELECT DISTINCT u FROM e)
+        SELECT f.u AS url,
+               CASE WHEN s.u IS NULL THEN f.t END AS target,
+               CASE WHEN s.u IS NULL THEN f.hops END AS hops,
+               s.u IS NOT NULL AS is_cycle
+        FROM furthest f LEFT JOIN srcs s ON f.t = s.u
+        WHERE f.rn = 1
     """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless
