@@ -1444,6 +1444,43 @@ def _streaming_stateful_dedup(spark, sf):
     )
 
 
+def _streaming_recrawl(spark, sf):
+    """Streaming recrawl scheduler (streaming/recrawl.py): two capture
+    micro-batches a day apart (digests flip on 1/3 of URLs); state =
+    per-URL sufficient statistics in url-hash buckets. Rows-only — the
+    batch twin's math is hash-checked via `recrawl_schedule`, and
+    tests/test_streaming_recrawl.py pins stream≡batch parity."""
+    from hk_housing_datahub_spark.streaming.recrawl import (
+        run_streaming_recrawl,
+    )
+
+    d = _t(spark, sf, "documents").limit(400)
+    caps = d.select(
+        F.concat(
+            F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
+            F.lit(".example.com/d/"), F.col("doc_id"),
+        ).alias("url_canon"),
+        F.pmod("doc_id", F.lit(8)).cast("int").alias("bucket"),
+        (F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+        F.md5(F.col("doc_id").cast("string")).alias("digest"),
+    )
+    root = tempfile.mkdtemp(prefix="hk_srecrawl_")
+    caps.coalesce(1).write.parquet(os.path.join(root, "b1"))
+    caps.select(
+        "url_canon",
+        "bucket",
+        (F.col("ts") + F.lit(86_400)).alias("ts"),
+        F.when(
+            F.pmod(F.xxhash64("url_canon"), F.lit(3)) == 0,
+            F.concat("digest", F.lit("x")),
+        ).otherwise(F.col("digest")).alias("digest"),
+    ).coalesce(1).write.parquet(os.path.join(root, "b2"))
+    return run_streaming_recrawl(
+        spark, os.path.join(root, "*", "*.parquet"),
+        query_name="srecrawl_q",
+    )
+
+
 def _streaming_tws_dedup(spark, sf):
     """Same seen-set state machine on transformWithStateInPandas (Spark 4
     arbitrary stateful API): RocksDB state store, per-bucket bloom state,
@@ -2095,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _ivf_ann_topk,
         "streaming_stateful_dedup": _streaming_stateful_dedup,
         "streaming_tws_dedup": _streaming_tws_dedup,
+        "streaming_recrawl": _streaming_recrawl,
         "streaming_corpus_ingest": _streaming_corpus_ingest,
     }
 
