@@ -2036,6 +2036,34 @@ def _redirect_resolve(spark, sf):
     return resolve_redirects(chains.union(cyc))
 
 
+def _content_type_sniff(spark, sf):
+    """Magic-number MIME sniffing (multimodal/binary.py
+    sniff_content_type): each doc's payload gets one of 8 constructed
+    leading-byte signatures (incl. the RIFF container disambiguation and
+    an html text fallback); the oracle knows the expected MIME from the
+    same modulus."""
+    from hk_housing_datahub_spark.multimodal.binary import (
+        sniff_content_type,
+    )
+
+    d = _t(spark, sf, "documents")
+    m = F.pmod("doc_id", F.lit(8))
+    magic = (
+        F.when(m == 0, F.unhex(F.lit("255044462d")))
+        .when(m == 1, F.unhex(F.lit("89504e470d0a1a0a")))
+        .when(m == 2, F.unhex(F.lit("ffd8ffe0")))
+        .when(m == 3, F.unhex(F.lit("524946460000000057454250")))
+        .when(m == 4, F.unhex(F.lit("1f8b08")))
+        .when(m == 5, F.unhex(F.lit("504b0304")))
+        .when(m == 6, F.encode(F.lit("<html ".upper()), "UTF-8"))
+        .otherwise(F.encode(F.lit("plain "), "UTF-8"))
+    )
+    payload = F.concat(magic, F.encode("text", "UTF-8"))
+    return d.select(
+        "doc_id", sniff_content_type(payload).alias("mime")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail, and the
     oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
@@ -2120,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_cap": _per_source_cap,
         "warc_cdx_locations": _warc_cdx_locations,
         "redirect_resolve": _redirect_resolve,
+        "content_type_sniff": _content_type_sniff,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -3601,6 +3630,20 @@ def oracle_sql() -> dict[str, str]:
                s.u IS NOT NULL AS is_cycle
         FROM furthest f LEFT JOIN srcs s ON f.t = s.u
         WHERE f.rn = 1
+    """
+    d["content_type_sniff"] = """
+        SELECT doc_id,
+               CASE doc_id % 8
+                   WHEN 0 THEN 'application/pdf'
+                   WHEN 1 THEN 'image/png'
+                   WHEN 2 THEN 'image/jpeg'
+                   WHEN 3 THEN 'image/webp'
+                   WHEN 4 THEN 'application/gzip'
+                   WHEN 5 THEN 'application/zip'
+                   WHEN 6 THEN 'text/html'
+                   ELSE 'application/octet-stream'
+               END AS mime
+        FROM documents
     """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless

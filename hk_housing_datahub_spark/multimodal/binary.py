@@ -16,7 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -238,4 +238,56 @@ def extract_payload_features(
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         op, out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# content-type sniffing (magic numbers)
+# ---------------------------------------------------------------------------
+
+# (mime, hex prefix) — longest-prefix-first within a shared first byte so
+# the CASE chain below is order-correct (e.g. WEBP before generic RIFF).
+MAGIC_PREFIXES = [
+    ("application/pdf", "255044462d"),           # %PDF-
+    ("image/png", "89504e470d0a1a0a"),           # \x89PNG\r\n\x1a\n
+    ("image/gif", "474946383961"),               # GIF89a
+    ("image/gif", "474946383761"),               # GIF87a
+    ("image/jpeg", "ffd8ff"),
+    ("image/webp", "52494646"),                  # RIFF....WEBP (guarded below)
+    ("audio/wav", "52494646"),                   # RIFF....WAVE (guarded below)
+    ("application/gzip", "1f8b"),
+    ("application/zip", "504b0304"),
+    ("audio/mpeg", "494433"),                    # ID3
+    ("audio/mpeg", "fffb"),
+]
+
+
+def sniff_content_type(payload: Column) -> Column:
+    """MIME type from leading payload bytes (magic numbers) — the crawl
+    can't trust Content-Type headers, so type routing (multimodal decode
+    vs text extraction) keys on the bytes themselves. Pure Columns: one
+    hex() of the first 16 bytes, then a literal CASE chain; RIFF
+    containers disambiguate on bytes 8-12 (WEBP vs WAVE); an HTML/text
+    fallback sniffs a case-folded '<' prefix. Unknown bytes →
+    'application/octet-stream'."""
+    head = F.lower(F.hex(F.substring(payload, 1, 16)))
+    riff_kind = F.substring(head, 17, 8)  # bytes 8..11 in hex chars
+    text_head = F.lower(
+        F.decode(F.substring(payload, 1, 64), "ISO-8859-1")
+    )
+    c = F.when(F.length(payload) == 0, F.lit("application/x-empty"))
+    for mime, hx in MAGIC_PREFIXES:
+        cond = head.startswith(hx)
+        if hx == "52494646":
+            kind = "57454250" if mime == "image/webp" else "57415645"
+            cond = cond & (riff_kind == kind)
+        c = c.when(cond, F.lit(mime))
+    return (
+        c.when(
+            F.ltrim(text_head).startswith("<!doctype html")
+            | F.ltrim(text_head).startswith("<html"),
+            F.lit("text/html"),
+        )
+        .when(F.ltrim(text_head).startswith("<?xml"), F.lit("text/xml"))
+        .otherwise(F.lit("application/octet-stream"))
     )

@@ -218,3 +218,40 @@ def test_multimodal_feature_extraction(spark, sf_small):
     assert {r.doc_id: r.features for r in again} == {
         r.doc_id: r.features for r in out
     }
+
+
+def test_sniff_content_type_magic_numbers(spark):
+    from hk_housing_datahub_spark.multimodal.binary import (
+        sniff_content_type,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        (b"%PDF-1.7 rest", "application/pdf"),
+        (b"\x89PNG\r\n\x1a\nxxxx", "image/png"),
+        (b"GIF89a....", "image/gif"),
+        (b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        (b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (b"RIFF\x00\x00\x00\x00AVI LIST", "application/octet-stream"),
+        (b"\x1f\x8b\x08rest", "application/gzip"),
+        (b"PK\x03\x04word/", "application/zip"),
+        (b"ID3\x04tag", "audio/mpeg"),
+        (b"  <!DOCTYPE HTML><html>", "text/html"),
+        (b"<html lang=\"en\">", "text/html"),
+        (b"<?xml version=\"1.0\"?>", "text/xml"),
+        (b"just plain text", "application/octet-stream"),
+        (b"", "application/x-empty"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, (p, _) in enumerate(cases)],
+        "i long, payload binary",
+    )
+    got = {
+        r["i"]: r["mime"]
+        for r in df.select(
+            "i", sniff_content_type(F.col("payload")).alias("mime")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
