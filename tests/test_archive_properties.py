@@ -130,3 +130,51 @@ def test_warc_roundtrip_arbitrary_bytes(spark, payloads):
         assert len(bytes(r["rec"])) == r["rlen"]
         assert r["p"]["url"] == r["url"]
         assert bytes(r["p"]["payload"]) == bytes(r["payload"])
+
+
+# ---------------------------------------------------------------------------
+# redirect resolution vs a pure-Python walker
+# ---------------------------------------------------------------------------
+
+_edge_sets = st.dictionaries(
+    st.integers(0, 15),              # src node id
+    st.integers(0, 15),              # dst node id (functional graph)
+    min_size=1,
+    max_size=16,
+)
+
+
+def _walk_model(edges: dict):
+    out = {}
+    e = {f"n{u}": f"n{v}" for u, v in edges.items() if u != v}
+    for u in e:
+        seen, cur, hops = {u}, e[u], 1
+        while cur in e and cur not in seen:
+            seen.add(cur)
+            cur, hops = e[cur], hops + 1
+        if cur in seen and cur in e:
+            out[u] = (None, None, True)
+        else:
+            out[u] = (cur, hops, False)
+    return out
+
+
+@given(_edge_sets)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_redirect_resolution_matches_walker(spark, edges):
+    from hk_housing_datahub_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    model = _walk_model(edges)
+    rows = [(f"n{u}", f"n{v}") for u, v in edges.items()]
+    df = spark.createDataFrame(rows, ["src_url", "dst_url"])
+    got = {
+        r["url"]: (r["target"], r["hops"], r["is_cycle"])
+        for r in resolve_redirects(df).collect()
+    }
+    assert got == model
