@@ -502,3 +502,32 @@ def test_dsir_scoring_broadcasts_model_side(spark):
     p = plan_of(importance_weights(feats, lr))
     assert "BroadcastHashJoin" in p, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_redirect_doubling_compact_key_no_python(spark):
+    """Each doubling round is a compact-key self-join: no cartesian
+    product, no Python eval; the state frame is (url, target, hops)."""
+    from hk_housing_datahub_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    edges = _t(spark, "documents").selectExpr(
+        "concat('u', doc_id) AS src_url",
+        "concat('u', doc_id - (doc_id % 10)) AS dst_url",
+    )
+    p = plan_of(resolve_redirects(edges, max_rounds=2))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_content_sniff_is_map_only(spark):
+    from hk_housing_datahub_spark.multimodal.binary import (
+        sniff_content_type,
+    )
+
+    docs = _t(spark, "documents").selectExpr(
+        "encode(text, 'UTF-8') AS payload"
+    )
+    p = plan_of(docs.select(sniff_content_type(F.col("payload"))))
+    assert "Exchange" not in p and "Join" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
