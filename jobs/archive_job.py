@@ -1,0 +1,119 @@
+"""Cluster entry point for the web-archive surface — index a crawled
+pages corpus the Common Crawl way and derive the next recrawl wave:
+
+    spark-submit --master <cluster> \\
+        --py-files "$(python -c 'from hk_housing_datahub_spark.session \\
+            import package_zip; print(package_zip())')" \\
+        jobs/archive_job.py --pages <parquet> --out <dir> \\
+        [--catalog <root>] [--now <epoch>]
+
+Outputs under --out:
+  cdx/        sorted, range-sharded CDX index (prefix/domain queryable)
+  cdxj/       full cdxj rows: CDX fields + WARC (segment, offset, length)
+  schedule/   Cho/Garcia-Molina recrawl schedule over the capture history
+  due/        (url, priority) seeds for URLs due at --now — feed straight
+              back into jobs/crawl_job.py / CrawlEngine.run
+  traps/      per-host trap signals + flags over the same capture view
+
+With --catalog, cdxj + schedule also commit as catalog tables (snapshot
+isolation, time travel) so downstream consumers read versioned indexes.
+Everything is one pass + compact-key shuffles; no driver-side row loops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="parquet pages corpus")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--segments", type=int, default=16)
+    ap.add_argument(
+        "--now", type=int, default=None,
+        help="epoch seconds for the due-set cut (default: max capture ts)",
+    )
+    ap.add_argument("--catalog", default="", help="table-catalog root")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_SUBMIT_MODE", "1")
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.recrawl import (
+        due_for_refetch,
+        recrawl_schedule,
+    )
+    from hk_housing_datahub_spark.operators.traps import (
+        flag_trap_hosts,
+        host_trap_signals,
+    )
+    from hk_housing_datahub_spark.session import get_spark
+    from hk_housing_datahub_spark.sources.cdx import (
+        build_cdx_index,
+        cdx_records_with_locations,
+    )
+
+    spark = get_spark(app_name="hk_archive_job")
+    pages = spark.read.parquet(args.pages)
+
+    build_cdx_index(
+        pages, os.path.join(args.out, "cdx"), n_shards=args.shards
+    )
+
+    cdxj = cdx_records_with_locations(pages, n_segments=args.segments)
+    cdxj.write.mode("overwrite").parquet(os.path.join(args.out, "cdxj"))
+    cdxj = spark.read.parquet(os.path.join(args.out, "cdxj"))
+
+    sched = recrawl_schedule(cdxj)
+    sched.write.mode("overwrite").parquet(
+        os.path.join(args.out, "schedule")
+    )
+    sched = spark.read.parquet(os.path.join(args.out, "schedule"))
+
+    now = args.now
+    if now is None:
+        now = int(
+            cdxj.agg(F.max(F.unix_timestamp("warc_ts"))).first()[0]
+        )
+    due = due_for_refetch(sched, now_epoch=now)
+    due.write.mode("overwrite").parquet(os.path.join(args.out, "due"))
+
+    traps = flag_trap_hosts(
+        host_trap_signals(
+            cdxj, url_col="url_canon", digest_col="digest"
+        )
+    ).withColumn(
+        "trap_reasons", F.array_join("trap_reasons", ",")
+    )
+    traps.write.mode("overwrite").parquet(
+        os.path.join(args.out, "traps")
+    )
+
+    out = {
+        "captures": cdxj.count(),
+        "urls_scheduled": sched.count(),
+        "due_at_now": spark.read.parquet(
+            os.path.join(args.out, "due")
+        ).count(),
+        "trap_hosts": int(
+            spark.read.parquet(os.path.join(args.out, "traps"))
+            .filter("is_trap_suspect")
+            .count()
+        ),
+        "now": now,
+    }
+    if args.catalog:
+        from hk_housing_datahub_spark.sources import TableCatalog
+
+        cat = TableCatalog(spark, args.catalog)
+        out["cdxj_snapshot"] = cat.replace("cdxj", cdxj)
+        out["schedule_snapshot"] = cat.replace("recrawl_schedule", sched)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_archive_job_cli_end_to_end(spark, tmp_path):
+    """The spark-submit deployment path: pages parquet in → CDX index,
+    cdxj pointers, recrawl schedule, due seeds, trap flags + catalog
+    snapshots out — one subprocess, JSON summary on stdout."""
+    from hk_housing_datahub_spark.datagen import generate_pages
+
+    pages_path = str(tmp_path / "pages")
+    generate_pages(spark, 800, n_hosts=6).write.parquet(pages_path)
+    out_dir = str(tmp_path / "arch")
+    cat_dir = str(tmp_path / "cat")
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "archive_job.py"),
+            "--pages", pages_path, "--out", out_dir,
+            "--catalog", cat_dir, "--segments", "4",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["captures"] == 800
+    assert summary["urls_scheduled"] == 800
+    assert summary["cdxj_snapshot"] == 1
+    assert summary["schedule_snapshot"] == 1
+
+    # the outputs compose: due/ is a CrawlEngine seeds frame; cdxj rows
+    # carry the pointer columns; the CDX index is prefix-queryable
+    due = spark.read.parquet(os.path.join(out_dir, "due"))
+    assert due.columns == ["url", "priority"]
+    assert 0 < due.count() <= 800
+    cdxj = spark.read.parquet(os.path.join(out_dir, "cdxj"))
+    assert {"surt", "segment", "offset", "length", "digest"} <= set(
+        cdxj.columns
+    )
+    from hk_housing_datahub_spark.sources.cdx import cdx_domain_query
+
+    assert (
+        cdx_domain_query(
+            spark, os.path.join(out_dir, "cdx"), "example.com"
+        ).count()
+        == 800
+    )
+    # catalog read-back sees the committed snapshot
+    from hk_housing_datahub_spark.sources import TableCatalog
+
+    cat = TableCatalog(spark, cat_dir)
+    assert cat.read("recrawl_schedule").count() == 800
