@@ -2127,15 +2127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_price_trend": _star_price_trend,
         "star_pipeline_counts": _star_pipeline_counts,
         "star_streaming_ingest": _star_streaming_ingest,
-        # rows-only (pytest-verified)
-        "crawl_frontier_run": _crawl_frontier_run,
-        "crawl_catalog_publish": _crawl_catalog_publish,
-        "extract_listings": _extract_listings,
-        "minhash_lsh_candidates": _minhash_lsh_candidates,
-        "simhash_neardup": _simhash_neardup,
-        "lsh_ann_topk": _lsh_ann_topk,
-        "packed_sequences": _packed_sequences,
-        "span_dedup_profile": _span_dedup_profile,
+        # oracle-backed past the 50-entry driver window (▲ in
+        # COVERAGE.md): same comparator via tools/check_oracles.py
         "gopher_repetition": _gopher_repetition,
         "link_graph_rank": _link_graph_rank,
         "cdx_surt_keys": _cdx_surt_keys,
@@ -2149,6 +2142,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx_locations": _warc_cdx_locations,
         "redirect_resolve": _redirect_resolve,
         "content_type_sniff": _content_type_sniff,
+        # rows-only (pytest-verified)
+        "crawl_frontier_run": _crawl_frontier_run,
+        "crawl_catalog_publish": _crawl_catalog_publish,
+        "extract_listings": _extract_listings,
+        "minhash_lsh_candidates": _minhash_lsh_candidates,
+        "simhash_neardup": _simhash_neardup,
+        "lsh_ann_topk": _lsh_ann_topk,
+        "packed_sequences": _packed_sequences,
+        "span_dedup_profile": _span_dedup_profile,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
