@@ -153,3 +153,45 @@ def test_recrawl_loop_closes_into_crawl_engine(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_merge_recrawl_stats_equals_full_recompute(spark):
+    """The O(delta) contract: merging a later wave's stats into the
+    committed stats equals recomputing over the full history — for every
+    (n, X) combination, single-capture URLs, NULL digests, URLs present
+    on only one side."""
+    from hk_housing_datahub_spark.operators.recrawl import (
+        merge_recrawl_stats,
+        recrawl_stats,
+        schedule_from_stats,
+    )
+
+    t0 = 1_700_000_000
+    old_rows, new_rows = [], []
+    for u in range(30):
+        url = f"u{u}"
+        # old history: 1..3 captures, digests flip on a per-url cadence
+        for j in range(1 + u % 3):
+            dg = None if (u % 7 == 0 and j == 0) else f"d{u}#{j // max(1, u % 2 + 1)}"
+            old_rows.append((url, t0 + j * DAY, dg))
+        # new wave: 0..2 captures strictly after the old history
+        for j in range(u % 3):
+            dg = f"n{u}#{j}" if u % 4 else old_rows[-1][2]  # some unchanged
+            new_rows.append((url, t0 + (10 + j) * DAY, dg))
+    new_rows.append(("fresh_url", t0 + 20 * DAY, "z"))  # new-side only
+
+    old_caps, new_caps = _caps(spark, old_rows), _caps(spark, new_rows)
+    merged = merge_recrawl_stats(
+        recrawl_stats(old_caps), recrawl_stats(new_caps)
+    )
+    full = recrawl_stats(old_caps.unionByName(new_caps))
+
+    key = lambda df: {
+        r["url"]: tuple(r)[1:] for r in df.collect()
+    }
+    assert key(merged) == key(full)
+
+    # and the schedules derived from both stats frames agree
+    s_m = {r["url"]: tuple(r)[1:] for r in schedule_from_stats(merged).collect()}
+    s_f = {r["url"]: tuple(r)[1:] for r in schedule_from_stats(full).collect()}
+    assert s_m == s_f
