@@ -38,6 +38,11 @@ def main() -> None:
         help="epoch seconds for the due-set cut (default: max capture ts)",
     )
     ap.add_argument("--catalog", default="", help="table-catalog root")
+    ap.add_argument(
+        "--wave-id", default="",
+        help="unique id of this crawl wave; with --catalog, a replayed "
+        "wave-id skips the stats merge (exactly-once accumulation)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_SUBMIT_MODE", "1")
@@ -45,7 +50,9 @@ def main() -> None:
 
     from hk_housing_datahub_spark.operators.recrawl import (
         due_for_refetch,
-        recrawl_schedule,
+        merge_recrawl_stats,
+        recrawl_stats,
+        schedule_from_stats,
     )
     from hk_housing_datahub_spark.operators.traps import (
         flag_trap_hosts,
@@ -68,7 +75,40 @@ def main() -> None:
     cdxj.write.mode("overwrite").parquet(os.path.join(args.out, "cdxj"))
     cdxj = spark.read.parquet(os.path.join(args.out, "cdxj"))
 
-    sched = recrawl_schedule(cdxj)
+    # O(delta) schedule maintenance: with --catalog, the per-URL
+    # sufficient statistics live as a catalog table — this run's
+    # captures MERGE into them (merge_recrawl_stats ≡ full recompute,
+    # property-pinned) instead of rescanning all history
+    stats = recrawl_stats(cdxj)
+    cat = None
+    merged = False
+    if args.catalog:
+        from hk_housing_datahub_spark.sources import TableCatalog
+
+        cat = TableCatalog(spark, args.catalog)
+        try:
+            prev = cat.read("recrawl_stats")
+        except Exception:
+            prev = None
+        replayed = False
+        if args.wave_id:
+            try:
+                replayed = (
+                    cat.read("recrawl_stats_waves")
+                    .filter(F.col("wave_id") == args.wave_id)
+                    .count()
+                    > 0
+                )
+            except Exception:
+                replayed = False
+        if prev is not None:
+            # a replayed wave's captures are already inside prev —
+            # merging again would double-count them
+            stats = prev if replayed else merge_recrawl_stats(prev, stats)
+        # the wave is "consumed" whenever its captures entered the stats
+        # (first wave included) — record it so a crash-replay skips
+        merged = not replayed
+    sched = schedule_from_stats(stats)
     sched.write.mode("overwrite").parquet(
         os.path.join(args.out, "schedule")
     )
@@ -106,12 +146,19 @@ def main() -> None:
         ),
         "now": now,
     }
-    if args.catalog:
-        from hk_housing_datahub_spark.sources import TableCatalog
-
-        cat = TableCatalog(spark, args.catalog)
+    if cat is not None:
         out["cdxj_snapshot"] = cat.replace("cdxj", cdxj)
+        out["stats_snapshot"] = cat.replace("recrawl_stats", stats)
         out["schedule_snapshot"] = cat.replace("recrawl_schedule", sched)
+        out["stats_merged"] = merged
+        if args.wave_id and merged:
+            wave_row = spark.createDataFrame(
+                [(args.wave_id,)], "wave_id string"
+            )
+            try:
+                cat.append("recrawl_stats_waves", wave_row, rows=1)
+            except Exception:
+                cat.replace("recrawl_stats_waves", wave_row)
     print(json.dumps(out))
 
 

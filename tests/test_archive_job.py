@@ -60,3 +60,57 @@ def test_archive_job_cli_end_to_end(spark, tmp_path):
 
     cat = TableCatalog(spark, cat_dir)
     assert cat.read("recrawl_schedule").count() == 800
+
+
+def test_archive_job_incremental_stats_and_replay_guard(spark, tmp_path):
+    """Second wave merges O(delta) into the committed stats; replaying
+    the same wave-id is a no-op on the accumulated statistics."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.datagen import generate_pages
+
+    # wave 1: base corpus; wave 2: same pages a day later, shifted ts
+    pages = generate_pages(spark, 300, n_hosts=4).cache()
+    w1 = str(tmp_path / "w1")
+    pages.write.parquet(w1)
+    w2 = str(tmp_path / "w2")
+    pages.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 40 DAYS")
+    ).write.parquet(w2)
+
+    cat_dir = str(tmp_path / "cat")
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    def run(pages_path, out_name, wave_id):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "jobs", "archive_job.py"),
+                "--pages", pages_path,
+                "--out", str(tmp_path / out_name),
+                "--catalog", cat_dir,
+                "--wave-id", wave_id,
+            ],
+            capture_output=True, text=True, env=env, timeout=420,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    s1 = run(w1, "o1", "wave-1")
+    assert s1["stats_merged"] is True
+    s2 = run(w2, "o2", "wave-2")
+    assert s2["stats_merged"] is True
+
+    from hk_housing_datahub_spark.sources import TableCatalog
+
+    cat = TableCatalog(spark, cat_dir)
+    stats = cat.read("recrawl_stats")
+    assert stats.count() == 300
+    # every URL now has 2 captures accumulated across waves
+    assert stats.filter(F.col("n_captures") != 2).count() == 0
+
+    # replay wave 2: ledger short-circuits the merge, stats unchanged
+    s2r = run(w2, "o2r", "wave-2")
+    assert s2r["stats_merged"] is False
+    stats2 = cat.read("recrawl_stats")
+    assert stats2.filter(F.col("n_captures") != 2).count() == 0
