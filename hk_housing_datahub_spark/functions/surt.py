@@ -41,21 +41,18 @@ def surt_key(url: Column) -> Column:
     - A non-default port stays in the key (IA SURT convention:
       ``com,example:8080)`` — a distinct origin must not collide with
       the default-port one)."""
-    from .urls import url_port, url_scheme
+    from .urls import nondefault_port
 
     # lowering the whole url first: host/path/query all fold together,
     # and parsing is case-structure-independent
     lurl = F.lower(url)
     q = url_query_canon(lurl)
-    scheme = url_scheme(lurl)
-    port = url_port(lurl)
-    keep_port = (port != "") & ~(
-        ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443"))
-    )
+    port = nondefault_port(lurl)  # shared default-port table (urls.py)
     return F.concat(
         surt_host(url),
-        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(
+            F.lit("")
+        ),
         F.lit(")"),
         url_path(lurl),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),

@@ -69,15 +69,28 @@ def url_query_canon(url: Column) -> Column:
     return F.array_join(F.array_sort(parts), "&")
 
 
+def nondefault_port(url: Column) -> Column:
+    """The port string when it is NOT the scheme default, else '' — THE
+    single definition of the default-port table (canonicalize_url and
+    functions/surt.py both key origin identity on it)."""
+    scheme = url_scheme(url)
+    port = url_port(url)
+    return F.when(
+        (port != "")
+        & ~(
+            ((scheme == "http") & (port == "80"))
+            | ((scheme == "https") & (port == "443"))
+        ),
+        port,
+    ).otherwise(F.lit(""))
+
+
 def canonicalize_url(url: Column) -> Column:
     """Full canonical form per the module contract."""
     scheme = url_scheme(url)
     host = url_host(url)
-    port = url_port(url)
-    keep_port = (port != "") & ~(
-        ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443"))
-    )
+    port = nondefault_port(url)
+    keep_port = port != ""
     q = url_query_canon(url)
     return F.concat(
         scheme,

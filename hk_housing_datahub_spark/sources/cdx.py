@@ -90,11 +90,14 @@ def cdx_domain_query(
     subdomains: bool = True,
 ) -> DataFrame:
     """Captures of ``host`` (exact) or of the whole registered domain
-    (``subdomains=True``): the two contiguous SURT runs ``h)…`` and
-    ``h,…`` — still a pair of pushed-down prefix predicates."""
+    (``subdomains=True``): the contiguous SURT runs ``h)…`` and ``h:…``
+    (non-default-port origins of the same host — surt_key keeps the
+    port) and, with subdomains, ``h,…`` — all pushed-down prefixes."""
     p = _surt_host_prefix(host)
     idx = spark.read.parquet(index_path)
-    cond = F.col("surt").startswith(p + ")")
+    cond = F.col("surt").startswith(p + ")") | F.col("surt").startswith(
+        p + ":"
+    )
     if subdomains:
         cond = cond | F.col("surt").startswith(p + ",")
     return idx.filter(cond)

@@ -115,14 +115,20 @@ def _recrawl_func_factory(min_interval_s: int, max_interval_s: int):
         else:
             st = {}
         touched: set[str] = set()
-        for pdf in pdfs:
-            # per-URL time order within the batch (ties broken by digest
-            # — the same (ts, digest) order the batch lag window uses)
-            pdf = pdf.sort_values(["url_canon", "ts", "digest"])
+        # ONE sort over the whole micro-batch group: Arrow may deliver a
+        # big group as several chunks, and sorting them independently
+        # would process a later chunk's earlier capture out of order;
+        # na_position='first' matches the batch lag window's NULLS FIRST
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(
+                ["url_canon", "ts", "digest"], na_position="first"
+            )
             for u, ts, dg in zip(
-                pdf["url_canon"], pdf["ts"], pdf["digest"]
+                batch["url_canon"], batch["ts"], batch["digest"]
             ):
                 ts = int(ts)
+                dg = None if pd.isna(dg) else dg
                 cur = st.get(u)
                 if cur is None:
                     st[u] = [1, 0, ts, ts, dg]
@@ -190,8 +196,9 @@ def run_streaming_recrawl(
     query_name: str = "recrawl_stream",
 ) -> DataFrame:
     """Drive the scheduler over a parquet dir of capture files — one
-    micro-batch per file — and return every emitted schedule row (with
-    a batch ordinal so the latest row per URL is selectable)."""
+    micro-batch per file — and return every emitted schedule row.
+    ``n_captures`` is monotone per URL, so a URL's CURRENT schedule is
+    its max-``n_captures`` row (the parity test selects exactly so)."""
     stream = (
         spark.readStream.schema(CAPTURE_SCHEMA)
         .option("maxFilesPerTrigger", "1")

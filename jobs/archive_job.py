@@ -78,36 +78,53 @@ def main() -> None:
     # O(delta) schedule maintenance: with --catalog, the per-URL
     # sufficient statistics live as a catalog table — this run's
     # captures MERGE into them (merge_recrawl_stats ≡ full recompute,
-    # property-pinned) instead of rescanning all history
+    # property-pinned) instead of rescanning all history.
+    #
+    # Exactly-once accumulation (--wave-id): the ledger row
+    # (wave_id, expected_total-captures-after-merge) commits BEFORE the
+    # stats table. Crash between ledger and stats → the replay sees the
+    # current total below the ledger's expectation and re-merges; crash
+    # after stats → the replay sees the total reached and skips. Totals
+    # are strictly increasing per wave, so the comparison is safe.
     stats = recrawl_stats(cdxj)
     cat = None
-    merged = False
+    merged = True
+    expected_total = None
     if args.catalog:
         from hk_housing_datahub_spark.sources import TableCatalog
 
         cat = TableCatalog(spark, args.catalog)
         try:
             prev = cat.read("recrawl_stats")
-        except Exception:
-            prev = None
-        replayed = False
+        except FileNotFoundError:
+            prev = None  # genuinely first wave — any OTHER error raises
+        ledger_expect = None
         if args.wave_id:
             try:
-                replayed = (
+                row = (
                     cat.read("recrawl_stats_waves")
                     .filter(F.col("wave_id") == args.wave_id)
-                    .count()
-                    > 0
+                    .select("expected_total")
+                    .first()
                 )
-            except Exception:
-                replayed = False
+                ledger_expect = row[0] if row else None
+            except FileNotFoundError:
+                pass
+        cur_total = 0
         if prev is not None:
-            # a replayed wave's captures are already inside prev —
-            # merging again would double-count them
-            stats = prev if replayed else merge_recrawl_stats(prev, stats)
-        # the wave is "consumed" whenever its captures entered the stats
-        # (first wave included) — record it so a crash-replay skips
-        merged = not replayed
+            cur_total = int(
+                prev.agg(F.sum("n_captures")).first()[0] or 0
+            )
+        if ledger_expect is not None and cur_total >= ledger_expect:
+            stats = prev  # wave fully applied on a prior run
+            merged = False
+        elif prev is not None:
+            stats = merge_recrawl_stats(prev, stats)
+        if merged and args.wave_id:
+            stats = stats.persist()
+            expected_total = int(
+                stats.agg(F.sum("n_captures")).first()[0] or 0
+            )
     sched = schedule_from_stats(stats)
     sched.write.mode("overwrite").parquet(
         os.path.join(args.out, "schedule")
@@ -148,17 +165,19 @@ def main() -> None:
     }
     if cat is not None:
         out["cdxj_snapshot"] = cat.replace("cdxj", cdxj)
+        if merged and args.wave_id:
+            wave_row = spark.createDataFrame(
+                [(args.wave_id, expected_total)],
+                "wave_id string, expected_total long",
+            )
+            # intent first (see the exactly-once note above)
+            try:
+                cat.append("recrawl_stats_waves", wave_row, rows=1)
+            except FileNotFoundError:
+                cat.replace("recrawl_stats_waves", wave_row)
         out["stats_snapshot"] = cat.replace("recrawl_stats", stats)
         out["schedule_snapshot"] = cat.replace("recrawl_schedule", sched)
         out["stats_merged"] = merged
-        if args.wave_id and merged:
-            wave_row = spark.createDataFrame(
-                [(args.wave_id,)], "wave_id string"
-            )
-            try:
-                cat.append("recrawl_stats_waves", wave_row, rows=1)
-            except Exception:
-                cat.replace("recrawl_stats_waves", wave_row)
     print(json.dumps(out))
 
 

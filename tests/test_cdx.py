@@ -140,3 +140,34 @@ def test_cdx_snapshot_diff_classes(spark):
     assert got["u_new"]["digest_t0"] is None
     assert got["u_new"]["digest_t1"] == "G"
     assert got["u_new"]["captures_in_window"] == 2
+
+
+def test_cdx_domain_query_includes_nondefault_port_origins(spark, tmp_path):
+    """surt_key keeps non-default ports; host/domain queries must still
+    return those captures (the 'h:' run sits between 'h)' and 'h,')."""
+    rows = [
+        ("https://a.example.com/x", b"1"),
+        ("https://a.example.com:8443/x", b"2"),
+        ("https://sub.a.example.com/y", b"3"),
+        ("https://aa.example.com/z", b"4"),  # sibling host: excluded
+    ]
+    pages = spark.createDataFrame(
+        [(u, h) for u, h in rows], "url string, html binary"
+    ).selectExpr(
+        "url", "timestamp_seconds(1700000000) AS warc_ts", "html",
+        "'en' AS lang",
+    )
+    idx = str(tmp_path / "cdx_port")
+    build_cdx_index(pages, idx, n_shards=2)
+    exact = {
+        r["url_canon"]
+        for r in cdx_domain_query(
+            spark, idx, "a.example.com", subdomains=False
+        ).collect()
+    }
+    assert exact == {
+        "https://a.example.com/x",
+        "https://a.example.com:8443/x",
+    }
+    dom = cdx_domain_query(spark, idx, "a.example.com").count()
+    assert dom == 3  # + the subdomain, still excluding aa.example.com

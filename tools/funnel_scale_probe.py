@@ -132,9 +132,12 @@ def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
     )
     from hk_housing_datahub_spark.operators.sampling import cap_per_group
 
+    _dsir_cache = []
+
     def dsir(d):
         k = max(1, int(d.count() * 0.3))
         feats = hashed_ngram_features(d, dim=4096).persist()
+        _dsir_cache.append(feats)  # unpersisted after the stage writes
         lr = fit_logratio(
             hashed_ngram_features(
                 d.filter(F.col("lang") == "en"), dim=4096
@@ -145,6 +148,8 @@ def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
         return dsir_select(d, importance_weights(feats, lr), k=k)
 
     p = stage("dsir_select_30pct", dsir, p)
+    for f in _dsir_cache:  # free executor storage for the later stages
+        f.unpersist()
     p = stage(
         "per_source_cap",
         lambda d: cap_per_group(d, ["source"], ["doc_id"], 10_000),
