@@ -110,3 +110,71 @@ def discover_sitemap_seeds(
             F.lit(priority).cast("int").alias("priority"),
         )
     )
+
+
+def sitemap_entries(xml: Column) -> Column:
+    """array<struct<loc, lastmod>> of a sitemap's ``<url>`` entries —
+    ``<lastmod>`` (sitemaps.org optional W3C datetime) rides along so
+    freshness decisions can use the SITE's own change claim. Entries
+    without a ``<lastmod>`` get NULL. Pure regex HOFs."""
+    blocks = F.regexp_extract_all(
+        xml, F.lit("(?is)<url>(.*?)</url>"), 1
+    )
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_extract(
+                b, "(?is)<loc>\\s*(.*?)\\s*</loc>", 1
+            ).alias("loc"),
+            F.nullif(
+                F.regexp_extract(
+                    b, "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>", 1
+                ),
+                F.lit(""),
+            ).alias("lastmod"),
+        ),
+    )
+
+
+def lastmod_due_seeds(
+    sitemap_docs: DataFrame,
+    schedule: DataFrame,
+    priority: int = 0,
+    body_col: str = "_body",
+) -> DataFrame:
+    """Freshness short-circuit: URLs whose sitemap ``<lastmod>`` claims a
+    change AFTER our last capture are due NOW, regardless of the CGM
+    interval — the site told us it changed (the crawl trusts but
+    verifies: the fetch's digest feeds the next schedule, so a lying
+    lastmod raises that host's observed stability and future claims
+    still cost only one fetch).
+
+    ``schedule`` is ``recrawl_schedule``/``schedule_from_stats`` output;
+    the join keys on the canonical URL. Output = the crawl's
+    ``(url, priority)`` seed contract."""
+    claims = (
+        sitemap_docs.select(
+            F.explode(sitemap_entries(F.col(body_col))).alias("e")
+        )
+        .select(
+            canonicalize_url(F.col("e.loc")).alias("url"),
+            F.unix_timestamp(
+                F.try_to_timestamp(F.col("e.lastmod"))
+            ).alias("claimed_ts"),
+        )
+        .filter(F.col("claimed_ts").isNotNull())
+        .groupBy("url")
+        .agg(F.max("claimed_ts").alias("claimed_ts"))
+    )
+    last_seen = schedule.select(
+        "url",
+        (
+            F.col("next_fetch_epoch")
+            - F.floor("refetch_interval_s").cast("long")
+        ).alias("last_capture_ts"),
+    )
+    return (
+        claims.join(last_seen, "url", "inner")
+        .filter(F.col("claimed_ts") > F.col("last_capture_ts"))
+        .select("url", F.lit(priority).cast("int").alias("priority"))
+    )

@@ -144,3 +144,51 @@ def test_discovered_seeds_drive_the_crawl(spark):
         assert res.n_seen >= len(want_seeded)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sitemap_entries_and_lastmod_due_seeds(spark):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.functions.sitemaps import (
+        lastmod_due_seeds,
+        sitemap_entries,
+    )
+    from hk_housing_datahub_spark.operators.recrawl import recrawl_schedule
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.com/fresh</loc>"
+        "<lastmod>2023-11-20T00:00:00</lastmod></url>"
+        "<url><loc> https://a.com/stale </loc>"
+        "<lastmod>2023-11-01T00:00:00</lastmod></url>"
+        "<url><loc>https://a.com/nolastmod</loc></url>"
+        "<url><loc>https://a.com/badmod</loc>"
+        "<lastmod>not-a-date</lastmod></url>"
+        "</urlset>"
+    )
+    docs = spark.createDataFrame([(xml,)], ["_body"])
+    ents = docs.select(
+        F.explode(sitemap_entries(F.col("_body"))).alias("e")
+    ).collect()
+    assert len(ents) == 4
+    assert ents[2]["e"]["lastmod"] is None
+
+    # schedule: every URL last captured 2023-11-10, never changed
+    t_cap = 1_699_574_400  # 2023-11-10T00:00:00Z
+    caps = spark.createDataFrame(
+        [
+            (f"https://a.com/{p}", t_cap, "d")
+            for p in ("fresh", "stale", "nolastmod", "badmod")
+        ],
+        "url_canon string, epoch long, digest string",
+    ).select(
+        "url_canon",
+        F.timestamp_seconds("epoch").alias("warc_ts"),
+        "digest",
+    )
+    sched = recrawl_schedule(caps)
+    due = lastmod_due_seeds(docs, sched)
+    got = {r["url"] for r in due.collect()}
+    # only the URL whose site-claimed change postdates our capture
+    assert got == {"https://a.com/fresh"}
+    assert due.columns == ["url", "priority"]
