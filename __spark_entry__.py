@@ -2065,14 +2065,16 @@ def _content_type_sniff(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Every oracle-backed entry precedes the rows-only tail, and the
-    oracle-backed prefix fits the driver's 50-entry CORRECTNESS window —
-    small star dimensions and the multimodal meta/frame probes are
-    checked through union-shaped merge queries (star_geo_dims,
-    star_facility_links, star_structures, multimodal_probe; pure renames,
-    every row/column still hash-checked) so no oracle falls outside the
-    window, and the composed corpus funnel (prepare_corpus) and the
-    bigram-LM scorer (lm_perplexity_quality) are inside it."""
+    """Every oracle-backed entry precedes the rows-only tail. The first
+    50 fill the driver's CORRECTNESS window — small star dimensions and
+    the multimodal meta/frame probes are checked through union-shaped
+    merge queries (star_geo_dims, star_facility_links, star_structures,
+    multimodal_probe; pure renames, every row/column still hash-checked)
+    so the window stays all-oracle, with the composed corpus funnel
+    (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
+    inside it. The 13 oracle-backed entries after the window (▲ in
+    COVERAGE.md — the round-4 web-archive/selection battery) are
+    hash-checked by the same comparator via tools/check_oracles.py."""
     return {
         # relational parity (SURVEY §2.3–2.7)
         "q1_pricing_summary": _q1_pricing_summary,
