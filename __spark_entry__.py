@@ -2064,6 +2064,45 @@ def _content_type_sniff(spark, sf):
     )
 
 
+def _cdx_latest(spark, sf):
+    """Collapsed "latest capture" index view (sources/cdx.py cdx_latest)
+    over the same multi-capture construction as recrawl_schedule — one
+    row per URL, max-(ts, row) selected inside the partial aggregate."""
+    from hk_housing_datahub_spark.sources.cdx import cdx_latest
+
+    d = _t(spark, sf, "documents")
+    caps = d.select(
+        "doc_id", F.explode(
+            F.sequence(F.lit(0), F.pmod("doc_id", F.lit(4)))
+        ).alias("j"),
+    ).select(
+        F.concat(
+            F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
+            F.lit(".example.com/d/"), F.col("doc_id"),
+        ).alias("url_canon"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.col("doc_id") * 13
+            + F.col("j") * (F.lit(86_400) + F.pmod("doc_id", F.lit(7)) * 3_600)
+        ).alias("warc_ts"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.floor(
+                    (F.col("j") + F.pmod("doc_id", F.lit(3))) / 2
+                ).cast("string"),
+            )
+        ).alias("digest"),
+    )
+    out = cdx_latest(caps)
+    return out.select(
+        "url_canon",
+        F.unix_timestamp("warc_ts").alias("epoch"),
+        "digest",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail. The first
     50 fill the driver's CORRECTNESS window — small star dimensions and
@@ -2144,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx_locations": _warc_cdx_locations,
         "redirect_resolve": _redirect_resolve,
         "content_type_sniff": _content_type_sniff,
+        "cdx_latest": _cdx_latest,
         # rows-only (pytest-verified)
         "crawl_frontier_run": _crawl_frontier_run,
         "crawl_catalog_publish": _crawl_catalog_publish,
@@ -3648,6 +3688,23 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'application/octet-stream'
                END AS mime
         FROM documents
+    """
+    d["cdx_latest"] = """
+        WITH caps AS (
+            SELECT 'https://h' || (doc_id % 10) || '.example.com/d/'
+                       || doc_id AS url_canon,
+                   CAST(1700000000 + doc_id*13
+                        + j * (86400 + (doc_id % 7) * 3600) AS BIGINT)
+                       AS epoch,
+                   md5(doc_id || '#' || ((j + doc_id % 3) // 2)) AS digest
+            FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS j
+                  FROM documents)
+        )
+        SELECT url_canon, epoch, digest FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY url_canon
+                ORDER BY epoch DESC, url_canon DESC, digest DESC) AS rn
+            FROM caps) WHERE rn = 1
     """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless

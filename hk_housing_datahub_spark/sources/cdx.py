@@ -215,3 +215,33 @@ def cdx_records_with_locations(
         "offset",
         "length",
     )
+
+
+def cdx_latest(
+    captures: DataFrame,
+    url_col: str = "url_canon",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """The "latest index" view (Common Crawl's collapsed cdx): one row
+    per URL — its most recent capture, all columns carried. ONE
+    compact-key aggregate: max_by over the full row struct keyed by
+    (ts, row) keeps selection inside the partial aggregate (same shape
+    as cdx_snapshot_diff, no window). Ties on ts break by the row
+    struct's remaining fields, deterministically."""
+    cols = captures.columns
+    row = F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c) for c in cols if c != ts_col],
+    )
+    latest = (
+        captures.groupBy(F.col(url_col).alias("_u"))
+        .agg(F.max(row).alias("r"))
+    )
+    return latest.select(
+        *[
+            (
+                F.col("r._ts") if c == ts_col else F.col(f"r.{c}")
+            ).alias(c)
+            for c in cols
+        ]
+    )

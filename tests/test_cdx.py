@@ -171,3 +171,27 @@ def test_cdx_domain_query_includes_nondefault_port_origins(spark, tmp_path):
     }
     dom = cdx_domain_query(spark, idx, "a.example.com").count()
     assert dom == 3  # + the subdomain, still excluding aa.example.com
+
+
+def test_cdx_latest_picks_most_recent_capture(spark):
+    from hk_housing_datahub_spark.sources.cdx import cdx_latest
+
+    caps = spark.createDataFrame(
+        [
+            ("u1", 100, "a", "en"),
+            ("u1", 300, "c", "fr"),
+            ("u1", 200, "b", "de"),
+            ("u2", 50, "x", "en"),
+        ],
+        "url_canon string, epoch long, digest string, lang string",
+    ).select(
+        "url_canon", F.timestamp_seconds("epoch").alias("warc_ts"),
+        "digest", "lang",
+    )
+    got = {r["url_canon"]: r.asDict() for r in cdx_latest(caps).collect()}
+    assert set(got) == {"u1", "u2"}
+    # the WHOLE latest row is carried, every column coherent
+    assert (got["u1"]["digest"], got["u1"]["lang"]) == ("c", "fr")
+    assert got["u1"]["warc_ts"].timestamp() == 300
+    assert got["u2"]["digest"] == "x"
+    assert cdx_latest(caps).columns == caps.columns
