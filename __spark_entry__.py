@@ -1888,7 +1888,9 @@ def _dsir_weights(spark, sf):
     )
 
     docs = _t(spark, sf, "documents")
-    raw_feats = hashed_ngram_features(docs, dim=4096)
+    # the raw features feed BOTH the model fit and the scoring pass —
+    # persist so tokenization+hashing runs once (same as the funnel)
+    raw_feats = hashed_ngram_features(docs, dim=4096).persist()
     tgt_feats = hashed_ngram_features(
         docs.filter(F.col("lang") == "en"), dim=4096
     )
