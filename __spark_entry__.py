@@ -2105,6 +2105,106 @@ def _cdx_latest(spark, sf):
     )
 
 
+def _anchor_text_rollup(spark, sf):
+    """Anchor-text table (functions/anchors.py): synthesized link-bearing
+    pages from documents — each doc links its primary target with a
+    'Site N' label (doubled on doc_id%5==0: same source, same text —
+    n_links counts both, n_sources counts one), a secondary target with
+    a whitespace-messy label, and a hollow anchor on doc_id%7==0 (the
+    empty string is a real anchor value). Extraction is shuffle-free
+    codegen regex; the rollup is one (target, text) aggregate."""
+    from hk_housing_datahub_spark.functions.anchors import (
+        anchor_text_rollup,
+        extract_anchors,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    t1 = F.concat(
+        F.lit("https://t"),
+        F.pmod(F.col("doc_id") * 31, F.lit(97)).cast("string"),
+        F.lit(".org/page"),
+    )
+    t2 = F.concat(
+        F.lit("https://t"),
+        F.pmod(F.col("doc_id") * 17, F.lit(97)).cast("string"),
+        F.lit(".org/page"),
+    )
+    a1 = F.concat(
+        F.lit('<a href="'), t1, F.lit('">Site  '),
+        F.pmod("doc_id", F.lit(13)).cast("string"), F.lit("</a>"),
+    )
+    a2 = F.concat(
+        F.lit('<a href="'), t2, F.lit('" class="c">  read '),
+        F.pmod("doc_id", F.lit(4)).cast("string"), F.lit("  more </a>"),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://s"),
+            F.pmod("doc_id", F.lit(50)).cast("string"),
+            F.lit(".example.org/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url_canon"),
+        F.concat(
+            F.lit("<p>x</p>"),
+            a1,
+            a2,
+            F.when(F.pmod("doc_id", F.lit(5)) == 0, a1).otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", F.lit(7)) == 0,
+                F.concat(F.lit('<a href="'), t1, F.lit('"></a>')),
+            ).otherwise(F.lit("")),
+        ).alias("html"),
+    )
+    return anchor_text_rollup(extract_anchors(pages)).select(
+        "target", "anchor_text", "n_links", "n_sources"
+    )
+
+
+def _crawl_sketch_stats(spark, sf):
+    """Rows-only: mergeable crawl statistics (operators/sketches.py) —
+    two synthetic capture waves sketched per host (HLL distinct urls,
+    KLL byte-size quantiles), merged O(delta), reported. Merge ≡
+    single-pass equality, error bounds, and the single-exchange plan are
+    pinned by tests/test_sketches.py (DataSketches estimates are not
+    SQL-expressible in DuckDB, hence no hash oracle)."""
+    from hk_housing_datahub_spark.operators.sketches import (
+        merge_sketch_stats,
+        sketch_report,
+        sketch_stats,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def wave(mult: int, shift: int):
+        return d.select(
+            F.concat(
+                F.lit("h"), F.pmod("doc_id", F.lit(8)).cast("string")
+            ).alias("host"),
+            F.concat(
+                F.lit("https://h"),
+                F.pmod("doc_id", F.lit(8)).cast("string"),
+                F.lit(".example.com/p/"),
+                F.pmod(F.col("doc_id") * mult + shift, F.lit(997)).cast(
+                    "string"
+                ),
+            ).alias("url_canon"),
+            (F.pmod(F.col("doc_id") * 7919 + shift, F.lit(200_000)) + 1).alias(
+                "nbytes"
+            ),
+        )
+
+    def stats(w):
+        return sketch_stats(
+            w,
+            keys=["host"],
+            distinct_cols={"urls": "url_canon"},
+            quantile_cols={"nbytes": "nbytes"},
+        )
+
+    merged = merge_sketch_stats(stats(wave(13, 0)), stats(wave(13, 250)))
+    return sketch_report(merged).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every oracle-backed entry precedes the rows-only tail. The first
     50 fill the driver's CORRECTNESS window — small star dimensions and
@@ -2113,7 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 13 oracle-backed entries after the window (▲ in
+    inside it. The 14 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -2186,7 +2286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _redirect_resolve,
         "content_type_sniff": _content_type_sniff,
         "cdx_latest": _cdx_latest,
+        "anchor_text_rollup": _anchor_text_rollup,
         # rows-only (pytest-verified)
+        "crawl_sketch_stats": _crawl_sketch_stats,
         "crawl_frontier_run": _crawl_frontier_run,
         "crawl_catalog_publish": _crawl_catalog_publish,
         "extract_listings": _extract_listings,
@@ -3707,6 +3809,48 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY url_canon
                 ORDER BY epoch DESC, url_canon DESC, digest DESC) AS rn
             FROM caps) WHERE rn = 1
+    """
+    d["anchor_text_rollup"] = """
+        WITH p AS (
+            SELECT 'https://s' || (doc_id % 50) || '.example.org/d/'
+                       || doc_id AS src,
+                   '<p>x</p>'
+                   || '<a href="https://t' || ((doc_id*31) % 97)
+                       || '.org/page">Site  ' || (doc_id % 13) || '</a>'
+                   || '<a href="https://t' || ((doc_id*17) % 97)
+                       || '.org/page" class="c">  read ' || (doc_id % 4)
+                       || '  more </a>'
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN '<a href="https://t' || ((doc_id*31) % 97)
+                                || '.org/page">Site  ' || (doc_id % 13)
+                                || '</a>'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN '<a href="https://t' || ((doc_id*31) % 97)
+                                || '.org/page"></a>'
+                           ELSE '' END AS html
+            FROM documents
+        ),
+        z AS (
+            SELECT src,
+                   regexp_extract_all(
+                       html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1
+                   ) AS hrefs,
+                   regexp_extract_all(
+                       html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2
+                   ) AS txts
+            FROM p
+        ),
+        e AS (
+            SELECT src, hrefs[i] AS target,
+                   trim(regexp_replace(txts[i], '\\s+', ' ', 'g'))
+                       AS anchor_text
+            FROM z, unnest(generate_series(1, len(hrefs))) AS g(i)
+        )
+        SELECT target, anchor_text,
+               count(*) AS n_links,
+               count(DISTINCT src) AS n_sources
+        FROM e GROUP BY 1, 2
     """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless
