@@ -2160,6 +2160,42 @@ def _anchor_text_rollup(spark, sf):
     )
 
 
+def _mirror_hosts(spark, sf):
+    """Mirror-host detection (operators/mirrors.py): 8 synthetic hosts
+    from documents — m1 republishes 90% of m0's pages (the mirror), the
+    rest are disjoint, and every host carries the same boilerplate
+    digest, which the DF-cap must strip before any pair evidence is
+    counted (uncapped it would fabricate all 28 pairs)."""
+    from hk_housing_datahub_spark.operators.mirrors import mirror_host_pairs
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    h = F.pmod("doc_id", F.lit(8))
+    base = F.expr("doc_id div 8").cast("string")
+    key = (
+        F.when(h == 0, F.concat(F.lit("d0-"), base))
+        .when(
+            h == 1,
+            F.when(
+                F.pmod(F.expr("doc_id div 8"), F.lit(10)) < 9,
+                F.concat(F.lit("d0-"), base),
+            ).otherwise(F.concat(F.lit("d1-"), base)),
+        )
+        .otherwise(
+            F.concat(F.lit("d"), h.cast("string"), F.lit("-"), base)
+        )
+    )
+    host = F.concat(F.lit("m"), h.cast("string"), F.lit(".example.org"))
+    caps = d.select(host.alias("host"), F.md5(key).alias("digest")).unionAll(
+        d.select(host.alias("host"), F.md5(F.lit("boiler")).alias("digest"))
+    )
+    return mirror_host_pairs(
+        caps, min_shared=3, min_containment=0.5, max_digest_df=4
+    ).select(
+        "host_a", "host_b", "shared", "size_a", "size_b",
+        "containment", "jaccard",
+    )
+
+
 def _crawl_sketch_stats(spark, sf):
     """Rows-only: mergeable crawl statistics (operators/sketches.py) —
     two synthetic capture waves sketched per host (HLL distinct urls,
@@ -2213,7 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 14 oracle-backed entries after the window (▲ in
+    inside it. The 15 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -2287,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_type_sniff": _content_type_sniff,
         "cdx_latest": _cdx_latest,
         "anchor_text_rollup": _anchor_text_rollup,
+        "mirror_hosts": _mirror_hosts,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "crawl_frontier_run": _crawl_frontier_run,
@@ -3851,6 +3888,43 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_links,
                count(DISTINCT src) AS n_sources
         FROM e GROUP BY 1, 2
+    """
+    d["mirror_hosts"] = """
+        WITH caps AS (
+            SELECT 'm' || (doc_id % 8) || '.example.org' AS host,
+                   md5(CASE
+                       WHEN doc_id % 8 = 0 THEN 'd0-' || (doc_id // 8)
+                       WHEN doc_id % 8 = 1 THEN
+                           CASE WHEN (doc_id // 8) % 10 < 9
+                                THEN 'd0-' || (doc_id // 8)
+                                ELSE 'd1-' || (doc_id // 8) END
+                       ELSE 'd' || (doc_id % 8) || '-' || (doc_id // 8)
+                   END) AS digest
+            FROM documents
+            UNION ALL
+            SELECT 'm' || (doc_id % 8) || '.example.org', md5('boiler')
+            FROM documents
+        ),
+        hd0 AS (SELECT DISTINCT host, digest FROM caps
+                WHERE digest IS NOT NULL),
+        hd1 AS (SELECT *, count(*) OVER (PARTITION BY digest) AS df
+                FROM hd0),
+        hd AS (SELECT host, digest,
+                      count(*) OVER (PARTITION BY host) AS sz
+               FROM hd1 WHERE df <= 4),
+        p AS (SELECT l.host AS host_a, r.host AS host_b,
+                     count(*) AS shared,
+                     min(l.sz) AS size_a, min(r.sz) AS size_b
+              FROM hd l JOIN hd r USING (digest)
+              WHERE l.host < r.host GROUP BY 1, 2)
+        SELECT host_a, host_b, shared, size_a, size_b,
+               CAST(shared AS DOUBLE) / least(size_a, size_b)
+                   AS containment,
+               CAST(shared AS DOUBLE) / (size_a + size_b - shared)
+                   AS jaccard
+        FROM p
+        WHERE shared >= 3
+          AND CAST(shared AS DOUBLE) / least(size_a, size_b) >= 0.5
     """
     # Pipeline oracle: per-table committed row counts must equal the
     # relational twins' counts — the batched append + PK dedup is lossless
