@@ -218,6 +218,10 @@ def main() -> None:
             "host_graph_rollup",
             "host_trap_signals",
             "dsir_weights",
+            # round-4 closing batch
+            "anchor_text_rollup",
+            "mirror_hosts",
+            "crawl_sketch_stats",
         ]
         qs = E.queries()
         for name in bench_queries:

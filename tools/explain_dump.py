@@ -109,6 +109,24 @@ def _warc_locs(spark):
     return E.queries()["warc_cdx_locations"](spark, SF)
 
 
+def _anchors(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["anchor_text_rollup"](spark, SF)
+
+
+def _mirrors(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["mirror_hosts"](spark, SF)
+
+
+def _sketches(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["crawl_sketch_stats"](spark, SF)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -280,6 +298,31 @@ def main() -> None:
             "Sort + Window running sum; record lengths are computed from "
             "the header grammar without materializing record bytes.",
             _warc_locs(spark),
+        ),
+        (
+            "Anchor-text rollup (shuffle-free extraction, one pair-key agg)",
+            "Look for: the regexp/zip/posexplode extraction fused into the "
+            "scan's codegen stage (no Exchange until the aggregate, no "
+            "Python nodes), then HashAggregate pairs around the "
+            "(target, anchor_text)-keyed Exchange with the distinct-source "
+            "expansion riding the same keys.",
+            _anchors(spark),
+        ),
+        (
+            "Mirror-host pairs (DF-capped digest postings self-join)",
+            "Look for: the digest-df Window BEFORE the self-join (hot "
+            "boilerplate digests are dropped pre-join, bounding per-key "
+            "fan-out), the join keyed on digest with no ResolvedHint, and "
+            "pair aggregation on compact (host_a, host_b) keys.",
+            _mirrors(spark),
+        ),
+        (
+            "Mergeable sketch statistics (DataSketches partial aggregates)",
+            "Look for: ObjectHashAggregate pairs below and above each "
+            "host-keyed Exchange — HLL/KLL partials combine map-side like "
+            "any sum, so the exchange carries kilobyte sketch state, never "
+            "raw urls; the wave merge aggregates sketch rows, not data.",
+            _sketches(spark),
         ),
     ]
 
