@@ -233,3 +233,74 @@ def host_degrees(hgraph: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def host_graph_stats(
+    edges: DataFrame,
+    src: str = "src_url",
+    dst: str = "dst_url",
+    lg_k: int = 12,
+) -> DataFrame:
+    """MERGEABLE host-graph state for O(delta) wave maintenance:
+    (src_host, dst_host, n_links, src_pages_hll).
+
+    ``host_graph``'s ``n_src_pages`` is a distinct count, so two waves'
+    rollups cannot be added — the same linking page may appear in both
+    (the exact problem ``recrawl_stats`` solves with boundary digests).
+    Here the sufficient statistic is a SET, so the state carries an HLL
+    sketch of the linking pages instead (operators/sketches.py):
+    ``n_links`` sums exactly, the sketch unions exactly (register max —
+    merged state is bit-identical to a single pass, pinned in
+    test_linkgraph.py), and per-pair state stays O(1) bytes forever.
+
+    A new crawl wave is ``merge_host_graph_stats(state, wave_stats)`` —
+    never a rescan of accumulated edges; ``jobs/archive_job.py``'s
+    wave-ledger replay guard applies unchanged (sums and weighted
+    sketches are not replay-idempotent).
+    """
+    from ..functions.surt import surt_host
+
+    from .sketches import sketch_stats
+
+    proj = edges.select(
+        surt_host(F.col(src)).alias("src_host"),
+        surt_host(F.col(dst)).alias("dst_host"),
+        F.col(src).alias("src_page"),
+    ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    return sketch_stats(
+        proj,
+        keys=["src_host", "dst_host"],
+        distinct_cols={"src_pages": "src_page"},
+        lg_k=lg_k,
+    ).withColumnRenamed("n_captures", "n_links")
+
+
+def merge_host_graph_stats(*stats: DataFrame) -> DataFrame:
+    """Union wave-level ``host_graph_stats`` frames — associative,
+    commutative, O(groups) state (see sketches.merge_sketch_stats)."""
+    from .sketches import merge_sketch_stats
+
+    renamed = [
+        s.withColumnRenamed("n_links", "n_captures") for s in stats
+    ]
+    return merge_sketch_stats(
+        *renamed, keys=["src_host", "dst_host"]
+    ).withColumnRenamed("n_captures", "n_links")
+
+
+def host_graph_from_stats(stats: DataFrame) -> DataFrame:
+    """Materialize the ``host_graph`` rollup view from maintained state:
+    exact ``n_links``, ``n_src_pages`` as the sketch estimate (exact
+    while a pair's page set is small enough for the sketch's sparse
+    mode — i.e. for the long tail of host pairs; mega-pairs carry the
+    published ~1.6% error at lg_k=12). Pure projection, no shuffle."""
+    from .sketches import sketch_report
+
+    rep = sketch_report(stats.withColumnRenamed("n_links", "n_captures"))
+    return rep.select(
+        "src_host",
+        "dst_host",
+        F.col("n_captures").alias("n_links"),
+        F.col("src_pages_distinct").alias("n_src_pages"),
+        (F.col("src_host") == F.col("dst_host")).alias("is_internal"),
+    )

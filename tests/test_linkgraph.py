@@ -225,3 +225,49 @@ def test_host_graph_rollup_and_degrees(spark):
     assert deg["com,b"]["in_degree"] == 1 and deg["com,b"]["in_links"] == 3
     assert deg["com,b"]["out_degree"] == 1
     assert deg["com,c"]["out_degree"] == 0 and deg["com,c"]["in_degree"] == 1
+
+
+def test_host_graph_stats_merge_equals_single_pass(spark):
+    """O(delta) maintenance: wave stats merged ≡ one pass over all
+    edges — n_links exact, distinct-page estimates identical (HLL
+    register-max), and the materialized view matches host_graph exactly
+    at these cardinalities (sparse-mode sketches are exact)."""
+    from hk_housing_datahub_spark.operators.linkgraph import (
+        host_graph,
+        host_graph_from_stats,
+        host_graph_stats,
+        merge_host_graph_stats,
+    )
+
+    def wave(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "concat('https://h', id % 5, '.com/p', id % 40) as src_url",
+            "concat('https://h', (id * 3 + 1) % 5, '.com/q', id % 7) "
+            "as dst_url",
+        )
+
+    w1, w2 = wave(0, 120), wave(80, 260)  # overlapping linking pages
+    merged = merge_host_graph_stats(
+        host_graph_stats(w1), host_graph_stats(w2)
+    )
+    single = host_graph_stats(w1.unionAll(w2))
+    m = {
+        (r["src_host"], r["dst_host"]): r.asDict()
+        for r in host_graph_from_stats(merged).collect()
+    }
+    s = {
+        (r["src_host"], r["dst_host"]): r.asDict()
+        for r in host_graph_from_stats(single).collect()
+    }
+    assert m == s
+    # the maintained view reproduces the exact rollup (duplicate page
+    # edges across waves must NOT inflate the distinct-page count)
+    exact = {
+        (r["src_host"], r["dst_host"]): r.asDict()
+        for r in host_graph(w1.unionAll(w2)).collect()
+    }
+    assert set(m) == set(exact)
+    for k in exact:
+        assert m[k]["n_links"] == exact[k]["n_links"]
+        assert m[k]["n_src_pages"] == exact[k]["n_src_pages"]
+        assert m[k]["is_internal"] == exact[k]["is_internal"]
