@@ -18,9 +18,10 @@ home pages of mega-sites — the distinct-source count uses Spark's
 partial-distinct expansion (two compact-key exchanges, skew handled by
 AQE like every other host-keyed agg in this repo).
 
-The regex stays inside the Java∩RE2 common subset: the DuckDB twin in
-``__spark_entry__._anchor_text_rollup_sql`` runs the byte-identical
-pattern, which is what makes the operator hash-match oracle-able.
+The regex stays inside the Java∩RE2 common subset: the DuckDB twin
+(``oracle_sql()["anchor_text_rollup"]`` in ``__spark_entry__.py``) runs
+the byte-identical pattern, which is what makes the operator
+hash-match oracle-able.
 """
 
 from __future__ import annotations

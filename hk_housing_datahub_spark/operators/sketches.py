@@ -85,16 +85,25 @@ def sketch_stats(
     return captures.groupBy(*keys).agg(*aggs)
 
 
+# an item-less KLL sketch serializes to its 8-byte preamble alone; the
+# kll_sketch_* readers reject that buffer (Spark KLL_INVALID_INPUT_SKETCH_
+# BUFFER), so empties are filtered before any merge/read and a group with
+# no measured values reports NULL quantiles instead of crashing the job
+_KLL_EMPTY_LEN = 8
+
+
 def _kll_merge_all(col: Column) -> Column:
-    """Fold an ARRAY of KLL sketches into one. The fold seeds with
-    element 1 and folds elements 2…n — seeding with element 1 and then
+    """Fold an ARRAY of KLL sketches into one. Empty-buffer sketches
+    (all-NULL input groups) are dropped first, and the fold seeds with
+    element 1 then folds elements 2…n — seeding with element 1 and then
     folding ALL elements would merge the first sketch twice, silently
     doubling its items' weight (KLL merge is weighted, unlike HLL's
-    idempotent register max)."""
-    rest = F.slice(col, 2, F.greatest(F.size(col) - 1, F.lit(0)))
+    idempotent register max). All sketches empty → NULL."""
+    valid = F.filter(col, lambda x: F.length(x) > _KLL_EMPTY_LEN)
+    rest = F.slice(valid, 2, F.greatest(F.size(valid) - 1, F.lit(0)))
     return F.reduce(
         rest,
-        F.element_at(col, 1),
+        F.try_element_at(valid, F.lit(1)),
         lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
     )
 
@@ -118,6 +127,21 @@ def merge_sketch_stats(
     for s in stats[1:]:
         unioned = unioned.unionByName(s)
     first = stats[0]
+    unknown = [
+        c
+        for c in first.columns
+        if c not in keys
+        and c != "n_captures"
+        and not c.endswith(("_hll", "_kll"))
+    ]
+    if unknown:
+        # fail fast: a column this merge doesn't know how to combine
+        # would otherwise vanish from the maintained state silently
+        # (e.g. host_graph_stats merged without its n_links rename)
+        raise ValueError(
+            f"merge_sketch_stats: unmergeable columns {unknown}; "
+            "expected keys, n_captures, *_hll, *_kll"
+        )
     aggs: list[Column] = [F.sum("n_captures").alias("n_captures")]
     for c in first.columns:
         if c.endswith("_hll"):
@@ -144,10 +168,17 @@ def sketch_report(
             )
         elif c.endswith("_kll"):
             for q in quantiles:
+                # %g keeps p99 / p99_9 / p29 distinct and exact (int
+                # truncation would collide 0.99 with 0.999 and mislabel
+                # 0.29 as p28 via float rounding)
+                label = ("%g" % round(q * 100, 6)).replace(".", "_")
                 cols.append(
-                    F.kll_sketch_get_quantile_bigint(
-                        F.col(c), F.lit(q)
-                    ).alias(f"{c[:-4]}_p{int(q * 100)}")
+                    F.when(
+                        F.length(c) > _KLL_EMPTY_LEN,
+                        F.kll_sketch_get_quantile_bigint(
+                            F.col(c), F.lit(q)
+                        ),
+                    ).alias(f"{c[:-4]}_p{label}")
                 )
         else:
             cols.append(F.col(c))

@@ -145,3 +145,53 @@ def test_update_sketch_table_incremental_equals_batch(spark):
         assert got[h]["urls_distinct"] == want[h]["urls_distinct"]
         assert got[h]["n_captures"] == want[h]["n_captures"]
         assert abs(got[h]["nbytes_p50"] - want[h]["nbytes_p50"]) <= 60
+
+
+def test_all_null_quantile_group_reports_null_not_crash(spark):
+    """A host whose measured column is NULL in every capture yields an
+    empty KLL buffer; report and merge must yield NULL quantiles for
+    it, not KLL_INVALID_INPUT_SKETCH_BUFFER."""
+    caps = spark.createDataFrame(
+        [("h1", "u1", 5), ("h1", "u2", 9), ("h2", "u3", None)],
+        ["host", "url_canon", "nbytes"],
+    )
+    s = _stats(caps)
+    rep = {r["host"]: r.asDict() for r in sketch_report(s).collect()}
+    assert rep["h1"]["nbytes_p50"] is not None
+    assert rep["h2"]["nbytes_p50"] is None
+    assert rep["h2"]["urls_distinct"] == 1  # HLL side unaffected
+    # merging two all-NULL waves stays NULL; merging with a measured
+    # wave recovers the measured sketch
+    merged_null = merge_sketch_stats(s, _stats(caps))
+    rep2 = {
+        r["host"]: r.asDict() for r in sketch_report(merged_null).collect()
+    }
+    assert rep2["h2"]["nbytes_p50"] is None
+    assert rep2["h1"]["n_captures"] == 4
+    measured = spark.createDataFrame(
+        [("h2", "u9", 100)], ["host", "url_canon", "nbytes"]
+    )
+    rep3 = {
+        r["host"]: r.asDict()
+        for r in sketch_report(
+            merge_sketch_stats(s, _stats(measured))
+        ).collect()
+    }
+    assert rep3["h2"]["nbytes_p50"] == 100
+
+
+def test_subpercent_quantile_labels_do_not_collide(spark):
+    caps = _captures(spark, 500)
+    rep = sketch_report(_stats(caps), quantiles=(0.29, 0.99, 0.999))
+    assert [c for c in rep.columns if c.startswith("nbytes_")] == [
+        "nbytes_p29", "nbytes_p99", "nbytes_p99_9",
+    ]
+    assert len(set(rep.columns)) == len(rep.columns)
+
+
+def test_merge_rejects_unmergeable_columns(spark):
+    import pytest
+
+    s = _stats(_captures(spark, 100)).withColumn("n_links", F.lit(1))
+    with pytest.raises(ValueError, match="n_links"):
+        merge_sketch_stats(s, s)
