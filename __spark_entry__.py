@@ -1688,6 +1688,88 @@ def _link_graph_rank_sql(iterations: int = 5) -> str:
     )
 
 
+def _trust_graph_rank(spark, sf):
+    """TrustRank (operators/linkgraph.py trustrank) over the same
+    synthetic outlink graph as link_graph_rank, seeds = nodes with
+    node % 17 == 0 — teleport mass concentrates on the seeds, dangling
+    mass redistributes along the trust vector, and components
+    unreachable from any seed decay toward zero. 5 fixed iterations;
+    the oracle unrolls the identical recurrence."""
+    from hk_housing_datahub_spark.operators.linkgraph import trustrank
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    linkers = docs.filter(F.pmod("doc_id", F.lit(11)) != 0)
+    parts = [
+        linkers.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 5), (29, 11))
+    ]
+    edges = parts[0].union(parts[1]).union(parts[2])
+    seeds = docs.filter(F.pmod("doc_id", F.lit(17)) == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    ranks = trustrank(edges, seeds, damping=0.85, iterations=5)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _trust_graph_rank_sql(iterations: int = 5) -> str:
+    """Unrolled TrustRank twin of _trust_graph_rank: identical CTE
+    skeleton to _link_graph_rank_sql with the uniform 1/n terms
+    replaced by the seed-concentrated trust vector t (r0 = t, teleport
+    (1-d)*t, dangling mass * t) — operation order mirrored so DuckDB's
+    doubles match the Spark Columns far below round(…, 6)."""
+    ctes = [
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+        "raw AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id AS src, (doc_id*{a}+{b}) % n AS dst"
+            " FROM documents, nd WHERE doc_id % 11 <> 0"
+            for a, b in ((7, 1), (13, 5), (29, 11))
+        )
+        + ")",
+        "e AS (SELECT DISTINCT src, dst FROM raw)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "seeds AS (SELECT node FROM nodes WHERE node % 17 = 0)",
+        "sc AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM seeds)",
+        "tv AS (SELECT n.node, CASE WHEN s.node IS NOT NULL"
+        " THEN CAST(1.0 AS DOUBLE) / sc.cnt ELSE CAST(0.0 AS DOUBLE) END"
+        " AS t FROM nodes n LEFT JOIN seeds s ON n.node = s.node, sc)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, t AS rank FROM tv)",
+    ]
+    d = "CAST(0.85 AS DOUBLE)"
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS contrib"
+            f" FROM e JOIN {p} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"dm{i} AS (SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE))"
+            f" AS dmass FROM {p} r LEFT JOIN deg d ON r.node = d.src"
+            f" WHERE d.src IS NULL)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT t.node,"
+            f" (CAST(1.0 AS DOUBLE) - {d}) * t.t"
+            f" + {d} * (coalesce(c.contrib, CAST(0.0 AS DOUBLE))"
+            f" + dm.dmass * t.t) AS rank"
+            f" FROM tv t LEFT JOIN c{i} c ON t.node = c.node,"
+            f" dm{i} dm)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, round(rank, 6) AS rank"
+        f" FROM r{iterations}"
+    )
+
+
 def _cdx_surt_keys(spark, sf):
     """SURT keys (functions/surt.py, the Common Crawl CDX sort key) over
     messy constructed URLs: mixed-case scheme/host/path, default port,
@@ -2249,7 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 15 oracle-backed entries after the window (▲ in
+    inside it. The 16 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -2324,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_latest": _cdx_latest,
         "anchor_text_rollup": _anchor_text_rollup,
         "mirror_hosts": _mirror_hosts,
+        "trust_graph_rank": _trust_graph_rank,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "crawl_frontier_run": _crawl_frontier_run,
@@ -3460,6 +3543,7 @@ def oracle_sql() -> dict[str, str]:
     # verifies rows+schema+hash locally like any window entry.
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()
+    d["trust_graph_rank"] = _trust_graph_rank_sql()
     d["recrawl_schedule"] = """
         WITH caps AS (
             SELECT 'https://h' || (doc_id % 10) || '.example.com/d/'

@@ -304,3 +304,99 @@ def host_graph_from_stats(stats: DataFrame) -> DataFrame:
         F.col("src_pages_distinct").alias("n_src_pages"),
         (F.col("src_host") == F.col("dst_host")).alias("is_internal"),
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    trusted: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004): PageRank with
+    the teleport vector CONCENTRATED on a vetted seed set instead of
+    uniform — rank flows only from trusted nodes outward, so link-farm
+    clusters unreachable from any seed decay toward zero rather than
+    bootstrapping each other. The standard frontier defense against
+    spam hosts that ``host_trap_signals`` can't catch (their URL space
+    looks healthy; their endorsements are fake).
+
+    Recurrence (``t`` = 1/|S∩nodes| on seeds, 0 elsewhere; r0 = t):
+
+        r_{i+1}(v) = (1-d)·t(v) + d·(Σ_{u→v} r_i(u)/deg(u)
+                     + dangling_i·t(v))
+
+    Dangling mass redistributes along ``t`` (not uniformly), keeping
+    total mass 1 and the zero-rank property of untrusted components
+    exact. Same scale shape as ``pagerank`` (one edges⋈ranks join + one
+    dst-keyed sum per round, per-round localCheckpoint, 16-byte node
+    state); the seed flag is one extra broadcast-sized semi-join folded
+    into the initial vector. Deterministic, fixed iterations —
+    SQL-unrollable (oracle twin ``trust_graph_rank``).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+    )
+    seed_col = trusted.columns[0]
+    seeds = (
+        trusted.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "semi")
+    )
+    s_count = seeds.count()
+    if s_count == 0:
+        raise ValueError(
+            "trustrank: no trusted node appears in the edge graph"
+        )
+    tvec = (
+        nodes.join(seeds.withColumn("_s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / s_count))
+            .otherwise(F.lit(0.0))
+            .alias("t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    d_lit = F.lit(damping)
+    ranks = tvec.select("node", F.col("t").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = ranks.join(
+            deg.withColumnRenamed("src", "node"), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        ranks = (
+            tvec.join(
+                contribs.withColumnRenamed("dst", "node"), "node", "left"
+            )
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - d_lit) * F.col("t")
+                    + d_lit
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") * F.col("t")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -271,3 +271,98 @@ def test_host_graph_stats_merge_equals_single_pass(spark):
         assert m[k]["n_links"] == exact[k]["n_links"]
         assert m[k]["n_src_pages"] == exact[k]["n_src_pages"]
         assert m[k]["is_internal"] == exact[k]["is_internal"]
+
+
+def test_trustrank_zeroes_components_unreachable_from_seeds(spark):
+    """A 3-node spam ring with no path from the trusted seed keeps
+    EXACTLY zero rank (its members bootstrap from 0 and teleport never
+    reaches them), while total mass stays 1."""
+    from hk_housing_datahub_spark.operators.linkgraph import trustrank
+
+    edges = spark.createDataFrame(
+        [  # trusted component: 1 -> 2 -> 3 -> 1
+            (1, 2), (2, 3), (3, 1),
+            # spam ring, internally dense, unreachable from node 1
+            (10, 11), (11, 12), (12, 10), (10, 12), (11, 10),
+        ],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    r = {
+        row["node"]: row["rank"]
+        for row in trustrank(edges, seeds, iterations=8).collect()
+    }
+    assert r[10] == 0.0 and r[11] == 0.0 and r[12] == 0.0
+    assert r[1] > 0 and r[2] > 0 and r[3] > 0
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_trustrank_matches_numpy_model(spark):
+    import numpy as np
+
+    from hk_housing_datahub_spark.operators.linkgraph import trustrank
+
+    rng = [(a, b) for a in range(12) for b in range(12)
+           if a != b and (a * 7 + b * 3) % 5 == 0]
+    edges = spark.createDataFrame(rng, ["src", "dst"])
+    seed_ids = [0, 4, 8]
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], ["node"])
+    got = {
+        r["node"]: r["rank"]
+        for r in trustrank(edges, seeds, damping=0.85, iterations=6).collect()
+    }
+    nodes = sorted({a for a, _ in rng} | {b for _, b in rng})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    t = np.zeros(n)
+    for s in seed_ids:
+        t[idx[s]] = 1.0 / len(seed_ids)
+    out = {v: [] for v in nodes}
+    for a, b in set(rng):
+        out[a].append(b)
+    r = t.copy()
+    for _ in range(6):
+        nxt = np.zeros(n)
+        dangling = 0.0
+        for v in nodes:
+            if out[v]:
+                for w in out[v]:
+                    nxt[idx[w]] += r[idx[v]] / len(out[v])
+            else:
+                dangling += r[idx[v]]
+        r = 0.15 * t + 0.85 * (nxt + dangling * t)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+
+
+def test_trustrank_with_all_nodes_trusted_is_pagerank(spark):
+    from hk_housing_datahub_spark.operators.linkgraph import (
+        pagerank,
+        trustrank,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"]
+    )
+    all_nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["node"])
+    tr = {
+        r["node"]: r["rank"]
+        for r in trustrank(edges, all_nodes, iterations=5).collect()
+    }
+    pr = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=5).collect()
+    }
+    for v in pr:
+        assert abs(tr[v] - pr[v]) < 1e-12
+
+
+def test_trustrank_requires_seed_overlap(spark):
+    import pytest
+
+    from hk_housing_datahub_spark.operators.linkgraph import trustrank
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(99,)], ["node"])
+    with pytest.raises(ValueError, match="no trusted node"):
+        trustrank(edges, seeds)
