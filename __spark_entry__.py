@@ -1770,6 +1770,58 @@ def _trust_graph_rank_sql(iterations: int = 5) -> str:
     )
 
 
+def _registrable_domains(spark, sf):
+    """eTLD+1 folding (functions/surt.py registrable_domain) over six
+    constructed host shapes: deep ccTLD subdomains (co.uk / com.au —
+    last THREE labels), gTLD subdomains (last two), a bare public
+    suffix, a single-label host (both pass through), mixed case and a
+    port. The oracle states the expected domain analytically per case —
+    the Spark side must parse/fold correctly to match."""
+    from hk_housing_datahub_spark.functions.surt import registrable_domain
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    m = F.pmod("doc_id", F.lit(6))
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://a.b.shop"),
+                F.pmod("doc_id", F.lit(7)).cast("string"),
+                F.lit(".co.uk/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://www.site"),
+                F.pmod("doc_id", F.lit(5)).cast("string"),
+                F.lit(".com.au/"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://deep.sub.host"),
+                F.pmod("doc_id", F.lit(9)).cast("string"),
+                F.lit(".example.com/x"),
+            ),
+        )
+        .when(m == 3, F.lit("https://co.uk/"))
+        .when(m == 4, F.lit("https://localhost/"))
+        .otherwise(
+            F.concat(
+                F.lit("https://News.Site"),
+                F.pmod("doc_id", F.lit(4)).cast("string"),
+                F.lit(".COM:8080/p"),
+            )
+        )
+    )
+    return d.select(
+        "doc_id", registrable_domain(url).alias("domain")
+    )
+
+
 def _cdx_surt_keys(spark, sf):
     """SURT keys (functions/surt.py, the Common Crawl CDX sort key) over
     messy constructed URLs: mixed-case scheme/host/path, default port,
@@ -2331,7 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 16 oracle-backed entries after the window (▲ in
+    inside it. The 17 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -2407,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_rollup": _anchor_text_rollup,
         "mirror_hosts": _mirror_hosts,
         "trust_graph_rank": _trust_graph_rank,
+        "registrable_domains": _registrable_domains,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "crawl_frontier_run": _crawl_frontier_run,
@@ -3544,6 +3597,18 @@ def oracle_sql() -> dict[str, str]:
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()
     d["trust_graph_rank"] = _trust_graph_rank_sql()
+    d["registrable_domains"] = """
+        SELECT doc_id,
+               CASE doc_id % 6
+                   WHEN 0 THEN 'shop' || (doc_id % 7) || '.co.uk'
+                   WHEN 1 THEN 'site' || (doc_id % 5) || '.com.au'
+                   WHEN 2 THEN 'example.com'
+                   WHEN 3 THEN 'co.uk'
+                   WHEN 4 THEN 'localhost'
+                   ELSE 'site' || (doc_id % 4) || '.com'
+               END AS domain
+        FROM documents
+    """
     d["recrawl_schedule"] = """
         WITH caps AS (
             SELECT 'https://h' || (doc_id % 10) || '.example.com/d/'

@@ -57,3 +57,62 @@ def surt_key(url: Column) -> Column:
         url_path(lurl),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
+
+
+# Multi-label public suffixes under which registrations happen one label
+# deeper (the publicsuffix.org two-level entries this engine ships with).
+# SEAM: this is a representative subset chosen for determinism and
+# SQL-twin parity — a deployment swaps in the full Mozilla PSL snapshot
+# (same shape: a literal list of suffix strings; wildcard/exception
+# rules of the full PSL would extend the CASE below the same way).
+MULTI_LABEL_SUFFIXES = [
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.hk", "org.hk", "edu.hk", "gov.hk", "net.hk",
+    "com.tw", "org.tw", "edu.tw",
+    "com.br", "net.br", "org.br",
+    "co.kr", "or.kr", "ac.kr",
+    "com.sg", "edu.sg", "gov.sg",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "com.mx", "org.mx", "edu.mx",
+    "co.za", "org.za", "ac.za",
+    "co.nz", "net.nz", "org.nz",
+]
+
+
+def registrable_domain(url: Column) -> Column:
+    """eTLD+1 of the url's host — the unit "one registrant controls".
+
+    Per-domain policies (dominance caps, politeness budgets, mirror
+    suppression) grouped by raw host over-split: ``a.example.co.uk``
+    and ``b.example.co.uk`` are one registrant, and grouping by the
+    last two labels alone would merge EVERY ``*.co.uk`` site into one
+    group. Rule: if the last two labels form a known multi-label public
+    suffix, the registrable domain is the last THREE labels, else the
+    last two; hosts at or below the needed label count (bare suffixes,
+    single-label intranet names, IPs-as-hosts) pass through unchanged —
+    grouping by a too-coarse key is the conservative failure.
+
+    Pure codegen Columns (split/slice/array_join + one literal IN
+    list), SQL-expressible — the oracle twin regenerates the identical
+    CASE from ``MULTI_LABEL_SUFFIXES`` so list and twin cannot drift.
+    """
+    host = F.lower(url_host(url))
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    # greatest(…, 1): slice is 1-based and CASE *conditions* evaluate
+    # for every row — a single-label host would otherwise feed slice a
+    # 0 start and throw under ANSI before the n >= 2 guard is consulted
+    last2 = F.array_join(
+        F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), "."
+    )
+    return (
+        F.when(
+            (n >= 3) & last2.isin(*MULTI_LABEL_SUFFIXES),
+            F.array_join(F.slice(labels, n - 2, 3), "."),
+        )
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )

@@ -127,3 +127,55 @@ if _HYP:
         want = [canonicalize(u) for u in urls]
         assert got == want
         assert [canonicalize(c) for c in got] == got  # idempotent
+
+
+def test_registrable_domain_etld_plus_one(spark):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.functions.surt import registrable_domain
+
+    cases = {
+        "https://a.b.example.co.uk/p": "example.co.uk",
+        "https://www.example.co.uk/": "example.co.uk",
+        "https://example.co.uk/": "example.co.uk",
+        "https://co.uk/": "co.uk",  # bare public suffix passes through
+        "https://deep.sub.example.com/x": "example.com",
+        "https://Example.COM/": "example.com",
+        "https://news.site.com.au/": "site.com.au",
+        "https://localhost/": "localhost",  # single label passes through
+        "https://h1.example.org:8080/p?q=1": "example.org",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {
+        r["url"]: r["dom"]
+        for r in df.select(
+            "url", registrable_domain(F.col("url")).alias("dom")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_registrable_domain_groups_sibling_subdomains(spark):
+    """The point of the fold: sibling subdomains of one registrant in a
+    ccTLD share a group, while unrelated *.co.uk registrants do NOT
+    collapse together (the last-2-labels naive rule would)."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.functions.surt import registrable_domain
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.shop.co.uk/1",),
+            ("https://b.shop.co.uk/2",),
+            ("https://other.co.uk/3",),
+        ],
+        ["url"],
+    )
+    doms = (
+        df.select(registrable_domain(F.col("url")).alias("d"))
+        .groupBy("d")
+        .count()
+        .collect()
+    )
+    got = {r["d"]: r["count"] for r in doms}
+    assert got == {"shop.co.uk": 2, "other.co.uk": 1}
