@@ -1770,6 +1770,54 @@ def _trust_graph_rank_sql(iterations: int = 5) -> str:
     )
 
 
+def _warc_revisits(spark, sf):
+    """WARC revisit-record classification (sources/warc.py
+    classify_revisits) over the multi-capture construction shared with
+    cdx_latest: payload digests repeat in adjacent capture pairs, so
+    each url's second capture of an unchanged payload must become a
+    ``revisit`` referring to the FIRST capture of that digest. The
+    oracle replays the same (url, digest)-window ranking in SQL."""
+    from hk_housing_datahub_spark.sources.warc import classify_revisits
+
+    d = _t(spark, sf, "documents")
+    caps = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.pmod("doc_id", F.lit(4)))
+        ).alias("j"),
+    ).select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("doc_id", F.lit(10)).cast("string"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + F.col("doc_id") * 13
+            + F.col("j") * (F.lit(86_400) + F.pmod("doc_id", F.lit(7)) * 3_600)
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("#"),
+                F.floor(
+                    (F.col("j") + F.pmod("doc_id", F.lit(3))) / 2
+                ).cast("string"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    out = classify_revisits(caps)
+    return out.select(
+        F.col("url").alias("url_canon"),
+        F.unix_timestamp("ts").alias("epoch"),
+        "digest",
+        "record_type",
+        F.unix_timestamp("refers_to_ts").alias("refers_epoch"),
+    )
+
+
 def _registrable_domains(spark, sf):
     """eTLD+1 folding (functions/surt.py registrable_domain) over six
     constructed host shapes: deep ccTLD subdomains (co.uk / com.au —
@@ -2383,7 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 17 oracle-backed entries after the window (▲ in
+    inside it. The 18 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -2460,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _mirror_hosts,
         "trust_graph_rank": _trust_graph_rank,
         "registrable_domains": _registrable_domains,
+        "warc_revisits": _warc_revisits,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "crawl_frontier_run": _crawl_frontier_run,
@@ -3597,6 +3646,31 @@ def oracle_sql() -> dict[str, str]:
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()
     d["trust_graph_rank"] = _trust_graph_rank_sql()
+    d["warc_revisits"] = """
+        WITH caps AS (
+            SELECT 'https://h' || (doc_id % 10) || '.example.com/d/'
+                       || doc_id AS url,
+                   CAST(1700000000 + doc_id*13
+                        + j * (86400 + (doc_id % 7) * 3600) AS BIGINT)
+                       AS epoch,
+                   md5(doc_id || '#' || ((j + doc_id % 3) // 2)) AS digest
+            FROM (SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS j
+                  FROM documents)
+        ),
+        w AS (
+            SELECT url, epoch, digest,
+                   row_number() OVER (
+                       PARTITION BY url, digest ORDER BY epoch) AS rn,
+                   min(epoch) OVER (
+                       PARTITION BY url, digest) AS first_epoch
+            FROM caps
+        )
+        SELECT url AS url_canon, epoch, digest,
+               CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END
+                   AS record_type,
+               CASE WHEN rn > 1 THEN first_epoch END AS refers_epoch
+        FROM w
+    """
     d["registrable_domains"] = """
         SELECT doc_id,
                CASE doc_id % 6

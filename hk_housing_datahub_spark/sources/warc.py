@@ -213,3 +213,119 @@ def parse_warc_record(record: Column) -> Column:
     return F.struct(
         url.alias("url"), date.alias("date"), payload.alias("payload")
     )
+
+
+def classify_revisits(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+) -> DataFrame:
+    """ISO 28500 dedup storage: per (url, payload-digest), the FIRST
+    capture is a full ``response`` record; every later capture with the
+    same digest becomes a ``revisit`` record (identical-payload-digest
+    profile) that stores a back-reference instead of the payload — the
+    web-archive storage saver (recrawled-but-unchanged pages are the
+    common case, and they cost ~0 bytes instead of the full body).
+
+    Output per capture: (url, ts, digest, record_type,
+    refers_to_ts, stored_length) where ``refers_to_ts`` is the referent
+    capture's timestamp (NULL for responses) and ``stored_length`` is
+    the record's byte cost under the policy (full record for responses,
+    header-only for revisits).
+
+    ONE exchange on (url, digest) — the window that ranks captures and
+    the first-capture lookup share the same partitioning. Deterministic
+    ties: equal-ts duplicates order by the full ORDER_COLS discipline's
+    spirit (ts alone suffices here; equal-ts equal-digest captures are
+    interchangeable referents)."""
+    u, ts, pl = F.col(url_col), F.col(ts_col), F.col(payload_col)
+    base = pages.select(
+        u.alias("url"),
+        ts.alias("ts"),
+        F.md5(pl).alias("digest"),
+        warc_record_length(u, ts, pl).alias("full_length"),
+        # referent placeholders (u, ts) are length-exact: the referent
+        # URI is the same url by construction and WARC-Date renders
+        # fixed-width, so the true first-capture referent yields the
+        # same byte count — letting the length ride the pre-window row
+        _revisit_record_length(u, ts, u, ts).alias("revisit_length"),
+    )
+    w = W.partitionBy("url", "digest").orderBy("ts")
+    rn = F.row_number().over(w)
+    first_ts = F.first("ts").over(w)
+    return base.select(
+        "url",
+        "ts",
+        "digest",
+        F.when(rn == 1, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.when(rn > 1, first_ts).alias("refers_to_ts"),
+        F.when(rn == 1, F.col("full_length"))
+        .otherwise(F.col("revisit_length"))
+        .alias("stored_length"),
+    )
+
+
+def _revisit_header(
+    url: Column, ts: Column, refers_url: Column, refers_ts: Column
+) -> Column:
+    dtfmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+    def _utc(c: Column) -> Column:
+        return F.date_format(
+            F.to_utc_timestamp(c, F.current_timezone()), dtfmt
+        )
+
+    return F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: revisit" + _CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
+        F.lit("WARC-Date: "), _utc(ts), F.lit(_CRLF),
+        F.lit("WARC-Refers-To-Target-URI: "), refers_url, F.lit(_CRLF),
+        F.lit("WARC-Refers-To-Date: "), _utc(refers_ts), F.lit(_CRLF),
+        F.lit("Content-Length: 0" + _CRLF + _CRLF),
+    )
+
+
+def revisit_record(
+    url: Column, ts: Column, refers_url: Column, refers_ts: Column
+) -> Column:
+    """Binary WARC revisit record (identical-payload-digest profile):
+    header block only, Content-Length 0, trailing CRLF CRLF — same
+    framing grammar as ``warc_record`` so ``parse_warc_record``'s
+    Content-Length walk skips it correctly inside a segment."""
+    return F.concat(
+        F.encode(
+            _revisit_header(url, ts, refers_url, refers_ts), "UTF-8"
+        ),
+        F.encode(F.lit(_CRLF + _CRLF), "UTF-8"),
+    )
+
+
+def _revisit_record_length(
+    url: Column, ts: Column, refers_url: Column, refers_ts: Column
+) -> Column:
+    return (
+        F.octet_length(
+            _revisit_header(url, ts, refers_url, refers_ts)
+        ).cast("long")
+        + F.lit(4).cast("long")
+    )
+
+
+def revisit_storage_report(classified: DataFrame) -> DataFrame:
+    """One-row audit of the dedup policy over a ``classify_revisits``
+    frame: capture counts by type and total bytes stored vs the
+    store-everything baseline. Single partial aggregate."""
+    return classified.agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.sum(
+            (F.col("record_type") == "response").cast("long")
+        ).alias("n_responses"),
+        F.sum(
+            (F.col("record_type") == "revisit").cast("long")
+        ).alias("n_revisits"),
+        F.sum("stored_length").alias("bytes_stored"),
+    )

@@ -138,3 +138,75 @@ def test_warc_date_is_utc_regardless_of_session_timezone(spark):
             assert "WARC-Date: 2023-11-14T22:13:20Z" in head, (tz, head)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_classify_revisits_first_capture_per_digest_is_response(spark):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.sources.warc import (
+        classify_revisits,
+        revisit_storage_report,
+    )
+
+    rows = [
+        # u1: v1 at t0, unchanged at t1 (revisit), changed at t2
+        # (response), back to v1 at t3 (revisit of t0's digest)
+        ("https://a.com/1", 1000, b"v1"),
+        ("https://a.com/1", 2000, b"v1"),
+        ("https://a.com/1", 3000, b"v2"),
+        ("https://a.com/1", 4000, b"v1"),
+        # u2: same bytes as u1 — per-URL dedup must NOT cross urls
+        ("https://a.com/2", 1500, b"v1"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["url", "epoch", "html"]
+    ).select("url", F.timestamp_seconds("epoch").alias("warc_ts"), "html")
+    got = {
+        (r["url"], r["ts"].timestamp()): r.asDict()
+        for r in classify_revisits(df).collect()
+    }
+    assert got[("https://a.com/1", 1000.0)]["record_type"] == "response"
+    assert got[("https://a.com/1", 2000.0)]["record_type"] == "revisit"
+    assert got[("https://a.com/1", 2000.0)]["refers_to_ts"].timestamp() == 1000.0
+    assert got[("https://a.com/1", 3000.0)]["record_type"] == "response"
+    r4 = got[("https://a.com/1", 4000.0)]
+    assert r4["record_type"] == "revisit"
+    assert r4["refers_to_ts"].timestamp() == 1000.0  # digest-first, not prev
+    assert got[("https://a.com/2", 1500.0)]["record_type"] == "response"
+    # storage: revisits cost header-only (less than full, more than 0)
+    full = got[("https://a.com/1", 1000.0)]["stored_length"]
+    rev = got[("https://a.com/1", 2000.0)]["stored_length"]
+    assert 0 < rev and rev != full
+    rep = revisit_storage_report(classify_revisits(df)).collect()[0]
+    assert (rep["n_captures"], rep["n_responses"], rep["n_revisits"]) == (5, 3, 2)
+    assert rep["bytes_stored"] == sum(
+        v["stored_length"] for v in got.values()
+    )
+
+
+def test_revisit_record_bytes_and_framing(spark):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.sources.warc import revisit_record
+
+    df = spark.createDataFrame(
+        [("https://a.com/p", 2000, "https://a.com/p", 1000)],
+        ["url", "epoch", "rurl", "repoch"],
+    )
+    rec = bytes(
+        df.select(
+            revisit_record(
+                F.col("url"),
+                F.timestamp_seconds("epoch"),
+                F.col("rurl"),
+                F.timestamp_seconds("repoch"),
+            ).alias("rec")
+        ).collect()[0]["rec"]
+    )
+    text = rec.decode()
+    assert text.startswith("WARC/1.0\r\n")
+    assert "WARC-Type: revisit\r\n" in text
+    assert "WARC-Refers-To-Target-URI: https://a.com/p\r\n" in text
+    assert "WARC-Refers-To-Date: 1970-01-01T00:16:40Z\r\n" in text
+    assert "Content-Length: 0\r\n" in text
+    assert rec.endswith(b"\r\n\r\n\r\n\r\n")  # header block end + record end
