@@ -218,6 +218,96 @@ def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
         lambda d: recrawl_schedule(capify(d)),
         docs_path,
     )
+    # round-4 closing ops, each over the whole input (anchor/mirror/
+    # sketch/revisit cost scales with captures, not gate survivors)
+    from hk_housing_datahub_spark.functions.anchors import (
+        anchor_text_rollup,
+        extract_anchors,
+    )
+    from hk_housing_datahub_spark.operators.mirrors import (
+        mirror_host_pairs,
+    )
+    from hk_housing_datahub_spark.operators.sketches import (
+        merge_sketch_stats,
+        sketch_report,
+        sketch_stats,
+    )
+    from hk_housing_datahub_spark.sources.warc import classify_revisits
+
+    def htmlify(d):
+        # three anchors per doc, text-derived bodies, ~1k targets/host
+        a = F.concat(
+            F.lit('<a href="https://t'), F.pmod("doc_id", F.lit(997)),
+            F.lit(".org/p"), F.pmod(F.col("doc_id") * 31, F.lit(97)),
+            F.lit('">'), F.substring("text", 1, 24), F.lit("</a>"),
+        )
+        b = F.concat(
+            F.lit('<a href="https://t'),
+            F.pmod(F.col("doc_id") * 13, F.lit(997)),
+            F.lit('.org/q">'), F.substring("text", 25, 16),
+            F.lit("</a>"),
+        )
+        return d.select(
+            F.concat(F.lit("https://s"), F.pmod("doc_id", F.lit(1000)),
+                     F.lit(".example.org/d/"), F.col("doc_id"))
+            .alias("url_canon"),
+            F.concat(a, b, a).alias("html"),
+        )
+
+    stage(
+        "anchor_rollup",
+        lambda d: anchor_text_rollup(extract_anchors(htmlify(d))),
+        docs_path,
+    )
+
+    def hostify(d):
+        # ~16 docs share each digest across 16 different hosts →
+        # genuine mirror evidence whose volume grows with the corpus
+        return d.select(
+            F.concat(F.lit("h"), F.pmod("doc_id", F.lit(200)))
+            .alias("host"),
+            F.md5(
+                F.floor(F.col("doc_id") / 16).cast("string")
+            ).alias("digest"),
+        )
+
+    stage(
+        "mirror_pairs",
+        lambda d: mirror_host_pairs(
+            hostify(d), min_shared=2, min_containment=0.1,
+            max_digest_df=20,
+        ),
+        docs_path,
+    )
+
+    def sketchify(d):
+        caps = capify(d).select(
+            F.regexp_extract("url_canon", "https://([^/]*)/", 1)
+            .alias("host"),
+            "url_canon",
+            F.octet_length("digest").alias("nbytes"),
+        )
+        w1 = sketch_stats(
+            caps, keys=["host"], quantile_cols={"nbytes": "nbytes"}
+        )
+        return sketch_report(merge_sketch_stats(w1, w1))
+
+    stage("sketch_waves", lambda d: sketchify(d), docs_path)
+
+    def revisitify(d):
+        pg = pageify(d)
+        second = pg.select(
+            "url",
+            (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+            F.when(
+                F.pmod(F.xxhash64("url"), F.lit(3)) == 0,
+                F.concat(F.lit("changed:"), F.col("html")),
+            ).otherwise(F.col("html")).alias("html"),
+        )
+        return classify_revisits(pg.union(second))
+
+    stage("warc_revisits", lambda d: revisitify(d), docs_path)
+
     # the composed funnel, unstaged (what a user actually calls)
     df = spark.read.parquet(docs_path)
     t0 = time.perf_counter()
