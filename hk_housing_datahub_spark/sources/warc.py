@@ -329,3 +329,124 @@ def revisit_storage_report(classified: DataFrame) -> DataFrame:
         ).alias("n_revisits"),
         F.sum("stored_length").alias("bytes_stored"),
     )
+
+
+def _classified_layout(
+    pages: DataFrame,
+    n_segments: int,
+    url_col: str,
+    ts_col: str,
+    payload_col: str,
+    keep_payload: bool,
+) -> DataFrame:
+    """Shared row set of the dedup-aware layout: classification columns
+    + the per-type stored ``length`` that BOTH the pointer table and the
+    renderer order and offset by (one definition, like ORDER_COLS for
+    the non-dedup path). Two exchanges: (url, pdigest) for the revisit
+    ranking, then the per-segment offset window downstream."""
+    u, ts, pl = F.col(url_col), F.col(ts_col), F.col(payload_col)
+    base = pages.select(
+        surt_key(u).alias("surt"),
+        u.alias("url"),
+        ts.alias("ts"),
+        segment_expr(u, n_segments).alias("segment"),
+        F.md5(pl).alias("pdigest"),
+        warc_record_length(u, ts, pl).alias("full_length"),
+        # same-url referent + fixed-width WARC-Date ⇒ length-exact
+        # placeholders (see classify_revisits)
+        _revisit_record_length(u, ts, u, ts).alias("revisit_length"),
+        *([pl.alias("payload")] if keep_payload else []),
+    )
+    w = W.partitionBy("url", "pdigest").orderBy("ts")
+    rn = F.row_number().over(w)
+    first_ts = F.first("ts").over(w)
+    return base.select(
+        "surt",
+        "url",
+        "ts",
+        "segment",
+        "pdigest",
+        F.when(rn == 1, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.when(rn > 1, first_ts).alias("refers_to_ts"),
+        F.when(rn == 1, F.col("full_length"))
+        .otherwise(F.col("revisit_length"))
+        .alias("length"),
+        *(["payload"] if keep_payload else []),
+    )
+
+
+def locate_records_deduped(
+    pages: DataFrame,
+    n_segments: int = 16,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+) -> DataFrame:
+    """Revisit-aware cdxj pointer table: per capture — (surt, url, ts,
+    segment, digest, record_type, refers_to_ts, offset, length), where
+    repeat captures of an unchanged payload are laid out as header-only
+    revisit records (``classify_revisits`` policy) and ``offset`` is
+    the running byte position under the SHRUNKEN per-type lengths. The
+    archive's index and its storage bill agree by construction."""
+    rows = _classified_layout(
+        pages, n_segments, url_col, ts_col, payload_col, keep_payload=False
+    )
+    w = (
+        W.partitionBy("segment")
+        .orderBy(*ORDER_COLS)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return rows.select(
+        "surt",
+        "url",
+        "ts",
+        "segment",
+        F.col("pdigest").alias("digest"),
+        "record_type",
+        "refers_to_ts",
+        F.coalesce(F.sum("length").over(w), F.lit(0)).alias("offset"),
+        "length",
+    )
+
+
+def render_segment_deduped(
+    pages: DataFrame,
+    segment: int,
+    n_segments: int = 16,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+) -> bytes:
+    """One segment's bytes under the revisit policy — the ORDER_COLS-
+    ordered concatenation of full responses and header-only revisits.
+    ``locate_records_deduped``'s (offset, length) slices index exactly
+    these bytes (tests cut records back out and re-parse them)."""
+    rows = (
+        _classified_layout(
+            pages, n_segments, url_col, ts_col, payload_col,
+            keep_payload=True,
+        )
+        .filter(F.col("segment") == segment)
+        .select(
+            *ORDER_COLS,
+            F.when(
+                F.col("record_type") == "response",
+                warc_record(F.col("url"), F.col("ts"), F.col("payload")),
+            )
+            .otherwise(
+                revisit_record(
+                    F.col("url"),
+                    F.col("ts"),
+                    F.col("url"),
+                    F.col("refers_to_ts"),
+                )
+            )
+            .alias("rec"),
+        )
+        .orderBy(*ORDER_COLS)
+        .select("rec")
+        .collect()
+    )
+    return b"".join(bytes(r["rec"]) for r in rows)

@@ -210,3 +210,51 @@ def test_revisit_record_bytes_and_framing(spark):
     assert "WARC-Refers-To-Date: 1970-01-01T00:16:40Z\r\n" in text
     assert "Content-Length: 0\r\n" in text
     assert rec.endswith(b"\r\n\r\n\r\n\r\n")  # header block end + record end
+
+
+def test_deduped_segment_layout_offsets_slice_records(spark):
+    """Pointer table and rendered bytes agree under the revisit policy:
+    every (offset, length) slice is a whole record of the declared
+    type, and the deduped layout is strictly smaller than the
+    store-everything one."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.sources.warc import (
+        locate_records,
+        locate_records_deduped,
+        render_segment_deduped,
+    )
+
+    rows = []
+    for i in range(8):
+        url = f"https://site{i % 3}.com/p/{i}"
+        body = (f"body-{i % 4} " * 120).encode()  # ~1 KiB, header-dwarfing
+        rows.append((url, 1000 + i, body))
+        rows.append((url, 5000 + i, body))  # unchanged recrawl
+        rows.append((url, 9000 + i, f"fresh-{i}".encode()))  # changed
+    df = spark.createDataFrame(rows, ["url", "epoch", "html"]).select(
+        "url", F.timestamp_seconds("epoch").alias("warc_ts"), "html"
+    )
+    locs = locate_records_deduped(df, n_segments=2).collect()
+    assert {r["record_type"] for r in locs} == {"response", "revisit"}
+    by_seg = {}
+    for r in locs:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg, rs in by_seg.items():
+        blob = render_segment_deduped(df, seg, n_segments=2)
+        assert len(blob) == sum(r["length"] for r in rs)
+        for r in sorted(rs, key=lambda x: x["offset"]):
+            rec = blob[r["offset"]: r["offset"] + r["length"]]
+            assert rec.startswith(b"WARC/1.0\r\n")
+            assert f"WARC-Type: {r['record_type']}".encode() in rec
+            if r["record_type"] == "revisit":
+                assert b"Content-Length: 0\r\n" in rec
+                assert b"WARC-Refers-To-Target-URI: " + r[
+                    "url"
+                ].encode() in rec
+            else:
+                assert b"WARC-Refers-To" not in rec
+    # storage actually shrinks vs the non-dedup layout
+    full = sum(r["length"] for r in locate_records(df, n_segments=2).collect())
+    dedup = sum(r["length"] for r in locs)
+    assert dedup < full
