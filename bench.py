@@ -222,6 +222,9 @@ def main() -> None:
             "anchor_text_rollup",
             "mirror_hosts",
             "crawl_sketch_stats",
+            "trust_graph_rank",
+            "registrable_domains",
+            "warc_revisits",
         ]
         qs = E.queries()
         for name in bench_queries:

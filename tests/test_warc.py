@@ -258,3 +258,23 @@ def test_deduped_segment_layout_offsets_slice_records(spark):
     full = sum(r["length"] for r in locate_records(df, n_segments=2).collect())
     dedup = sum(r["length"] for r in locs)
     assert dedup < full
+
+
+def test_deduped_layout_plan_two_exchanges(spark):
+    """The dedup-aware pointer table is exactly two exchanges — the
+    (url, digest) revisit ranking and the per-segment offset window;
+    classification must not add a third shuffle."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.sources.warc import locate_records_deduped
+
+    df = spark.createDataFrame(
+        [("https://a.com/p", 1000, b"x")], ["url", "epoch", "html"]
+    ).select("url", F.timestamp_seconds("epoch").alias("warc_ts"), "html")
+    plan = (
+        locate_records_deduped(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2, plan
