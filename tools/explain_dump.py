@@ -127,6 +127,12 @@ def _sketches(spark):
     return E.queries()["crawl_sketch_stats"](spark, SF)
 
 
+def _revisits(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["warc_revisits"](spark, SF)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -323,6 +329,15 @@ def main() -> None:
             "any sum, so the exchange carries kilobyte sketch state, never "
             "raw urls; the wave merge aggregates sketch rows, not data.",
             _sketches(spark),
+        ),
+        (
+            "WARC revisit classification (one (url, digest) exchange)",
+            "Look for: a single Exchange hashpartitioning(url, digest) "
+            "feeding Sort + Window (the revisit ranking and the first-"
+            "capture referent share it); record byte costs are computed "
+            "from the header grammar as codegen expressions — no payload "
+            "bytes move for revisits.",
+            _revisits(spark),
         ),
     ]
 
