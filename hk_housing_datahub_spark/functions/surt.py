@@ -108,8 +108,14 @@ def registrable_domain(url: Column) -> Column:
     last2 = F.array_join(
         F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), "."
     )
+    # an IPv4 host has no registrant hierarchy — folding 10.0.0.1 and
+    # 172.16.0.1 to a shared '0.1' would merge unrelated servers into
+    # one cap/budget group; dotted-quads pass through whole (bracketed
+    # IPv6 has no dots, so it already falls through the n >= 2 guard)
+    is_ipv4 = host.rlike(r"^[0-9]+(\.[0-9]+){3}$")
     return (
-        F.when(
+        F.when(is_ipv4, host)
+        .when(
             (n >= 3) & last2.isin(*MULTI_LABEL_SUFFIXES),
             F.array_join(F.slice(labels, n - 2, 3), "."),
         )

@@ -52,12 +52,7 @@ def pagerank(
     in the same operation order as the SQL twin so the two agree far
     below the comparator's 1e-6.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _edge_set(edges, src, dst)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
@@ -67,10 +62,49 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     n_lit = F.lit(float(n))
-    ranks = nodes.withColumn("rank", F.lit(1.0) / n_lit)
     d_lit = F.lit(damping)
+    return _power_iterate(
+        e,
+        nodes,
+        F.lit(1.0) / n_lit,
+        lambda contrib, dmass: (
+            (F.lit(1.0) - d_lit) / n_lit
+            + d_lit * (contrib + dmass / n_lit)
+        ),
+        iterations,
+    )
+
+
+def _edge_set(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct non-NULL (src, dst) edges, checkpointed — the shared
+    graph normalization of the rank family."""
+    return (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _power_iterate(
+    e: DataFrame,
+    base: DataFrame,
+    init_rank,
+    new_rank,
+    iterations: int,
+) -> DataFrame:
+    """THE power-iteration skeleton shared by ``pagerank`` and
+    ``trustrank`` (one definition of contribs / dangling / rebuild /
+    per-round localCheckpoint — a checkpointing or NULL-handling fix
+    lands in both): ``base`` carries ``node`` plus any teleport-vector
+    columns the variant's expressions reference; ``init_rank`` is r0;
+    ``new_rank(contrib, dmass)`` builds r_{i+1} from the coalesced
+    contribution sum and the dangling-mass scalar. Each variant keeps
+    its own float operation order inside its lambda so its unrolled SQL
+    twin matches bit-for-bit below round(…, 6)."""
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = base.select("node", init_rank.alias("rank"))
     for _ in range(iterations):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -83,17 +117,15 @@ def pagerank(
             deg.withColumnRenamed("src", "node"), "node", "left_anti"
         ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
         ranks = (
-            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            base.join(
+                contribs.withColumnRenamed("dst", "node"), "node", "left"
+            )
             .crossJoin(dangling)
             .select(
                 "node",
-                (
-                    (F.lit(1.0) - d_lit) / n_lit
-                    + d_lit
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dmass") / n_lit
-                    )
+                new_rank(
+                    F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    F.col("dmass"),
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
@@ -313,6 +345,7 @@ def trustrank(
     iterations: int = 10,
     src: str = "src",
     dst: str = "dst",
+    node_col: str | None = None,
 ) -> DataFrame:
     """TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004): PageRank with
     the teleport vector CONCENTRATED on a vetted seed set instead of
@@ -333,22 +366,26 @@ def trustrank(
     dst-keyed sum per round, per-round localCheckpoint, 16-byte node
     state); the seed flag is one extra broadcast-sized semi-join folded
     into the initial vector. Deterministic, fixed iterations —
-    SQL-unrollable (oracle twin ``trust_graph_rank``).
+    SQL-unrollable (oracle twin ``trust_graph_rank``). ``node_col``
+    names the seed-id column of ``trusted``; omitted, the frame must
+    have exactly one column (positional guessing on a wider frame would
+    silently rank from the wrong seed set).
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _edge_set(edges, src, dst)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
         .distinct()
     )
-    seed_col = trusted.columns[0]
+    if node_col is None:
+        if len(trusted.columns) != 1:
+            raise ValueError(
+                "trustrank: pass node_col to pick the seed column of a "
+                f"multi-column trusted frame (got {trusted.columns})"
+            )
+        node_col = trusted.columns[0]
     seeds = (
-        trusted.select(F.col(seed_col).alias("node"))
+        trusted.select(F.col(node_col).alias("node"))
         .distinct()
         .join(nodes, "node", "semi")
     )
@@ -367,36 +404,14 @@ def trustrank(
         )
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     d_lit = F.lit(damping)
-    ranks = tvec.select("node", F.col("t").alias("rank"))
-    for _ in range(iterations):
-        contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        dangling = ranks.join(
-            deg.withColumnRenamed("src", "node"), "node", "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-        ranks = (
-            tvec.join(
-                contribs.withColumnRenamed("dst", "node"), "node", "left"
-            )
-            .crossJoin(dangling)
-            .select(
-                "node",
-                (
-                    (F.lit(1.0) - d_lit) * F.col("t")
-                    + d_lit
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dmass") * F.col("t")
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return ranks
+    return _power_iterate(
+        e,
+        tvec,
+        F.col("t"),
+        lambda contrib, dmass: (
+            (F.lit(1.0) - d_lit) * F.col("t")
+            + d_lit * (contrib + dmass * F.col("t"))
+        ),
+        iterations,
+    )

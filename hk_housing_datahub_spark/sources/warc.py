@@ -39,6 +39,19 @@ from ..functions.surt import surt_key
 _CRLF = "\r\n"
 
 
+def _warc_date(ts: Column) -> Column:
+    """ISO 28500 WARC-Date: render the INSTANT in UTC regardless of
+    session timezone (the 'Z' suffix must not label local wall time):
+    to_utc_timestamp against the session zone cancels date_format's
+    session-zone rendering. ONE definition for every record type —
+    response and revisit dates in a segment cannot drift apart
+    (pinned by test_warc_date_is_utc_regardless_of_session_timezone)."""
+    return F.date_format(
+        F.to_utc_timestamp(ts, F.current_timezone()),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+
+
 def _warc_header(url: Column, ts: Column, payload_len: Column) -> Column:
     """The header block as a STRING (headers are ASCII; the payload is
     appended as raw bytes by warc_record)."""
@@ -47,14 +60,7 @@ def _warc_header(url: Column, ts: Column, payload_len: Column) -> Column:
         F.lit("WARC-Type: response" + _CRLF),
         F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
         F.lit("WARC-Date: "),
-        # render the INSTANT in UTC regardless of session timezone (the
-        # 'Z' suffix must not label local wall time): to_utc_timestamp
-        # against the session zone cancels date_format's session-zone
-        # rendering
-        F.date_format(
-            F.to_utc_timestamp(ts, F.current_timezone()),
-            "yyyy-MM-dd'T'HH:mm:ss'Z'",
-        ),
+        _warc_date(ts),
         F.lit(_CRLF),
         F.lit("Content-Length: "),
         payload_len.cast("string"),
@@ -239,6 +245,33 @@ def classify_revisits(
     ties: equal-ts duplicates order by the full ORDER_COLS discipline's
     spirit (ts alone suffices here; equal-ts equal-digest captures are
     interchangeable referents)."""
+    return _classify_core(
+        pages, url_col, ts_col, payload_col, extra={}
+    ).select(
+        "url",
+        "ts",
+        "digest",
+        "record_type",
+        "refers_to_ts",
+        F.col("length").alias("stored_length"),
+    )
+
+
+def _classify_core(
+    pages: DataFrame,
+    url_col: str,
+    ts_col: str,
+    payload_col: str,
+    extra: dict,
+) -> DataFrame:
+    """THE revisit policy, defined once (the ORDER_COLS discipline
+    applied to classification): per (url, payload-digest) ranked by ts,
+    rank 1 is a response, the rest are revisits referring to the first
+    capture, and ``length`` is the record's per-type byte cost. Both
+    ``classify_revisits`` and the dedup-aware layout/renderer consume
+    this frame, so a policy change (tie-break key, digest algorithm)
+    cannot desynchronize index from bytes. ``extra``: {name: Column}
+    passthroughs evaluated on the input row (segment, surt, payload)."""
     u, ts, pl = F.col(url_col), F.col(ts_col), F.col(payload_col)
     base = pages.select(
         u.alias("url"),
@@ -250,6 +283,7 @@ def classify_revisits(
         # fixed-width, so the true first-capture referent yields the
         # same byte count — letting the length ride the pre-window row
         _revisit_record_length(u, ts, u, ts).alias("revisit_length"),
+        *[v.alias(k) for k, v in extra.items()],
     )
     w = W.partitionBy("url", "digest").orderBy("ts")
     rn = F.row_number().over(w)
@@ -264,27 +298,22 @@ def classify_revisits(
         F.when(rn > 1, first_ts).alias("refers_to_ts"),
         F.when(rn == 1, F.col("full_length"))
         .otherwise(F.col("revisit_length"))
-        .alias("stored_length"),
+        .alias("length"),
+        *extra.keys(),
     )
 
 
 def _revisit_header(
     url: Column, ts: Column, refers_url: Column, refers_ts: Column
 ) -> Column:
-    dtfmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
-
-    def _utc(c: Column) -> Column:
-        return F.date_format(
-            F.to_utc_timestamp(c, F.current_timezone()), dtfmt
-        )
-
     return F.concat(
         F.lit("WARC/1.0" + _CRLF),
         F.lit("WARC-Type: revisit" + _CRLF),
         F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
-        F.lit("WARC-Date: "), _utc(ts), F.lit(_CRLF),
+        F.lit("WARC-Date: "), _warc_date(ts), F.lit(_CRLF),
         F.lit("WARC-Refers-To-Target-URI: "), refers_url, F.lit(_CRLF),
-        F.lit("WARC-Refers-To-Date: "), _utc(refers_ts), F.lit(_CRLF),
+        F.lit("WARC-Refers-To-Date: "), _warc_date(refers_ts),
+        F.lit(_CRLF),
         F.lit("Content-Length: 0" + _CRLF + _CRLF),
     )
 
@@ -339,42 +368,19 @@ def _classified_layout(
     payload_col: str,
     keep_payload: bool,
 ) -> DataFrame:
-    """Shared row set of the dedup-aware layout: classification columns
-    + the per-type stored ``length`` that BOTH the pointer table and the
-    renderer order and offset by (one definition, like ORDER_COLS for
-    the non-dedup path). Two exchanges: (url, pdigest) for the revisit
-    ranking, then the per-segment offset window downstream."""
-    u, ts, pl = F.col(url_col), F.col(ts_col), F.col(payload_col)
-    base = pages.select(
-        surt_key(u).alias("surt"),
-        u.alias("url"),
-        ts.alias("ts"),
-        segment_expr(u, n_segments).alias("segment"),
-        F.md5(pl).alias("pdigest"),
-        warc_record_length(u, ts, pl).alias("full_length"),
-        # same-url referent + fixed-width WARC-Date ⇒ length-exact
-        # placeholders (see classify_revisits)
-        _revisit_record_length(u, ts, u, ts).alias("revisit_length"),
-        *([pl.alias("payload")] if keep_payload else []),
-    )
-    w = W.partitionBy("url", "pdigest").orderBy("ts")
-    rn = F.row_number().over(w)
-    first_ts = F.first("ts").over(w)
-    return base.select(
-        "surt",
-        "url",
-        "ts",
-        "segment",
-        "pdigest",
-        F.when(rn == 1, F.lit("response"))
-        .otherwise(F.lit("revisit"))
-        .alias("record_type"),
-        F.when(rn > 1, first_ts).alias("refers_to_ts"),
-        F.when(rn == 1, F.col("full_length"))
-        .otherwise(F.col("revisit_length"))
-        .alias("length"),
-        *(["payload"] if keep_payload else []),
-    )
+    """The dedup-aware layout rows: ``_classify_core`` (THE policy) +
+    surt/segment riding through as extras, renamed into the ORDER_COLS
+    vocabulary. Two exchanges: (url, digest) for the revisit ranking,
+    then the per-segment offset window downstream."""
+    u, pl = F.col(url_col), F.col(payload_col)
+    extra = {
+        "surt": surt_key(u),
+        "segment": segment_expr(u, n_segments),
+        **({"payload": pl} if keep_payload else {}),
+    }
+    return _classify_core(
+        pages, url_col, ts_col, payload_col, extra
+    ).withColumnRenamed("digest", "pdigest")
 
 
 def locate_records_deduped(
@@ -422,13 +428,23 @@ def render_segment_deduped(
     """One segment's bytes under the revisit policy — the ORDER_COLS-
     ordered concatenation of full responses and header-only revisits.
     ``locate_records_deduped``'s (offset, length) slices index exactly
-    these bytes (tests cut records back out and re-parse them)."""
+    these bytes (tests cut records back out and re-parse them).
+
+    The segment filter is applied to the INPUT, not the classified
+    frame: segment is a pure function of url and the revisit window
+    partitions by (url, digest), so every url's captures share a
+    segment and classifying the filtered subset is identical — without
+    this, rendering each of N segments would re-shuffle and re-window
+    the whole corpus N times (the window is not a partition column, so
+    Catalyst cannot push the predicate below it)."""
     rows = (
         _classified_layout(
-            pages, n_segments, url_col, ts_col, payload_col,
+            pages.filter(
+                segment_expr(F.col(url_col), n_segments) == segment
+            ),
+            n_segments, url_col, ts_col, payload_col,
             keep_payload=True,
         )
-        .filter(F.col("segment") == segment)
         .select(
             *ORDER_COLS,
             F.when(

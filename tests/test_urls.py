@@ -144,6 +144,8 @@ def test_registrable_domain_etld_plus_one(spark):
         "https://news.site.com.au/": "site.com.au",
         "https://localhost/": "localhost",  # single label passes through
         "https://h1.example.org:8080/p?q=1": "example.org",
+        "https://192.168.0.1/admin": "192.168.0.1",  # IPv4 passes whole
+        "https://10.0.0.1/": "10.0.0.1",  # ...not folded to a shared '0.1'
     }
     df = spark.createDataFrame([(u,) for u in cases], ["url"])
     got = {
