@@ -93,6 +93,8 @@ class CrawlEngine:
         trap_guard: bool = False,
         trap_min_urls: int = 20,
         trap_thresholds: dict | None = None,
+        mirror_guard: bool = False,
+        mirror_thresholds: dict | None = None,
     ):
         # Trap guard (operators/traps.py): per wave, fetched pages land in
         # an accumulated (url_canon, digest) capture log; hosts whose URL
@@ -119,6 +121,23 @@ class CrawlEngine:
             raise TypeError(
                 f"unknown trap_thresholds keys: {sorted(unknown)}"
             )
+        # Mirror guard (operators/mirrors.py): over the SAME accumulated
+        # capture log as the trap guard, hosts whose informative digest
+        # set is contained in a larger host's (containment ≥ threshold)
+        # are dropped from the NEXT frontier — politeness budget stops
+        # flowing to republished copies of a site already being crawled.
+        # Already-extracted rows are kept, like the trap guard.
+        self.mirror_guard = mirror_guard
+        self.mirror_thresholds = dict(mirror_thresholds or {})
+        _m_allowed = {"min_shared", "min_containment", "max_digest_df"}
+        m_unknown = set(self.mirror_thresholds) - _m_allowed
+        if m_unknown:
+            raise TypeError(
+                f"unknown mirror_thresholds keys: {sorted(m_unknown)}"
+            )
+        self.mirror_thresholds.setdefault("min_shared", 5)
+        self.mirror_thresholds.setdefault("min_containment", 0.9)
+        self.mirror_thresholds.setdefault("max_digest_df", 64)
         # Link-graph prioritization (operators/linkgraph.py): after each
         # wave, the extracted outlink edges are appended to a per-wave
         # checkpointed edge log, PageRank runs over the accumulated graph,
@@ -433,16 +452,11 @@ class CrawlEngine:
                 ).select(*FRONTIER_COLS)
                 t = tick("link-graph rerank", t)
 
-            if self.trap_guard:
-                from ..operators.traps import (
-                    flag_trap_hosts,
-                    host_trap_signals,
-                )
-
-                # per-wave capture log: the content identity is the
-                # extracted text (NULL-extract pages fold into one class —
-                # a trap host serving empty shells still counts as one
-                # content); overwrite per wave = crash-idempotent
+            if self.trap_guard or self.mirror_guard:
+                # per-wave capture log shared by both guards: the content
+                # identity is the extracted text (NULL-extract pages fold
+                # into one class — a trap host serving empty shells still
+                # counts as one content); overwrite = crash-idempotent
                 (
                     listings.select(
                         "url_canon",
@@ -455,12 +469,20 @@ class CrawlEngine:
                         os.path.join(self.dir, "captures", f"wave={wave}")
                     )
                 )
+                captures = self.spark.read.parquet(
+                    os.path.join(self.dir, "captures")
+                )
+
+            if self.trap_guard:
+                from ..operators.traps import (
+                    flag_trap_hosts,
+                    host_trap_signals,
+                )
+
                 suspects = (
                     flag_trap_hosts(
                         host_trap_signals(
-                            self.spark.read.parquet(
-                                os.path.join(self.dir, "captures")
-                            ),
+                            captures,
                             url_col="url_canon",
                             digest_col="digest",
                         ),
@@ -476,6 +498,29 @@ class CrawlEngine:
                     F.broadcast(suspects), "host", "left_anti"
                 )
                 t = tick("trap guard", t)
+
+            if self.mirror_guard:
+                from ..functions.urls import url_host
+                from ..operators.mirrors import (
+                    mirror_host_pairs,
+                    suppressed_hosts,
+                )
+
+                losers = suppressed_hosts(
+                    mirror_host_pairs(
+                        captures.select(
+                            url_host(F.col("url_canon")).alias("host"),
+                            "digest",
+                        ),
+                        **self.mirror_thresholds,
+                    )
+                )
+                # same shape as the trap guard: a handful of flagged
+                # hosts broadcast into a left_anti — no frontier shuffle
+                frontier = frontier.join(
+                    F.broadcast(losers), "host", "left_anti"
+                )
+                t = tick("mirror guard", t)
 
             # ---- checkpoint commit (manifest last → atomic resume point).
             # Frontier size is observed during the write — the manifest

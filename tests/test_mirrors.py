@@ -116,3 +116,94 @@ def test_host_digest_sets_sizes(spark):
         for r in host_digest_sets(_caps(spark, rows)).collect()
     }
     assert got == {("a", "x"): 2, ("a", "y"): 2, ("b", "x"): 1}
+
+
+def _mirror_corpus(spark):
+    """big.com and mirror.com serve byte-identical content per page id
+    (a full mirror); ok.com is distinct. Every page links one hop
+    deeper on its own host, so an unguarded crawl follows all three
+    into wave 1."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(120):
+        for host, text in (
+            ("big.com", f"content {i}"),
+            ("mirror.com", f"content {i}"),
+            ("ok.com", f"ok content {i}"),
+        ):
+            url = f"https://{host}/p/{i}"
+            html = (
+                f'<html><body><div id="content">{text}</div>'
+                f'<a href="https://{host}/p/{i + 60}">n</a>'
+                "</body></html>"
+            )
+            rows.append((url, html.encode(), text))
+    return spark.createDataFrame(
+        rows, "url string, html binary, text string"
+    ).select(
+        "url",
+        F.timestamp_seconds(F.lit(1_700_000_000)).alias("warc_ts"),
+        "html",
+        "text",
+        F.lit("en").alias("lang"),
+    )
+
+
+def test_mirror_guard_evicts_the_smaller_mirror(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.frontier.crawl import CrawlEngine
+
+    pages = _mirror_corpus(spark).cache()
+
+    def seeds():
+        s = [
+            (f"https://{h}/p/{i}", 0)
+            for h in ("big.com", "mirror.com", "ok.com")
+            for i in range(25)
+        ]
+        return spark.createDataFrame(s, ["url", "priority"])
+
+    def crawl(name, **kw):
+        eng = CrawlEngine(
+            spark, pages, None, str(tmp_path / name),
+            wave_ms=10_000_000, max_depth=2, **kw,
+        )
+        res = eng.run(seeds(), max_waves=2)
+        return {
+            (r["wave"], r["host"]): r["n"]
+            for r in res.listings(spark)
+            .groupBy("wave", "host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    base = crawl("noguard")
+    assert base[(1, "mirror.com")] == 25  # unguarded: the copy is crawled
+
+    guarded = crawl(
+        "guard",
+        mirror_guard=True,
+        mirror_thresholds={"min_shared": 10, "min_containment": 0.9},
+    )
+    # wave 0 is identical (the guard reacts to observed captures)...
+    assert guarded[(0, "mirror.com")] == 25
+    assert guarded[(0, "big.com")] == 25
+    # ...then the equal-size mirror's lexicographically larger host is
+    # suppressed while the original and the healthy host continue
+    assert (1, "mirror.com") not in guarded
+    assert guarded[(1, "big.com")] == base[(1, "big.com")] == 25
+    assert guarded[(1, "ok.com")] == base[(1, "ok.com")] == 25
+
+
+def test_mirror_guard_rejects_unknown_thresholds(spark, tmp_path):
+    import pytest
+
+    from hk_housing_datahub_spark.frontier.crawl import CrawlEngine
+
+    with pytest.raises(TypeError, match="mirror_thresholds"):
+        CrawlEngine(
+            spark, _mirror_corpus(spark), None, str(tmp_path / "x"),
+            mirror_guard=True, mirror_thresholds={"bogus": 1},
+        )
