@@ -1770,6 +1770,43 @@ def _trust_graph_rank_sql(iterations: int = 5) -> str:
     )
 
 
+def _domain_budget_schedule(spark, sf):
+    """Two-tier politeness (frontier/scheduler.py schedule_wave +
+    apply_domain_budget): a co.uk registrant's 20-subdomain farm wins
+    20 host budgets (3 urls each at wave_ms=300/delay 100) but the
+    registrable-domain tier keeps only the domain's 8 globally-best
+    rows; the oracle replays both windows with the analytic domain."""
+    from hk_housing_datahub_spark.frontier.scheduler import (
+        apply_domain_budget,
+        schedule_wave,
+    )
+
+    o = _t(spark, sf, "orders")
+    frontier = o.select(
+        F.concat(
+            F.lit("https://s"),
+            F.pmod("o_custkey", F.lit(20)),
+            F.lit(".farm"),
+            F.pmod("o_custkey", F.lit(3)),
+            F.lit(".co.uk/o/"),
+            F.col("o_orderkey"),
+        ).alias("url_canon"),
+        F.concat(
+            F.lit("s"), F.pmod("o_custkey", F.lit(20)),
+            F.lit(".farm"), F.pmod("o_custkey", F.lit(3)),
+            F.lit(".co.uk"),
+        ).alias("host"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority"),
+        F.col("o_orderdate").alias("discovered_ts"),
+    )
+    out = apply_domain_budget(
+        schedule_wave(frontier, None, 300), max_per_domain=8
+    )
+    return out.filter(F.col("scheduled")).select(
+        "url_canon", "host", "host_rank"
+    )
+
+
 def _warc_revisits(spark, sf):
     """WARC revisit-record classification (sources/warc.py
     classify_revisits) over the multi-capture construction shared with
@@ -2431,7 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 18 oracle-backed entries after the window (▲ in
+    inside it. The 19 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -2509,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_graph_rank": _trust_graph_rank,
         "registrable_domains": _registrable_domains,
         "warc_revisits": _warc_revisits,
+        "domain_budget_schedule": _domain_budget_schedule,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "crawl_frontier_run": _crawl_frontier_run,
@@ -3646,6 +3684,32 @@ def oracle_sql() -> dict[str, str]:
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()
     d["trust_graph_rank"] = _trust_graph_rank_sql()
+    d["domain_budget_schedule"] = """
+        WITH f AS (
+            SELECT 'https://s' || (o_custkey % 20) || '.farm'
+                       || (o_custkey % 3) || '.co.uk/o/' || o_orderkey
+                       AS url_canon,
+                   's' || (o_custkey % 20) || '.farm' || (o_custkey % 3)
+                       || '.co.uk' AS host,
+                   'farm' || (o_custkey % 3) || '.co.uk' AS dom,
+                   CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority,
+                   o_orderdate AS discovered_ts
+            FROM orders
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY host
+                ORDER BY priority, discovered_ts, url_canon) AS host_rank
+            FROM f
+        ),
+        s AS (SELECT *, host_rank <= 3 AS scheduled FROM r),
+        d AS (
+            SELECT *, row_number() OVER (PARTITION BY dom, scheduled
+                ORDER BY priority, discovered_ts, url_canon) AS dr
+            FROM s
+        )
+        SELECT url_canon, host, CAST(host_rank AS INT) AS host_rank
+        FROM d WHERE scheduled AND dr <= 8
+    """
     d["warc_revisits"] = """
         WITH caps AS (
             SELECT 'https://h' || (doc_id % 10) || '.example.com/d/'

@@ -162,3 +162,38 @@ def schedule_wave(
         .withColumn("scheduled", F.col("host_rank") <= budget)
         .drop("crawl_delay_ms")
     )
+
+
+def apply_domain_budget(
+    ranked: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url_canon",
+) -> DataFrame:
+    """Second politeness tier over a ``schedule_wave`` result: keep at
+    most ``max_per_domain`` scheduled rows per REGISTRABLE DOMAIN
+    (eTLD+1) per wave. Per-host budgets alone are gameable — a
+    registrant spinning up 500 subdomains takes 500× one host's budget;
+    the reference never meets this (one portal, one host), a web-scale
+    frontier meets it in its first crawl of a subdomain farm.
+
+    Rows cut by the tier flip ``scheduled`` to false and stay in the
+    backlog exactly like host-budget overflow; ``host_rank`` is left
+    describing the host tier. In-domain order is the scheduler's own
+    total order (priority, discovered_ts, url_canon), so the domain cut
+    keeps each domain's globally-best rows and ties across sibling
+    hosts break deterministically.
+
+    ONE window keyed on (domain, scheduled) — a compact key; ranking
+    the unscheduled backlog rows "among themselves" is harmless and
+    avoids a filter-union round trip. Composable AFTER either
+    schedule_wave strategy (plain or two-phase salted)."""
+    from ..functions.surt import registrable_domain
+
+    dom = registrable_domain(F.col(url_col))
+    w = W.partitionBy(dom, F.col("scheduled")).orderBy(
+        "priority", "discovered_ts", F.col(url_col)
+    )
+    dr = F.row_number().over(w)
+    return ranked.withColumn(
+        "scheduled", F.col("scheduled") & (dr <= max_per_domain)
+    )

@@ -440,3 +440,56 @@ def test_robots_rules_match_query_and_strip_comments(spark):
         r.url_canon for r in apply_robots(frontier, rules).collect()
     }
     assert kept == {"https://h0.example.com/page"}
+
+
+def test_domain_budget_caps_subdomain_farms(spark):
+    """Second politeness tier: 20 sibling subdomains of one co.uk
+    registrant each win their host budget, but the registrable-domain
+    cap keeps only the domain's globally-best rows; an independent host
+    is untouched, and cut rows revert to backlog (scheduled=false),
+    never disappear."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.frontier.scheduler import (
+        apply_domain_budget,
+        schedule_wave,
+    )
+    from hk_housing_datahub_spark.functions.urls import with_url_columns
+
+    urls = [
+        (f"https://s{i}.farm.co.uk/p/{j}", j)  # farm: 20 hosts x 4 urls
+        for i in range(20)
+        for j in range(4)
+    ] + [(f"https://solo.com/p/{j}", j) for j in range(4)]
+    frontier = (
+        with_url_columns(
+            spark.createDataFrame(urls, ["url", "j"]).select("url"),
+        )
+        .withColumn("priority", F.lit(1))
+        .withColumn("discovered_ts", F.timestamp_seconds(F.lit(0)))
+        .withColumn("depth", F.lit(0))
+        .withColumn("attempt", F.lit(0))
+        .select("url_canon", "host", "url_hash", "bucket", "priority",
+                "discovered_ts", "depth", "attempt")
+    )
+    ranked = schedule_wave(frontier, None, 300)  # delay 100ms -> budget 3/host
+    host_tier = ranked.filter("scheduled").count()
+    assert host_tier == 21 * 3  # every host won its own budget
+    capped = apply_domain_budget(ranked, max_per_domain=10)
+    sched = capped.filter("scheduled").collect()
+    by_dom = {}
+    for r in sched:
+        d = "farm.co.uk" if ".farm.co.uk" in r["url_canon"] else "solo.com"
+        by_dom.setdefault(d, []).append(r["url_canon"])
+    assert len(by_dom["farm.co.uk"]) == 10  # 60 host-tier winners -> 10
+    assert len(by_dom["solo.com"]) == 3  # independent host untouched
+    # the kept 10 are the domain's best by (priority, ts, url) order
+    farm_winners = sorted(by_dom["farm.co.uk"])
+    all_farm = sorted(
+        r["url_canon"]
+        for r in ranked.filter("scheduled").collect()
+        if ".farm.co.uk" in r["url_canon"]
+    )
+    assert farm_winners == all_farm[:10]
+    # nothing disappears: total rows preserved, cuts are backlog
+    assert capped.count() == ranked.count()
