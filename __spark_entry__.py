@@ -2415,6 +2415,39 @@ def _mirror_hosts(spark, sf):
     )
 
 
+def _quality_classifier_gate(spark, sf):
+    """Rows-only: discriminative quality gate (operators/quality_clf.py)
+    — fit hashed-n-gram logistic regression by distributed full-batch
+    GD (English docs as the curated positives vs a disjoint raw slice,
+    DSIR's framing discriminatively), score every doc, keep ≥ 0.5. The
+    iterative fit is not practically SQL-expressible; its strong check
+    is tests/test_quality_clf.py's 1e-9 numpy-replay parity plus the
+    planted-separation and determinism pins."""
+    from hk_housing_datahub_spark.operators.importance import (
+        hashed_ngram_features,
+    )
+    from hk_housing_datahub_spark.operators.quality_clf import (
+        fit_quality_classifier,
+        quality_gate,
+        score_quality,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pos = docs.filter(F.col("lang") == "en")
+    neg = docs.filter(F.col("lang") != "en").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    model = fit_quality_classifier(
+        hashed_ngram_features(pos, dim=1024),
+        hashed_ngram_features(neg, dim=1024),
+        iterations=12,
+    )
+    scores = score_quality(
+        hashed_ngram_features(docs, dim=1024), model
+    )
+    return quality_gate(docs, scores, 0.5).select("doc_id", "lang")
+
+
 def _crawl_sketch_stats(spark, sf):
     """Rows-only: mergeable crawl statistics (operators/sketches.py) —
     two synthetic capture waves sketched per host (HLL distinct urls,
@@ -2549,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_budget_schedule": _domain_budget_schedule,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
+        "quality_classifier_gate": _quality_classifier_gate,
         "crawl_frontier_run": _crawl_frontier_run,
         "crawl_catalog_publish": _crawl_catalog_publish,
         "extract_listings": _extract_listings,
