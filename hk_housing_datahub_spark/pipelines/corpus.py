@@ -63,6 +63,9 @@ class CorpusRecipe:
     dsir_dim: int = 4096  # hashed n-gram buckets for the DSIR model
     dsir_seed: int = 0  # Gumbel resampling seed
     dsir_temperature: float = 1.0  # ->0: deterministic top-k by weight
+    clf_threshold: float | None = None  # quality-clf gate (needs clf_positive)
+    clf_dim: int = 4096  # hashed buckets for the classifier
+    clf_iterations: int = 40  # fixed GD rounds (determinism contract)
     cap_per_source: int | None = None  # RefinedWeb/C4 per-domain cap
     cap_group_col: str = "source"  # the domain/host column to cap on
     salt: str = ""
@@ -76,6 +79,7 @@ def prepare_training_corpus(
     benchmark: DataFrame | None = None,
     lm_reference: DataFrame | None = None,
     dsir_reference: DataFrame | None = None,
+    clf_positive: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full preparation funnel; returns the packed corpus with
     ``text`` already scrubbed, plus ``n_tokens``, ``pii_total``,
@@ -171,6 +175,47 @@ def prepare_training_corpus(
             )
             .select(*cols)
         )
+    if r.clf_threshold is not None:
+        if clf_positive is None:
+            raise ValueError("clf_threshold needs clf_positive")
+        from ..operators.quality_clf import (
+            fit_quality_classifier,
+            quality_gate,
+            score_quality,
+        )
+
+        # discriminative positive gate BEFORE the DSIR budget (same
+        # rationale: junk must not crowd the selection). Negatives are
+        # the funnel survivors themselves (the FineWeb-Edu framing —
+        # label noise from true positives in the raw slice is expected);
+        # ids are prefix-disjoint per fit_quality_classifier's contract.
+        from ..operators.importance import hashed_ngram_features as _hnf
+
+        def _pfx(feats, tag):
+            return feats.withColumn(
+                "id", F.concat(F.lit(tag), F.col("id").cast("string"))
+            )
+
+        model = fit_quality_classifier(
+            _pfx(
+                _hnf(
+                    clf_positive, id_col=id_col, text_col=text_col,
+                    dim=r.clf_dim,
+                ),
+                "pos:",
+            ),
+            _pfx(
+                _hnf(out, id_col=id_col, text_col=text_col, dim=r.clf_dim),
+                "raw:",
+            ),
+            iterations=r.clf_iterations,
+        )
+        scores = score_quality(
+            _hnf(out, id_col=id_col, text_col=text_col, dim=r.clf_dim),
+            model,
+        )
+        out = quality_gate(out, scores, r.clf_threshold, id_col=id_col)
+
     if r.dsir_top_k is not None:
         if dsir_reference is None:
             raise ValueError("dsir_top_k needs dsir_reference")

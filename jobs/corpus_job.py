@@ -56,6 +56,15 @@ def main() -> None:
         help="parquet of target texts the DSIR selection aims toward",
     )
     ap.add_argument("--dsir-seed", type=int, default=0)
+    ap.add_argument(
+        "--clf-threshold", type=float, default=None,
+        help="quality-classifier gate: keep docs scoring >= threshold "
+             "(requires --clf-positive)",
+    )
+    ap.add_argument(
+        "--clf-positive", default="",
+        help="parquet of curated positive texts to fit the classifier on",
+    )
     ap.add_argument("--tag", default="", help="tag the committed snapshot")
     ap.add_argument(
         "--render-sequences", action="store_true",
@@ -94,6 +103,7 @@ def main() -> None:
         max_perplexity=args.max_perplexity,
         dsir_top_k=args.dsir_top_k,
         dsir_seed=args.dsir_seed,
+        clf_threshold=args.clf_threshold,
         salt=args.salt,
     )
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
@@ -105,9 +115,13 @@ def main() -> None:
         if args.dsir_reference
         else None
     )
+    clf_pos = (
+        spark.read.parquet(args.clf_positive) if args.clf_positive else None
+    )
     corpus = prepare_training_corpus(
         docs, recipe, id_col=args.id_col, text_col=args.text_col,
         benchmark=bench, lm_reference=lm_ref, dsir_reference=dsir_ref,
+        clf_positive=clf_pos,
     ).persist()
     stats = corpus_stats(docs, corpus).first()
     # cluster the output by (bucket, bin_id): training readers consume bin

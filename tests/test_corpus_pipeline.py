@@ -319,3 +319,28 @@ def test_funnel_dsir_selection_stage(spark, docs):
     # guard: the knob without its reference is an explicit error
     with pytest.raises(ValueError, match="dsir_reference"):
         prepare_training_corpus(docs, recipe)
+
+
+def test_funnel_quality_classifier_stage(spark, docs):
+    recipe = CorpusRecipe(
+        dedup="exact", clf_threshold=0.5, clf_dim=1024, clf_iterations=12
+    )
+    pos = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    out = prepare_training_corpus(docs, recipe, clf_positive=pos)
+    base = prepare_training_corpus(docs, CorpusRecipe(dedup="exact"))
+    # the gate selects (a strict subset) and selects TOWARD the
+    # positives: kept set is en-heavier than the ungated survivors
+    assert 0 < out.count() < base.count()
+
+    def en_share(df):
+        return df.filter(F.col("lang") == "en").count() / df.count()
+
+    assert en_share(out) > en_share(base)
+    # deterministic: the zero-init fixed-iteration fit is a pure function
+    out2 = prepare_training_corpus(docs, recipe, clf_positive=pos)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+    # the knob without its reference is an explicit error
+    with pytest.raises(ValueError, match="clf_positive"):
+        prepare_training_corpus(docs, recipe)
