@@ -225,6 +225,8 @@ def main() -> None:
             "trust_graph_rank",
             "registrable_domains",
             "warc_revisits",
+            "domain_budget_schedule",
+            "quality_classifier_gate",
         ]
         qs = E.queries()
         for name in bench_queries:
