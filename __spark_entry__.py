@@ -1770,6 +1770,45 @@ def _trust_graph_rank_sql(iterations: int = 5) -> str:
     )
 
 
+def _canonical_url_per_digest(spark, sf):
+    """Representative-URL choice (operators/mirrors.py canonical_urls):
+    each doc's content appears behind three addresses — clean, a
+    tracking-param variant, a longer mirror-host copy; the shortest
+    clean one must win per digest. Oracle replays the (length, params,
+    url) preference as a window."""
+    from hk_housing_datahub_spark.operators.mirrors import canonical_urls
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    base = F.concat(
+        F.lit("https://h"),
+        F.pmod("doc_id", F.lit(10)).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    digest = F.md5(F.col("doc_id").cast("string"))
+    caps = (
+        d.select(base.alias("url_canon"), digest.alias("digest"))
+        .unionAll(
+            d.select(
+                F.concat(base, F.lit("?utm=1")).alias("url_canon"),
+                digest.alias("digest"),
+            )
+        )
+        .unionAll(
+            d.select(
+                F.concat(
+                    F.lit("https://mirror"),
+                    F.pmod("doc_id", F.lit(10)).cast("string"),
+                    F.lit(".example.net/page/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url_canon"),
+                digest.alias("digest"),
+            )
+        )
+    )
+    return canonical_urls(caps)
+
+
 def _domain_budget_schedule(spark, sf):
     """Two-tier politeness (frontier/scheduler.py schedule_wave +
     apply_domain_budget): a co.uk registrant's 20-subdomain farm wins
@@ -2501,7 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 19 oracle-backed entries after the window (▲ in
+    inside it. The 20 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -2580,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domains": _registrable_domains,
         "warc_revisits": _warc_revisits,
         "domain_budget_schedule": _domain_budget_schedule,
+        "canonical_url_per_digest": _canonical_url_per_digest,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -3718,6 +3758,36 @@ def oracle_sql() -> dict[str, str]:
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()
     d["trust_graph_rank"] = _trust_graph_rank_sql()
+    d["canonical_url_per_digest"] = """
+        WITH caps AS (
+            SELECT u AS url_canon, md5(CAST(doc_id AS VARCHAR)) AS digest
+            FROM (
+                SELECT doc_id, unnest([
+                    'https://h' || (doc_id % 10) || '.example.com/p/'
+                        || doc_id,
+                    'https://h' || (doc_id % 10) || '.example.com/p/'
+                        || doc_id || '?utm=1',
+                    'https://mirror' || (doc_id % 10)
+                        || '.example.net/page/' || doc_id
+                ]) AS u
+                FROM documents)
+        ),
+        r AS (
+            SELECT digest, url_canon,
+                   row_number() OVER (PARTITION BY digest ORDER BY
+                       length(url_canon),
+                       CASE WHEN instr(url_canon, '?') > 0
+                            THEN len(string_split(
+                                split_part(url_canon, '?', 2), '&'))
+                            ELSE 0 END,
+                       url_canon) AS rn,
+                   count(DISTINCT url_canon) OVER (PARTITION BY digest)
+                       AS n_urls
+            FROM caps
+        )
+        SELECT digest, url_canon AS canonical_url, n_urls
+        FROM r WHERE rn = 1
+    """
     d["domain_budget_schedule"] = """
         WITH f AS (
             SELECT 'https://s' || (o_custkey % 20) || '.farm'

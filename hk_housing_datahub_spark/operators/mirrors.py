@@ -126,3 +126,39 @@ def suppressed_hosts(mirror_pairs: DataFrame) -> DataFrame:
         F.col("size_b") < F.col("size_a"), F.col("host_b")
     ).otherwise(F.greatest("host_a", "host_b"))
     return mirror_pairs.select(loser.alias("host")).distinct()
+
+
+def canonical_urls(
+    captures: DataFrame,
+    url_col: str = "url_canon",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """(digest, canonical_url, n_urls): one representative URL per
+    content digest — the URL-level companion to the host-level pair
+    table above. When the same bytes live behind many URLs (tracking
+    params, mirrors, print views), downstream consumers (CDX lookups,
+    training corpora, link rewrites) want ONE address per content;
+    the archive convention prefers the simplest stable one.
+
+    Preference order: shortest URL, then fewest query parameters, then
+    lexicographic — all deterministic, no fetch-order dependence. ONE
+    aggregate on digest via min(struct(...)) — no window, no second
+    shuffle; ties cannot survive the final lexicographic key."""
+    u = F.col(url_col)
+    n_params = F.when(
+        F.instr(u, "?") > 0,
+        F.size(F.split(F.substring_index(u, "?", -1), "&")),
+    ).otherwise(F.lit(0))
+    pick = F.struct(
+        F.length(u).alias("len"),
+        n_params.alias("np"),
+        u.alias("url"),
+    )
+    return (
+        captures.filter(F.col(digest_col).isNotNull())
+        .groupBy(F.col(digest_col).alias("digest"))
+        .agg(
+            F.min(pick).getField("url").alias("canonical_url"),
+            F.countDistinct(url_col).alias("n_urls"),
+        )
+    )

@@ -207,3 +207,26 @@ def test_mirror_guard_rejects_unknown_thresholds(spark, tmp_path):
             spark, _mirror_corpus(spark), None, str(tmp_path / "x"),
             mirror_guard=True, mirror_thresholds={"bogus": 1},
         )
+
+
+def test_canonical_urls_prefers_short_clean_addresses(spark):
+    from hk_housing_datahub_spark.operators.mirrors import canonical_urls
+
+    rows = [
+        ("https://a.com/p?utm=1&ref=2", "d1"),
+        ("https://a.com/p", "d1"),  # shortest wins
+        ("https://mirror.net/p", "d1"),
+        ("https://b.com/x?a=1", "d2"),
+        ("https://b.com/y?a=1", "d2"),  # equal len/params -> lexicographic
+        ("https://c.com/only", None),  # null digest ignored
+    ]
+    got = {
+        r["digest"]: (r["canonical_url"], r["n_urls"])
+        for r in canonical_urls(
+            spark.createDataFrame(rows, ["url_canon", "digest"])
+        ).collect()
+    }
+    assert got == {
+        "d1": ("https://a.com/p", 3),
+        "d2": ("https://b.com/x?a=1", 2),
+    }
