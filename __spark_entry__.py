@@ -2471,15 +2471,39 @@ def _quality_classifier_gate(spark, sf):
         score_quality,
     )
 
-    docs = _t(spark, sf, "documents")
-    pos = docs.filter(F.col("lang") == "en")
-    neg = docs.filter(F.col("lang") != "en").select(
+    base = _t(spark, sf, "documents")
+    # the sf documents share one vocabulary across langs (statistically
+    # identical text), so the entry plants its classes the way every
+    # other synthetic-input query does: even doc_ids lean on a curated
+    # vocabulary, odd ones on junk — the fitted gate must recover the
+    # parity. The fit sees a BOUNDED labeled hash-slice (the production
+    # shape: fit cost = iterations x 2 compact shuffles over the
+    # sample); scoring covers the whole corpus.
+    is_pos = F.pmod("doc_id", F.lit(2)) == 0
+    docs = base.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            "text",
+            F.when(
+                is_pos,
+                F.lit(" study theorem proof lemma chapter" * 4),
+            ).otherwise(F.lit(" click spam win prize casino" * 4)),
+        ).alias("text"),
+    )
+    sample = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        )
+    )
+    pos = sample.filter(is_pos)
+    neg = sample.filter(~is_pos).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
     model = fit_quality_classifier(
         hashed_ngram_features(pos, dim=1024),
         hashed_ngram_features(neg, dim=1024),
-        iterations=12,
+        iterations=6,
     )
     scores = score_quality(
         hashed_ngram_features(docs, dim=1024), model
