@@ -227,6 +227,7 @@ def main() -> None:
             "warc_revisits",
             "domain_budget_schedule",
             "quality_classifier_gate",
+            "canonical_url_per_digest",
         ]
         qs = E.queries()
         for name in bench_queries:
