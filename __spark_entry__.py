@@ -3801,8 +3801,10 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY digest ORDER BY
                        length(url_canon),
                        CASE WHEN instr(url_canon, '?') > 0
-                            THEN len(string_split(
-                                split_part(url_canon, '?', 2), '&'))
+                            THEN len(list_filter(string_split(
+                                substr(url_canon,
+                                       instr(url_canon, '?') + 1), '&'),
+                                x -> x <> ''))
                             ELSE 0 END,
                        url_canon) AS rn,
                    count(DISTINCT url_canon) OVER (PARTITION BY digest)

@@ -506,9 +506,14 @@ class CrawlEngine:
                     suppressed_hosts,
                 )
 
+                # the trap guard's folded 'null' class (all NULL-extract
+                # pages share one literal digest) is a per-host signal,
+                # not content identity — two unrelated hosts each serving
+                # an unextractable page must not count as sharing a page,
+                # so the mirror branch drops that class before the sets
                 losers = suppressed_hosts(
                     mirror_host_pairs(
-                        captures.select(
+                        captures.filter(F.col("digest") != "null").select(
                             url_host(F.col("url_canon")).alias("host"),
                             "digest",
                         ),

@@ -145,17 +145,22 @@ def canonical_urls(
     aggregate on digest via min(struct(...)) — no window, no second
     shuffle; ties cannot survive the final lexicographic key."""
     u = F.col(url_col)
-    n_params = F.when(
-        F.instr(u, "?") > 0,
-        F.size(F.split(F.substring_index(u, "?", -1), "&")),
-    ).otherwise(F.lit(0))
+    # the query string is everything after the FIRST '?' (a '?' inside a
+    # query value belongs to the query, not to a second one); empty
+    # segments from trailing '&' don't count as parameters
+    query = F.when(
+        F.instr(u, "?") > 0, F.substr(u, F.instr(u, "?") + F.lit(1))
+    ).otherwise(F.lit(""))
+    n_params = F.size(F.filter(F.split(query, "&"), lambda x: x != ""))
     pick = F.struct(
         F.length(u).alias("len"),
         n_params.alias("np"),
         u.alias("url"),
     )
     return (
-        captures.filter(F.col(digest_col).isNotNull())
+        # NULL urls must not win min(struct): a null len field sorts
+        # first, yielding canonical_url=NULL for a digest with real URLs
+        captures.filter(F.col(digest_col).isNotNull() & u.isNotNull())
         .groupBy(F.col(digest_col).alias("digest"))
         .agg(
             F.min(pick).getField("url").alias("canonical_url"),

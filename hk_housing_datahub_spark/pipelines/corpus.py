@@ -66,6 +66,10 @@ class CorpusRecipe:
     clf_threshold: float | None = None  # quality-clf gate (needs clf_positive)
     clf_dim: int = 4096  # hashed buckets for the classifier
     clf_iterations: int = 40  # fixed GD rounds (determinism contract)
+    clf_negative_rate: float = 0.25  # hash-sampled raw slice used as the
+    # fit's negative class — the fit must cost iterations x 2 shuffles
+    # over a LABELED SAMPLE, not the corpus (set so rate x |corpus| is
+    # on the order of |clf_positive|); scoring still covers every doc
     cap_per_source: int | None = None  # RefinedWeb/C4 per-domain cap
     cap_group_col: str = "source"  # the domain/host column to cap on
     salt: str = ""
@@ -185,10 +189,14 @@ def prepare_training_corpus(
         )
 
         # discriminative positive gate BEFORE the DSIR budget (same
-        # rationale: junk must not crowd the selection). Negatives are
-        # the funnel survivors themselves (the FineWeb-Edu framing —
-        # label noise from true positives in the raw slice is expected);
-        # ids are prefix-disjoint per fit_quality_classifier's contract.
+        # rationale: junk must not crowd the selection). Negatives are a
+        # bounded hash-slice of the funnel survivors (the FineWeb-Edu
+        # framing — label noise from true positives in the raw slice is
+        # expected): the fit costs iterations x 2 compact shuffles over
+        # the SAMPLE, never the corpus. Survivor features are computed
+        # once and persisted — the fit's negative side and the full
+        # scoring pass both read the same frame, so the upstream funnel
+        # (dedup, gates) is not re-embedded in the output plan.
         from ..operators.importance import hashed_ngram_features as _hnf
 
         def _pfx(feats, tag):
@@ -196,6 +204,14 @@ def prepare_training_corpus(
                 "id", F.concat(F.lit(tag), F.col("id").cast("string"))
             )
 
+        feats = _hnf(
+            out, id_col=id_col, text_col=text_col, dim=r.clf_dim
+        ).persist()
+        neg = feats
+        if r.clf_negative_rate < 1.0:
+            neg = hash_sample(
+                feats, ["id"], r.clf_negative_rate, salt=r.salt
+            )
         model = fit_quality_classifier(
             _pfx(
                 _hnf(
@@ -204,16 +220,10 @@ def prepare_training_corpus(
                 ),
                 "pos:",
             ),
-            _pfx(
-                _hnf(out, id_col=id_col, text_col=text_col, dim=r.clf_dim),
-                "raw:",
-            ),
+            _pfx(neg, "raw:"),
             iterations=r.clf_iterations,
         )
-        scores = score_quality(
-            _hnf(out, id_col=id_col, text_col=text_col, dim=r.clf_dim),
-            model,
-        )
+        scores = score_quality(feats, model)
         out = quality_gate(out, scores, r.clf_threshold, id_col=id_col)
 
     if r.dsir_top_k is not None:

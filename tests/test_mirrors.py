@@ -230,3 +230,104 @@ def test_canonical_urls_prefers_short_clean_addresses(spark):
         "d1": ("https://a.com/p", 3),
         "d2": ("https://b.com/x?a=1", 2),
     }
+
+
+def test_canonical_urls_query_edges(spark):
+    """Param counting reads the query AFTER THE FIRST '?' (a '?' inside
+    a value belongs to the query), empty '&' segments don't count, and
+    a NULL url row can never win min(struct) for its digest."""
+    from hk_housing_datahub_spark.operators.mirrors import canonical_urls
+
+    rows = [
+        # equal length 27; true params: 2 ('b=2?c=3' is ONE value) vs 1.
+        # Counting after the LAST '?' would see 1 ('c=3') for the first
+        # and tie-break lexicographically to the wrong winner.
+        ("https://c.com/p?a=1&b=2?c=3", "d3"),
+        ("https://c.com/pqrst?a=12345", "d3"),
+        # trailing '&' adds no parameter: 1 param beats 2
+        ("https://e.com/ppp?a=1&", "d4"),
+        ("https://e.com/p?a=1&b=", "d4"),
+        # NULL url must not shadow the real address
+        (None, "d5"),
+        ("https://f.com/x", "d5"),
+    ]
+    got = {
+        r["digest"]: (r["canonical_url"], r["n_urls"])
+        for r in canonical_urls(
+            spark.createDataFrame(rows, "url_canon string, digest string")
+        ).collect()
+    }
+    assert got == {
+        "d3": ("https://c.com/pqrst?a=12345", 2),
+        "d4": ("https://e.com/ppp?a=1&", 2),
+        "d5": ("https://f.com/x", 1),
+    }
+
+
+def test_mirror_guard_ignores_null_extract_class(spark, tmp_path):
+    """Unextractable pages fold into one 'null' digest for the TRAP
+    guard, but that class is not content identity: two hosts that each
+    serve an unextractable page share nothing. Here semi.com mirrors
+    only 4 of big.com's pages (< min_shared=5) and both hosts serve one
+    NULL-extract shell — counting the folded class would push shared to
+    5 at containment 1.0 and wrongly evict semi.com from wave 1."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.frontier.crawl import CrawlEngine
+
+    def page(host, i, text, link=None):
+        url = f"https://{host}/p/{i}"
+        body = f'<div id="content">{text}</div>' if text is not None else ""
+        html = (
+            f"<html><body>{body}"
+            f'<a href="https://{host}/p/{link if link is not None else i + 60}">n</a>'
+            "</body></html>"
+        )
+        return (url, html.encode(), text or "")
+
+    rows = []
+    for i in range(120):
+        rows.append(page("big.com", i, f"content {i}"))
+    # semi.com serves ONLY 8 pages, all byte-copies of big.com's first 8
+    # (pages 0..3 are seeds and link to 4..7 for wave 1): after wave 0
+    # its informative set is exactly {d0..d3} — 4 shared digests, one
+    # under min_shared. The folded 'null' class from the two shells
+    # would make it 5 shared at containment 5/5 = 1.0.
+    for i in range(8):
+        rows.append(page("semi.com", i, f"content {i}", link=i + 4))
+    # one unextractable shell on EACH host (shared 'null' class)
+    rows.append(page("big.com", 500, None))
+    rows.append(page("semi.com", 500, None))
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string"
+    ).select(
+        "url",
+        F.timestamp_seconds(F.lit(1_700_000_000)).alias("warc_ts"),
+        "html",
+        "text",
+        F.lit("en").alias("lang"),
+    ).cache()
+
+    seeds = spark.createDataFrame(
+        [(f"https://big.com/p/{i}", 0) for i in list(range(25)) + [500]]
+        + [(f"https://semi.com/p/{i}", 0) for i in [0, 1, 2, 3, 500]],
+        ["url", "priority"],
+    )
+    eng = CrawlEngine(
+        spark, pages, None, str(tmp_path / "nullguard"),
+        wave_ms=10_000_000, max_depth=2,
+        mirror_guard=True,
+        mirror_thresholds={"min_shared": 5, "min_containment": 0.9},
+    )
+    res = eng.run(seeds, max_waves=2)
+    by_wave_host = {
+        (r["wave"], r["host"]): r["n"]
+        for r in res.listings(spark)
+        .groupBy("wave", "host")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # semi.com is NOT a mirror (4 shared < min_shared) — it must keep
+    # crawling in wave 1 despite the shared unextractable shell
+    assert (1, "semi.com") in by_wave_host
+    assert (1, "big.com") in by_wave_host
