@@ -1770,6 +1770,92 @@ def _trust_graph_rank_sql(iterations: int = 5) -> str:
     )
 
 
+def _hits_rank(spark, sf):
+    """HITS hubs/authorities (operators/linkgraph.py hits) over the same
+    synthetic outlink graph as link_graph_rank/trust_graph_rank — 5
+    fixed mutually-recursive L1-normalized half-steps; the oracle
+    unrolls the identical recurrence (two joins + two normalizations
+    per round)."""
+    from hk_housing_datahub_spark.operators.linkgraph import hits
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    linkers = docs.filter(F.pmod("doc_id", F.lit(11)) != 0)
+    parts = [
+        linkers.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 5), (29, 11))
+    ]
+    edges = parts[0].union(parts[1]).union(parts[2])
+    scores = hits(edges, iterations=5)
+    return scores.select(
+        F.col("node").alias("doc_id"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _hits_rank_sql(iterations: int = 5) -> str:
+    """Unrolled HITS twin of _hits_rank: same CTE graph construction as
+    _trust_graph_rank_sql; each round is authority = normalized in-push
+    of hubs then hub = normalized out-pull of authorities, with the
+    coalesce-then-divide operation order mirrored from the Spark
+    Columns so DuckDB's doubles agree far below round(…, 6)."""
+    # MATERIALIZED: DuckDB inlines CTEs by default, and e/nodes are
+    # referenced in every half-step — inlining would re-expand the
+    # 3-way documents scan dozens of times (fd exhaustion at sf0.01)
+    ctes = [
+        "nd AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n"
+        " FROM documents)",
+        "raw AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id AS src, (doc_id*{a}+{b}) % n AS dst"
+            " FROM documents, nd WHERE doc_id % 11 <> 0"
+            for a, b in ((7, 1), (13, 5), (29, 11))
+        )
+        + ")",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw)",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS hub"
+        " FROM nodes, nd)",
+    ]
+    z = "CAST(0.0 AS DOUBLE)"
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"ra{i} AS (SELECT e.dst AS node, sum(h.hub) AS v"
+            f" FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"sa{i} AS (SELECT coalesce(sum(v), {z}) AS tot FROM ra{i})"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT n.node, CASE WHEN s.tot > 0"
+            f" THEN coalesce(r.v, {z}) / s.tot ELSE {z} END AS authority"
+            f" FROM nodes n LEFT JOIN ra{i} r ON n.node = r.node, sa{i} s)"
+        )
+        ctes.append(
+            f"rh{i} AS (SELECT e.src AS node, sum(a.authority) AS v"
+            f" FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)"
+        )
+        ctes.append(
+            f"sh{i} AS (SELECT coalesce(sum(v), {z}) AS tot FROM rh{i})"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT n.node, CASE WHEN s.tot > 0"
+            f" THEN coalesce(r.v, {z}) / s.tot ELSE {z} END AS hub"
+            f" FROM nodes n LEFT JOIN rh{i} r ON n.node = r.node, sh{i} s)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.node AS doc_id, round(h.hub, 6) AS hub,"
+        f" round(a.authority, 6) AS authority"
+        f" FROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"
+    )
+
+
 def _canonical_url_per_digest(spark, sf):
     """Representative-URL choice (operators/mirrors.py canonical_urls):
     each doc's content appears behind three addresses — clean, a
@@ -2564,7 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 21 oracle-backed entries after the window (▲ in
+    inside it. The 22 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -2640,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_rollup": _anchor_text_rollup,
         "mirror_hosts": _mirror_hosts,
         "trust_graph_rank": _trust_graph_rank,
+        "hits_rank": _hits_rank,
         "registrable_domains": _registrable_domains,
         "warc_revisits": _warc_revisits,
         "domain_budget_schedule": _domain_budget_schedule,
@@ -3782,6 +3869,7 @@ def oracle_sql() -> dict[str, str]:
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()
     d["trust_graph_rank"] = _trust_graph_rank_sql()
+    d["hits_rank"] = _hits_rank_sql()
     d["canonical_url_per_digest"] = """
         WITH caps AS (
             SELECT u AS url_canon, md5(CAST(doc_id AS VARCHAR)) AS digest

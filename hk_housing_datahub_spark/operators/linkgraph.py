@@ -415,3 +415,83 @@ def trustrank(
         ),
         iterations,
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg 1999): (node, hub, authority) by mutually
+    recursive power iteration. PageRank/TrustRank answer "how endorsed
+    is this page"; HITS separates the two roles a crawl cares about —
+    *hubs* (link lists, sitemaps, category indexes: pages whose
+    outlinks are worth expanding eagerly) and *authorities* (pages many
+    good hubs point at: worth fetching early and keeping). Frontier use:
+    hub scores prioritize EXPANSION (wave scheduling of pages whose
+    outlinks to harvest), authority scores prioritize FETCH order —
+    complementary to the endorsement ranks above.
+
+    Recurrence over the distinct-edge graph (L1-normalized half-steps,
+    so scores are comparable across graph sizes and the fixed-point is
+    scale-free; h0 = 1/n):
+
+        a_i(v) = Σ_{u→v} h_{i-1}(u)   then  a_i := a_i / Σ a_i
+        h_i(u) = Σ_{u→v} a_i(v)       then  h_i := h_i / Σ h_i
+
+    Nodes with no in-edges have authority 0; no out-edges → hub 0.
+    Deterministic, fixed iterations — SQL-unrollable (oracle twin
+    ``hits_rank``). Scale shape: per half-step one edges⋈scores join +
+    one compact-key sum + one scalar-normalizer cross join (broadcast
+    of a single row); per-round localCheckpoint bounds the plan like
+    ``_power_iterate``. The float operation order inside each half-step
+    (coalesce-then-divide) is mirrored by the SQL twin.
+    """
+    e = _edge_set(edges, src, dst)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+
+    def _half(scores, score_col, edge_key, out_key, out_col):
+        """One half-step: push ``score_col`` across edges keyed on
+        ``edge_key`` → summed at ``out_key`` → L1-normalize over nodes."""
+        raw = (
+            e.join(scores.withColumnRenamed("node", edge_key), edge_key)
+            .groupBy(out_key)
+            .agg(F.sum(score_col).alias("_raw"))
+        )
+        total = raw.agg(
+            F.coalesce(F.sum("_raw"), F.lit(0.0)).alias("_tot")
+        )
+        return (
+            nodes.join(
+                raw.withColumnRenamed(out_key, "node"), "node", "left"
+            )
+            .crossJoin(total)
+            .select(
+                "node",
+                F.when(
+                    F.col("_tot") > 0,
+                    F.coalesce(F.col("_raw"), F.lit(0.0)) / F.col("_tot"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hub = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        auth = _half(hub, "hub", "src", "dst", "authority")
+        hub = _half(auth, "authority", "dst", "src", "hub")
+    return hub.join(auth, "node")

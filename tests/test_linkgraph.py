@@ -366,3 +366,93 @@ def test_trustrank_requires_seed_overlap(spark):
     seeds = spark.createDataFrame([(99,)], ["node"])
     with pytest.raises(ValueError, match="no trusted node"):
         trustrank(edges, seeds)
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from hk_housing_datahub_spark.operators.linkgraph import hits
+
+    edges = [(0, 2), (1, 2), (3, 2), (0, 4), (1, 4), (2, 5), (0, 2)]
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(
+            spark.createDataFrame(edges, ["src", "dst"]), iterations=5
+        ).collect()
+    }
+    E = sorted(set(edges))
+    nodes = sorted({u for e in E for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for u, v in E:
+        A[idx[u], idx[v]] = 1.0
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(5):
+        a = A.T @ h
+        s = a.sum()
+        a = a / s if s > 0 else a * 0
+        h = A @ a
+        s = h.sum()
+        h = h / s if s > 0 else h * 0
+    for v in nodes:
+        assert abs(got[v][0] - h[idx[v]]) < 1e-12, ("hub", v)
+        assert abs(got[v][1] - a[idx[v]]) < 1e-12, ("auth", v)
+
+
+def test_hits_separates_hub_and_authority_roles(spark):
+    """A directory page linking to every article is the top HUB with
+    zero authority; the article every hub links to is the top AUTHORITY
+    with zero hub score; L1 half-step normalization keeps each score
+    family summing to 1."""
+    from hk_housing_datahub_spark.operators.linkgraph import hits
+
+    # hub 100 links to articles 1..5; hubs 101,102 each link to article
+    # 1 plus one other — article 1 alone is in every hub's list
+    edges = (
+        [(100, i) for i in range(1, 6)]
+        + [(101, 1), (101, 4), (102, 1), (102, 5)]
+    )
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(
+            spark.createDataFrame(edges, ["src", "dst"]), iterations=8
+        ).collect()
+    }
+    hubs = {v: s[0] for v, s in got.items()}
+    auths = {v: s[1] for v, s in got.items()}
+    assert max(hubs, key=hubs.get) == 100
+    assert max(auths, key=auths.get) == 1
+    # articles never link out -> zero hub; directories are never linked
+    # to -> zero authority
+    assert all(hubs[v] == 0.0 for v in range(1, 6))
+    assert all(auths[v] == 0.0 for v in (100, 101, 102))
+    assert abs(sum(hubs.values()) - 1.0) < 1e-9
+    assert abs(sum(auths.values()) - 1.0) < 1e-9
+
+
+def test_hits_dedups_edges_drops_nulls_and_handles_empty(spark):
+    from pyspark.sql import types as T
+
+    from hk_housing_datahub_spark.operators.linkgraph import hits
+
+    schema = T.StructType(
+        [
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+        ]
+    )
+    dup = hits(
+        spark.createDataFrame(
+            [(1, 2), (1, 2), (1, 2), (3, 2), (None, 2), (1, None)],
+            schema,
+        ),
+        iterations=3,
+    )
+    got = {r["node"]: (r["hub"], r["authority"]) for r in dup.collect()}
+    # triple-counted edge collapses: 1 and 3 are equal hubs
+    assert abs(got[1][0] - got[3][0]) < 1e-12
+    empty = hits(spark.createDataFrame([], schema))
+    assert empty.count() == 0
+    assert set(empty.columns) == {"node", "hub", "authority"}
