@@ -1856,6 +1856,98 @@ def _hits_rank_sql(iterations: int = 5) -> str:
     )
 
 
+def _opic_importance(spark, sf):
+    """OPIC adaptive importance (operators/linkgraph.py opic_init/
+    opic_step/opic_importance) over the same synthetic outlink graph as
+    the other rank entries: 3 crawl waves fetching doc_id % 3 == wave,
+    batch-synchronous cash distribution with virtual-root dangling; the
+    oracle unrolls the identical per-wave recurrence."""
+    from hk_housing_datahub_spark.operators.linkgraph import (
+        opic_importance,
+        opic_init,
+        opic_step,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    linkers = docs.filter(F.pmod("doc_id", F.lit(11)) != 0)
+    parts = [
+        linkers.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 5), (29, 11))
+    ]
+    edges = parts[0].union(parts[1]).union(parts[2])
+    state = opic_init(docs.withColumnRenamed("doc_id", "node"))
+    for wave in range(3):
+        fetched = docs.filter(
+            F.pmod("doc_id", F.lit(3)) == wave
+        ).withColumnRenamed("doc_id", "node")
+        state = opic_step(state, fetched, edges)
+    return opic_importance(state).select(
+        F.col("node").alias("doc_id"),
+        F.round("importance", 6).alias("importance"),
+    )
+
+
+def _opic_importance_sql(waves: int = 3) -> str:
+    """Unrolled OPIC twin of _opic_importance: same CTE graph as the
+    hits/trustrank twins; each wave zeroes fetched cash, pushes
+    sum(cash/deg) to outlink dsts, banks pre-wave cash into history,
+    and spreads the dangling (no-outlink fetched, doc_id % 11 = 0)
+    cash uniformly — float operation order mirrored from the Spark
+    Columns ((zeroed + contrib) + dmass/n)."""
+    z = "CAST(0.0 AS DOUBLE)"
+    ctes = [
+        "nd AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n"
+        " FROM documents)",
+        "raw AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id AS src, (doc_id*{a}+{b}) % n AS dst"
+            " FROM documents, nd WHERE doc_id % 11 <> 0"
+            for a, b in ((7, 1), (13, 5), (29, 11))
+        )
+        + ")",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw)",
+        "deg AS MATERIALIZED"
+        " (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "s0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) / n AS cash,"
+        f" {z} AS history FROM documents, nd)",
+    ]
+    for i in range(waves):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            " sum(s.cash / deg.deg) AS contrib"
+            f" FROM e JOIN s{i} s ON e.src = s.node"
+            " JOIN deg ON deg.src = e.src"
+            f" WHERE e.src % 3 = {i} GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(s.cash), {z}) AS dmass"
+            f" FROM s{i} s WHERE s.node % 3 = {i} AND s.node % 11 = 0)"
+        )
+        ctes.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT s.node,"
+            f" (CASE WHEN s.node % 3 = {i} THEN {z} ELSE s.cash END"
+            f" + coalesce(c.contrib, {z}))"
+            " + d.dmass / CAST(nd.n AS DOUBLE) AS cash,"
+            f" s.history + CASE WHEN s.node % 3 = {i} THEN s.cash"
+            f" ELSE {z} END AS history"
+            f" FROM s{i} s LEFT JOIN c{i} c ON s.node = c.node,"
+            f" d{i} d, nd)"
+        )
+    ctes.append(
+        f"th AS (SELECT coalesce(sum(history), {z}) AS t FROM s{waves})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT s.node AS doc_id, round((s.history + s.cash)"
+        f" / (th.t + CAST(1.0 AS DOUBLE)), 6) AS importance"
+        f" FROM s{waves} s, th"
+    )
+
+
 def _canonical_url_per_digest(spark, sf):
     """Representative-URL choice (operators/mirrors.py canonical_urls):
     each doc's content appears behind three addresses — clean, a
@@ -2650,7 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 22 oracle-backed entries after the window (▲ in
+    inside it. The 23 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -2727,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _mirror_hosts,
         "trust_graph_rank": _trust_graph_rank,
         "hits_rank": _hits_rank,
+        "opic_importance": _opic_importance,
         "registrable_domains": _registrable_domains,
         "warc_revisits": _warc_revisits,
         "domain_budget_schedule": _domain_budget_schedule,
@@ -3870,6 +3963,7 @@ def oracle_sql() -> dict[str, str]:
     d["link_graph_rank"] = _link_graph_rank_sql()
     d["trust_graph_rank"] = _trust_graph_rank_sql()
     d["hits_rank"] = _hits_rank_sql()
+    d["opic_importance"] = _opic_importance_sql()
     d["canonical_url_per_digest"] = """
         WITH caps AS (
             SELECT u AS url_canon, md5(CAST(doc_id AS VARCHAR)) AS digest

@@ -417,6 +417,130 @@ def trustrank(
     )
 
 
+def opic_init(nodes: DataFrame, node_col: str = "node") -> DataFrame:
+    """Initial OPIC state over the known node set: (node, cash, history)
+    with cash = 1/n uniformly and history = 0 (Abiteboul/Preda/Cobéna
+    2003 §2). One count + one projection; see ``opic_step``."""
+    n = nodes.select(F.col(node_col).alias("node")).distinct().count()
+    return nodes.select(
+        F.col(node_col).alias("node"),
+        (F.lit(1.0) / F.lit(float(max(n, 1)))).alias("cash"),
+        F.lit(0.0).alias("history"),
+    )
+
+
+def opic_step(
+    state: DataFrame,
+    fetched: DataFrame,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """One crawl wave of OPIC (Adaptive On-line Page Importance
+    Computation, Abiteboul/Preda/Cobéna WWW 2003) — the importance
+    estimator that, unlike ``pagerank``/``trustrank``/``hits``, needs NO
+    full-graph iteration: each wave banks the fetched pages' cash into
+    their history and pushes it to their outlinks, so the estimate
+    sharpens as the crawl proceeds, with per-wave cost O(wave edges)
+    regardless of accumulated graph size. This is the rank the frontier
+    can afford to refresh EVERY wave (the power-iteration family is a
+    periodic batch job over the full edge set).
+
+    Batch-synchronous (Jacobi) semantics, deterministic for the SQL
+    twin: all distributions read PRE-wave cash simultaneously.
+
+    - ``fetched``: node ids fetched this wave (deduped; ids unknown to
+      ``state`` are ignored — they carry no cash to distribute).
+    - ``edges``: outlink edges observed for the fetched pages (rows
+      whose src is not fetched are ignored; duplicate edges collapse).
+    - Each fetched page u: history += cash(u); its cash splits equally
+      over its distinct outlinks; a fetched page with NO outlinks sends
+      its cash to the virtual root, which redistributes uniformly over
+      ALL post-wave nodes (the paper's virtual page, collapsed to one
+      scalar exactly like ``pagerank``'s dangling mass).
+    - Newly discovered dst nodes enter the state with (0, 0) BEFORE
+      receiving this wave's cash — so total cash is conserved at 1.0
+      forever (pinned invariant), and Σ(history+cash)/(Σhistory+1) = 1.
+
+    Scale shape: one semi-join to select fetched cash, one edges⋈cash
+    join + dst-keyed sum (compact keys), one scalar cross-join, one
+    outer join back onto state; eager localCheckpoint cuts lineage so a
+    10^5-wave crawl keeps an O(1) plan. State is 24 bytes/node.
+    """
+    f = fetched.select(F.col(node_col).alias("node")).distinct()
+    st = state.select("node", "cash", "history")
+    fcash = st.join(f, "node", "semi").select("node", "cash")
+    e = _edge_set(
+        edges.join(
+            f.withColumnRenamed("node", src).select(src), src, "semi"
+        ),
+        src,
+        dst,
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    contribs = (
+        e.join(fcash.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select("dst", (F.col("cash") / F.col("deg")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("contrib"))
+    )
+    dangling = fcash.join(
+        deg.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dmass"))
+    base = st.join(
+        e.select(F.col("dst").alias("node")).distinct(),
+        "node",
+        "full",
+    ).select(
+        "node",
+        F.coalesce("cash", F.lit(0.0)).alias("cash"),
+        F.coalesce("history", F.lit(0.0)).alias("history"),
+    )
+    n = base.count()
+    return (
+        base.join(f.withColumn("_f", F.lit(1)), "node", "left")
+        .join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+        .crossJoin(dangling)
+        .select(
+            "node",
+            (
+                F.when(F.col("_f").isNotNull(), F.lit(0.0)).otherwise(
+                    F.col("cash")
+                )
+                + F.coalesce(F.col("contrib"), F.lit(0.0))
+                + F.col("dmass") / F.lit(float(max(n, 1)))
+            ).alias("cash"),
+            (
+                F.col("history")
+                + F.when(
+                    F.col("_f").isNotNull(), F.col("cash")
+                ).otherwise(F.lit(0.0))
+            ).alias("history"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def opic_importance(state: DataFrame) -> DataFrame:
+    """(node, importance) from OPIC state: (history + cash) /
+    (Σ history + 1) — the paper's bias-corrected estimate (history
+    alone undercounts pages whose cash arrived after their last
+    fetch). Importances sum to exactly 1 (cash invariant). One scalar
+    aggregate cross-joined back in; no shuffle on the node table."""
+    tot = state.agg(
+        F.coalesce(F.sum("history"), F.lit(0.0)).alias("_th")
+    )
+    return state.crossJoin(tot).select(
+        "node",
+        (
+            (F.col("history") + F.col("cash"))
+            / (F.col("_th") + F.lit(1.0))
+        ).alias("importance"),
+    )
+
+
 def hits(
     edges: DataFrame,
     iterations: int = 5,

@@ -456,3 +456,121 @@ def test_hits_dedups_edges_drops_nulls_and_handles_empty(spark):
     empty = hits(spark.createDataFrame([], schema))
     assert empty.count() == 0
     assert set(empty.columns) == {"node", "hub", "authority"}
+
+
+def _opic_model(nodes, waves):
+    """Pure-Python OPIC reference: batch-synchronous (Jacobi) waves over
+    pre-wave cash, virtual-root dangling, discovery at (0, 0)."""
+    n0 = len(nodes)
+    cash = {v: 1.0 / n0 for v in nodes}
+    hist = {v: 0.0 for v in nodes}
+    for fetched, edges in waves:
+        e = sorted({(a, b) for a, b in edges if a in fetched})
+        deg = {}
+        for a, _ in e:
+            deg[a] = deg.get(a, 0) + 1
+        for _, b in e:  # discovery before distribution
+            if b not in cash:
+                cash[b] = 0.0
+                hist[b] = 0.0
+        pre = dict(cash)
+        contrib = {v: 0.0 for v in cash}
+        dmass = 0.0
+        for u in fetched:
+            if u not in pre:
+                continue  # unknown fetched id: no cash to move
+            if deg.get(u, 0) == 0:
+                dmass += pre[u]
+        for a, b in e:
+            if a in pre:
+                contrib[b] += pre[a] / deg[a]
+        n = len(cash)
+        for v in cash:
+            zeroed = 0.0 if v in fetched else pre[v]
+            cash[v] = zeroed + contrib[v] + dmass / n
+            if v in fetched:
+                hist[v] += pre[v]
+    th = sum(hist.values())
+    imp = {v: (hist[v] + cash[v]) / (th + 1.0) for v in cash}
+    return cash, hist, imp
+
+
+def test_opic_matches_python_model_with_discovery_and_dangling(spark):
+    from hk_housing_datahub_spark.operators.linkgraph import (
+        opic_importance,
+        opic_init,
+        opic_step,
+    )
+
+    nodes = [0, 1, 2, 3]
+    all_edges = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 5), (0, 1)]
+    # wave 2 refetches 0; node 3 dangles; edge (1,5) discovers node 5;
+    # 99 is fetched but unknown (carries no cash)
+    waves = [[0, 1], [2, 3, 99], [0, 5]]
+    edges_df = spark.createDataFrame(all_edges, ["src", "dst"])
+    state = opic_init(spark.createDataFrame([(v,) for v in nodes], ["node"]))
+    for w in waves:
+        f = spark.createDataFrame([(v,) for v in w], ["node"])
+        state = opic_step(state, f, edges_df)
+        got_cash = {r["node"]: r["cash"] for r in state.collect()}
+        assert abs(sum(got_cash.values()) - 1.0) < 1e-12  # invariant
+    cash, hist, imp = _opic_model(
+        nodes, [(set(w), all_edges) for w in waves]
+    )
+    rows = {r["node"]: r for r in state.collect()}
+    assert set(rows) == set(cash)
+    for v in cash:
+        assert abs(rows[v]["cash"] - cash[v]) < 1e-12, ("cash", v)
+        assert abs(rows[v]["history"] - hist[v]) < 1e-12, ("hist", v)
+    got_imp = {
+        r["node"]: r["importance"]
+        for r in opic_importance(state).collect()
+    }
+    for v in imp:
+        assert abs(got_imp[v] - imp[v]) < 1e-12, ("imp", v)
+    assert abs(sum(got_imp.values()) - 1.0) < 1e-12
+
+
+def test_opic_dangling_fetch_redistributes_uniformly(spark):
+    from hk_housing_datahub_spark.operators.linkgraph import (
+        opic_init,
+        opic_step,
+    )
+
+    state = opic_init(spark.createDataFrame([(0,), (1,), (2,)], ["node"]))
+    empty = spark.createDataFrame([], "src int, dst int")
+    f = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r["node"]: (r["cash"], r["history"])
+        for r in opic_step(state, f, empty).collect()
+    }
+    third = 1.0 / 3.0
+    # fetched 0: its 1/3 cash goes to the root and back 1/9 to each node
+    assert abs(got[0][0] - (0.0 + third / 3)) < 1e-12
+    assert abs(got[1][0] - (third + third / 3)) < 1e-12
+    assert abs(got[0][1] - third) < 1e-12
+    assert got[1][1] == 0.0
+
+
+def test_opic_repeated_full_fetch_ranks_like_indegree(spark):
+    """Fetching every page each wave: the hub-fed sink accumulates the
+    most history; importance ordering reflects the link structure."""
+    from hk_housing_datahub_spark.operators.linkgraph import (
+        opic_importance,
+        opic_init,
+        opic_step,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 4), (4, 1)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(v,) for v in range(5)], ["node"])
+    state = opic_init(nodes)
+    for _ in range(6):
+        state = opic_step(state, nodes, edges)
+    imp = {
+        r["node"]: r["importance"]
+        for r in opic_importance(state).collect()
+    }
+    assert imp[0] == max(imp.values())
+    assert abs(sum(imp.values()) - 1.0) < 1e-12
