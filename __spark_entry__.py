@@ -1948,6 +1948,87 @@ def _opic_importance_sql(waves: int = 3) -> str:
     )
 
 
+def _dust_rule_mining(spark, sf):
+    """DUST rule learning (operators/dust.py dust_rules): captures are
+    built from documents with four planted families — ?sess=<id> is
+    content-preserving DUST, ?page=2 changes the digest (rule must be
+    rejected), mod-3 docs use directory URLs duplicated behind
+    /index.html, mod-11 docs also appear behind https. The oracle
+    states the expected per-host pair counts analytically from the same
+    construction (memory: analytic oracles beat re-implementing the
+    rewrite engine in SQL)."""
+    from hk_housing_datahub_spark.operators.dust import dust_rules
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    host = F.concat(
+        F.lit("h"), F.pmod("doc_id", F.lit(7)), F.lit(".example.com")
+    )
+    dirdoc = F.pmod("doc_id", F.lit(3)) == 0
+    base = F.concat(
+        F.lit("http://"),
+        host,
+        F.lit("/d/"),
+        F.col("doc_id"),
+        F.when(dirdoc, F.lit("/")).otherwise(F.lit("")),
+    )
+    dig = F.md5(F.col("doc_id").cast("string"))
+    caps = d.select(base.alias("url"), dig.alias("digest"))
+    sess = d.filter(F.pmod("doc_id", F.lit(2)) == 0).select(
+        F.concat(base, F.lit("?sess="), F.col("doc_id")).alias("url"),
+        dig.alias("digest"),
+    )
+    page = d.filter(F.pmod("doc_id", F.lit(5)) == 0).select(
+        F.concat(base, F.lit("?page=2")).alias("url"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":p2"))).alias(
+            "digest"
+        ),
+    )
+    idxv = d.filter(dirdoc).select(
+        F.concat(base, F.lit("index.html")).alias("url"),
+        dig.alias("digest"),
+    )
+    https = d.filter(F.pmod("doc_id", F.lit(11)) == 0).select(
+        F.regexp_replace(base, "^http://", "https://").alias("url"),
+        dig.alias("digest"),
+    )
+    captures = caps.union(sess).union(page).union(idxv).union(https)
+    return dust_rules(captures, min_support=2, min_precision=0.9)
+
+
+def _dust_rule_mining_sql() -> str:
+    """Analytic twin of _dust_rule_mining: each planted family's
+    validatable pairs are exactly its member count per host (cross-fire
+    audit in the entry docstring — $-anchored path rules skip query
+    URLs, unobserved rewrite targets are ignored), so the rule table is
+    four per-host sums."""
+    return """
+        WITH agg AS (
+            SELECT 'h' || (doc_id % 7) || '.example.com' AS host,
+                   sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS s,
+                   sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS p,
+                   sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS i,
+                   sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS t
+            FROM documents GROUP BY 1),
+        rules AS (
+            SELECT host, 'drop_param:sess' AS rule, s AS support,
+                   0 AS violations FROM agg
+            UNION ALL
+            SELECT host, 'drop_param:page', 0, p FROM agg
+            UNION ALL
+            SELECT host, 'strip_index_html', i, 0 FROM agg
+            UNION ALL
+            SELECT host, 'https_to_http', t, 0 FROM agg)
+        SELECT host, rule,
+               CAST(support AS BIGINT) AS support,
+               CAST(violations AS BIGINT) AS violations,
+               round(CAST(support AS DOUBLE)
+                     / (support + violations), 6) AS precision,
+               (support >= 2 AND CAST(support AS DOUBLE)
+                     / (support + violations) >= 0.9) AS valid
+        FROM rules WHERE support + violations > 0
+    """
+
+
 def _canonical_url_per_digest(spark, sf):
     """Representative-URL choice (operators/mirrors.py canonical_urls):
     each doc's content appears behind three addresses — clean, a
@@ -2742,7 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 23 oracle-backed entries after the window (▲ in
+    inside it. The 24 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -2820,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_graph_rank": _trust_graph_rank,
         "hits_rank": _hits_rank,
         "opic_importance": _opic_importance,
+        "dust_rule_mining": _dust_rule_mining,
         "registrable_domains": _registrable_domains,
         "warc_revisits": _warc_revisits,
         "domain_budget_schedule": _domain_budget_schedule,
@@ -3964,6 +4046,7 @@ def oracle_sql() -> dict[str, str]:
     d["trust_graph_rank"] = _trust_graph_rank_sql()
     d["hits_rank"] = _hits_rank_sql()
     d["opic_importance"] = _opic_importance_sql()
+    d["dust_rule_mining"] = _dust_rule_mining_sql()
     d["canonical_url_per_digest"] = """
         WITH caps AS (
             SELECT u AS url_canon, md5(CAST(doc_id AS VARCHAR)) AS digest

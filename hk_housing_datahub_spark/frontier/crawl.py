@@ -95,6 +95,8 @@ class CrawlEngine:
         trap_thresholds: dict | None = None,
         mirror_guard: bool = False,
         mirror_thresholds: dict | None = None,
+        dust_guard: bool = False,
+        dust_thresholds: dict | None = None,
     ):
         # Trap guard (operators/traps.py): per wave, fetched pages land in
         # an accumulated (url_canon, digest) capture log; hosts whose URL
@@ -138,6 +140,25 @@ class CrawlEngine:
         self.mirror_thresholds.setdefault("min_shared", 5)
         self.mirror_thresholds.setdefault("min_containment", 0.9)
         self.mirror_thresholds.setdefault("max_digest_df", 64)
+        # DUST guard (operators/dust.py): over the SAME accumulated
+        # capture log, per-host rewrite rules (irrelevant params,
+        # /index.html suffixes, scheme folds) are learned each wave and
+        # applied to freshly discovered outlinks BEFORE canonicalization
+        # and the seen-set probe — predicted duplicates collapse onto
+        # their canonical form and are never scheduled, so the politeness
+        # budget stops paying for session-id/sort-param URL aliases.
+        self.dust_guard = dust_guard
+        self.dust_thresholds = dict(dust_thresholds or {})
+        d_unknown = set(self.dust_thresholds) - {
+            "min_support",
+            "min_precision",
+        }
+        if d_unknown:
+            raise TypeError(
+                f"unknown dust_thresholds keys: {sorted(d_unknown)}"
+            )
+        self.dust_thresholds.setdefault("min_support", 2)
+        self.dust_thresholds.setdefault("min_precision", 0.9)
         # Link-graph prioritization (operators/linkgraph.py): after each
         # wave, the extracted outlink edges are appended to a per-wave
         # checkpointed edge log, PageRank runs over the accumulated graph,
@@ -361,6 +382,31 @@ class CrawlEngine:
             total_extracted += n_extracted
             t = tick("lineage collect", t)
 
+            if self.trap_guard or self.mirror_guard or self.dust_guard:
+                # per-wave capture log shared by all three guards: the
+                # content identity is the extracted text (NULL-extract
+                # pages fold into one class — a trap host serving empty
+                # shells still counts as one content); overwrite =
+                # crash-idempotent. Written BEFORE the frontier is built
+                # so the DUST guard can rewrite THIS wave's outlinks from
+                # rules its own captures already validate.
+                (
+                    listings.select(
+                        "url_canon",
+                        F.coalesce(
+                            F.md5("extracted_text"), F.lit("null")
+                        ).alias("digest"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(
+                        os.path.join(self.dir, "captures", f"wave={wave}")
+                    )
+                )
+                captures = self.spark.read.parquet(
+                    os.path.join(self.dir, "captures")
+                )
+                t = tick("captures write", t)
+
             # Seen-set update + retry sub-frontier. Fast path (no retry):
             # everything scheduled is final — fetched or dead. With retries,
             # a fetch miss re-enqueues with attempt+1 until max_attempts,
@@ -413,6 +459,26 @@ class CrawlEngine:
                 .withColumn("priority", F.lit(DISCOVERED_PRIORITY))
                 .withColumn("attempt", F.lit(0))
             )
+            if self.dust_guard:
+                from ..operators.dust import dust_apply, dust_rules
+
+                # rules over the accumulated informative captures (the
+                # folded 'null' class must not validate rewrites, same
+                # reasoning as the mirror guard); the valid-rule table is
+                # per-host-small — it broadcasts inside dust_apply — and
+                # the rewrite itself is pure codegen on the outlink rows
+                rules = dust_rules(
+                    captures.filter(F.col("digest") != "null"),
+                    url_col="url_canon",
+                    digest_col="digest",
+                    **self.dust_thresholds,
+                )
+                outlinks = (
+                    dust_apply(outlinks, rules, out_col="_dust")
+                    .withColumn("url", F.col("_dust"))
+                    .drop("_dust")
+                )
+                t = tick("dust rewrite", t)
             out_frontier = with_url_columns(
                 outlinks, n_buckets=self.n_buckets
             ).select(*FRONTIER_COLS)
@@ -451,27 +517,6 @@ class CrawlEngine:
                     base_priority=DISCOVERED_PRIORITY,
                 ).select(*FRONTIER_COLS)
                 t = tick("link-graph rerank", t)
-
-            if self.trap_guard or self.mirror_guard:
-                # per-wave capture log shared by both guards: the content
-                # identity is the extracted text (NULL-extract pages fold
-                # into one class — a trap host serving empty shells still
-                # counts as one content); overwrite = crash-idempotent
-                (
-                    listings.select(
-                        "url_canon",
-                        F.coalesce(
-                            F.md5("extracted_text"), F.lit("null")
-                        ).alias("digest"),
-                    )
-                    .write.mode("overwrite")
-                    .parquet(
-                        os.path.join(self.dir, "captures", f"wave={wave}")
-                    )
-                )
-                captures = self.spark.read.parquet(
-                    os.path.join(self.dir, "captures")
-                )
 
             if self.trap_guard:
                 from ..operators.traps import (
