@@ -2029,6 +2029,101 @@ def _dust_rule_mining_sql() -> str:
     """
 
 
+def _soft404_flags(spark, sf):
+    """Soft-404 detection (operators/soft404.py): captures built from
+    documents — mod-9 docs all serve their host's one error body
+    (shared digest), even-numbered hosts also answer the probe URL with
+    it (probe ground truth), odd hosts rely on the
+    vocabulary+dominance heuristic; doc 404's text 'body 404' plants
+    the vocabulary-without-dominance decoy. The oracle restates each
+    family's flags analytically (class size per host ≥ 5 at sf ≥
+    0.001, +1 on probed hosts for the probe capture itself)."""
+    from hk_housing_datahub_spark.operators.soft404 import (
+        flag_soft404,
+        probe_urls,
+        soft404_signatures,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    host = F.concat(
+        F.lit("h"), F.pmod("doc_id", F.lit(7)), F.lit(".example.com")
+    )
+    soft = F.pmod("doc_id", F.lit(9)) == 0
+    err_body = F.lit("oops 404 page not found")
+    caps = d.select(
+        F.concat(F.lit("http://"), host, F.lit("/d/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.when(soft, F.md5(F.concat(F.lit("err:"), host)))
+        .otherwise(F.md5(F.col("doc_id").cast("string")))
+        .alias("digest"),
+        F.when(soft, err_body)
+        .otherwise(F.concat(F.lit("body "), F.col("doc_id")))
+        .alias("text"),
+    )
+    hosts = d.select(host.alias("host")).distinct()
+    probes = probe_urls(hosts)
+    answering = probes.filter(
+        F.regexp_extract("host", "^h([0-9]+)", 1).cast("int") % 2 == 0
+    )
+    probe_caps = answering.select(
+        F.col("probe_url").alias("url"),
+        F.md5(F.concat(F.lit("err:"), F.col("host"))).alias("digest"),
+        err_body.alias("text"),
+    )
+    captures = caps.union(probe_caps)
+    sigs = soft404_signatures(captures, probes)
+    return flag_soft404(captures, sigs, min_dup_urls=5).select(
+        "url",
+        "host",
+        "probe_match",
+        "error_text",
+        "dominant_dup",
+        "is_soft404",
+    )
+
+
+def _soft404_flags_sql() -> str:
+    """Analytic twin of _soft404_flags: per-host soft-class sizes are
+    one GROUP BY; doc rows and the even-host probe rows are restated
+    with their known flags (normal docs: unique digest → never
+    dominant; error_text only when the id itself contains '404')."""
+    return """
+        WITH d AS (
+            SELECT doc_id, doc_id % 7 AS hn,
+                   'h' || (doc_id % 7) || '.example.com' AS host,
+                   (doc_id % 9 = 0) AS soft
+            FROM documents),
+        cls AS (
+            SELECT hn,
+                   count(*) + CASE WHEN hn % 2 = 0 THEN 1 ELSE 0 END AS n
+            FROM d WHERE soft GROUP BY hn),
+        docrows AS (
+            SELECT 'http://' || d.host || '/d/' || d.doc_id AS url,
+                   d.host,
+                   (d.soft AND d.hn % 2 = 0) AS probe_match,
+                   (d.soft OR CAST(d.doc_id AS VARCHAR) LIKE '%404%')
+                       AS error_text,
+                   (d.soft AND c.n >= 5) AS dominant_dup
+            FROM d LEFT JOIN cls c ON d.hn = c.hn),
+        proberows AS (
+            SELECT 'http://' || h.host || '/__s404_probe__/'
+                       || md5(h.host || ':0') AS url,
+                   h.host,
+                   TRUE AS probe_match,
+                   TRUE AS error_text,
+                   (c.n >= 5) AS dominant_dup
+            FROM (SELECT DISTINCT hn, host FROM d WHERE hn % 2 = 0) h
+            LEFT JOIN cls c ON h.hn = c.hn),
+        allrows AS (
+            SELECT * FROM docrows UNION ALL SELECT * FROM proberows)
+        SELECT url, host, probe_match, error_text, dominant_dup,
+               (probe_match OR (error_text AND dominant_dup))
+                   AS is_soft404
+        FROM allrows
+    """
+
+
 def _canonical_url_per_digest(spark, sf):
     """Representative-URL choice (operators/mirrors.py canonical_urls):
     each doc's content appears behind three addresses — clean, a
@@ -2823,7 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 24 oracle-backed entries after the window (▲ in
+    inside it. The 25 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -2902,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_rank": _hits_rank,
         "opic_importance": _opic_importance,
         "dust_rule_mining": _dust_rule_mining,
+        "soft404_flags": _soft404_flags,
         "registrable_domains": _registrable_domains,
         "warc_revisits": _warc_revisits,
         "domain_budget_schedule": _domain_budget_schedule,
@@ -4047,6 +4143,7 @@ def oracle_sql() -> dict[str, str]:
     d["hits_rank"] = _hits_rank_sql()
     d["opic_importance"] = _opic_importance_sql()
     d["dust_rule_mining"] = _dust_rule_mining_sql()
+    d["soft404_flags"] = _soft404_flags_sql()
     d["canonical_url_per_digest"] = """
         WITH caps AS (
             SELECT u AS url_canon, md5(CAST(doc_id AS VARCHAR)) AS digest

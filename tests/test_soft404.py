@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+from hk_housing_datahub_spark.operators.soft404 import (
+    flag_soft404,
+    probe_urls,
+    soft404_signatures,
+)
+
+
+def _caps(spark):
+    """bad.com answers everything 200 with one error body; good.com has
+    real pages, one of which legitimately discusses 404s; wall.com
+    duplicates a cookie banner across URLs (no error vocabulary)."""
+    err = "sorry, this page could not be found (404)"
+    rows = (
+        [(f"http://bad.com/x/{i}", "e-bad", err) for i in range(8)]
+        + [
+            (f"http://good.com/a/{i}", f"g{i}", f"article {i} body")
+            for i in range(6)
+        ]
+        + [("http://good.com/about-404", "g404", "what is a 404 error?")]
+        + [
+            (f"http://wall.com/p/{i}", "wall", "accept cookies to continue")
+            for i in range(9)
+        ]
+    )
+    return spark.createDataFrame(rows, ["url", "digest", "text"])
+
+
+def test_heuristic_needs_both_error_text_and_dominance(spark):
+    got = {
+        r["url"]: r
+        for r in flag_soft404(_caps(spark), min_dup_urls=5).collect()
+    }
+    assert got["http://bad.com/x/0"]["is_soft404"]  # both signals
+    assert got["http://bad.com/x/0"]["error_text"]
+    assert got["http://bad.com/x/0"]["dominant_dup"]
+    # error vocabulary alone (a real page about 404s) is not convicted
+    r404 = got["http://good.com/about-404"]
+    assert r404["error_text"] and not r404["dominant_dup"]
+    assert not r404["is_soft404"]
+    # dominance alone (cookie wall) is not convicted
+    wall = got["http://wall.com/p/0"]
+    assert wall["dominant_dup"] and not wall["error_text"]
+    assert not wall["is_soft404"]
+    assert not got["http://good.com/a/1"]["is_soft404"]
+
+
+def test_probe_signature_convicts_regardless_of_vocabulary(spark):
+    # quiet.com's error page has NO error vocabulary — only the probe
+    # can catch it
+    rows = [
+        (f"http://quiet.com/q/{i}", "e-quiet", "welcome to quiet.com")
+        for i in range(3)
+    ] + [("http://quiet.com/real", "qr", "actual content")]
+    caps = spark.createDataFrame(rows, ["url", "digest", "text"])
+    probes = probe_urls(
+        spark.createDataFrame([("quiet.com",)], ["host"])
+    )
+    purl = probes.collect()[0]["probe_url"]
+    caps_with_probe = caps.union(
+        spark.createDataFrame(
+            [(purl, "e-quiet", "welcome to quiet.com")],
+            ["url", "digest", "text"],
+        )
+    )
+    sigs = soft404_signatures(caps_with_probe, probes)
+    assert sigs.collect()[0]["digest"] == "e-quiet"
+    got = {
+        r["url"]: r
+        for r in flag_soft404(caps_with_probe, sigs, min_dup_urls=5).collect()
+    }
+    for i in range(3):
+        r = got[f"http://quiet.com/q/{i}"]
+        assert r["probe_match"] and r["is_soft404"]
+        assert not r["error_text"]  # vocabulary was useless here
+    assert not got["http://quiet.com/real"]["is_soft404"]
+    assert got[purl]["is_soft404"]  # the probe capture itself
+
+
+def test_unanswered_probe_yields_no_signature(spark):
+    caps = _caps(spark)
+    probes = probe_urls(
+        spark.createDataFrame([("bad.com",), ("good.com",)], ["host"])
+    )
+    # neither probe URL was captured (hard-404 hosts)
+    assert soft404_signatures(caps, probes).count() == 0
+
+
+def test_probe_urls_deterministic_and_salted(spark):
+    hosts = spark.createDataFrame([("a.com",), ("b.com",)], ["host"])
+    p0 = {r["host"]: r["probe_url"] for r in probe_urls(hosts).collect()}
+    p0b = {r["host"]: r["probe_url"] for r in probe_urls(hosts).collect()}
+    p1 = {r["host"]: r["probe_url"] for r in probe_urls(hosts, salt=1).collect()}
+    assert p0 == p0b
+    assert all(p0[h] != p1[h] for h in p0)
+    assert all(u.startswith(f"http://{h}/__s404_probe__/") for h, u in p0.items())
