@@ -228,6 +228,11 @@ def main() -> None:
             "domain_budget_schedule",
             "quality_classifier_gate",
             "canonical_url_per_digest",
+            # round-4 final batch (rank family + URL hygiene)
+            "hits_rank",
+            "opic_importance",
+            "dust_rule_mining",
+            "soft404_flags",
         ]
         qs = E.queries()
         for name in bench_queries:

@@ -464,9 +464,9 @@ class CrawlEngine:
 
                 # rules over the accumulated informative captures (the
                 # folded 'null' class must not validate rewrites, same
-                # reasoning as the mirror guard); the valid-rule table is
-                # per-host-small — it broadcasts inside dust_apply — and
-                # the rewrite itself is pure codegen on the outlink rows
+                # reasoning as the mirror guard); the valid-rule table
+                # joins host-keyed inside dust_apply (AQE broadcasts it
+                # while small) and the rewrite is pure codegen
                 rules = dust_rules(
                     captures.filter(F.col("digest") != "null"),
                     url_col="url_canon",

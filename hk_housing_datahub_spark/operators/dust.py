@@ -182,11 +182,12 @@ def dust_apply(
 ) -> DataFrame:
     """Rewrite ``url_col`` by the VALID rules of its host, one pass:
     all valid ``drop_param`` rules first (each URL's params filtered
-    against its host's broadcast param set — one array op, no explode),
-    then the path alphabet in ``DEFAULT_PATH_RULES`` order where that
+    against its host's param set — one array op, no explode), then the
+    path alphabet in ``DEFAULT_PATH_RULES`` order where that
     (host, rule) is valid. Output = input plus ``out_col``; URLs on
-    hosts with no learned rules pass through unchanged. One broadcast
-    join, rest pure codegen — the frontier calls this before the
+    hosts with no learned rules pass through unchanged. One host-keyed
+    join (AQE-sized, see inline note), rest pure codegen — the
+    frontier calls this before the
     seen-set probe so predicted duplicates dedup against the canonical
     form and are never scheduled."""
     valid = rules.filter("valid")
@@ -202,8 +203,13 @@ def dust_apply(
         ).alias("_path_rules"),
     )
     u = F.col(url_col)
+    # NO broadcast hint: the rule table is per-host and corpus-dependent
+    # (at web scale most hosts carry a session-param rule), so forcing a
+    # broadcast is a driver OOM at 10^7 hosts — AQE broadcasts it for
+    # free while it is small and falls back to one compact host-keyed
+    # shuffle when it is not (same reasoning as textops' hot-line set).
     joined = urls.join(
-        F.broadcast(per_host),
+        per_host,
         url_host(u) == F.col("host"),
         "left",
     ).drop("host")

@@ -122,8 +122,11 @@ def flag_soft404(
         sig = signatures.select(
             "host", F.col("digest").alias(digest_col), F.lit(True).alias("_pm")
         ).distinct()
+        # NO broadcast hint: one signature row per answering host is
+        # corpus-dependent (10^7 hosts → a forced broadcast OOM); AQE
+        # picks broadcast while small, compact-key shuffle when not
         out = out.join(
-            F.broadcast(sig), ["host", digest_col], "left"
+            sig, ["host", digest_col], "left"
         ).withColumn("probe_match", F.coalesce(F.col("_pm"), F.lit(False))).drop("_pm")
     else:
         out = out.withColumn("probe_match", F.lit(False))

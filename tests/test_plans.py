@@ -531,3 +531,80 @@ def test_content_sniff_is_map_only(spark):
     p = plan_of(docs.select(sniff_content_type(F.col("payload"))))
     assert "Exchange" not in p and "Join" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_dust_rules_no_forced_broadcast_all_jvm(spark):
+    """DUST at 100 TB: both the validation join (rewrites vs captures,
+    url-keyed) and dust_apply's host-keyed rule join are corpus-dependent
+    — no hard broadcast hint anywhere (AQE sizes them); no Python nodes,
+    no cartesian; the (host, rule) verdict agg is map-side combined."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.dust import (
+        dust_apply,
+        dust_rules,
+    )
+
+    spark.catalog.clearCache()
+    caps = _t(spark, "documents").select(
+        F.concat(
+            F.lit("http://h"),
+            F.pmod("doc_id", F.lit(5)),
+            F.lit(".com/p/"),
+            F.col("doc_id"),
+            F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("?s=1")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+        F.md5(F.col("doc_id").cast("string")).alias("digest"),
+    )
+    rules = dust_rules(caps)
+    analyzed = rules._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed[:2000]
+    p = plan_of(rules)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2, p
+
+    applied = dust_apply(caps.select("url"), rules)
+    analyzed2 = applied._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed2, analyzed2[:2000]
+    assert "BatchEvalPython" not in plan_of(applied)
+
+
+def test_soft404_no_forced_broadcast_one_host_digest_exchange(spark):
+    """soft-404 at 100 TB: the signature join is per-probed-host
+    (corpus-dependent — no hard hint, AQE decides) and the dominance
+    count is one (host, digest)-keyed aggregate with map-side combine;
+    flags are codegen, no Python nodes."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.soft404 import (
+        flag_soft404,
+        probe_urls,
+        soft404_signatures,
+    )
+
+    spark.catalog.clearCache()
+    caps = _t(spark, "documents").select(
+        F.concat(
+            F.lit("http://h"),
+            F.pmod("doc_id", F.lit(5)),
+            F.lit(".com/p/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.md5(F.col("doc_id").cast("string")).alias("digest"),
+        F.col("text"),
+    )
+    hosts = caps.select(
+        F.regexp_extract("url", "http://([^/]*)", 1).alias("host")
+    ).distinct()
+    sigs = soft404_signatures(caps, probe_urls(hosts))
+    flagged = flag_soft404(caps, sigs)
+    analyzed = flagged._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed[:2000]
+    p = plan_of(flagged)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "hashpartitioning(host" in p, p
+    assert p.count("HashAggregate") >= 2, p

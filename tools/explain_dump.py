@@ -133,6 +133,18 @@ def _revisits(spark):
     return E.queries()["warc_revisits"](spark, SF)
 
 
+def _dust(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["dust_rule_mining"](spark, SF)
+
+
+def _soft404(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["soft404_flags"](spark, SF)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -338,6 +350,22 @@ def main() -> None:
             "from the header grammar as codegen expressions — no payload "
             "bytes move for revisits.",
             _revisits(spark),
+        ),
+        (
+            "DUST rule mining (url-keyed validation join, AQE-sized)",
+            "Look for: NO ResolvedHint (both the rewrite-vs-capture join "
+            "and any downstream rule join are corpus-dependent), no Python "
+            "nodes, and HashAggregate pairs around the (host, rule)-keyed "
+            "Exchange — verdict counting combines map-side.",
+            _dust(spark),
+        ),
+        (
+            "Soft-404 flags (one (host, digest) exchange + AQE signature join)",
+            "Look for: hashpartitioning(host, digest…) under the dominance "
+            "aggregate with partial+final HashAggregate, the per-probed-"
+            "host signature side joined WITHOUT a hint, and the vocabulary "
+            "regex riding codegen — no Python nodes.",
+            _soft404(spark),
         ),
     ]
 
