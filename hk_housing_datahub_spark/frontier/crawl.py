@@ -90,6 +90,7 @@ class CrawlEngine:
         rank_priorities: bool = False,
         rank_iterations: int = 5,
         rank_bands: int = 4,
+        rank_method: str = "pagerank",
         trap_guard: bool = False,
         trap_min_urls: int = 20,
         trap_thresholds: dict | None = None,
@@ -169,6 +170,19 @@ class CrawlEngine:
         self.rank_priorities = rank_priorities
         self.rank_iterations = rank_iterations
         self.rank_bands = rank_bands
+        # "pagerank" recomputes over the ACCUMULATED edge log each wave
+        # (rank_iterations full-graph passes — the quality option);
+        # "opic" advances persistent cash/history state from THIS wave's
+        # edges only (O(wave) — the rank a 10^10-URL frontier can afford
+        # to refresh every wave). State is checkpointed per wave
+        # (opic_v{wave}, overwrite = crash-idempotent), so a resumed
+        # crawl replays the identical deterministic recurrence.
+        if rank_method not in ("pagerank", "opic"):
+            raise TypeError(
+                f"rank_method must be 'pagerank' or 'opic', got"
+                f" {rank_method!r}"
+            )
+        self.rank_method = rank_method
         # >1 → two-phase rank-and-cut (scheduler.schedule_wave): bounds the
         # hot-host politeness sort to salt×budget rows per host at 10^10.
         self.politeness_salt = politeness_salt
@@ -504,12 +518,53 @@ class CrawlEngine:
                     .write.mode("overwrite")
                     .parquet(os.path.join(self.dir, "edges", f"wave={wave}"))
                 )
-                all_edges = self.spark.read.parquet(
-                    os.path.join(self.dir, "edges")
-                )
-                ranks = pagerank(
-                    all_edges, iterations=self.rank_iterations
-                )
+                if self.rank_method == "opic":
+                    from ..operators.linkgraph import (
+                        opic_importance,
+                        opic_init,
+                        opic_step,
+                    )
+
+                    # O(wave) state advance: only THIS wave's edges and
+                    # fetches touch the state; the accumulated edge log
+                    # is never rescanned. First ranked wave initializes
+                    # uniform cash over the wave's own node set —
+                    # opic_step discovers later nodes at (0, 0).
+                    wave_edges = self.spark.read.parquet(
+                        os.path.join(self.dir, "edges", f"wave={wave}")
+                    )
+                    fetched = listings.select(
+                        F.col("url_canon").alias("node")
+                    )
+                    prev = os.path.join(self.dir, f"opic_v{wave - 1}")
+                    if os.path.isdir(prev):
+                        state = self.spark.read.parquet(prev)
+                    else:
+                        state = opic_init(
+                            fetched.union(
+                                wave_edges.select(
+                                    F.col("src").alias("node")
+                                )
+                            )
+                            .union(
+                                wave_edges.select(F.col("dst").alias("node"))
+                            )
+                            .distinct()
+                        )
+                    spath = os.path.join(self.dir, f"opic_v{wave}")
+                    opic_step(state, fetched, wave_edges).write.mode(
+                        "overwrite"
+                    ).parquet(spath)
+                    ranks = opic_importance(
+                        self.spark.read.parquet(spath)
+                    ).select("node", F.col("importance").alias("rank"))
+                else:
+                    all_edges = self.spark.read.parquet(
+                        os.path.join(self.dir, "edges")
+                    )
+                    ranks = pagerank(
+                        all_edges, iterations=self.rank_iterations
+                    )
                 frontier = rank_to_priority(
                     frontier,
                     ranks,

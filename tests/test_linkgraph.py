@@ -574,3 +574,106 @@ def test_opic_repeated_full_fetch_ranks_like_indegree(spark):
     }
     assert imp[0] == max(imp.values())
     assert abs(sum(imp.values()) - 1.0) < 1e-12
+
+
+def _hub_corpus(spark):
+    """10 hub pages each link to one shared popular target AND one
+    private target — after wave 0, OPIC cash concentrates on the
+    popular page (10 shares vs 1)."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(10):
+        html = (
+            '<html><body><div id="content">hub</div>'
+            '<a href="https://popular.com/p">p</a>'
+            f'<a href="https://uniq{i}.com/u">u</a>'
+            "</body></html>"
+        ).encode()
+        rows.append((f"https://hub{i}.com/h", html, "hub"))
+    rows.append((b"https://popular.com/p", b"<html></html>", "pop"))
+    rows = [(u if isinstance(u, str) else u.decode(), h, t) for u, h, t in rows]
+    return spark.createDataFrame(
+        rows, "url string, html binary, text string"
+    ).select(
+        "url",
+        F.timestamp_seconds(F.lit(1_700_000_000)).alias("warc_ts"),
+        "html",
+        "text",
+        F.lit("en").alias("lang"),
+    )
+
+
+def test_crawl_engine_opic_reprioritization_and_resume(spark, tmp_path):
+    """rank_method='opic': per-wave O(delta) state advance — the
+    popular target (10 hub shares) outranks the private targets in the
+    checkpointed frontier; state cash stays exactly 1; a resumed ranked
+    crawl reaches the identical schedule log."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.frontier import CrawlEngine
+
+    pages = _hub_corpus(spark).cache()
+    seeds = spark.createDataFrame(
+        [(f"https://hub{i}.com/h", 0) for i in range(10)],
+        ["url", "priority"],
+    )
+    kw = dict(
+        wave_ms=10_000_000,
+        max_depth=2,
+        rank_priorities=True,
+        rank_method="opic",
+        rank_bands=4,
+    )
+
+    d1 = str(tmp_path / "full")
+    res = CrawlEngine(spark, pages, None, d1, **kw).run(seeds, max_waves=2)
+    assert res.n_extracted > 0
+
+    fdirs = sorted(glob.glob(_os.path.join(d1, "frontier_v*")))
+    front = spark.read.parquet(fdirs[0])  # frontier after wave 0
+    prio = {
+        r["url_canon"]: r["priority"]
+        for r in front.select("url_canon", "priority").collect()
+    }
+    pop = prio["https://popular.com/p"]
+    uniq = [p for u, p in prio.items() if u.startswith("https://uniq")]
+    assert pop < min(uniq), prio  # best band for the 10-share target
+
+    # state invariant: total cash is exactly 1 at every checkpoint
+    for sdir in sorted(glob.glob(_os.path.join(d1, "opic_v*"))):
+        tot = (
+            spark.read.parquet(sdir)
+            .agg(F.sum("cash").alias("c"))
+            .collect()[0]["c"]
+        )
+        assert abs(tot - 1.0) < 1e-9, sdir
+
+    # resume parity: the stateful rank replays identically
+    d2 = str(tmp_path / "split")
+    CrawlEngine(spark, pages, None, d2, **kw).run(seeds, max_waves=1)
+    res2 = CrawlEngine(spark, pages, None, d2, **kw).run(seeds, max_waves=2)
+    log1 = sorted(
+        (r.wave, r.host, r.host_rank, r.url_canon)
+        for r in res.schedule_log(spark).collect()
+    )
+    log2 = sorted(
+        (r.wave, r.host, r.host_rank, r.url_canon)
+        for r in res2.schedule_log(spark).collect()
+    )
+    assert log1 == log2
+
+
+def test_crawl_engine_rejects_unknown_rank_method(spark, tmp_path):
+    import pytest as _pytest
+
+    from hk_housing_datahub_spark.frontier import CrawlEngine
+
+    with _pytest.raises(TypeError, match="rank_method"):
+        CrawlEngine(
+            spark, _hub_corpus(spark), None, str(tmp_path / "x"),
+            rank_priorities=True, rank_method="hits",
+        )
