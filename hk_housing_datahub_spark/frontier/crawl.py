@@ -69,6 +69,19 @@ class CrawlResult:
     def schedule_log(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.checkpoint_dir, "schedule"))
 
+    def soft404(self, spark: SparkSession) -> DataFrame:
+        """url_canons convicted by the soft-404 probe signatures as of
+        the LAST completed wave (soft404_guard=True; empty otherwise)."""
+        import glob
+
+        dirs = sorted(
+            glob.glob(os.path.join(self.checkpoint_dir, "soft404_v*")),
+            key=lambda p: int(p.rsplit("_v", 1)[1]),
+        )
+        if not dirs:
+            return spark.createDataFrame([], "url_canon string")
+        return spark.read.parquet(dirs[-1])
+
 
 class CrawlEngine:
     def __init__(
@@ -98,6 +111,7 @@ class CrawlEngine:
         mirror_thresholds: dict | None = None,
         dust_guard: bool = False,
         dust_thresholds: dict | None = None,
+        soft404_guard: bool = False,
     ):
         # Trap guard (operators/traps.py): per wave, fetched pages land in
         # an accumulated (url_canon, digest) capture log; hosts whose URL
@@ -160,6 +174,16 @@ class CrawlEngine:
             )
         self.dust_thresholds.setdefault("min_support", 2)
         self.dust_thresholds.setdefault("min_precision", 0.9)
+        # Soft-404 guard (operators/soft404.py): every newly-seen frontier
+        # host gets ONE deterministic cannot-exist probe URL scheduled as
+        # an ordinary frontier row; a host that answers it 200 has its
+        # probe digest recorded as an error signature, and captures
+        # matching it are convicted — their outlinks never enter the
+        # frontier (error pages link to boilerplate nav) and the per-wave
+        # soft404_v{wave} snapshot lets consumers drop the junk listings.
+        # Engine-side conviction is PROBE-ONLY (precise); the vocabulary+
+        # dominance heuristic stays an offline/archive-side tool.
+        self.soft404_guard = soft404_guard
         # Link-graph prioritization (operators/linkgraph.py): after each
         # wave, the extracted outlink edges are appended to a per-wave
         # checkpointed edge log, PageRank runs over the accumulated graph,
@@ -396,7 +420,12 @@ class CrawlEngine:
             total_extracted += n_extracted
             t = tick("lineage collect", t)
 
-            if self.trap_guard or self.mirror_guard or self.dust_guard:
+            if (
+                self.trap_guard
+                or self.mirror_guard
+                or self.dust_guard
+                or self.soft404_guard
+            ):
                 # per-wave capture log shared by all three guards: the
                 # content identity is the extracted text (NULL-extract
                 # pages fold into one class — a trap host serving empty
@@ -463,8 +492,51 @@ class CrawlEngine:
             backlog = sched.filter(~F.col("scheduled")).select(*FRONTIER_COLS)
             if retry is not None:
                 backlog = backlog.unionByName(retry)
+            outlink_src = listings
+            if self.soft404_guard:
+                from ..functions.urls import url_host as _uhost
+                from ..operators.soft404 import soft404_signatures
+
+                # convict against ALL probes issued so far (a crash-replay
+                # may additionally see THIS wave's registry dir, but its
+                # probes have no captures yet so the signature set — and
+                # the flagging — replays identically); convicted pages
+                # contribute no outlinks this wave
+                probes_root = os.path.join(self.dir, "probes")
+                flagged = None
+                if os.path.isdir(probes_root):
+                    sigs = soft404_signatures(
+                        captures,
+                        self.spark.read.parquet(probes_root),
+                        url_col="url_canon",
+                    )
+                    flagged = (
+                        captures.withColumn(
+                            "host", _uhost(F.col("url_canon"))
+                        )
+                        .join(sigs, ["host", "digest"])
+                        .select("url_canon")
+                        .distinct()
+                    )
+                (
+                    flagged
+                    if flagged is not None
+                    else self.spark.createDataFrame(
+                        [], "url_canon string"
+                    )
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.dir, f"soft404_v{wave}")
+                )
+                if flagged is not None:
+                    flagged = self.spark.read.parquet(
+                        os.path.join(self.dir, f"soft404_v{wave}")
+                    )
+                    outlink_src = listings.join(
+                        flagged, "url_canon", "left_anti"
+                    )
+                t = tick("soft404 flag", t)
             outlinks = (
-                listings.filter(F.col("depth") < self.max_depth)
+                outlink_src.filter(F.col("depth") < self.max_depth)
                 .select(
                     F.explode("outlinks").alias("url"),
                     F.col("warc_ts").alias("discovered_ts"),
@@ -626,6 +698,42 @@ class CrawlEngine:
                     F.broadcast(losers), "host", "left_anti"
                 )
                 t = tick("mirror guard", t)
+
+            if self.soft404_guard:
+                from ..operators.soft404 import probe_urls
+
+                # one probe per newly-seen frontier host, scheduled as an
+                # ordinary top-priority frontier row. The registry read
+                # excludes THIS wave's dir (a crash between the registry
+                # write and the manifest commit must not suppress the
+                # replayed wave's own probes); injected after the guards
+                # so trapped/mirrored hosts are never probed.
+                probes_root = os.path.join(self.dir, "probes")
+                fhosts = frontier.select("host").distinct()
+                if os.path.isdir(probes_root):
+                    issued = self.spark.read.parquet(probes_root)
+                    if "wave" in issued.columns:
+                        issued = issued.filter(F.col("wave") < wave)
+                    fhosts = fhosts.join(
+                        issued.select("host").distinct(),
+                        "host",
+                        "left_anti",
+                    )
+                pdir = os.path.join(probes_root, f"wave={wave}")
+                probe_urls(fhosts).write.mode("overwrite").parquet(pdir)
+                probe_front = with_url_columns(
+                    self.spark.read.parquet(pdir)
+                    .select(F.col("probe_url").alias("url"))
+                    .withColumn(
+                        "discovered_ts", F.timestamp_seconds(F.lit(0))
+                    )
+                    .withColumn("depth", F.lit(0))
+                    .withColumn("priority", F.lit(0))
+                    .withColumn("attempt", F.lit(0)),
+                    n_buckets=self.n_buckets,
+                ).select(*FRONTIER_COLS)
+                frontier = frontier.unionByName(probe_front)
+                t = tick("soft404 probes", t)
 
             # ---- checkpoint commit (manifest last → atomic resume point).
             # Frontier size is observed during the write — the manifest

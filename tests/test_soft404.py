@@ -95,3 +95,128 @@ def test_probe_urls_deterministic_and_salted(spark):
     assert p0 == p0b
     assert all(p0[h] != p1[h] for h in p0)
     assert all(u.startswith(f"http://{h}/__s404_probe__/") for h, u in p0.items())
+
+
+def _soft_corpus(spark):
+    """real.com/start links to ten soft.com pages (which all serve one
+    'welcome' body with NO error vocabulary) and one real page; each
+    soft page links a hop deeper. soft.com also answers the probe URL
+    with the same body; real.com hard-404s its probe (no row)."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.soft404 import probe_urls
+
+    purl = probe_urls(
+        spark.createDataFrame([("soft.com",)], ["host"])
+    ).collect()[0]["probe_url"]
+    links = "".join(
+        f'<a href="https://soft.com/p/{i}">s</a>' for i in range(10)
+    )
+    rows = [
+        (
+            "https://real.com/start",
+            f'<html><body><div id="content">start here</div>{links}'
+            '<a href="https://real.com/next">n</a></body></html>',
+            "start here",
+        ),
+        (
+            "https://real.com/next",
+            '<html><body><div id="content">next page</div></body></html>',
+            "next page",
+        ),
+    ]
+    for i in range(10):
+        rows.append(
+            (
+                f"https://soft.com/p/{i}",
+                '<html><body><div id="content">welcome stranger</div>'
+                f'<a href="https://soft.com/deep/{i}">d</a></body></html>',
+                "welcome stranger",
+            )
+        )
+        rows.append(
+            (
+                f"https://soft.com/deep/{i}",
+                f'<html><body><div id="content">deep {i}</div></body></html>',
+                f"deep {i}",
+            )
+        )
+    rows.append(
+        (
+            purl,
+            '<html><body><div id="content">welcome stranger</div>'
+            "</body></html>",
+            "welcome stranger",
+        )
+    )
+    return (
+        spark.createDataFrame(rows, "url string, html string, text string")
+        .select(
+            "url",
+            F.timestamp_seconds(F.lit(1_700_000_000)).alias("warc_ts"),
+            F.encode("html", "UTF-8").alias("html"),
+            "text",
+            F.lit("en").alias("lang"),
+        ),
+        purl,
+    )
+
+
+def test_soft404_guard_suppresses_error_page_outlinks(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.frontier.crawl import CrawlEngine
+
+    pages, purl = _soft_corpus(spark)
+    pages = pages.cache()
+
+    def seeds():
+        return spark.createDataFrame(
+            [("https://real.com/start", 0)], ["url", "priority"]
+        )
+
+    def crawl(name, **kw):
+        eng = CrawlEngine(
+            spark, pages, None, str(tmp_path / name),
+            wave_ms=10_000_000, max_depth=3, **kw,
+        )
+        res = eng.run(seeds(), max_waves=3)
+        urls = {
+            r["url_canon"]
+            for r in res.listings(spark).select("url_canon").collect()
+        }
+        return res, urls
+
+    _, base_urls = crawl("noguard")
+    assert any("/deep/" in u for u in base_urls)  # control follows junk
+
+    res, urls = crawl("guard", soft404_guard=True)
+    # the probe was scheduled and fetched like any URL...
+    assert purl in urls
+    # ...its signature convicted the welcome pages, so their outlinks
+    # never entered the frontier
+    assert not any("/deep/" in u for u in urls)
+    # real content is untouched
+    assert "https://real.com/next" in urls
+    flagged = {
+        r["url_canon"] for r in res.soft404(spark).collect()
+    }
+    assert flagged == {purl} | {
+        f"https://soft.com/p/{i}" for i in range(10)
+    }
+
+
+def test_soft404_result_accessor_empty_without_guard(spark, tmp_path):
+    from hk_housing_datahub_spark.frontier.crawl import CrawlEngine
+
+    pages, _ = _soft_corpus(spark)
+    res = CrawlEngine(
+        spark, pages, None, str(tmp_path / "plain"),
+        wave_ms=10_000_000, max_depth=2,
+    ).run(
+        spark.createDataFrame(
+            [("https://real.com/start", 0)], ["url", "priority"]
+        ),
+        max_waves=1,
+    )
+    assert res.soft404(spark).count() == 0

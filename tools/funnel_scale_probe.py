@@ -308,6 +308,79 @@ def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
 
     stage("warc_revisits", lambda d: revisitify(d), docs_path)
 
+    # round-4 final batch: rank family + URL hygiene. Edge/alias volume
+    # grows linearly with the corpus (lattice deltas / per-doc aliases),
+    # so a clean probe ratio is ~mult.
+    from hk_housing_datahub_spark.operators.dust import dust_rules
+    from hk_housing_datahub_spark.operators.linkgraph import (
+        hits,
+        opic_init,
+        opic_step,
+    )
+    from hk_housing_datahub_spark.operators.soft404 import flag_soft404
+
+    def dustify(d):
+        url = F.concat(
+            F.lit("http://h"), F.pmod("doc_id", F.lit(1000)),
+            F.lit(".com/p/"), F.col("doc_id"),
+        )
+        dig = F.md5(F.col("doc_id").cast("string"))
+        base = d.select(url.alias("url"), dig.alias("digest"))
+        alias = d.filter(F.pmod("doc_id", F.lit(2)) == 0).select(
+            F.concat(url, F.lit("?sess="), F.col("doc_id")).alias("url"),
+            dig.alias("digest"),
+        )
+        return base.union(alias)
+
+    stage("dust_rules", lambda d: dust_rules(dustify(d)), docs_path)
+
+    def s404ify(d):
+        soft = F.pmod("doc_id", F.lit(9)) == 0
+        host = F.concat(
+            F.lit("h"), F.pmod("doc_id", F.lit(1000)), F.lit(".com")
+        )
+        return d.select(
+            F.concat(
+                F.lit("http://"), host, F.lit("/p/"), F.col("doc_id")
+            ).alias("url"),
+            F.when(soft, F.md5(F.concat(F.lit("e:"), host)))
+            .otherwise(F.md5(F.col("doc_id").cast("string")))
+            .alias("digest"),
+            F.when(soft, F.lit("oops 404 page not found"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+
+    stage("soft404_flags", lambda d: flag_soft404(s404ify(d)), docs_path)
+
+    def edgeify(d):
+        # constant out-degree lattice: node space grows WITH the corpus
+        parts = [
+            d.select(
+                F.col("doc_id").alias("src"),
+                (F.col("doc_id") + F.lit(delta)).alias("dst"),
+            )
+            for delta in (1, 17, 257)
+        ]
+        return parts[0].union(parts[1]).union(parts[2])
+
+    stage("hits_rank", lambda d: hits(edgeify(d), iterations=3), docs_path)
+
+    def opicify(d):
+        e = edgeify(d)
+        st = opic_init(d.select(F.col("doc_id").alias("node")))
+        for w in range(2):
+            st = opic_step(
+                st,
+                d.filter(F.pmod("doc_id", F.lit(3)) == w).select(
+                    F.col("doc_id").alias("node")
+                ),
+                e,
+            )
+        return st
+
+    stage("opic_two_waves", lambda d: opicify(d), docs_path)
+
     # the composed funnel, unstaged (what a user actually calls)
     df = spark.read.parquet(docs_path)
     t0 = time.perf_counter()
