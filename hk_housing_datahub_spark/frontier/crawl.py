@@ -505,11 +505,16 @@ class CrawlEngine:
                 probes_root = os.path.join(self.dir, "probes")
                 flagged = None
                 if os.path.isdir(probes_root):
+                    # the folded 'null' digest class (extraction failed)
+                    # must not convict: a host whose probe answer is
+                    # itself unextractable would otherwise mass-convict
+                    # every unrelated extraction failure on that host —
+                    # same reasoning as the mirror and DUST guards below
                     sigs = soft404_signatures(
                         captures,
                         self.spark.read.parquet(probes_root),
                         url_col="url_canon",
-                    )
+                    ).filter(F.col("digest") != "null")
                     flagged = (
                         captures.withColumn(
                             "host", _uhost(F.col("url_canon"))
@@ -709,7 +714,16 @@ class CrawlEngine:
                 # replayed wave's own probes); injected after the guards
                 # so trapped/mirrored hosts are never probed.
                 probes_root = os.path.join(self.dir, "probes")
-                fhosts = frontier.select("host").distinct()
+                # probe each host on the scheme it was discovered under
+                # (max folds mixed-scheme hosts to https) — an http probe
+                # against an https-only host matches no corpus row and
+                # the guard would be silently inert for that host
+                fhosts = frontier.select(
+                    "host",
+                    F.regexp_extract(
+                        F.col("url_canon"), "^([a-z][a-z0-9+.-]*)://", 1
+                    ).alias("scheme"),
+                ).distinct()
                 if os.path.isdir(probes_root):
                     issued = self.spark.read.parquet(probes_root)
                     if "wave" in issued.columns:
@@ -720,7 +734,9 @@ class CrawlEngine:
                         "left_anti",
                     )
                 pdir = os.path.join(probes_root, f"wave={wave}")
-                probe_urls(fhosts).write.mode("overwrite").parquet(pdir)
+                probe_urls(fhosts, scheme_col="scheme").write.mode(
+                    "overwrite"
+                ).parquet(pdir)
                 probe_front = with_url_columns(
                     self.spark.read.parquet(pdir)
                     .select(F.col("probe_url").alias("url"))

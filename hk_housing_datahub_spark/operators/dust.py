@@ -217,13 +217,18 @@ def dust_apply(
     drops = F.coalesce(
         F.col("_drop_params"), F.array().cast("array<string>")
     )
+    # mirror drop_param exactly: remove param=... and bare param, KEEP
+    # empty segments ('a&&b' stays 'a&&b') — the applied rewrite must be
+    # the literal form dust_rules validated against the capture log
     kept = F.filter(
         F.split(query, "&"),
-        lambda kv: (kv != "")
-        & ~F.array_contains(drops, F.split(kv, "=").getItem(0)),
+        lambda kv: ~F.array_contains(drops, F.split(kv, "=").getItem(0)),
     )
     newq = F.array_join(kept, "&")
-    out = F.when(query == "", u).otherwise(
+    # rebuild the query ONLY for hosts carrying a valid drop_param rule:
+    # everything else passes through byte-identical (the docstring's
+    # no-learned-rules guarantee)
+    out = F.when((F.size(drops) == 0) | (query == ""), u).otherwise(
         F.when(newq == "", base).otherwise(
             F.concat(base, F.lit("?"), newq)
         )

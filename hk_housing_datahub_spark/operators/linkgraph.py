@@ -420,10 +420,15 @@ def trustrank(
 def opic_init(nodes: DataFrame, node_col: str = "node") -> DataFrame:
     """Initial OPIC state over the known node set: (node, cash, history)
     with cash = 1/n uniformly and history = 0 (Abiteboul/Preda/Cobéna
-    2003 §2). One count + one projection; see ``opic_step``."""
-    n = nodes.select(F.col(node_col).alias("node")).distinct().count()
-    return nodes.select(
-        F.col(node_col).alias("node"),
+    2003 §2). The node projection is deduplicated so a caller passing
+    duplicate ids (e.g. edges.select('src').union(edges.select('dst'))
+    without .distinct()) still gets one state row per node and Σcash = 1
+    — duplicate state keys would multiply rows in every ``opic_step``
+    join. One count + one distinct projection."""
+    keys = nodes.select(F.col(node_col).alias("node")).distinct()
+    n = keys.count()
+    return keys.select(
+        "node",
         (F.lit(1.0) / F.lit(float(max(n, 1)))).alias("cash"),
         F.lit(0.0).alias("history"),
     )
@@ -614,7 +619,11 @@ def hits(
         )
 
     hub = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("hub"))
-    auth = None
+    # iterations=0 is defined as the init state (uniform 1/n both roles),
+    # matching pagerank/_power_iterate's zero-iteration convention
+    auth = nodes.select(
+        "node", (F.lit(1.0) / F.lit(float(n))).alias("authority")
+    )
     for _ in range(iterations):
         auth = _half(hub, "hub", "src", "dst", "authority")
         hub = _half(auth, "authority", "dst", "src", "hub")

@@ -45,18 +45,42 @@ DEFAULT_ERROR_REGEX = (
 )
 
 
-def probe_urls(hosts: DataFrame, salt: int = 0, host_col: str = "host") -> DataFrame:
+def probe_urls(
+    hosts: DataFrame,
+    salt: int = 0,
+    host_col: str = "host",
+    scheme_col: str | None = None,
+) -> DataFrame:
     """(host, probe_url): one deterministically-random path per host
     that no real site plausibly serves — md5(host || salt) under
     ``/__s404_probe__/``. Schedule these as ordinary frontier rows;
     the capture log then carries each answering host's error signature.
     Pure codegen; re-runs with a different ``salt`` give independent
-    probes (the paper uses two to confirm)."""
+    probes (the paper uses two to confirm).
+
+    ``scheme_col``: optional per-host scheme the host was actually
+    discovered under — a probe must be issued on the scheme the host
+    serves, or an https-only host never answers it and the guard is
+    silently inert for that host. Mixed-scheme hosts fold to one probe
+    via max() (prefers https); absent/NULL schemes default to http."""
     h = F.col(host_col)
-    return hosts.select(h.alias("host")).distinct().select(
+    if scheme_col is not None:
+        keyed = (
+            hosts.select(h.alias("host"), F.col(scheme_col).alias("_sch"))
+            .groupBy("host")
+            .agg(F.max("_sch").alias("_sch"))
+        )
+        scheme = F.when(
+            F.col("_sch").isNull() | (F.col("_sch") == ""), F.lit("http")
+        ).otherwise(F.col("_sch"))
+    else:
+        keyed = hosts.select(h.alias("host")).distinct()
+        scheme = F.lit("http")
+    return keyed.select(
         "host",
         F.concat(
-            F.lit("http://"),
+            scheme,
+            F.lit("://"),
             F.col("host"),
             F.lit("/__s404_probe__/"),
             F.md5(F.concat(F.col("host"), F.lit(f":{salt}"))),

@@ -71,8 +71,7 @@ def _model(caps, min_support=2, min_precision=0.9):
                 rw = basep + ("?" + "&".join(keep) if keep else "")
                 hit(url, digest, "drop_param:" + name, rw)
         for rule_id, pat, repl in DEFAULT_PATH_RULES:
-            pyp = pat.replace("(?<=[^/:])", "(?<=[^/:])")
-            rw = re.sub(pyp, repl, url)
+            rw = re.sub(pat, repl, url)
             hit(url, digest, rule_id, rw)
     out = {}
     for (host, rule), (s, v) in rows.items():
@@ -245,3 +244,36 @@ def test_dust_guard_rejects_unknown_thresholds(spark, tmp_path):
             spark, _sess_corpus(spark), None, str(tmp_path / "x"),
             dust_guard=True, dust_thresholds={"bogus": 1},
         )
+
+
+def test_dust_apply_passthrough_and_drop_param_parity(spark):
+    """Two rewrite-consistency guarantees: (1) URLs on hosts with no
+    valid rules pass through BYTE-identical (even pathological '&&'
+    queries are not re-assembled); (2) on ruled hosts the applied
+    rewrite keeps empty segments exactly like drop_param, so the
+    applied form is the one dust_rules validated."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.dust import drop_param
+
+    rules = dust_rules(spark.createDataFrame(CAPS, ["url", "digest"]))
+    frontier = spark.createDataFrame(
+        [
+            ("http://nowhere.com/x?a=1&&b=2",),  # no rules: untouched
+            ("http://a.com/y?a=1&&b=2",),  # ruled host, no sess: same
+            ("http://a.com/z?a=1&&sess=q&b=2",),  # sess dropped, && kept
+        ],
+        ["url"],
+    )
+    got = {
+        r["url"]: r["url_dust"]
+        for r in dust_apply(frontier, rules).collect()
+    }
+    assert got["http://nowhere.com/x?a=1&&b=2"] == "http://nowhere.com/x?a=1&&b=2"
+    assert got["http://a.com/y?a=1&&b=2"] == "http://a.com/y?a=1&&b=2"
+    want = spark.range(1).select(
+        drop_param(
+            F.lit("http://a.com/z?a=1&&sess=q&b=2"), F.lit("sess")
+        ).alias("u")
+    ).collect()[0]["u"]
+    assert got["http://a.com/z?a=1&&sess=q&b=2"] == want == "http://a.com/z?a=1&&b=2"

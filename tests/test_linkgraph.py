@@ -677,3 +677,37 @@ def test_crawl_engine_rejects_unknown_rank_method(spark, tmp_path):
             spark, _hub_corpus(spark), None, str(tmp_path / "x"),
             rank_priorities=True, rank_method="hits",
         )
+
+
+def test_hits_zero_iterations_returns_uniform_init(spark):
+    from hk_housing_datahub_spark.operators.linkgraph import hits
+
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(
+            spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"]),
+            iterations=0,
+        ).collect()
+    }
+    # defined zero-iteration result: the init state, uniform 1/n both roles
+    assert set(got) == {1, 2, 3}
+    for h, a in got.values():
+        assert abs(h - 1 / 3) < 1e-12 and abs(a - 1 / 3) < 1e-12
+
+
+def test_opic_init_dedups_node_projection(spark):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.linkgraph import opic_init
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], ["src", "dst"]
+    )
+    # the natural node-set construction WITHOUT .distinct()
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    )
+    state = opic_init(nodes)
+    rows = state.collect()
+    assert len(rows) == 3  # one state row per node despite duplicates
+    assert abs(sum(r["cash"] for r in rows) - 1.0) < 1e-12

@@ -106,8 +106,11 @@ def _soft_corpus(spark):
 
     from hk_housing_datahub_spark.operators.soft404 import probe_urls
 
+    # soft.com is discovered over https, so the engine probes it over
+    # https — the corpus must serve the probe on that scheme
     purl = probe_urls(
-        spark.createDataFrame([("soft.com",)], ["host"])
+        spark.createDataFrame([("soft.com", "https")], ["host", "scheme"]),
+        scheme_col="scheme",
     ).collect()[0]["probe_url"]
     links = "".join(
         f'<a href="https://soft.com/p/{i}">s</a>' for i in range(10)
@@ -219,4 +222,112 @@ def test_soft404_result_accessor_empty_without_guard(spark, tmp_path):
         ),
         max_waves=1,
     )
+    assert res.soft404(spark).count() == 0
+
+
+def test_probe_urls_scheme_column(spark):
+    """Per-host scheme: https hosts are probed over https, mixed-scheme
+    hosts fold to https (max), NULL/empty schemes default to http, and
+    the path part is scheme-independent (same md5)."""
+    hosts = spark.createDataFrame(
+        [
+            ("s.com", "https"),
+            ("mixed.com", "http"),
+            ("mixed.com", "https"),
+            ("plain.com", None),
+            ("empty.com", ""),
+        ],
+        "host string, scheme string",
+    )
+    got = {
+        r["host"]: r["probe_url"]
+        for r in probe_urls(hosts, scheme_col="scheme").collect()
+    }
+    assert len(got) == 4  # one probe per host despite the mixed dup
+    assert got["s.com"].startswith("https://s.com/__s404_probe__/")
+    assert got["mixed.com"].startswith("https://mixed.com/__s404_probe__/")
+    assert got["plain.com"].startswith("http://plain.com/__s404_probe__/")
+    assert got["empty.com"].startswith("http://empty.com/__s404_probe__/")
+    # path is the same md5 regardless of scheme
+    base = {
+        r["host"]: r["probe_url"]
+        for r in probe_urls(hosts.select("host")).collect()
+    }
+    for h, u in got.items():
+        assert u.split("://", 1)[1] == base[h].split("://", 1)[1]
+
+
+def _null_probe_corpus(spark):
+    """null.com answers its (https) probe with an UNEXTRACTABLE body —
+    digest folds to the 'null' class. Two other null.com pages also
+    extract NULL for unrelated reasons but carry real outlinks to
+    extractable keep-pages. The 'null' signature must not convict them."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.soft404 import probe_urls
+
+    purl = probe_urls(
+        spark.createDataFrame([("null.com", "https")], ["host", "scheme"]),
+        scheme_col="scheme",
+    ).collect()[0]["probe_url"]
+    rows = [
+        (
+            "https://real.com/start",
+            '<html><body><div id="content">start</div>'
+            '<a href="https://null.com/a">a</a>'
+            '<a href="https://null.com/b">b</a></body></html>',
+        ),
+        # unextractable (no content div) but with real outlinks
+        (
+            "https://null.com/a",
+            '<html><body><a href="https://null.com/keep/a">k</a></body></html>',
+        ),
+        (
+            "https://null.com/b",
+            '<html><body><a href="https://null.com/keep/b">k</a></body></html>',
+        ),
+        (
+            "https://null.com/keep/a",
+            '<html><body><div id="content">kept a</div></body></html>',
+        ),
+        (
+            "https://null.com/keep/b",
+            '<html><body><div id="content">kept b</div></body></html>',
+        ),
+        # the probe answer: also unextractable
+        (purl, "<html><body>oops</body></html>"),
+    ]
+    return (
+        spark.createDataFrame(rows, "url string, html string")
+        .select(
+            "url",
+            F.timestamp_seconds(F.lit(1_700_000_000)).alias("warc_ts"),
+            F.encode("html", "UTF-8").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+    )
+
+
+def test_null_digest_probe_answer_does_not_mass_convict(spark, tmp_path):
+    from hk_housing_datahub_spark.frontier.crawl import CrawlEngine
+
+    pages = _null_probe_corpus(spark).cache()
+    res = CrawlEngine(
+        spark, pages, None, str(tmp_path / "nullsig"),
+        wave_ms=10_000_000, max_depth=3, soft404_guard=True,
+    ).run(
+        spark.createDataFrame(
+            [("https://real.com/start", 0)], ["url", "priority"]
+        ),
+        max_waves=3,
+    )
+    urls = {
+        r["url_canon"]
+        for r in res.listings(spark).select("url_canon").collect()
+    }
+    # the unextractable pages' outlinks survived: the folded 'null'
+    # digest class never became a conviction signature
+    assert "https://null.com/keep/a" in urls
+    assert "https://null.com/keep/b" in urls
     assert res.soft404(spark).count() == 0
