@@ -1061,10 +1061,10 @@ def _packed_sequences(spark, sf):
 
 
 def _token_vocab_top(spark, sf):
-    """Rows-only: tokenizer-fit statistics (operators/vocab.py) — the
-    corpus word-frequency table's top 200 plus BPE first-iteration pair
-    counts' top 200, union-merged under a kind label. Exactness is pinned
-    by the DuckDB parity pytests (test_vocab.py)."""
+    """Tokenizer-fit statistics (operators/vocab.py) — the corpus
+    word-frequency table's top 200 plus BPE first-iteration pair counts'
+    top 200, union-merged under a kind label; hash-checked against the
+    composed DuckDB twin (also pinned per-operator in test_vocab.py)."""
     from hk_housing_datahub_spark.operators.vocab import (
         bpe_pair_counts,
         token_vocabulary,
@@ -1092,10 +1092,11 @@ def _token_vocab_top(spark, sf):
 
 
 def _training_order_sample(spark, sf):
-    """Rows-only: seeded deterministic global training-order shuffle
-    (operators/packing.py training_order) over the packed corpus head —
-    rank parity vs a DuckDB global window is pytest-pinned
-    (test_sampling_packing.py)."""
+    """Seeded deterministic global training-order shuffle
+    (operators/packing.py training_order) over the corpus head —
+    hash-checked against the DuckDB global-window twin (the bucketed
+    construction must be bit-identical to row_number over the md5 key;
+    also property-pinned in test_sampling_packing.py)."""
     from hk_housing_datahub_spark.operators.packing import training_order
 
     d = _t(spark, sf, "documents").select("doc_id", "lang")
@@ -4721,4 +4722,53 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({_STAR_SQL[t]})"
         for t in ESTATE_TABLES
     )
+    # Tokenizer-fit statistics: the pytest DuckDB twins
+    # (test_vocab.py) composed into the query's union shape — top 200
+    # tokens (count desc, token tiebreak) plus top 200 first-iteration
+    # BPE pairs over the min_count=2 vocabulary.
+    d["token_vocab_top"] = """
+        WITH toks AS (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS token
+          FROM documents
+          WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''),
+        freq AS (
+          SELECT token, count(*) AS count FROM toks GROUP BY token),
+        tok_top AS (
+          SELECT 'token' AS kind, token AS sym, count
+          FROM freq ORDER BY count DESC, token LIMIT 200),
+        vocab AS (SELECT token, count AS cnt FROM freq WHERE count >= 2),
+        syms AS (SELECT token, cnt, len(token) AS n FROM vocab),
+        pairs AS (
+          SELECT substr(token, i, 1) AS left_,
+                 CASE WHEN i < n THEN substr(token, i + 1, 1)
+                      ELSE '</w>' END AS right_,
+                 cnt
+          FROM syms, unnest(generate_series(1, n)) AS u(i)),
+        pair_counts AS (
+          SELECT left_, right_, CAST(sum(cnt) AS BIGINT) AS count
+          FROM pairs GROUP BY 1, 2),
+        pair_top AS (
+          SELECT 'pair' AS kind, left_ || '+' || right_ AS sym, count
+          FROM pair_counts ORDER BY count DESC, left_, right_ LIMIT 200)
+        SELECT * FROM tok_top UNION ALL SELECT * FROM pair_top
+    """
+    # Seeded global training-order shuffle: the rank definition IS
+    # row_number over (md5 order key, tiebreak keys) — the engine-side
+    # bucket-window + offset-join construction must be bit-identical to
+    # the naive global window (also pinned in test_sampling_packing.py).
+    d["training_order_sample"] = """
+        WITH ordered AS (
+          SELECT doc_id, lang,
+                 md5('epoch0' || chr(31) || CAST(doc_id AS VARCHAR))
+                     AS okey
+          FROM documents)
+        SELECT CAST(row_number() OVER (ORDER BY okey, doc_id) - 1
+                    AS BIGINT) AS order_rank,
+               substr(okey, 1, 2) AS shuffle_bucket,
+               doc_id, lang
+        FROM ordered
+        ORDER BY order_rank
+        LIMIT 500
+    """
     return d
