@@ -1034,11 +1034,11 @@ def _wiki_section_concat(spark, sf):
 
 
 def _packed_sequences(spark, sf):
-    """Rows-only: packed-bin materialization (operators/packing.py
-    render_bins) — each pack bin becomes one training sequence with
-    doc-boundary token offsets for attention masking. Exactness is pinned
-    by the DuckDB parity pytest (test_sampling_packing.py); here the
-    sequences render over the sampled sf corpus."""
+    """Packed-bin materialization (operators/packing.py render_bins) —
+    each pack bin becomes one training sequence with doc-boundary token
+    offsets for attention masking; hash-checked against the DuckDB
+    window twin extended to the rendered sequence md5 and offset CSV
+    (also pinned per-operator in test_sampling_packing.py)."""
     from hk_housing_datahub_spark.operators.packing import (
         pack_greedy,
         render_bins,
@@ -1109,17 +1109,18 @@ def _training_order_sample(spark, sf):
 
 
 def _sitemap_discovery(spark, sf):
-    """Rows-only: sitemap seed discovery (functions/sitemaps.py) — robots
+    """Sitemap seed discovery (functions/sitemaps.py) — robots
     ``Sitemap:`` lines fetched from a synthetic pages table (leaf sitemaps
     on even hosts, a sitemap-index hop on odd hosts), ``<loc>`` entries
-    exploded into the crawl's (url, priority) seed contract. Semantics are
-    pinned by test_sitemaps.py (incl. an end-to-end CrawlEngine run over
-    discovered seeds)."""
+    exploded into the crawl's (url, priority) seed contract; hash-checked
+    against the analytic expected-seed oracle (the XML round-trip must
+    reproduce exactly the planted listing URLs). End-to-end CrawlEngine
+    integration is pinned by test_sitemaps.py."""
     from hk_housing_datahub_spark.functions.sitemaps import (
         discover_sitemap_seeds,
     )
 
-    d = _t(spark, sf, "documents").limit(200)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     host = F.format_string("h%d.example.com", F.pmod("doc_id", F.lit(8)))
     loc = F.format_string(
         "<url><loc>https://h%d.example.com/listing/%d</loc></url>",
@@ -1160,11 +1161,11 @@ def _sitemap_discovery(spark, sf):
 
 
 def _span_dedup_profile(spark, sf):
-    """Rows-only: per-doc duplicated-substring coverage
-    (operators/spandedup.py, Lee et al. 2022 suffix-array dedup as rolling
-    8-gram hashing). Exactness is pinned twice: the full-corpus DuckDB
-    parity pytest (test_spandedup.py) and the hash-checked `substring`
-    branch of drop_dup_filters in the driver window."""
+    """Per-doc duplicated-substring coverage (operators/spandedup.py,
+    Lee et al. 2022 suffix-array dedup as rolling 8-gram hashing);
+    hash-checked against the gram→count≥2→island-merge DuckDB twin
+    (also pinned per-operator in test_spandedup.py and via the
+    `substring` branch of drop_dup_filters in the driver window)."""
     from hk_housing_datahub_spark.operators.spandedup import (
         duplicated_span_profile,
     )
@@ -1229,15 +1230,16 @@ def _lm_perplexity_quality(spark, sf):
 
 
 def _robots_rfc_schedule(spark, sf):
-    """Rows-only: RFC 9309 rule lists driving the scheduler's longest-match
-    gate (functions/robots.py parse_robots_rules + robots_permits wired
-    into scheduler.apply_robots): raw multi-rule robots bodies (full deny
-    + Allow carve-out on even hosts; wildcard/`$`-anchored Disallow on odd
-    hosts) gate a deterministic synthetic frontier. Precedence semantics
-    are pinned by the pytest battery (test_crawl.py
-    test_robots_longest_match_precedence / test_rfc_rules_feed_the_
-    scheduler); this entry keeps the composed path under the driver's
-    smoke + row check."""
+    """RFC 9309 rule lists driving the scheduler's longest-match gate
+    (functions/robots.py parse_robots_rules + robots_permits wired into
+    scheduler.apply_robots): raw multi-rule robots bodies (full deny +
+    Allow carve-out on even hosts; wildcard/`$`-anchored Disallow on odd
+    hosts) gate a deterministic synthetic frontier; hash-checked against
+    the analytic permitted-set oracle (exactly the /listing/ URLs survive
+    and rank by the scheduler's tiebreak). Precedence semantics are also
+    pinned by the pytest battery (test_crawl.py
+    test_robots_longest_match_precedence /
+    test_rfc_rules_feed_the_scheduler)."""
     from hk_housing_datahub_spark.frontier.scheduler import schedule_wave
     from hk_housing_datahub_spark.functions.robots import parse_robots_rules
     from hk_housing_datahub_spark.functions.urls import with_url_columns
@@ -4770,5 +4772,111 @@ def oracle_sql() -> dict[str, str]:
         FROM ordered
         ORDER BY order_rank
         LIMIT 500
+    """
+    # Duplicated-span coverage: the test_spandedup.py DuckDB twin
+    # (gram → count>=2 → island merge) extended with the entry's
+    # lang/source/dup_frac projection.
+    d["span_dedup_profile"] = """
+        WITH toks AS (
+          SELECT doc_id, lang, source,
+                 CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g')) = ''
+                      THEN [] :: varchar[]
+                      ELSE string_split(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ')
+                 END AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, i - 1 AS s,
+                 array_to_string(t[i:i+7], chr(31)) AS gram
+          FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, s, s + 8 AS e FROM g JOIN dup USING (gram)),
+        isl AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                      THEN 1 ELSE 0 END AS brk
+          FROM hits),
+        isl2 AS (
+          SELECT doc_id, s, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+          FROM isl),
+        merged AS (
+          SELECT doc_id, min(s) AS s, max(e) AS e
+          FROM isl2 GROUP BY doc_id, island),
+        cov AS (
+          SELECT doc_id, sum(e - s) AS dup_tokens
+          FROM merged GROUP BY doc_id)
+        SELECT t.doc_id, t.lang, t.source,
+               len(t.t) :: BIGINT AS n_tokens,
+               coalesce(c.dup_tokens, 0) :: BIGINT AS dup_tokens,
+               round(CASE WHEN len(t.t) <= 0 THEN 0.0
+                          ELSE coalesce(c.dup_tokens, 0) * 1.0 / len(t.t)
+                     END, 6) AS dup_frac
+        FROM toks t LEFT JOIN cov c USING (doc_id)
+    """
+    # RFC 9309 rules + politeness scheduler, analytic oracle: even hosts
+    # carry Disallow:/ with an Allow:/listing/ carve-out (longest match
+    # wins), odd hosts deny /*.pdf$ and /admin/ — so exactly the
+    # doc_id%3==0 listing URLs survive on every host, and with <=21 urls
+    # per host against a 1000-request budget every survivor schedules;
+    # host_rank is the scheduler's (priority, ts, url_canon) issue order,
+    # here reduced to the url_canon tiebreak.
+    d["robots_rfc_schedule"] = """
+        WITH u AS (
+          SELECT 'https://h' || (doc_id % 8) || '.example.com/listing/'
+                     || doc_id AS url_canon,
+                 'h' || (doc_id % 8) || '.example.com' AS host
+          FROM documents WHERE doc_id % 3 = 0)
+        SELECT url_canon, host,
+               row_number() OVER (PARTITION BY host ORDER BY url_canon)
+                   AS host_rank
+        FROM u
+    """
+    # Sitemap discovery, analytic oracle: the planted listing URLs are
+    # exactly what the robots -> sitemap(-index) -> <loc> round trip must
+    # emit as seeds, regardless of the leaf/index hop split.
+    d["sitemap_discovery"] = """
+        SELECT DISTINCT
+               'https://h' || (doc_id % 8) || '.example.com/listing/'
+                   || doc_id AS url,
+               1 AS priority
+        FROM documents WHERE doc_id < 200
+        ORDER BY url
+    """
+    # Packed-bin rendering: the sample_pack_corpus window twin extended
+    # to the rendered sequence (md5 of the sep-joined texts in id order)
+    # and the exclusive offset boundaries.
+    d["packed_sequences"] = """
+        WITH packed AS (
+          SELECT doc_id, text, n_chars AS n_tokens,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+                 CAST(floor(
+                     (sum(n_chars) OVER (
+                          PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 2)
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                      - n_chars) / 20000.0) AS BIGINT) AS bin_id
+          FROM documents),
+        cums AS (
+          SELECT *, CAST(sum(n_tokens) OVER (
+                        PARTITION BY bucket, bin_id ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+          FROM packed)
+        SELECT bucket, bin_id,
+               CAST(count(*) AS INT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS fill,
+               md5(string_agg(text, chr(10) || '<|eos|>' || chr(10)
+                              ORDER BY doc_id)) AS seq_md5,
+               '0,' || string_agg(CAST(cum AS VARCHAR), ','
+                                  ORDER BY doc_id) AS offsets_csv
+        FROM cums GROUP BY bucket, bin_id
     """
     return d
