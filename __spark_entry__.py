@@ -2166,6 +2166,29 @@ def _canonical_url_per_digest(spark, sf):
     return canonical_urls(caps)
 
 
+_BM25_QUERIES = [
+    ("q1", "spark window join"),
+    ("q2", "customer order batch"),
+    ("q3", "slow table scan merge"),
+]
+
+
+def _bm25_search(spark, sf):
+    """Lexical retrieval (operators/bm25.py): inverted postings + Okapi
+    BM25 top-5 per query over documents.text — the keyword half of the
+    reference's retrieval surface (its ChromaDB search_similar,
+    /root/reference/src/processors/rag/embedding.py:290-307, is the
+    embedding half, re-expressed as the search_similar entry). Scores
+    are bit-stable across engines: integer tf/df/dl/N, exact-int-sum
+    avgdl, one shared per-term expression tree, and a sorted-term left
+    fold (F.aggregate here, list_reduce in DuckDB)."""
+    from hk_housing_datahub_spark.operators.bm25 import bm25_search
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    qs = spark.createDataFrame(_BM25_QUERIES, "qid string, qtext string")
+    return bm25_search(docs, qs, k=5)
+
+
 def _domain_budget_schedule(spark, sf):
     """Two-tier politeness (frontier/scheduler.py schedule_wave +
     apply_domain_budget): a co.uk registrant's 20-subdomain farm wins
@@ -2921,7 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 25 oracle-backed entries after the window (▲ in
+    inside it. The 32 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -3005,6 +3028,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisits": _warc_revisits,
         "domain_budget_schedule": _domain_budget_schedule,
         "canonical_url_per_digest": _canonical_url_per_digest,
+        "bm25_search": _bm25_search,
+        "packed_sequences": _packed_sequences,
+        "span_dedup_profile": _span_dedup_profile,
+        "robots_rfc_schedule": _robots_rfc_schedule,
+        "sitemap_discovery": _sitemap_discovery,
+        "token_vocab_top": _token_vocab_top,
+        "training_order_sample": _training_order_sample,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -3014,12 +3044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": _minhash_lsh_candidates,
         "simhash_neardup": _simhash_neardup,
         "lsh_ann_topk": _lsh_ann_topk,
-        "packed_sequences": _packed_sequences,
-        "span_dedup_profile": _span_dedup_profile,
-        "robots_rfc_schedule": _robots_rfc_schedule,
-        "sitemap_discovery": _sitemap_discovery,
-        "token_vocab_top": _token_vocab_top,
-        "training_order_sample": _training_order_sample,
         "crawl_frontier_retry": _crawl_frontier_retry,
         "crawl_frontier_bloom": _crawl_frontier_bloom,
         "crawl_frontier_cuckoo": _crawl_frontier_cuckoo,
@@ -4178,6 +4202,63 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT digest, url_canon AS canonical_url, n_urls
         FROM r WHERE rn = 1
+    """
+    d["bm25_search"] = """
+        WITH toks AS (
+            SELECT doc_id, t FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text),
+                    '[^a-z0-9]+')) AS t
+                FROM documents)
+            WHERE t <> ''
+        ),
+        postings AS (
+            SELECT doc_id, t AS term, count(*) AS tf
+            FROM toks GROUP BY 1, 2
+        ),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+        stats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl
+        ),
+        tdf AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+        q(qid, qtext) AS (VALUES
+            ('q1', 'spark window join'),
+            ('q2', 'customer order batch'),
+            ('q3', 'slow table scan merge')),
+        qt AS (
+            SELECT DISTINCT qid, t AS term FROM (
+                SELECT qid, unnest(string_split_regex(lower(qtext),
+                    '[^a-z0-9]+')) AS t
+                FROM q)
+            WHERE t <> ''
+        ),
+        per AS (
+            SELECT qt.qid, p.doc_id, qt.term,
+                   ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                             + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(p.tf AS DOUBLE) * 2.2)
+                   / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25
+                       + 0.75 * CAST(d.dl AS DOUBLE)
+                         / (CAST(tot_dl AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE)))) AS s
+            FROM postings p
+            JOIN dl d USING (doc_id)
+            JOIN qt ON p.term = qt.term
+            JOIN tdf ON qt.term = tdf.term
+            CROSS JOIN stats
+        ),
+        sc AS (
+            SELECT qid, doc_id,
+                   CAST(list_reduce(list(s ORDER BY term),
+                                    (x, y) -> x + y) AS DOUBLE) AS score
+            FROM per GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT qid, doc_id, score,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY score DESC, doc_id ASC) AS rank
+            FROM sc
+        )
+        SELECT qid, doc_id, score, rank FROM r WHERE rank <= 5
     """
     d["domain_budget_schedule"] = """
         WITH f AS (

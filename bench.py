@@ -233,6 +233,7 @@ def main() -> None:
             "opic_importance",
             "dust_rule_mining",
             "soft404_flags",
+            "bm25_search",
         ]
         qs = E.queries()
         for name in bench_queries:

@@ -1,0 +1,172 @@
+"""BM25 lexical search over a document corpus.
+
+The reference's retrieval surface is embedding-only ChromaDB top-k
+(/root/reference/src/processors/rag/embedding.py:290-307) — `search_similar`
+in operators/similarity.py re-expresses that half. This module adds the
+lexical half every production retrieval stack pairs with it: an inverted
+term index + Okapi BM25 ranking (Robertson & Zaragoza 2009, the
+"+0.5 log" IDF variant that never goes negative), so a query can be
+answered by terms the encoder never saw.
+
+Plan shape at 100 TB:
+
+- **Index build** (`bm25_postings`): one explode over tokens, then ONE
+  compact-key shuffle keyed (doc, term) with map-side combine for term
+  frequencies; doc length rides the same aggregate (dl = sum tf). The
+  term document-frequency table is a second compact aggregate keyed by
+  term. Both outputs are columnar-friendly and incrementally mergeable
+  (tf and df are sums).
+- **Query scoring** (`bm25_search`): the query-term list is broadcast
+  (bounded by the QUERY, not the corpus) and semi-restricts the postings
+  scan, so only postings of queried terms leave the scan; the per-term df
+  rows for those terms are likewise bounded by |query terms| and are
+  broadcast after restriction. Scoring is one (qid, doc) compact-key
+  shuffle; top-k is TWO-PHASE (rank inside a doc-hash salt band, then
+  rank the ≤ salts×k survivors) so one hot query term cannot funnel the
+  whole candidate set through a single partition.
+
+Oracle determinism: tf, df, dl and N are integers (exact on both
+engines), avgdl is exact-int-sum / count, the per-term score is one fixed
+double expression tree, and the per-document score is a LEFT FOLD over
+terms in sorted term order (Spark `aggregate` over `array_sort`, DuckDB
+`list_reduce` over `list(... ORDER BY term)`) — bit-identical totals, so
+ranks and top-k membership agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercase alnum tokens, empties dropped (split artifacts)."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != "")
+
+
+def bm25_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Build the inverted index: (postings, term_df).
+
+    postings: (doc_id, term, tf, dl) — dl repeated per posting so scoring
+    never re-joins the doc table. term_df: (term, df).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    postings = postings.join(dl, "doc_id")
+    term_df = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return postings, term_df
+
+
+def _idf(df: Column, n_docs: Column) -> Column:
+    # Robertson/Sparck-Jones with the +1 floor: ln(1 + (N-df+.5)/(df+.5)).
+    return F.log(
+        F.lit(1.0)
+        + (n_docs.cast("double") - df.cast("double") + F.lit(0.5))
+        / (df.cast("double") + F.lit(0.5))
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    salts: int = 64,
+) -> DataFrame:
+    """Top-k documents per query by BM25; (qid, doc_id, score, rank).
+
+    Ties broken by doc_id ascending. ``queries`` is expected to be small
+    (a literal or driver-provided set) — its exploded term list is
+    broadcast into the postings scan.
+    """
+    postings, term_df = bm25_postings(docs, id_col, text_col)
+
+    # corpus stats: N and avgdl from integer-exact sums
+    stats = postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("tot_dl"),
+    )
+
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("qid"),
+            F.explode(tokenize(F.col(qtext_col))).alias("term"),
+        )
+        .distinct()
+    )
+    # df rows restricted to queried terms: bounded by |query terms|,
+    # broadcastable by construction (query-bounded, not corpus-bounded).
+    q_with_df = F.broadcast(
+        qterms.join(term_df, "term").crossJoin(F.broadcast(stats))
+    )
+
+    per_term = postings.join(q_with_df, "term").select(
+        "qid",
+        "doc_id",
+        "term",
+        (
+            _idf(F.col("df"), F.col("n_docs"))
+            * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("dl").cast("double")
+                    / (
+                        F.col("tot_dl").cast("double")
+                        / F.col("n_docs").cast("double")
+                    )
+                )
+            )
+        ).alias("s"),
+    )
+
+    # Deterministic left-fold in sorted term order -> bit-stable totals.
+    scored = (
+        per_term.groupBy("qid", "doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "s"))).alias("ts"))
+        .select(
+            "qid",
+            "doc_id",
+            F.aggregate(
+                F.transform("ts", lambda x: x["s"]),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score"),
+        )
+    )
+
+    # Two-phase top-k: local rank inside a doc-hash salt band first, so a
+    # stop-word-hot query never funnels every candidate into one task.
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    banded = W.partitionBy("qid", F.pmod(F.col("doc_id"), F.lit(salts))).orderBy(
+        *order
+    )
+    final = W.partitionBy("qid").orderBy(*order)
+    return (
+        scored.withColumn("r0", F.row_number().over(banded))
+        .where(F.col("r0") <= k)
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= k)
+        .drop("r0")
+    )
