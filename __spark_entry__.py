@@ -2189,6 +2189,21 @@ def _bm25_search(spark, sf):
     return bm25_search(docs, qs, k=5)
 
 
+def _semdedup_drop(spark, sf):
+    """SemDeDup (operators/semdedup.py, Abbas et al. 2023): distributed
+    full-corpus Lloyd's (k=8, 2 iterations, md5-order seeds) over the
+    embeddings table, then the paper's keep-the-least-typical rule at
+    cosine tau=0.3 inside each cluster. The DuckDB twin unrolls the
+    identical iterations as CTEs; dot products fold sequentially in
+    array order in both engines, and assignment margins on this corpus
+    are >=4e-4 — nine orders above cross-engine FP noise (pinned in
+    tests/test_semdedup.py)."""
+    from hk_housing_datahub_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf, "embeddings")
+    return semdedup(emb, k=8, iters=2, tau=0.3)
+
+
 def _domain_budget_schedule(spark, sf):
     """Two-tier politeness (frontier/scheduler.py schedule_wave +
     apply_domain_budget): a co.uk registrant's 20-subdomain farm wins
@@ -2944,7 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 32 oracle-backed entries after the window (▲ in
+    inside it. The 33 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -3035,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
         "training_order_sample": _training_order_sample,
+        "semdedup_drop": _semdedup_drop,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -3612,6 +3628,66 @@ def _prepare_corpus_sql() -> str:
                     - n_tokens) / 512.0) AS BIGINT) AS bin_id
         FROM fin
     """
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, tau: float = 0.3) -> str:
+    """Unrolled DuckDB twin of operators/semdedup.py: one CTE pair
+    (assign, centroid-update) per fixed Lloyd's iteration, then the
+    final assignment and the triangular drop rule. Static given the
+    (k, iters, tau) literals — the loop only unrolls the chain."""
+
+    def sim(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}.v, {b}.v) / "
+            f"(sqrt(list_dot_product({a}.v, {a}.v)) * "
+            f"sqrt(list_dot_product({b}.v, {b}.v)))"
+        )
+
+    def assign(name: str, cents: str, keep_sim: bool) -> str:
+        cols = "vec_id, v, cid" + (", sim" if keep_sim else "")
+        return f"""{name} AS (
+  SELECT {cols} FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid) AS rn FROM (
+      SELECT e.vec_id, e.v, s.cid, {sim('e', 's')} AS sim
+      FROM e CROSS JOIN {cents} s)) WHERE rn = 1)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                            vec_id) - 1 AS cid, v
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})""",
+    ]
+    prev = "seeds"
+    for i in range(iters):
+        ctes.append(assign(f"a{i}", prev, keep_sim=False))
+        ctes.append(f"""c{i + 1}l AS (
+  SELECT cid, list(av ORDER BY pos) AS v FROM (
+    SELECT cid, pos, avg(val) AS av FROM (
+      SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+      FROM a{i})
+    GROUP BY cid, pos) GROUP BY cid)""")
+        ctes.append(f"""c{i + 1} AS (
+  SELECT s.cid, coalesce(l.v, s.v) AS v
+  FROM {prev} s LEFT JOIN c{i + 1}l l USING (cid))""")
+        prev = f"c{i + 1}"
+    ctes.append(assign("af", prev, keep_sim=True))
+    ctes.append("""ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cid
+                               ORDER BY sim ASC, vec_id) AS rnk FROM af)""")
+    ctes.append(f"""drops AS (
+  SELECT DISTINCT hi.vec_id FROM ranked lo JOIN ranked hi
+    ON lo.cid = hi.cid AND lo.rnk < hi.rnk
+  WHERE {sim('lo', 'hi')} >= {tau})""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT r.vec_id, CAST(r.cid AS INT) AS cluster,
+       round(r.sim, 6) AS centroid_sim, (d.vec_id IS NULL) AS kept
+FROM ranked r LEFT JOIN drops d ON d.vec_id = r.vec_id"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4836,6 +4912,12 @@ def oracle_sql() -> dict[str, str]:
           FROM pair_counts ORDER BY count DESC, left_, right_ LIMIT 200)
         SELECT * FROM tok_top UNION ALL SELECT * FROM pair_top
     """
+    # SemDeDup: the twin unrolls the fixed Lloyd's iterations as CTEs —
+    # md5-order seeds, cosine argmax (tie → lowest cid) via row_number,
+    # per-dimension avg centroid update (coalesce keeps an emptied
+    # cluster's previous centroid, matching the engine), then the
+    # keep-the-least-typical triangular drop rule.
+    d["semdedup_drop"] = _semdedup_sql(k=8, iters=2, tau=0.3)
     # Seeded global training-order shuffle: the rank definition IS
     # row_number over (md5 order key, tiebreak keys) — the engine-side
     # bucket-window + offset-join construction must be bit-identical to

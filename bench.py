@@ -234,6 +234,7 @@ def main() -> None:
             "dust_rule_mining",
             "soft404_flags",
             "bm25_search",
+            "semdedup_drop",
         ]
         qs = E.queries()
         for name in bench_queries:
