@@ -2204,6 +2204,62 @@ def _semdedup_drop(spark, sf):
     return semdedup(emb, k=8, iters=2, tau=0.3)
 
 
+def _c4_clean_pages(spark, sf):
+    """C4 cleaning rules (operators/c4filter.py, Raffel et al. 2020
+    §2.2) over a deterministically planted page view of documents: each
+    doc's words regroup into 8-word lines whose terminal decoration
+    (period / bang / question / none / ' javascript.' / ' {.') is the
+    first md5 hex of (doc_id, line-index), plus a ~1/256 lorem-ipsum
+    page marker — so every rule has planted positives. Map-only codegen
+    end to end; the twin replays the identical construction."""
+    from hk_housing_datahub_spark.operators.c4filter import c4_page_flags
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    n_lines = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(8.0))
+    ).cast("int")
+
+    def line(i):
+        body = F.array_join(F.slice(toks, i * 8 + 1, 8), " ")
+        h1 = F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+        return (
+            F.when(h1.isin(*"01234567"), F.concat(body, F.lit(".")))
+            .when(h1.isin("8", "9"), F.concat(body, F.lit("!")))
+            .when(h1.isin("a", "b"), F.concat(body, F.lit("?")))
+            .when(h1.isin("c", "d"), body)
+            .when(h1 == "e", F.concat(body, F.lit(" javascript.")))
+            .otherwise(F.concat(body, F.lit(" {.")))
+        )
+
+    page = F.array_join(F.transform(F.sequence(F.lit(0), n_lines - 1), line), "\n")
+    page = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) == "ab",
+        F.concat(page, F.lit("\nlorem ipsum dolor sit amet.")),
+    ).otherwise(page)
+    pages = docs.select("doc_id", "lang", page.alias("text"))
+    return c4_page_flags(pages, badwords=("dup",)).select(
+        "doc_id",
+        "lang",
+        "n_sentences",
+        "has_badword",
+        "has_lorem",
+        "has_brace",
+        "kept",
+        "cleaned_text",
+    )
+
+
 def _domain_budget_schedule(spark, sf):
     """Two-tier politeness (frontier/scheduler.py schedule_wave +
     apply_domain_budget): a co.uk registrant's 20-subdomain farm wins
@@ -2959,7 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 33 oracle-backed entries after the window (▲ in
+    inside it. The 34 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -3051,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocab_top": _token_vocab_top,
         "training_order_sample": _training_order_sample,
         "semdedup_drop": _semdedup_drop,
+        "c4_clean_pages": _c4_clean_pages,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -4918,6 +4975,78 @@ def oracle_sql() -> dict[str, str]:
     # cluster's previous centroid, matching the engine), then the
     # keep-the-least-typical triangular drop rule.
     d["semdedup_drop"] = _semdedup_sql(k=8, iters=2, tau=0.3)
+    # C4 cleaning: the twin replays the planted page construction
+    # (8-word lines, md5-hex decorations, lorem marker) then the line
+    # policy (terminal punctuation, >=5 words, no 'javascript' word)
+    # and the page gates (badword 'dup', lorem ipsum, curly brace,
+    # >=3 sentences) — cleaned_text is hash-compared byte-for-byte.
+    d["c4_clean_pages"] = r"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents),
+        nl AS (
+          SELECT *, greatest(1, CAST(ceil(len(toks) / 8.0) AS INT))
+                    AS n_lines
+          FROM d),
+        lines AS (
+          SELECT doc_id, lang, i,
+                 array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')
+                     AS body,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(i AS VARCHAR)), 1, 1) AS h1
+          FROM nl, unnest(generate_series(0, n_lines - 1)) AS t(i)),
+        deco AS (
+          SELECT doc_id, lang, i,
+                 CASE WHEN h1 BETWEEN '0' AND '7' THEN body || '.'
+                      WHEN h1 IN ('8','9') THEN body || '!'
+                      WHEN h1 IN ('a','b') THEN body || '?'
+                      WHEN h1 IN ('c','d') THEN body
+                      WHEN h1 = 'e' THEN body || ' javascript.'
+                      ELSE body || ' {.' END AS line
+          FROM lines),
+        pages AS (
+          SELECT doc_id, lang,
+                 string_agg(line, chr(10) ORDER BY i)
+                 || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                              = 'ab'
+                         THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                         ELSE '' END AS text
+          FROM deco GROUP BY doc_id, lang),
+        plines AS (
+          SELECT doc_id, generate_subscripts(ls, 1) AS j,
+                 unnest(ls) AS l
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM pages)),
+        clines AS (
+          SELECT doc_id, j, l FROM plines
+          WHERE regexp_matches(trim(l), '[.!?"]$')
+            AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                                w -> w <> '')) >= 5
+            AND NOT regexp_matches(lower(l),
+                  '(^|[^a-z])javascript([^a-z]|$)')),
+        cleanedtab AS (
+          SELECT doc_id, string_agg(l, chr(10) ORDER BY j)
+                     AS cleaned_text
+          FROM clines GROUP BY doc_id),
+        flags AS (
+          SELECT p.doc_id, p.lang, p.text,
+                 coalesce(c.cleaned_text, '') AS cleaned_text,
+                 regexp_matches(lower(p.text),
+                     '(^|[^a-z0-9])(dup)([^a-z0-9]|$)') AS has_badword,
+                 contains(lower(p.text), 'lorem ipsum') AS has_lorem,
+                 contains(p.text, '{') AS has_brace
+          FROM pages p LEFT JOIN cleanedtab c USING (doc_id))
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(cleaned_text, '[.!?"]'))
+                    AS INT) AS n_sentences,
+               has_badword, has_lorem, has_brace,
+               (len(regexp_extract_all(cleaned_text, '[.!?"]')) >= 3
+                AND NOT has_badword AND NOT has_lorem
+                AND NOT has_brace) AS kept,
+               cleaned_text
+        FROM flags
+    """
     # Seeded global training-order shuffle: the rank definition IS
     # row_number over (md5 order key, tiebreak keys) — the engine-side
     # bucket-window + offset-join construction must be bit-identical to

@@ -235,6 +235,7 @@ def main() -> None:
             "soft404_flags",
             "bm25_search",
             "semdedup_drop",
+            "c4_clean_pages",
         ]
         qs = E.queries()
         for name in bench_queries:

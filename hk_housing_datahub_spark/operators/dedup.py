@@ -351,6 +351,98 @@ def connected_components(
     return labels.select(F.col("n").alias("node"), F.col("lbl").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the scale path when the graph is CHAIN-LIKE rather than
+    clique-ish: rounds needed are O(log^2 n) in the worst case versus
+    the graph DIAMETER for ``connected_components``'s min-label
+    propagation (which raises on a diameter > max_iters graph by
+    design). Same output contract: component = min reachable node id.
+
+    Per round: large-star hangs every neighbor larger than u off
+    min(N(u) ∪ {u}) (one node-keyed min-agg + join), small-star does
+    the same for the smaller neighbors over (max, min)-oriented edges.
+    Both are compact-key shuffles on the node id; lineage is cut per
+    round with localCheckpoint. Convergence is detected on a cheap
+    (count, xor-of-hashes) edge-set signature instead of a full
+    exceptAll — one lightweight agg job per round."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.filter(F.col("u") != F.col("v"))
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical orientation (big, small); self-loops out
+    e = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+
+    def _signature(ed: DataFrame) -> tuple[int, int]:
+        row = ed.agg(
+            F.count("*").alias("c"),
+            F.coalesce(
+                # xor-fold is order-independent — no sort, one partial agg
+                F.bit_xor(F.xxhash64("u", "v")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["c"]), int(row["h"])
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        und = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", "u").alias("m"))
+        out = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        o = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    sig = _signature(e)
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nsig = _signature(e)
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds — beyond the O(log^2 n) bound, which signals a bug, "
+            "not an input property"
+        )
+    # at the fixpoint every edge is (node, component-min); isolated-in-e
+    # nodes (their whole component collapsed) label themselves
+    labels = e.groupBy("u").agg(F.min("v").alias("lbl"))
+    return (
+        nodes.join(labels, nodes["n"] == labels["u"], "left")
+        .select(
+            F.col("n").alias("node"),
+            F.coalesce("lbl", "n").alias("component"),
+        )
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -72,6 +72,7 @@ class CorpusRecipe:
     # on the order of |clf_positive|); scoring still covers every doc
     cap_per_source: int | None = None  # RefinedWeb/C4 per-domain cap
     cap_group_col: str = "source"  # the domain/host column to cap on
+    badwords: tuple[str, ...] | None = None  # C4 page-drop lexicon
     salt: str = ""
 
 
@@ -109,6 +110,15 @@ def prepare_training_corpus(
     matches the reference, deterministic under ``recipe.dsir_seed``."""
     r = recipe or CorpusRecipe()
     out = docs
+    if r.badwords:
+        # C4's page-level lexicon drop, cheapest gate of all (map-only
+        # codegen regex), so it runs first — a convicted page never
+        # reaches the shuffling stages
+        from ..operators.c4filter import _badword_regex
+
+        out = out.filter(
+            ~F.lower(F.col(text_col)).rlike(_badword_regex(r.badwords))
+        )
     if benchmark is not None:
         from ..operators.decontaminate import drop_contaminated
 

@@ -154,3 +154,87 @@ def test_minhash_lsh_dedup_equals_exact_path(spark, docs):
         .collect()
     }
     assert got == want
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    return {n: min(groups[find(n)]) for n in nodes}
+
+
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        ("chain", [(i, i + 1) for i in range(60)]),
+        (
+            "clique_plus_pair",
+            [(i, j) for i in range(10) for j in range(i + 1, 10)]
+            + [(100, 101)],
+        ),
+        (
+            "two_chains",
+            [(i, i + 1) for i in range(0, 20)]
+            + [(i, i + 1) for i in range(40, 55)],
+        ),
+        ("self_loops_and_dups", [(1, 2), (2, 1), (3, 3), (2, 3), (9, 9)]),
+    ],
+)
+def test_star_components_match_union_find(spark, name, edges):
+    edges_clean = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({x for e in edges for x in e})
+    want = _uf_components(edges_clean, nodes)
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in DD.connected_components_star(df).collect()
+    }
+    # pure self-loop nodes (3,3)/(9,9) never form an inter-node edge:
+    # the operator drops them up front like connected_components does
+    want = {n: c for n, c in want.items() if n in got}
+    assert got == want
+
+
+def test_star_components_random_graphs_match_union_find(spark):
+    import random
+
+    rng = random.Random(11)
+    for trial in range(3):
+        edges = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(50)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        want = _uf_components(edges, nodes)
+        df = spark.createDataFrame(edges, "a bigint, b bigint")
+        got = {
+            r["node"]: r["component"]
+            for r in DD.connected_components_star(df).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_star_handles_chain_beyond_propagation_bound(spark):
+    """The scale motivation: a 60-node chain exceeds min-label
+    propagation's 10-round budget (it raises, by its documented
+    contract) while the star method converges in O(log^2 n) rounds."""
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a bigint, b bigint"
+    )
+    with pytest.raises(RuntimeError):
+        DD.connected_components(df, max_iters=10)
+    got = DD.connected_components_star(df).collect()
+    assert len(got) == 61
+    assert {r["component"] for r in got} == {0}
