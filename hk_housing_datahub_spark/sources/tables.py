@@ -53,6 +53,74 @@ def has_parquet_parts(d: str) -> bool:
     )
 
 
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> "Column":
+    """Z-order (Morton) key over numeric/date columns, as one codegen
+    Column: each column min-max-normalizes to a ``bits``-bit integer
+    (one agg job over ``df`` collects the 2×n bounds to the driver),
+    then the bit planes interleave — ``bits × len(cols)`` shift/mask
+    terms OR-folded, all JVM-side, no Python in the row path. Sorting
+    by the key gives every listed dimension locality, so per-file
+    min/max stats prune reads on ANY of the columns (the lexicographic
+    sort only ever serves the leading one).
+
+    NULLs and constant columns normalize to 0 (they can't carry
+    locality). Strings are rejected — hash-interleaving text destroys
+    the very ordering stats skipping needs; cluster_by serves them.
+    ``bits`` defaults to 16: 16×4 dims = 64 still fits a long, and
+    2^16 cells per dimension is far finer than any realistic file
+    count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"{bits} bits x {len(cols)} columns exceeds a long"
+        )
+    for c in cols:
+        t = df.schema[c].dataType
+        if isinstance(t, (T.StringType, T.BinaryType)):
+            raise ValueError(
+                f"zorder_by column {c!r} is {t.simpleString()}; "
+                "z-ordering needs an ordered numeric/date domain"
+            )
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    cells = (1 << bits) - 1
+    planes = []
+    for i, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            continue  # constant/all-null: contributes 0 to every key
+        scaled = (
+            (F.col(c).cast("double") - F.lit(float(mn)))
+            / F.lit(float(mx - mn))
+            * F.lit(float(cells))
+        )
+        q = F.coalesce(
+            F.round(scaled).cast("long"), F.lit(0)
+        )
+        q = F.greatest(F.lit(0), F.least(F.lit(cells), q))
+        for b in range(bits):
+            planes.append(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + i,
+                )
+            )
+    if not planes:
+        return F.lit(0).cast("long")
+    key = planes[0]
+    for p in planes[1:]:
+        key = key.bitwiseOR(p)
+    return key
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed to this table between manifest load and
     commit — the optimistic-concurrency failure Iceberg surfaces as
@@ -335,6 +403,8 @@ class TableCatalog:
         rows: int | None = None,
         cluster_by: list[str] | None = None,
         cluster_partitions: int | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
         staged: bool = False,
         extra: dict | None = None,
     ) -> int:
@@ -368,7 +438,26 @@ class TableCatalog:
         published, and a bad wave never becomes visible at all."""
         m = self._load_manifest(table)
         self._check_write_schema(m, df, table)
-        if cluster_by:
+        if zorder_by and cluster_by:
+            raise ValueError("zorder_by and cluster_by are exclusive")
+        if zorder_by:
+            # multi-dimensional clustering (Delta OPTIMIZE ZORDER /
+            # Iceberg sort-order parity): lexicographic cluster_by only
+            # gives the LEADING column selective file stats; the
+            # bit-interleaved key preserves locality in every listed
+            # dimension, so min/max skipping has teeth on each of them.
+            # Costs one min/max agg pass over df (same determinism
+            # caveat as the ``rows`` contract) + the clustering shuffle.
+            key = zorder_key(df, zorder_by, bits=zorder_bits)
+            df = df.withColumn("_zkey", key)
+            df = (
+                df.repartitionByRange(
+                    cluster_partitions or 8, "_zkey"
+                )
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        elif cluster_by:
             if cluster_partitions:
                 df = df.repartitionByRange(cluster_partitions, *cluster_by)
             else:

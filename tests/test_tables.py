@@ -623,3 +623,77 @@ def test_commit_stamps_only_new_entries(spark, cat):
     assert cat.snapshot_as_of("t", _time.time()) == 2
     with pytest.raises(ValueError, match="no commit"):
         cat.snapshot_as_of("t", hist[1]["ts"] - 1)
+
+
+def _grid_df(spark, n=64):
+    """n×n grid of independent (x, y) — the adversarial case for
+    lexicographic clustering (y carries no locality under an x-sort)."""
+    return (
+        spark.range(n * n)
+        .selectExpr(
+            "id",
+            f"CAST(id % {n} AS BIGINT) AS x",
+            f"CAST(id DIV {n} AS BIGINT) AS y",
+        )
+    )
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from hk_housing_datahub_spark.sources.tables import zorder_key
+
+    df = _grid_df(spark, 8)  # x,y in 0..7; bounds are exact
+    out = df.withColumn(
+        "k", zorder_key(df, ["x", "y"], bits=3)
+    ).collect()
+
+    def interleave(vals, bits, ncols):
+        k = 0
+        for i, v in enumerate(vals):
+            for b in range(bits):
+                k |= ((v >> b) & 1) << (b * ncols + i)
+        return k
+
+    for r in out:
+        # 0..7 over 3 bits: min-max scaling is the identity
+        assert r["k"] == interleave([r["x"], r["y"]], 3, 2), r
+
+
+def test_zorder_prunes_on_every_dimension(spark, cat):
+    """The point of z-order: file-stats pruning works on BOTH columns,
+    where lexicographic cluster_by only serves the leading one."""
+    df = _grid_df(spark, 64).persist()
+    cat.append("zt", df, cluster_partitions=16, zorder_by=["x", "y"])
+    cat.append("lex", df, cluster_partitions=16, cluster_by=["x", "y"])
+
+    zx = cat.scan_report("zt", [("x", ">=", 0), ("x", "<", 8)])
+    zy = cat.scan_report("zt", [("y", ">=", 0), ("y", "<", 8)])
+    lx = cat.scan_report("lex", [("x", ">=", 0), ("x", "<", 8)])
+    ly = cat.scan_report("lex", [("y", ">=", 0), ("y", "<", 8)])
+    # both clusterings prune the leading dimension
+    assert zx["parts_kept"] <= zx["parts_total"] // 2
+    assert lx["parts_kept"] <= lx["parts_total"] // 2
+    # only z-order prunes the second dimension; lexicographic keeps all
+    assert zy["parts_kept"] <= zy["parts_total"] // 2
+    assert ly["parts_kept"] == ly["parts_total"]
+    # and the clustered reads return exactly the right rows
+    got = cat.read("zt", where=[("y", ">=", 0), ("y", "<", 8)]).count()
+    assert got == 64 * 8
+    df.unpersist()
+
+
+def test_zorder_null_and_constant_columns(spark, cat):
+    df = spark.range(100).selectExpr(
+        "id",
+        "CAST(CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS BIGINT) AS x",
+        "CAST(7 AS BIGINT) AS c",
+    )
+    cat.append("t", df, cluster_partitions=4, zorder_by=["x", "c"])
+    assert cat.read("t").count() == 100  # nulls and constants survive
+
+
+def test_zorder_rejects_strings_and_cluster_combo(spark, cat):
+    df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s")
+    with pytest.raises(ValueError):
+        cat.append("t", df, zorder_by=["s"])
+    with pytest.raises(ValueError):
+        cat.append("t", df, zorder_by=["id"], cluster_by=["id"])
