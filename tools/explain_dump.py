@@ -145,6 +145,18 @@ def _soft404(spark):
     return E.queries()["soft404_flags"](spark, SF)
 
 
+def _semdedup(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["semdedup_drop"](spark, SF)
+
+
+def _c4(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["c4_clean_pages"](spark, SF)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -366,6 +378,23 @@ def main() -> None:
             "host signature side joined WITHOUT a hint, and the vocabulary "
             "regex riding codegen — no Python nodes.",
             _soft404(spark),
+        ),
+        (
+            "SemDeDup (literal-centroid assignment + cluster pair join)",
+            "Look for: NO Python nodes and NO CartesianProduct — the "
+            "k-means assignment is a codegen projection against literal "
+            "centroid arrays (no n×k explode), the keep-rank Window and "
+            "the intra-cluster pair join both key on the cluster id, and "
+            "the drop set folds back through one equi-join.",
+            _semdedup(spark),
+        ),
+        (
+            "C4 cleaning rules (map-only line + page policy)",
+            "Look for: ZERO Exchange — the planted page construction, the "
+            "line policy (terminal punctuation / min-words / javascript) "
+            "and every page gate (badword regex, lorem, brace, sentence "
+            "count) ride one whole-stage-codegen projection over the scan.",
+            _c4(spark),
         ),
     ]
 
