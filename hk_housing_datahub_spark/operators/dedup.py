@@ -443,12 +443,27 @@ def connected_components_star(
     )
 
 
+def _components(pairs: DataFrame, cc_method: str) -> DataFrame:
+    """Dispatch the transitive-closure step of every dedup composition:
+    ``"label"`` = min-label propagation (rounds = diameter; right for the
+    clique-ish clusters near-dup graphs produce), ``"star"`` = alternating
+    large-star/small-star (O(log^2 n) rounds; the safe choice when the
+    pair graph may be chain-like — template families, pagination chains).
+    Identical output contract either way: (node, component=min id)."""
+    if cc_method == "label":
+        return connected_components(pairs)
+    if cc_method == "star":
+        return connected_components_star(pairs)
+    raise ValueError(f"unknown cc_method {cc_method!r} (label|star)")
+
+
 def dedup_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
     max_shingle_df: int | None = 50,
+    cc_method: str = "label",
 ) -> DataFrame:
     """(doc_id, cluster_id, is_canonical): near-dup clusters from the exact
     Jaccard pairs, transitively closed; the minimum doc id of each cluster
@@ -457,7 +472,7 @@ def dedup_clusters(
     pairs = ngram_jaccard_pairs(
         docs, id_col, text_col, threshold=threshold, max_shingle_df=max_shingle_df
     )
-    cc = connected_components(pairs)
+    cc = _components(pairs, cc_method)
     out = docs.select(F.col(id_col)).join(
         cc, docs[id_col] == cc["node"], "left"
     )
@@ -473,13 +488,16 @@ def drop_near_dups(
     text_col: str = "text",
     threshold: float = 0.5,
     max_shingle_df: int | None = 50,
+    cc_method: str = "label",
 ) -> DataFrame:
     """The end-user corpus dedup: keep exactly the canonical (lowest-id)
     document of every near-dup cluster, all columns preserved. Composes
     dedup_clusters' components with a broadcast semi-join of the canonical
     id set back onto the corpus — the dropped set is tiny relative to the
     corpus, so the join ships only cluster labels, never document text."""
-    labels = dedup_clusters(docs, id_col, text_col, threshold, max_shingle_df)
+    labels = dedup_clusters(
+        docs, id_col, text_col, threshold, max_shingle_df, cc_method
+    )
     keep = labels.filter(F.col("is_canonical")).select(id_col)
     return docs.join(keep, id_col, "left_semi")
 
@@ -534,6 +552,7 @@ def minhash_lsh_dedup(
     bands: int = 32,
     threshold: float = 0.5,
     max_shingle_df: int | None = 50,
+    cc_method: str = "label",
 ) -> DataFrame:
     """The documented 100-TB corpus-dedup path, composed end to end:
     MinHash+LSH banding generates candidate pairs sub-quadratically →
@@ -559,7 +578,7 @@ def minhash_lsh_dedup(
     verified = verify_pairs_jaccard(
         docs, cands, id_col, text_col, n, threshold, max_shingle_df
     )
-    cc = connected_components(verified)
+    cc = _components(verified, cc_method)
     labels = docs.select(F.col(id_col)).join(
         cc, docs[id_col] == cc["node"], "left"
     )

@@ -44,6 +44,10 @@ class CorpusRecipe:
     byte-identical corpus."""
 
     dedup: str = "lsh"  # "lsh" (100-TB path) | "exact" (verifier path)
+    cc_method: str = "label"  # transitive closure: "label" (rounds =
+    # cluster diameter — near-dup graphs are clique-ish) | "star"
+    # (large-star/small-star, O(log^2 n) rounds — the safe choice when
+    # template families make the pair graph chain-like)
     dedup_threshold: float = 0.5
     max_shingle_df: int | None = 50
     min_quality: float = 0.0
@@ -140,11 +144,13 @@ def prepare_training_corpus(
         out = minhash_lsh_dedup(
             out, id_col, text_col,
             threshold=r.dedup_threshold, max_shingle_df=r.max_shingle_df,
+            cc_method=r.cc_method,
         )
     elif r.dedup == "exact":
         out = drop_near_dups(
             out, id_col, text_col,
             threshold=r.dedup_threshold, max_shingle_df=r.max_shingle_df,
+            cc_method=r.cc_method,
         )
     else:
         raise ValueError(f"unknown dedup mode {r.dedup!r}")

@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--catalog", required=True, help="table-catalog root")
     ap.add_argument("--output-table", default="corpus")
     ap.add_argument("--dedup", default="lsh", choices=["lsh", "exact"])
+    ap.add_argument(
+        "--cc-method", default="label", choices=["label", "star"],
+        help="transitive closure: label propagation (rounds = cluster "
+        "diameter) or large-star/small-star (O(log^2 n) rounds for "
+        "chain-like pair graphs)",
+    )
     ap.add_argument("--dedup-threshold", type=float, default=0.5)
     ap.add_argument("--min-quality", type=float, default=0.0)
     ap.add_argument("--gopher", action="store_true")
@@ -95,6 +101,7 @@ def main() -> None:
     )
     recipe = CorpusRecipe(
         dedup=args.dedup,
+        cc_method=args.cc_method,
         dedup_threshold=args.dedup_threshold,
         min_quality=args.min_quality,
         gopher=args.gopher,

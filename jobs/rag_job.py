@@ -28,6 +28,14 @@ def main() -> None:
     ap.add_argument("--query-every", type=int, default=101,
                     help="every Nth document's text becomes a query")
     ap.add_argument("--k", type=int, default=5)
+    ap.add_argument(
+        "--semdedup-tau", type=float, default=None,
+        help="if set, SemDeDup the chunk vectors at this cosine "
+        "threshold before writing the vector store (drops semantically "
+        "near-identical chunks so the index never serves duplicates)",
+    )
+    ap.add_argument("--semdedup-k", type=int, default=8,
+                    help="k-means clusters for the SemDeDup pass")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_SUBMIT_MODE", "1")
@@ -44,6 +52,25 @@ def main() -> None:
     chunks = chunk_documents(docs)
     # K5 vector-store sink: (chunk_id, embedding, embedding_norm)
     vectors = embed_documents(chunks)
+    semdedup_stats = None
+    if args.semdedup_tau is not None:
+        # SemDeDup pass (operators/semdedup.py): cluster the chunk
+        # embeddings, drop all-but-the-least-typical of every
+        # within-tau group; the surviving id set filters BOTH the
+        # vector store and the chunks the search index is built from
+        from hk_housing_datahub_spark.operators.semdedup import semdedup
+
+        tagged = semdedup(
+            vectors, k=args.semdedup_k, tau=args.semdedup_tau,
+            id_col="chunk_id",
+        ).cache()
+        keep = tagged.filter(F.col("kept")).select("chunk_id")
+        semdedup_stats = {
+            "chunks_in": tagged.count(),
+            "chunks_kept": keep.count(),
+        }
+        vectors = vectors.join(keep, "chunk_id", "left_semi")
+        chunks = chunks.join(keep, "chunk_id", "left_semi")
     vectors.write.mode("overwrite").parquet(os.path.join(args.out, "chunk_vectors"))
 
     queries = docs.filter(
@@ -59,6 +86,8 @@ def main() -> None:
         "neighbor_rows": out.count(),
         "k": args.k,
     }
+    if semdedup_stats is not None:
+        summary["semdedup"] = semdedup_stats
     print(json.dumps(summary))
     spark.stop()
 

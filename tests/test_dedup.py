@@ -238,3 +238,35 @@ def test_star_handles_chain_beyond_propagation_bound(spark):
     got = DD.connected_components_star(df).collect()
     assert len(got) == 61
     assert {r["component"] for r in got} == {0}
+
+
+def test_cc_method_star_matches_label_through_compositions(spark, docs):
+    """cc_method="star" must be a pure strategy swap: identical survivor
+    sets from both compositions on the real test corpus (clique-ish
+    graph) — the only difference is round complexity, not output."""
+    lab = {r.doc_id for r in DD.drop_near_dups(docs).select("doc_id").collect()}
+    star = {
+        r.doc_id
+        for r in DD.drop_near_dups(docs, cc_method="star")
+        .select("doc_id")
+        .collect()
+    }
+    assert lab == star
+    lab_l = {
+        r.doc_id
+        for r in DD.minhash_lsh_dedup(docs).select("doc_id").collect()
+    }
+    star_l = {
+        r.doc_id
+        for r in DD.minhash_lsh_dedup(docs, cc_method="star")
+        .select("doc_id")
+        .collect()
+    }
+    assert lab_l == star_l
+
+
+def test_cc_method_rejects_unknown(spark, docs):
+    with pytest.raises(ValueError, match="cc_method"):
+        DD._components(
+            spark.createDataFrame([(1, 2)], "a bigint, b bigint"), "bogus"
+        )
