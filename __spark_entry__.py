@@ -1207,6 +1207,41 @@ def _streaming_corpus_ingest(spark, sf):
     return cat.read("corpus").select("doc_id", "fp", "quality")
 
 
+def _streaming_lsh_neardup(spark, sf):
+    """Rows-only: streaming NEAR-dup ingestion (streaming/neardup.py) —
+    incremental MinHash-LSH across micro-batches: intra-batch
+    exact-verified LSH dedup, cross-batch signature-estimator dedup
+    against catalog-backed (sig, band) state, batch-id-stamped
+    exactly-once appends with torn-batch healing (pytest-pinned in
+    test_streaming_neardup.py). Output = the committed near-dup-free
+    corpus ids."""
+    from hk_housing_datahub_spark.sources import TableCatalog
+    from hk_housing_datahub_spark.streaming.neardup import (
+        stream_neardup_ingest,
+    )
+
+    root = tempfile.mkdtemp(prefix="hk_stream_neardup_")
+    src = os.path.join(root, "src")
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(2).write.parquet(
+        os.path.join(src, "w1")
+    )
+    # wave 2 re-sends half of wave 1's TEXTS under new ids (near-dups the
+    # state must catch), plus the odd docs
+    resent = (
+        d.filter(F.pmod("doc_id", F.lit(4)) == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    d.filter(F.pmod("doc_id", F.lit(2)) == 1).unionByName(resent).coalesce(
+        2
+    ).write.parquet(os.path.join(src, "w2"))
+    cat = TableCatalog(spark, os.path.join(root, "cat"))
+    stream_neardup_ingest(
+        spark, src, cat, "docs", checkpoint=os.path.join(root, "ck")
+    )
+    return cat.read("docs").select("doc_id", "text")
+
+
 def _lm_perplexity_quality(spark, sf):
     """Rows-only: bigram-LM perplexity quality scoring (the KenLM role in
     CCNet's pipeline, operators/lm_quality.py) — fit on the even-id half
@@ -3127,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tws_dedup": _streaming_tws_dedup,
         "streaming_recrawl": _streaming_recrawl,
         "streaming_corpus_ingest": _streaming_corpus_ingest,
+        "streaming_lsh_neardup": _streaming_lsh_neardup,
     }
 
 
