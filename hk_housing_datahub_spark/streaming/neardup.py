@@ -113,6 +113,45 @@ def _est_jaccard(a, b, num_perm: int):
     )
 
 
+def cross_batch_drops(
+    sigs: DataFrame,
+    old_bands: DataFrame,
+    old_sigs: DataFrame,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """The cross-batch convicting set: new dids whose banded keys collide
+    with committed state AND whose signature-estimated Jaccard against
+    the colliding committed doc clears ``threshold``. One (band, key)
+    equi-join + one did-keyed sig join + a codegen array-compare — the
+    whole steady-state cost of near-dup checking a batch."""
+    new_bands = _band_index(sigs, bands, num_perm)
+    cand = (
+        new_bands.join(
+            old_bands.select(F.col("did").alias("_old"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("did", "_old")
+        .distinct()
+    )
+    return (
+        cand.join(sigs, "did")
+        .join(
+            old_sigs.select(
+                F.col("did").alias("_old"), F.col("sig").alias("_osig")
+            ),
+            "_old",
+        )
+        .filter(
+            _est_jaccard(F.col("sig"), F.col("_osig"), num_perm)
+            >= F.lit(threshold)
+        )
+        .select("did")
+        .distinct()
+    )
+
+
 def _committed_batches(catalog: TableCatalog, table: str, sink_id: str) -> set:
     return {
         h["batch_id"]
@@ -173,32 +212,12 @@ def ingest_neardup_batch(
     # special case, the joins below just produce zero candidates)
     sigs = _sig_array(local, id_col, text_col, n, num_perm).persist()
     try:
-        new_bands = _band_index(sigs, bands, num_perm)
         # bid filter: a torn batch's own state rows (crash between the
         # state and corpus appends) must not convict its docs on replay
         old_bands = catalog.read(bands_tbl).filter(F.col("bid") != batch_id)
-        cand = (
-            new_bands.join(
-                old_bands.select(F.col("did").alias("_old"), "band", "key"),
-                ["band", "key"],
-            )
-            .select("did", "_old")
-            .distinct()
-        )
-        old_sigs = (
-            catalog.read(sigs_tbl)
-            .filter(F.col("bid") != batch_id)
-            .select(F.col("did").alias("_old"), F.col("sig").alias("_osig"))
-        )
-        dropped = (
-            cand.join(sigs, "did")
-            .join(old_sigs, "_old")
-            .filter(
-                _est_jaccard(F.col("sig"), F.col("_osig"), num_perm)
-                >= F.lit(threshold)
-            )
-            .select("did")
-            .distinct()
+        old_sigs = catalog.read(sigs_tbl).filter(F.col("bid") != batch_id)
+        dropped = cross_batch_drops(
+            sigs, old_bands, old_sigs, num_perm, bands, threshold
         )
         keep_ids = sigs.select("did").join(dropped, "did", "left_anti")
 

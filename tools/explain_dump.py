@@ -157,6 +157,46 @@ def _c4(spark):
     return E.queries()["c4_clean_pages"](spark, SF)
 
 
+def _neardup_probe(spark):
+    """The steady-state cost of streaming near-dup ingestion: one batch's
+    cross-batch convicting set against parquet-backed state tables."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.streaming.neardup import (
+        _band_index,
+        _sig_array,
+        cross_batch_drops,
+    )
+
+    docs = spark.read.parquet(_os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    state = _sig_array(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", "text", 3, 64
+    )
+    root = tempfile.mkdtemp(prefix="hk_plan_neardup_")
+    state.withColumn("bid", F.lit(0).cast("bigint")).write.parquet(
+        _os.path.join(root, "sigs")
+    )
+    _band_index(state, 32, 64).withColumn(
+        "bid", F.lit(0).cast("bigint")
+    ).write.parquet(_os.path.join(root, "bands"))
+    batch = _sig_array(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", "text", 3, 64
+    )
+    return cross_batch_drops(
+        batch,
+        spark.read.parquet(_os.path.join(root, "bands")),
+        spark.read.parquet(_os.path.join(root, "sigs")),
+        64,
+        32,
+        0.5,
+    )
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -387,6 +427,16 @@ def main() -> None:
             "the intra-cluster pair join both key on the cluster id, and "
             "the drop set folds back through one equi-join.",
             _semdedup(spark),
+        ),
+        (
+            "Streaming near-dup cross-batch probe (band equi-join + "
+            "signature estimator)",
+            "Look for: the committed state entering through plain parquet "
+            "scans (ReadSchema pruned to did/band/key and did/sig), the "
+            "candidate join keyed hashpartitioning(band, key…), the "
+            "signature verify as a codegen zip_with/aggregate filter (no "
+            "Python nodes), and NO scan of committed text anywhere.",
+            _neardup_probe(spark),
         ),
         (
             "C4 cleaning rules (map-only line + page policy)",
