@@ -236,6 +236,8 @@ def main() -> None:
             "bm25_search",
             "semdedup_drop",
             "c4_clean_pages",
+            # round-4 wrap: incremental streaming near-dup ingestion
+            "streaming_lsh_neardup",
         ]
         qs = E.queries()
         for name in bench_queries:
