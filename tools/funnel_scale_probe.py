@@ -381,6 +381,40 @@ def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
 
     stage("opic_two_waves", lambda d: opicify(d), docs_path)
 
+    # streaming near-dup steady state: the cross-batch convicting set of
+    # an odd-half batch against even-half state (state build is
+    # materialized OUTSIDE the timed stage — the probe's cost is the
+    # band equi-join + signature verify, which is what grows with state)
+    from hk_housing_datahub_spark.streaming.neardup import (
+        _band_index,
+        _sig_array,
+        cross_batch_drops,
+    )
+
+    st_docs = spark.read.parquet(docs_path)
+    st_sigs = _sig_array(
+        st_docs.filter(F.pmod("doc_id", F.lit(2)) == 0),
+        "doc_id", "text", 3, 64,
+    )
+    sigs_p = os.path.join(tmp, f"{tag}_nd_sigs")
+    bands_p = os.path.join(tmp, f"{tag}_nd_bands")
+    st_sigs.write.parquet(sigs_p)
+    _band_index(st_sigs, 32, 64).write.parquet(bands_p)
+
+    def neardupify(d):
+        batch = _sig_array(
+            d.filter(F.pmod("doc_id", F.lit(2)) == 1),
+            "doc_id", "text", 3, 64,
+        )
+        return cross_batch_drops(
+            batch,
+            spark.read.parquet(bands_p),
+            spark.read.parquet(sigs_p),
+            64, 32, 0.5,
+        )
+
+    stage("neardup_probe", neardupify, docs_path)
+
     # the composed funnel, unstaged (what a user actually calls)
     df = spark.read.parquet(docs_path)
     t0 = time.perf_counter()
