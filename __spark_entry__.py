@@ -1207,6 +1207,42 @@ def _streaming_corpus_ingest(spark, sf):
     return cat.read("corpus").select("doc_id", "fp", "quality")
 
 
+def _main_content_extract(spark, sf):
+    """jusText-style main-content extraction (extract/content.py,
+    Pomikálek 2011 block classification) over a deterministically
+    assembled page per document: a nav link block, the doc's first 120
+    chars as the <p> paragraph, a per-doc link-farm list, a <script>
+    that must never leak, and a footer — planted boilerplate AND planted
+    content on every page. One whole-stage-codegen projection (regexp
+    block split + transform/filter/aggregate, no UDF, no shuffle); the
+    DuckDB twin replays the identical RE2-safe regexes and per-block
+    scoring byte-for-byte."""
+    from hk_housing_datahub_spark.extract.content import (
+        extract_main_content,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit(
+            '<div class="nav"><a href="/">Home</a> <a href="/about">'
+            'About</a> <a href="/contact">Contact</a></div>'
+        ),
+        F.lit("<p>"),
+        F.substring("text", 1, 120),
+        F.lit("</p>"),
+        F.lit('<script>var trk = "never content";</script>'),
+        F.lit('<ul><li><a href="/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">doc</a></li><li><a href="/x">more links here</a></li></ul>'),
+        F.lit(
+            '<footer><a href="/terms">Terms of service</a> '
+            '<a href="/privacy">Privacy policy</a></footer>'
+        ),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return extract_main_content(pages, key_cols=("doc_id",)).orderBy("doc_id")
+
+
 def _streaming_lsh_neardup(spark, sf):
     """Rows-only: streaming NEAR-dup ingestion (streaming/neardup.py) —
     incremental MinHash-LSH across micro-batches: intra-batch
@@ -3143,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order_sample": _training_order_sample,
         "semdedup_drop": _semdedup_drop,
         "c4_clean_pages": _c4_clean_pages,
+        "main_content_extract": _main_content_extract,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -5082,6 +5119,70 @@ def oracle_sql() -> dict[str, str]:
                 AND NOT has_brace) AS kept,
                cleaned_text
         FROM flags
+    """
+    # jusText-lite main-content extraction: the twin replays the page
+    # assembly, the RE2-safe script/style strip + block split, and the
+    # per-block (chars, words, link-chars) scoring; 0.4e0 forces the
+    # same double-precision link-density compare Spark runs.
+    d["main_content_extract"] = r"""
+        WITH pages AS (
+          SELECT doc_id,
+            '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>'
+            || '<p>' || substr(text, 1, 120) || '</p>'
+            || '<script>var trk = "never content";</script>'
+            || '<ul><li><a href="/d/' || CAST(doc_id AS VARCHAR)
+            || '">doc</a></li><li><a href="/x">more links here</a></li></ul>'
+            || '<footer><a href="/terms">Terms of service</a> <a href="/privacy">Privacy policy</a></footer>'
+            AS html
+          FROM documents),
+        blk AS (
+          SELECT doc_id,
+            regexp_split_to_array(
+              regexp_replace(regexp_replace(html,
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|section|article|aside|header|footer|nav|blockquote|pre|figure|fieldset|form|main|br)(?:\s[^>]*)?/?>'
+            ) AS blocks
+          FROM pages),
+        scored AS (
+          SELECT doc_id,
+            list_transform(blocks, b -> struct_pack(
+              t := trim(regexp_replace(regexp_replace(b,
+                     '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+              lc := coalesce(length(trim(regexp_replace(regexp_replace(
+                      array_to_string(regexp_extract_all(b,
+                        '(?is)<a[^>]*>(.*?)</a>', 1), ' '),
+                      '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))), 0)
+            )) AS s
+          FROM blk),
+        m AS (
+          SELECT doc_id,
+            list_transform(s, x -> struct_pack(
+              t := x.t,
+              c := length(x.t),
+              w := CASE WHEN length(x.t) = 0 THEN 0
+                        ELSE len(string_split(x.t, ' ')) END,
+              l := least(x.lc, length(x.t))
+            )) AS s2
+          FROM scored)
+        SELECT doc_id,
+          array_to_string(list_transform(list_filter(s2,
+            x -> x.c >= 25 AND x.w >= 5
+                 AND CAST(x.l AS DOUBLE) <= 0.4e0 * CAST(x.c AS DOUBLE)),
+            x -> x.t), chr(10)) AS content,
+          len(s2)::int AS n_blocks,
+          len(list_filter(s2,
+            x -> x.c >= 25 AND x.w >= 5
+                 AND CAST(x.l AS DOUBLE) <= 0.4e0 * CAST(x.c AS DOUBLE)
+          ))::int AS n_content_blocks,
+          COALESCE(list_sum(list_transform(list_filter(s2,
+            x -> x.c >= 25 AND x.w >= 5
+                 AND CAST(x.l AS DOUBLE) <= 0.4e0 * CAST(x.c AS DOUBLE)),
+            x -> x.c)), 0)::int AS content_chars,
+          COALESCE(list_sum(list_transform(s2, x -> x.l)), 0)::int
+            AS link_chars_total
+        FROM m
+        ORDER BY doc_id
     """
     # Seeded global training-order shuffle: the rank definition IS
     # row_number over (md5 order key, tiebreak keys) — the engine-side

@@ -236,8 +236,10 @@ def main() -> None:
             "bm25_search",
             "semdedup_drop",
             "c4_clean_pages",
-            # round-4 wrap: incremental streaming near-dup ingestion
+            # round-4 wrap: incremental streaming near-dup ingestion +
+            # jusText-style main-content extraction
             "streaming_lsh_neardup",
+            "main_content_extract",
         ]
         qs = E.queries()
         for name in bench_queries:
