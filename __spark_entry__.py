@@ -1243,6 +1243,49 @@ def _main_content_extract(spark, sf):
     return extract_main_content(pages, key_cols=("doc_id",)).orderBy("doc_id")
 
 
+def _crawl_to_corpus_docs(spark, sf):
+    """The crawl→corpus glue (pipelines.corpus.pages_to_documents):
+    input_hint-shaped pages (assembled deterministically: nav, the doc's
+    text as the paragraph, script, link farm, footer; per-doc URL)
+    become corpus-funnel documents — main-content text, md5(url) ids,
+    host attribution, min-chars gate. The twin replays the content
+    extraction byte-for-byte plus the id/host derivations."""
+    from hk_housing_datahub_spark.pipelines.corpus import pages_to_documents
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    url = F.concat(
+        F.lit("https://s"),
+        F.pmod("doc_id", F.lit(97)).cast("string"),
+        F.lit(".example.org/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit(
+            '<div class="nav"><a href="/">Home</a> <a href="/about">'
+            'About</a> <a href="/contact">Contact</a></div>'
+        ),
+        F.lit("<p>"),
+        F.substring("text", 1, 120),
+        F.lit("</p>"),
+        F.lit('<script>var trk = "never content";</script>'),
+        F.lit('<ul><li><a href="/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">doc</a></li><li><a href="/x">more links here</a></li></ul>'),
+        F.lit(
+            '<footer><a href="/terms">Terms of service</a> '
+            '<a href="/privacy">Privacy policy</a></footer>'
+        ),
+    )
+    pages = docs.select(
+        url.alias("url_canon"),
+        html.alias("html"),
+        "lang",
+        F.timestamp_seconds(F.lit(1_700_000_000)).alias("warc_ts"),
+    )
+    out = pages_to_documents(pages).drop("warc_ts")
+    return out.orderBy("doc_id")
+
+
 def _streaming_lsh_neardup(spark, sf):
     """Rows-only: streaming NEAR-dup ingestion (streaming/neardup.py) —
     incremental MinHash-LSH across micro-batches: intra-batch
@@ -3180,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_drop": _semdedup_drop,
         "c4_clean_pages": _c4_clean_pages,
         "main_content_extract": _main_content_extract,
+        "crawl_to_corpus_docs": _crawl_to_corpus_docs,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -5182,6 +5226,60 @@ def oracle_sql() -> dict[str, str]:
           COALESCE(list_sum(list_transform(s2, x -> x.l)), 0)::int
             AS link_chars_total
         FROM m
+        ORDER BY doc_id
+    """
+    # crawl->corpus glue: the content twin reduced to the content
+    # column, plus md5(url) ids, regexp host, and the min-chars gate.
+    d["crawl_to_corpus_docs"] = r"""
+        WITH pages AS (
+          SELECT
+            'https://s' || CAST(doc_id % 97 AS VARCHAR) || '.example.org/d/'
+              || CAST(doc_id AS VARCHAR) AS url,
+            '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>'
+            || '<p>' || substr(text, 1, 120) || '</p>'
+            || '<script>var trk = "never content";</script>'
+            || '<ul><li><a href="/d/' || CAST(doc_id AS VARCHAR)
+            || '">doc</a></li><li><a href="/x">more links here</a></li></ul>'
+            || '<footer><a href="/terms">Terms of service</a> <a href="/privacy">Privacy policy</a></footer>'
+            AS html,
+            lang
+          FROM documents),
+        blk AS (
+          SELECT url, lang,
+            regexp_split_to_array(
+              regexp_replace(regexp_replace(html,
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|section|article|aside|header|footer|nav|blockquote|pre|figure|fieldset|form|main|br)(?:\s[^>]*)?/?>'
+            ) AS blocks
+          FROM pages),
+        m AS (
+          SELECT url, lang,
+            list_transform(blocks, b -> struct_pack(
+              t := trim(regexp_replace(regexp_replace(b,
+                     '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+              lc := coalesce(length(trim(regexp_replace(regexp_replace(
+                      array_to_string(regexp_extract_all(b,
+                        '(?is)<a[^>]*>(.*?)</a>', 1), ' '),
+                      '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))), 0)
+            )) AS s
+          FROM blk),
+        docs AS (
+          SELECT md5(url) AS doc_id,
+            array_to_string(list_transform(list_filter(s,
+              x -> length(x.t) >= 25
+                   AND (CASE WHEN length(x.t) = 0 THEN 0
+                        ELSE len(string_split(x.t, ' ')) END) >= 5
+                   AND CAST(least(x.lc, length(x.t)) AS DOUBLE)
+                       <= 0.4e0 * CAST(length(x.t) AS DOUBLE)),
+              x -> x.t), chr(10)) AS text,
+            lang,
+            regexp_extract(url, '^[a-z]+://([^/:]+)', 1) AS source,
+            url
+          FROM m)
+        SELECT doc_id, text, lang, source, url
+        FROM docs
+        WHERE length(text) >= 25
         ORDER BY doc_id
     """
     # Seeded global training-order shuffle: the rank definition IS

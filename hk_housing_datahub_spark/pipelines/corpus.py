@@ -80,6 +80,47 @@ class CorpusRecipe:
     salt: str = ""
 
 
+def pages_to_documents(
+    pages: DataFrame,
+    url_col: str = "url_canon",
+    html_col: str = "html",
+    lang_col: str = "lang",
+    ts_col: str = "warc_ts",
+    min_chars: int = 25,
+) -> DataFrame:
+    """The glue between the engine's two halves: crawled PAGES (the
+    input_hint shape — url, warc_ts, html, lang) become corpus-funnel
+    DOCUMENTS (doc_id, text, lang, source, url, warc_ts).
+
+    - ``text`` is the page's main content (extract/content.py jusText
+      block classification) — nav/footer/link-farm boilerplate never
+      enters the corpus, so dedup/quality stages score prose, not chrome;
+    - ``doc_id`` = md5(url): stable across runs and engines, uniformly
+      distributed (the dedup shuffle key), lexicographic keep-lowest
+      determinism;
+    - ``source`` = the URL's host — the column the per-source cap and
+      mixture sampling stages key on;
+    - pages whose extracted content is under ``min_chars`` drop here
+      (nothing downstream wants an empty document).
+
+    One codegen projection + one filter over the page scan — composes
+    with ``prepare_training_corpus`` for the crawl-to-training-corpus
+    path end to end. Scale: no shuffle, no UDF; html bytes are read
+    once and never move."""
+    from ..extract.content import main_content
+    from ..functions.urls import url_host
+
+    out = pages.select(
+        F.md5(F.col(url_col)).alias("doc_id"),
+        main_content(F.col(html_col)).alias("text"),
+        F.col(lang_col).alias("lang"),
+        url_host(F.col(url_col)).alias("source"),
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+    )
+    return out.filter(F.length("text") >= F.lit(min_chars))
+
+
 def prepare_training_corpus(
     docs: DataFrame,
     recipe: CorpusRecipe | None = None,

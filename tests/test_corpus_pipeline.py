@@ -344,3 +344,36 @@ def test_funnel_quality_classifier_stage(spark, docs):
     # the knob without its reference is an explicit error
     with pytest.raises(ValueError, match="clf_positive"):
         prepare_training_corpus(docs, recipe)
+
+
+def test_pages_to_documents_glue_feeds_the_funnel(spark, docs):
+    """Crawl output → pages_to_documents → prepare_training_corpus runs
+    end to end: boilerplate never reaches the corpus, ids are md5(url),
+    source carries the host, and the funnel accepts the shape as-is."""
+    from hk_housing_datahub_spark.pipelines.corpus import pages_to_documents
+
+    url = F.concat(
+        F.lit("https://h"), F.pmod("doc_id", F.lit(7)).cast("string"),
+        F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit('<div><a href="/">Home</a> <a href="/x">About us</a></div><p>'),
+        F.col("text"),
+        F.lit('</p><footer><a href="/t">Terms and conditions</a></footer>'),
+    )
+    pages = docs.select(
+        url.alias("url_canon"), html.alias("html"), "lang",
+        F.timestamp_seconds(F.lit(0)).alias("warc_ts"),
+    )
+    d = pages_to_documents(pages)
+    assert set(d.columns) == {"doc_id", "text", "lang", "source", "url", "warc_ts"}
+    sample = d.limit(5).collect()
+    assert all(len(r["doc_id"]) == 32 for r in sample)  # md5 hex
+    assert all(r["source"].endswith(".example.org") for r in sample)
+    assert all("Terms and conditions" not in r["text"] for r in sample)
+    assert all("Home" not in r["text"] for r in sample)
+    out = prepare_training_corpus(
+        d, CorpusRecipe(dedup="exact", min_quality=0.0, pack_budget=512)
+    )
+    assert out.count() > 0
+    assert {"bin_id", "bucket"} <= set(out.columns)
