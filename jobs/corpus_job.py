@@ -23,6 +23,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default="", help="parquet path of documents")
     ap.add_argument(
+        "--input-pages", default="",
+        help="parquet path of crawled PAGES (url_canon, warc_ts, html, "
+        "lang) — runs pages_to_documents (main-content extraction, "
+        "md5-url ids, host attribution) before the funnel",
+    )
+    ap.add_argument(
         "--input-table", default="",
         help="read documents from this catalog table instead of --input",
     )
@@ -80,8 +86,13 @@ def main() -> None:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     args = ap.parse_args()
-    if bool(args.input) == bool(args.input_table):
-        ap.error("pass exactly one of --input / --input-table")
+    n_inputs = sum(
+        map(bool, (args.input, args.input_table, args.input_pages))
+    )
+    if n_inputs != 1:
+        ap.error(
+            "pass exactly one of --input / --input-table / --input-pages"
+        )
 
     os.environ.setdefault("SPARK_SUBMIT_MODE", "1")
     from hk_housing_datahub_spark.session import get_spark
@@ -94,11 +105,21 @@ def main() -> None:
 
     spark = get_spark(app_name="hk_corpus_job")
     cat = TableCatalog(spark, args.catalog)
-    docs = (
-        cat.read(args.input_table)
-        if args.input_table
-        else spark.read.parquet(args.input)
-    )
+    if args.input_pages:
+        from hk_housing_datahub_spark.pipelines.corpus import (
+            pages_to_documents,
+        )
+
+        pg = spark.read.parquet(args.input_pages)
+        # input_hint tables carry `url`; engine wave output carries the
+        # canonicalized `url_canon` — accept both
+        docs = pages_to_documents(
+            pg, url_col="url_canon" if "url_canon" in pg.columns else "url"
+        )
+    elif args.input_table:
+        docs = cat.read(args.input_table)
+    else:
+        docs = spark.read.parquet(args.input)
     recipe = CorpusRecipe(
         dedup=args.dedup,
         cc_method=args.cc_method,
