@@ -1286,6 +1286,74 @@ def _crawl_to_corpus_docs(spark, sf):
     return out.orderBy("doc_id")
 
 
+def _wet_wat_records(spark, sf):
+    """WET/WAT derivative rendering (sources/derivatives.py): each doc
+    becomes a capture whose html carries 1–2 constructed anchors plus
+    the doc text; the entry emits the capture's full WET conversion
+    record TEXT, its WAT metadata JSON payload, and all three lockstep
+    segment pointers (warc/wet/wat offsets from ONE response-keyed
+    order). The twin rebuilds record bytes and offsets from the header
+    grammar in SQL — dates via make_timestamp (UTC instant on both
+    engines), links re-extracted with the byte-identical ANCHOR_RE."""
+    from hk_housing_datahub_spark.sources.derivatives import (
+        locate_derivatives,
+        wat_payload,
+        wet_record,
+    )
+
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
+        F.lit(".example.com/p/"), F.col("doc_id"),
+    )
+    html_str = F.concat(
+        F.lit('<html><a href="https://h'),
+        F.pmod(F.col("doc_id") + 1, F.lit(10)).cast("string"),
+        F.lit(".example.com/p/"),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit('">next</a>'),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(
+                F.lit('<a href="https://x.org/'),
+                F.col("doc_id").cast("string"),
+                F.lit('">x '),
+                F.col("doc_id").cast("string"),
+                F.lit("</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<p>"), F.coalesce("text", F.lit("")), F.lit("</p></html>"),
+    )
+    pages = d.select(
+        url.alias("url"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id")
+        ).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.coalesce("text", F.lit("")).alias("text"),
+        "lang",
+        F.pmod("doc_id", F.lit(4)).alias("seg"),
+    )
+    locs = locate_derivatives(pages, segment_col="seg")
+    recs = pages.select(
+        "url",
+        F.decode(
+            wet_record(F.col("url"), F.col("warc_ts"), F.col("text")),
+            "UTF-8",
+        ).alias("wet_rec"),
+        wat_payload(
+            F.col("url"), F.col("warc_ts"), F.col("html"), F.col("lang")
+        ).alias("wat_json"),
+    )
+    return locs.join(recs, "url").select(
+        "url", "segment",
+        "warc_offset", "warc_length",
+        "wet_offset", "wet_length",
+        "wat_offset", "wat_length",
+        "wet_rec", "wat_json",
+    )
+
+
 def _streaming_lsh_neardup(spark, sf):
     """Rows-only: streaming NEAR-dup ingestion (streaming/neardup.py) —
     incremental MinHash-LSH across micro-batches: intra-batch
@@ -3224,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_pages": _c4_clean_pages,
         "main_content_extract": _main_content_extract,
         "crawl_to_corpus_docs": _crawl_to_corpus_docs,
+        "wet_wat_records": _wet_wat_records,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -5282,6 +5351,94 @@ def oracle_sql() -> dict[str, str]:
         WHERE length(text) >= 25
         ORDER BY doc_id
     """
+    # WET/WAT derivative records: the full record/payload text plus all
+    # three lockstep pointers rebuilt from the header grammar — one
+    # response-keyed order (surt, epoch, url, warc length, digest), three
+    # running length sums. Dates via make_timestamp(µs): a UTC instant
+    # rendered as UTC on both engines.
+    d["wet_wat_records"] = (
+        """
+        WITH p AS (
+          SELECT 'https://h' || (doc_id % 10) || '.example.com/p/' || doc_id
+                     AS url,
+                 'com,example,h' || (doc_id % 10) || ')/p/' || doc_id
+                     AS surt,
+                 CAST(1700000000 + doc_id AS BIGINT) AS epoch,
+                 CAST(doc_id % 4 AS INT) AS segment,
+                 '<html><a href="https://h' || ((doc_id + 1) % 10)
+                   || '.example.com/p/' || (doc_id + 1) || '">next</a>'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '<a href="https://x.org/' || doc_id
+                                || '">x ' || doc_id || '</a>'
+                           ELSE '' END
+                   || '<p>' || coalesce(text, '') || '</p></html>' AS html,
+                 coalesce(text, '') AS text,
+                 lang
+          FROM documents),
+        d AS (
+          SELECT *,
+                 strftime(make_timestamp(epoch * 1000000),
+                          '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+                 md5(html) AS pdigest,
+                 regexp_extract_all(html,
+                     '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS links
+          FROM p),
+        recs AS (
+          SELECT *,
+                 e'WARC/1.0\\r\\nWARC-Type: conversion\\r\\n'
+                   || 'WARC-Target-URI: ' || url || e'\\r\\n'
+                   || 'WARC-Date: ' || wdate || e'\\r\\n'
+                   || 'WARC-Block-Digest: md5:' || md5(text) || e'\\r\\n'
+                   || 'Content-Length: '
+                   || CAST(octet_length(encode(text)) AS VARCHAR)
+                   || e'\\r\\n\\r\\n' || text || e'\\r\\n\\r\\n' AS wet_rec,
+                 '{"url":"' || url || '","date":"' || wdate
+                   || '","digest":"md5:' || pdigest || '","length":'
+                   || CAST(octet_length(encode(html)) AS VARCHAR)
+                   || ',"lang":"' || lang || '","n_links":'
+                   || CAST(len(links) AS VARCHAR) || ',"links":['
+                   || array_to_string(
+                          list_transform(links, x -> '"' || x || '"'), ',')
+                   || ']}' AS wat_json
+          FROM d),
+        sized AS (
+          SELECT *,
+                 CAST(strlen(e'WARC/1.0\\r\\nWARC-Type: response\\r\\n'
+                        || 'WARC-Target-URI: ' || url || e'\\r\\n'
+                        || 'WARC-Date: ' || wdate || e'\\r\\n'
+                        || 'Content-Length: '
+                        || CAST(octet_length(encode(html)) AS VARCHAR)
+                        || e'\\r\\n\\r\\n')
+                      + octet_length(encode(html)) + 4 AS BIGINT)
+                     AS warc_length,
+                 CAST(octet_length(encode(wet_rec)) AS BIGINT) AS wet_length,
+                 CAST(strlen(e'WARC/1.0\\r\\nWARC-Type: metadata\\r\\n'
+                        || 'WARC-Target-URI: ' || url || e'\\r\\n'
+                        || 'WARC-Date: ' || wdate || e'\\r\\n'
+                        || 'Content-Length: '
+                        || CAST(octet_length(encode(wat_json)) AS VARCHAR)
+                        || e'\\r\\n\\r\\n')
+                      + octet_length(encode(wat_json)) + 4 AS BIGINT)
+                     AS wat_length
+          FROM recs)
+        SELECT url, segment,
+               CAST(coalesce(sum(warc_length) OVER w, 0) AS BIGINT)
+                   AS warc_offset,
+               warc_length,
+               CAST(coalesce(sum(wet_length) OVER w, 0) AS BIGINT)
+                   AS wet_offset,
+               wet_length,
+               CAST(coalesce(sum(wat_length) OVER w, 0) AS BIGINT)
+                   AS wat_offset,
+               wat_length,
+               wet_rec, wat_json
+        FROM sized
+        WINDOW w AS (
+            PARTITION BY segment
+            ORDER BY surt, epoch, url, warc_length, pdigest
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """
+    )
     # Seeded global training-order shuffle: the rank definition IS
     # row_number over (md5 order key, tiebreak keys) — the engine-side
     # bucket-window + offset-join construction must be bit-identical to
