@@ -1354,6 +1354,103 @@ def _wet_wat_records(spark, sf):
     )
 
 
+def _conditional_refetch(spark, sf):
+    """HTTP conditional revalidation (operators/recrawl.py
+    latest_validators → fetch_plans → apply_fetch_results): docs %3!=0
+    carry 1–2 captures with per-doc validator presence (etag / lm /
+    both / neither via %4), every doc is due, and the response battery
+    (%5: 304 / unchanged-200 / changed-200 / 503 / 304) exercises every
+    disposition including bad-304-without-prior and never-crawled
+    'new'. The twin replays the latest-capture ranking, both joins and
+    the disposition CASE in SQL."""
+    from hk_housing_datahub_spark.operators.recrawl import (
+        apply_fetch_results,
+        fetch_plans,
+        latest_validators,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), F.pmod(did, F.lit(10)),
+        F.lit(".example.com/p/"), did,
+    )
+    caps = (
+        d.filter(F.pmod(did, F.lit(3)) != 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.pmod(did, F.lit(2)))).alias(
+                "j"
+            ),
+        )
+        .select(
+            url.alias("url_canon"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + did * 7 + F.col("j") * 86_400
+            ).alias("warc_ts"),
+            F.md5(
+                F.concat(
+                    F.lit("c"), did.cast("string"),
+                    F.lit("-"), F.col("j").cast("string"),
+                )
+            ).alias("digest"),
+            F.when(
+                F.pmod(did, F.lit(4)) <= 1,
+                F.concat(F.lit('"e'), did.cast("string"), F.lit('"')),
+            ).alias("etag"),
+            F.when(
+                F.pmod(did, F.lit(4)).isin(1, 2),
+                F.concat(
+                    F.lit("Mon, 0"), F.pmod(did, F.lit(9)).cast("string"),
+                    F.lit(" Aug 2023 00:00:00 GMT"),
+                ),
+            ).alias("last_modified"),
+        )
+    )
+    due = d.select(
+        url.alias("url"), F.pmod(did, F.lit(5)).cast("int").alias("priority")
+    )
+    jmax = F.pmod(did, F.lit(2))
+    m5 = F.pmod(did, F.lit(5))
+    payload = (
+        F.when(
+            m5 == 1,
+            F.concat(
+                F.lit("c"), did.cast("string"),
+                F.lit("-"), jmax.cast("string"),
+            ),
+        ).when(m5 == 2, F.concat(F.lit("x"), did.cast("string")))
+    )
+    resp = d.select(
+        url.alias("url"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + did * 7 + F.lit(10 * 86_400)
+        ).alias("fetch_ts"),
+        F.when(m5 == 0, F.lit(304))
+        .when(m5 == 3, F.lit(503))
+        .when(m5 == 4, F.lit(304))
+        .otherwise(F.lit(200))
+        .cast("int")
+        .alias("status"),
+        F.encode(payload, "UTF-8").alias("payload"),
+        F.when(m5 == 2, F.concat(F.lit('"n'), did.cast("string"), F.lit('"')))
+        .alias("etag"),
+        F.when(m5 == 1, F.lit("Tue, 02 Aug 2023 00:00:00 GMT"))
+        .alias("last_modified"),
+    )
+    lat = latest_validators(caps)
+    plans = fetch_plans(due, lat).select(
+        "url", "priority", "mode",
+        "if_none_match", "if_modified_since", "prior_digest",
+    )
+    folded = apply_fetch_results(lat, resp)
+    return plans.join(folded, "url").select(
+        "url", "priority", "mode", "if_none_match", "if_modified_since",
+        "prior_digest", "epoch", "status", "disposition", "is_capture",
+        "store_body", "digest", "etag", "last_modified", "changed",
+    )
+
+
 def _streaming_lsh_neardup(spark, sf):
     """Rows-only: streaming NEAR-dup ingestion (streaming/neardup.py) —
     incremental MinHash-LSH across micro-batches: intra-batch
@@ -3293,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content_extract": _main_content_extract,
         "crawl_to_corpus_docs": _crawl_to_corpus_docs,
         "wet_wat_records": _wet_wat_records,
+        "conditional_refetch": _conditional_refetch,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -5439,6 +5537,92 @@ def oracle_sql() -> dict[str, str]:
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     """
     )
+    # Conditional revalidation: latest-capture ranking + the plan and
+    # disposition joins replayed in SQL. Digests are md5 over the same
+    # UTF-8 bytes on both engines.
+    d["conditional_refetch"] = """
+        WITH d AS (SELECT doc_id AS i FROM documents),
+        caps AS (
+          SELECT i,
+                 'https://h' || (i % 10) || '.example.com/p/' || i AS url,
+                 j,
+                 CAST(1700000000 + i * 7 + j * 86400 AS BIGINT) AS epoch,
+                 md5('c' || i || '-' || j) AS digest,
+                 CASE WHEN i % 4 <= 1 THEN '"e' || i || '"' END AS etag,
+                 CASE WHEN i % 4 IN (1, 2)
+                      THEN 'Mon, 0' || (i % 9) || ' Aug 2023 00:00:00 GMT'
+                 END AS lm
+          FROM d, unnest(generate_series(0, i % 2)) AS g(j)
+          WHERE i % 3 <> 0),
+        lat AS (
+          SELECT url, digest AS prior_digest, etag, lm
+          FROM caps
+          QUALIFY row_number() OVER (
+              PARTITION BY url ORDER BY epoch DESC) = 1),
+        due AS (
+          SELECT 'https://h' || (i % 10) || '.example.com/p/' || i AS url,
+                 CAST(i % 5 AS INT) AS priority, i
+          FROM d),
+        plans AS (
+          SELECT due.url, due.priority,
+                 CASE WHEN lat.etag IS NOT NULL OR lat.lm IS NOT NULL
+                      THEN 'conditional' ELSE 'full' END AS mode,
+                 lat.etag AS if_none_match,
+                 lat.lm AS if_modified_since,
+                 lat.prior_digest
+          FROM due LEFT JOIN lat ON due.url = lat.url),
+        resp AS (
+          SELECT 'https://h' || (i % 10) || '.example.com/p/' || i AS url,
+                 CAST(1700000000 + i * 7 + 864000 AS BIGINT) AS epoch,
+                 CAST(CASE i % 5 WHEN 0 THEN 304 WHEN 3 THEN 503
+                      WHEN 4 THEN 304 ELSE 200 END AS INT) AS status,
+                 CASE WHEN i % 5 = 1 THEN 'c' || i || '-' || (i % 2)
+                      WHEN i % 5 = 2 THEN 'x' || i END AS payload,
+                 CASE WHEN i % 5 = 2 THEN '"n' || i || '"' END AS r_etag,
+                 CASE WHEN i % 5 = 1
+                      THEN 'Tue, 02 Aug 2023 00:00:00 GMT' END AS r_lm
+          FROM d),
+        folded AS (
+          SELECT r.url, r.epoch, r.status,
+                 CASE WHEN r.status = 304 AND l.prior_digest IS NOT NULL
+                          THEN 'not_modified'
+                      WHEN r.status BETWEEN 200 AND 299
+                           AND l.prior_digest IS NULL THEN 'new'
+                      WHEN r.status BETWEEN 200 AND 299
+                           AND md5(r.payload) = l.prior_digest
+                          THEN 'unchanged_body'
+                      WHEN r.status BETWEEN 200 AND 299 THEN 'modified'
+                      ELSE 'error' END AS disposition
+          FROM resp r LEFT JOIN lat l ON r.url = l.url),
+        out AS (
+          SELECT f.url, f.epoch, f.status, f.disposition,
+                 f.disposition <> 'error' AS is_capture,
+                 f.status BETWEEN 200 AND 299
+                     AND f.disposition <> 'error' AS store_body,
+                 CASE WHEN f.disposition = 'not_modified'
+                          THEN l.prior_digest
+                      WHEN f.status BETWEEN 200 AND 299
+                          THEN md5(r.payload) END AS digest,
+                 CASE WHEN f.disposition = 'not_modified' THEN l.etag
+                      WHEN f.status BETWEEN 200 AND 299 THEN r.r_etag
+                 END AS etag,
+                 CASE WHEN f.disposition = 'not_modified' THEN l.lm
+                      WHEN f.status BETWEEN 200 AND 299 THEN r.r_lm
+                 END AS last_modified,
+                 CASE WHEN f.disposition = 'not_modified' THEN FALSE
+                      WHEN f.status BETWEEN 200 AND 299
+                           AND l.prior_digest IS NOT NULL
+                          THEN md5(r.payload) <> l.prior_digest
+                 END AS changed
+          FROM folded f
+          JOIN resp r ON r.url = f.url
+          LEFT JOIN lat l ON f.url = l.url)
+        SELECT p.url, p.priority, p.mode, p.if_none_match,
+               p.if_modified_since, p.prior_digest,
+               o.epoch, o.status, o.disposition, o.is_capture,
+               o.store_body, o.digest, o.etag, o.last_modified, o.changed
+        FROM plans p JOIN out o ON p.url = o.url
+    """
     # Seeded global training-order shuffle: the rank definition IS
     # row_number over (md5 order key, tiebreak keys) — the engine-side
     # bucket-window + offset-join construction must be bit-identical to

@@ -217,3 +217,167 @@ def due_for_refetch(
     return schedule.filter(F.col("next_fetch_epoch") <= now_epoch).select(
         F.col("url"), F.lit(priority).alias("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTTP conditional revalidation (RFC 9110 §13.1 / RFC 7232)
+# ---------------------------------------------------------------------------
+#
+# The cheap half of recrawling: a page whose server sent an ETag or
+# Last-Modified can be REVALIDATED (If-None-Match / If-Modified-Since →
+# 304, zero body bytes) instead of refetched. At web scale most recrawls
+# hit unchanged pages, so the 304 path is the dominant fetch class — and
+# every 304 is still a change-rate OBSERVATION (digest provably unchanged)
+# that feeds recrawl_stats and becomes a WARC ``revisit`` record
+# (sources/warc.py) without moving the body at all. The reference refetches
+# its catalog unconditionally on a cron (/root/reference/src/orchestrators/
+# agency.py) — validators are what make that loop affordable at 10^10 URLs.
+#
+# Validators are carried as the VERBATIM header strings (RFC 7232: the
+# request must echo the exact value, not a reparsed date), so no date
+# parsing/formatting enters the plan — everything stays codegen string
+# plumbing and is SQL-oracle-checkable.
+
+
+def latest_validators(
+    captures: DataFrame,
+    url_col: str = "url_canon",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+    etag_col: str = "etag",
+    last_modified_col: str = "last_modified",
+) -> DataFrame:
+    """Per URL, the newest capture's revalidation state: (url, last_ts,
+    last_digest, etag, last_modified). ONE max-struct aggregate (the
+    same compact-key shape as ``cdx_latest``) — ties broken by digest
+    then validators so the row is deterministic."""
+    s = F.struct(
+        F.unix_timestamp(F.col(ts_col)).alias("ts"),
+        F.col(digest_col).alias("digest"),
+        F.col(etag_col).alias("etag"),
+        F.col(last_modified_col).alias("lm"),
+    )
+    top = F.max(s)
+    return (
+        captures.groupBy(F.col(url_col).alias("url"))
+        .agg(top.alias("s"))
+        .select(
+            "url",
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.digest").alias("last_digest"),
+            F.col("s.etag").alias("etag"),
+            F.col("s.lm").alias("last_modified"),
+        )
+    )
+
+
+def fetch_plans(
+    due: DataFrame,
+    latest: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Join the due set (``due_for_refetch`` output, or any (url,
+    priority) frame) with per-URL validator state → one fetch plan per
+    due URL: ``mode`` = 'conditional' when a validator exists (send the
+    echoed ``if_none_match`` / ``if_modified_since`` headers; a 304
+    costs headers only) else 'full' (never-crawled or validator-less
+    URLs). One equi-join on the url — AQE-sized; the due set is usually
+    the small side but is corpus-dependent, so no forced broadcast."""
+    lat = latest.select(
+        F.col("url").alias("__u"),
+        "last_digest", "etag", "last_modified",
+    )
+    j = due.join(lat, due[url_col] == F.col("__u"), "left")
+    has_validator = (
+        F.col("etag").isNotNull() | F.col("last_modified").isNotNull()
+    )
+    return j.select(
+        due[url_col].alias("url"),
+        *[c for c in due.columns if c != url_col],
+        F.when(has_validator, F.lit("conditional"))
+        .otherwise(F.lit("full"))
+        .alias("mode"),
+        F.col("etag").alias("if_none_match"),
+        F.col("last_modified").alias("if_modified_since"),
+        F.col("last_digest").alias("prior_digest"),
+    )
+
+
+def apply_fetch_results(
+    latest: DataFrame,
+    responses: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    status_col: str = "status",
+    payload_col: str = "payload",
+    etag_col: str = "etag",
+    last_modified_col: str = "last_modified",
+) -> DataFrame:
+    """Fold a wave of fetch/revalidation responses back into capture
+    rows. Per response row, joined to the URL's prior state:
+
+    - 304 → disposition 'not_modified': a capture row carrying the
+      PRIOR digest and validators forward at the new ts (zero body
+      bytes moved; feeds recrawl_stats as an unchanged observation and
+      warc.classify_revisits as a revisit), ``store_body`` false.
+    - 2xx → digest the new payload; disposition 'new' (no prior),
+      'unchanged_body' (server skipped 304 but bytes match — still an
+      unchanged observation), or 'modified'. ``store_body`` true.
+    - anything else (4xx/5xx/timeout NULL) → disposition 'error':
+      ``is_capture`` false — errors never enter capture history, so
+      they cannot distort the change-rate estimator (a 304 against no
+      prior state is a protocol violation and lands here too).
+
+    One left join on url; digesting and classification are codegen.
+    Output: (url, epoch, status, disposition, is_capture, store_body,
+    digest, etag, last_modified, changed)."""
+    lat = latest.select(
+        F.col("url").alias("__u"),
+        F.col("last_digest").alias("__pd"),
+        F.col("etag").alias("__pe"),
+        F.col("last_modified").alias("__pl"),
+    )
+    r = responses.select(
+        F.col(url_col).alias("url"),
+        F.unix_timestamp(F.col(ts_col)).alias("epoch"),
+        F.col(status_col).alias("status"),
+        F.col(payload_col).alias("payload"),
+        F.col(etag_col).alias("r_etag"),
+        F.col(last_modified_col).alias("r_lm"),
+    )
+    j = r.join(lat, r["url"] == F.col("__u"), "left")
+    ok2xx = (F.col("status") >= 200) & (F.col("status") < 300)
+    new_digest = F.md5(F.col("payload"))
+    not_mod = (F.col("status") == 304) & F.col("__pd").isNotNull()
+    disposition = (
+        F.when(not_mod, F.lit("not_modified"))
+        .when(ok2xx & F.col("__pd").isNull(), F.lit("new"))
+        .when(
+            ok2xx & (new_digest == F.col("__pd")), F.lit("unchanged_body")
+        )
+        .when(ok2xx, F.lit("modified"))
+        .otherwise(F.lit("error"))
+    )
+    is_capture = disposition != "error"
+    return j.select(
+        r["url"],
+        "epoch",
+        "status",
+        disposition.alias("disposition"),
+        is_capture.alias("is_capture"),
+        (ok2xx & is_capture).alias("store_body"),
+        F.when(not_mod, F.col("__pd"))
+        .when(ok2xx, new_digest)
+        .alias("digest"),
+        # a 200 without validators DROPS them (server stopped sending);
+        # a 304 keeps the prior pair it revalidated against
+        F.when(not_mod, F.col("__pe"))
+        .when(ok2xx, F.col("r_etag"))
+        .alias("etag"),
+        F.when(not_mod, F.col("__pl"))
+        .when(ok2xx, F.col("r_lm"))
+        .alias("last_modified"),
+        F.when(not_mod, F.lit(False))
+        .when(ok2xx & F.col("__pd").isNotNull(), new_digest != F.col("__pd"))
+        .alias("changed"),
+    )

@@ -195,3 +195,187 @@ def test_merge_recrawl_stats_equals_full_recompute(spark):
     s_m = {r["url"]: tuple(r)[1:] for r in schedule_from_stats(merged).collect()}
     s_f = {r["url"]: tuple(r)[1:] for r in schedule_from_stats(full).collect()}
     assert s_m == s_f
+
+
+def _vcaps(spark, rows):
+    """rows: (url, epoch, digest, etag, last_modified)."""
+    return spark.createDataFrame(
+        rows,
+        "url_canon string, epoch long, digest string, "
+        "etag string, last_modified string",
+    ).select(
+        "url_canon",
+        F.timestamp_seconds(F.col("epoch")).alias("warc_ts"),
+        "digest", "etag", "last_modified",
+    )
+
+
+def test_latest_validators_picks_newest_capture(spark):
+    from hk_housing_datahub_spark.operators.recrawl import latest_validators
+
+    t0 = 1_700_000_000
+    caps = _vcaps(spark, [
+        ("u1", t0, "d0", 'W/"a"', None),
+        ("u1", t0 + DAY, "d1", 'W/"b"', "Tue, 01 Aug 2023 00:00:00 GMT"),
+        ("u2", t0, "d2", None, None),
+    ])
+    out = {r["url"]: r for r in latest_validators(caps).collect()}
+    assert out["u1"]["last_digest"] == "d1"
+    assert out["u1"]["etag"] == 'W/"b"'
+    assert out["u1"]["last_modified"] == "Tue, 01 Aug 2023 00:00:00 GMT"
+    assert out["u1"]["last_ts"] == t0 + DAY
+    assert out["u2"]["etag"] is None
+
+
+def test_fetch_plans_modes_and_echoed_validators(spark):
+    from hk_housing_datahub_spark.operators.recrawl import (
+        fetch_plans,
+        latest_validators,
+    )
+
+    t0 = 1_700_000_000
+    caps = _vcaps(spark, [
+        ("u_etag", t0, "d1", '"e1"', None),
+        ("u_lm", t0, "d2", None, "Mon, 31 Jul 2023 12:00:00 GMT"),
+        ("u_bare", t0, "d3", None, None),
+    ])
+    due = spark.createDataFrame(
+        [("u_etag", 1), ("u_lm", 2), ("u_bare", 3), ("u_new", 4)],
+        "url string, priority int",
+    )
+    out = {r["url"]: r for r in
+           fetch_plans(due, latest_validators(caps)).collect()}
+    assert out["u_etag"]["mode"] == "conditional"
+    assert out["u_etag"]["if_none_match"] == '"e1"'
+    assert out["u_lm"]["mode"] == "conditional"
+    assert out["u_lm"]["if_modified_since"] == (
+        "Mon, 31 Jul 2023 12:00:00 GMT"
+    )
+    # no validator and never-crawled both take the full-fetch path
+    assert out["u_bare"]["mode"] == "full"
+    assert out["u_bare"]["prior_digest"] == "d3"
+    assert out["u_new"]["mode"] == "full"
+    assert out["u_new"]["if_none_match"] is None
+    assert out["u_new"]["priority"] == 4  # due columns pass through
+
+
+def test_apply_fetch_results_dispositions(spark):
+    from hk_housing_datahub_spark.operators.recrawl import (
+        apply_fetch_results,
+        latest_validators,
+    )
+
+    t0 = 1_700_000_000
+    body_same = b"same-bytes"
+    caps = _vcaps(spark, [
+        ("u_304", t0, "dprior", '"e"', None),
+        ("u_same", t0, None, None, None),  # placeholder, fixed below
+        ("u_chg", t0, "dold", None, "lm0"),
+        ("u_err", t0, "dkeep", '"k"', None),
+    ])
+    # u_same's prior digest must equal md5(body_same): recompute via Spark
+    import hashlib
+    caps = caps.withColumn(
+        "digest",
+        F.when(F.col("url_canon") == "u_same",
+               F.lit(hashlib.md5(body_same).hexdigest()))
+        .otherwise(F.col("digest")),
+    )
+    resp = spark.createDataFrame(
+        [
+            ("u_304", t0 + DAY, 304, None, None, None),
+            ("u_same", t0 + DAY, 200, bytearray(body_same), '"n"', None),
+            ("u_chg", t0 + DAY, 200, bytearray(b"new-bytes"), None, "lm1"),
+            ("u_err", t0 + DAY, 503, None, None, None),
+            ("u_new", t0 + DAY, 200, bytearray(b"first"), '"f"', None),
+            ("u_bad304", t0 + DAY, 304, None, None, None),  # no prior
+        ],
+        "url string, epoch long, status int, payload binary, "
+        "etag string, last_modified string",
+    ).select(
+        "url", F.timestamp_seconds("epoch").alias("fetch_ts"),
+        "status", "payload", "etag", "last_modified",
+    )
+    out = {r["url"]: r for r in apply_fetch_results(
+        latest_validators(caps), resp
+    ).collect()}
+    r = out["u_304"]
+    assert (r["disposition"], r["is_capture"], r["store_body"]) == (
+        "not_modified", True, False
+    )
+    assert r["digest"] == "dprior" and r["etag"] == '"e"'
+    assert r["changed"] is False
+    r = out["u_same"]
+    assert r["disposition"] == "unchanged_body" and r["changed"] is False
+    assert r["store_body"] is True and r["etag"] == '"n"'
+    r = out["u_chg"]
+    assert r["disposition"] == "modified" and r["changed"] is True
+    assert r["last_modified"] == "lm1"
+    r = out["u_err"]
+    assert (r["disposition"], r["is_capture"], r["digest"]) == (
+        "error", False, None
+    )
+    r = out["u_new"]
+    assert r["disposition"] == "new" and r["changed"] is None
+    assert out["u_bad304"]["disposition"] == "error"
+
+
+def test_revalidation_feeds_recrawl_stats_as_unchanged_observation(spark):
+    """The closed loop: a 304 capture row extends the URL's capture
+    history with an unchanged observation — recrawl_stats must count
+    the interval (n_captures+1) with no change (n_changes+0)."""
+    from hk_housing_datahub_spark.operators.recrawl import (
+        apply_fetch_results,
+        latest_validators,
+        recrawl_stats,
+    )
+
+    t0 = 1_700_000_000
+    caps = _vcaps(spark, [
+        ("u", t0, "d0", '"e"', None),
+        ("u", t0 + DAY, "d1", '"e2"', None),
+    ])
+    resp = spark.createDataFrame(
+        [("u", t0 + 2 * DAY, 304, None, None, None)],
+        "url string, epoch long, status int, payload binary, "
+        "etag string, last_modified string",
+    ).select(
+        "url", F.timestamp_seconds("epoch").alias("fetch_ts"),
+        "status", "payload", "etag", "last_modified",
+    )
+    folded = apply_fetch_results(latest_validators(caps), resp)
+    new_caps = folded.filter(F.col("is_capture")).select(
+        F.col("url").alias("url_canon"),
+        F.timestamp_seconds("epoch").alias("warc_ts"),
+        "digest",
+    )
+    all_caps = caps.select("url_canon", "warc_ts", "digest").unionByName(
+        new_caps
+    )
+    s = recrawl_stats(all_caps).collect()[0]
+    assert s["n_captures"] == 3
+    assert s["n_changes"] == 1  # d0->d1 changed, d1->d1(304) did not
+    assert s["last_ts"] == t0 + 2 * DAY
+
+
+def test_fetch_plan_apply_single_join_each(spark):
+    """Plan shape: fetch_plans and apply_fetch_results each add exactly
+    one join over the latest-validators aggregate — no windows, no
+    extra exchanges beyond (agg + join)."""
+    from hk_housing_datahub_spark.operators.recrawl import (
+        apply_fetch_results,
+        fetch_plans,
+        latest_validators,
+    )
+
+    caps = _vcaps(spark, [("u", 1_700_000_000, "d", None, None)])
+    due = spark.createDataFrame([("u", 1)], "url string, priority int")
+    lat = latest_validators(caps)
+    plan = (
+        fetch_plans(due, lat)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # 1 agg exchange (+partials) and join-side exchanges only; the easy
+    # invariant: no Window and at most one SortMergeJoin/BroadcastHashJoin
+    assert "Window" not in plan
+    assert plan.count("Join") <= 2, plan
