@@ -1451,6 +1451,50 @@ def _conditional_refetch(spark, sf):
     )
 
 
+def _focus_outlink_scores(spark, sf):
+    """Shark-search focused-crawl scoring (operators/focus.py): each doc
+    page carries two constructed anchors (topical rotation on the first,
+    a constant label on the second, shared targets via doc_id moduli so
+    multi-parent max-potential aggregation is exercised) and a parent
+    text whose lexicon relevance varies (every 5th doc gets the lexicon
+    appended). Weights are powers of two (beta=0.75, gamma=delta=0.5)
+    so both engines' double arithmetic is EXACT — the potential hashes
+    bit-identically with no rounding."""
+    from hk_housing_datahub_spark.operators.focus import (
+        shark_outlink_scores,
+    )
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    a1_txt = (
+        F.when(F.pmod(did, F.lit(3)) == 0,
+               F.concat(F.lit("kowloon flat "), did.cast("string")))
+        .when(F.pmod(did, F.lit(3)) == 1, F.lit("nathan road walk"))
+        .otherwise(F.lit("football news"))
+    )
+    html = F.concat(
+        F.lit('<a href="https://t.example.com/a/'),
+        F.pmod(did, F.lit(50)).cast("string"),
+        F.lit('">'), a1_txt, F.lit("</a>"),
+        F.lit('<a href="https://t.example.com/b/'),
+        F.pmod(did, F.lit(40)).cast("string"),
+        F.lit('">more info</a>'),
+    )
+    ptext = F.when(
+        F.pmod(did, F.lit(5)) == 0,
+        F.concat(F.coalesce("text", F.lit("")), F.lit(" kowloon flat")),
+    ).otherwise(F.coalesce("text", F.lit("")))
+    pages = d.select(
+        F.concat(F.lit("https://p"), did).alias("url_canon"),
+        F.encode(html, "UTF-8").alias("html"),
+        ptext.alias("text"),
+    )
+    return shark_outlink_scores(
+        pages, ["kowloon flat", "nathan road"],
+        beta=0.75, gamma=0.5, delta=0.5,
+    )
+
+
 def _streaming_lsh_neardup(spark, sf):
     """Rows-only: streaming NEAR-dup ingestion (streaming/neardup.py) —
     incremental MinHash-LSH across micro-batches: intra-batch
@@ -3391,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_to_corpus_docs": _crawl_to_corpus_docs,
         "wet_wat_records": _wet_wat_records,
         "conditional_refetch": _conditional_refetch,
+        "focus_outlink_scores": _focus_outlink_scores,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -5622,6 +5667,48 @@ def oracle_sql() -> dict[str, str]:
                o.epoch, o.status, o.disposition, o.is_capture,
                o.store_body, o.digest, o.etag, o.last_modified, o.changed
         FROM plans p JOIN out o ON p.url = o.url
+    """
+    # Shark-search scoring: anchor explode + in-row parent relevance +
+    # per-target max, replayed with the byte-identical ANCHOR_RE. All
+    # weights are powers of two → exact double equality, no rounding.
+    d["focus_outlink_scores"] = """
+        WITH p AS (
+          SELECT doc_id AS i,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN coalesce(text, '') || ' kowloon flat'
+                      ELSE coalesce(text, '') END AS ptext,
+                 '<a href="https://t.example.com/a/' || (doc_id % 50)
+                   || '">'
+                   || CASE doc_id % 3
+                        WHEN 0 THEN 'kowloon flat ' || doc_id
+                        WHEN 1 THEN 'nathan road walk'
+                        ELSE 'football news' END
+                   || '</a><a href="https://t.example.com/b/'
+                   || (doc_id % 40) || '">more info</a>' AS html
+          FROM documents),
+        anch AS (
+          SELECT i, ptext,
+                 unnest(regexp_extract_all(html,
+                     '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS url,
+                 unnest(regexp_extract_all(html,
+                     '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS atxt
+          FROM p),
+        rels AS (
+          SELECT url,
+                 (CAST(contains(lower(atxt), 'kowloon flat') AS INT)
+                  + CAST(contains(lower(atxt), 'nathan road') AS INT))
+                     / 2.0 AS arel,
+                 (CAST(contains(lower(ptext), 'kowloon flat') AS INT)
+                  + CAST(contains(lower(ptext), 'nathan road') AS INT))
+                     / 2.0 AS prel
+          FROM anch)
+        SELECT url,
+               max(0.5 * (0.5 * prel)
+                   + 0.5 * (0.75 * arel + 0.25 * prel)) AS potential,
+               count(*) AS n_parents,
+               max(arel) AS best_anchor_rel
+        FROM rels
+        GROUP BY url
     """
     # Seeded global training-order shuffle: the rank definition IS
     # row_number over (md5 order key, tiebreak keys) — the engine-side

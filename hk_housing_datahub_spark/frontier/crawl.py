@@ -112,6 +112,8 @@ class CrawlEngine:
         dust_guard: bool = False,
         dust_thresholds: dict | None = None,
         soft404_guard: bool = False,
+        focus_terms: list[str] | None = None,
+        focus_params: dict | None = None,
     ):
         # Trap guard (operators/traps.py): per wave, fetched pages land in
         # an accumulated (url_canon, digest) capture log; hosts whose URL
@@ -207,6 +209,26 @@ class CrawlEngine:
                 f" {rank_method!r}"
             )
         self.rank_method = rank_method
+        # Focused crawling (operators/focus.py, shark-search): every
+        # discovered outlink is scored from its anchor text + parent
+        # relevance against the lexicon; per-wave score snapshots
+        # accumulate (max-potential per URL — resume-safe overwritten
+        # dirs like edges/) and the next frontier's priorities band by
+        # potential. Mutually exclusive with rank_priorities: both
+        # rewrite the same priority column, and silently composing them
+        # would let whichever runs last win.
+        self.focus_terms = list(focus_terms or [])
+        self.focus_params = dict(focus_params or {})
+        f_unknown = set(self.focus_params) - {"beta", "gamma", "delta"}
+        if f_unknown:
+            raise TypeError(
+                f"unknown focus_params keys: {sorted(f_unknown)}"
+            )
+        if self.focus_terms and rank_priorities:
+            raise TypeError(
+                "focus_terms and rank_priorities both rewrite frontier"
+                " priorities — enable one"
+            )
         # >1 → two-phase rank-and-cut (scheduler.schedule_wave): bounds the
         # hot-host politeness sort to salt×budget rows per host at 10^10.
         self.politeness_salt = politeness_salt
@@ -229,8 +251,12 @@ class CrawlEngine:
         self.max_depth = max_depth
         # Derive join keys for the corpus once; html stays column-pruned out
         # of every stage except extraction (check ReadSchema in the plan).
+        # The focus scorer additionally needs the page text (the parent-
+        # relevance signal) — carried only when focus is on, so unfocused
+        # crawls keep the narrower ReadSchema.
         self.pages = with_url_columns(pages, n_buckets=n_buckets).select(
-            "url_canon", "warc_ts", "html", "lang"
+            "url_canon", "warc_ts", "html", "lang",
+            *(["text"] if self.focus_terms else []),
         )
 
     # ---------------------------------------------------------------- state
@@ -649,6 +675,45 @@ class CrawlEngine:
                     base_priority=DISCOVERED_PRIORITY,
                 ).select(*FRONTIER_COLS)
                 t = tick("link-graph rerank", t)
+
+            if self.focus_terms:
+                from ..operators.focus import shark_outlink_scores
+                from ..operators.linkgraph import rank_to_priority
+
+                # Score THIS wave's outlinks from the fetched pages
+                # (recomputes only the bounded broadcast fetch join —
+                # no Arrow extraction in this branch) and accumulate
+                # per-wave snapshots; the frontier is banded over the
+                # max potential seen for each URL so backlog rows keep
+                # the score their discovery wave earned. Keyed on the
+                # frontier's own canonical form. Scores are written
+                # BEFORE DUST rewriting ever touches hrefs — a
+                # rewritten alias simply lands in the worst band until
+                # its canonical target is scored (documented).
+                wave_scores = with_url_columns(
+                    shark_outlink_scores(
+                        fetched, self.focus_terms, **self.focus_params
+                    ),
+                    n_buckets=self.n_buckets,
+                ).select(
+                    F.col("url_canon").alias("node"),
+                    F.col("potential").alias("rank"),
+                )
+                wave_scores.write.mode("overwrite").parquet(
+                    os.path.join(self.dir, "focus", f"wave={wave}")
+                )
+                acc = (
+                    self.spark.read.parquet(os.path.join(self.dir, "focus"))
+                    .groupBy("node")
+                    .agg(F.max("rank").alias("rank"))
+                )
+                frontier = rank_to_priority(
+                    frontier,
+                    acc,
+                    n_bands=self.rank_bands,
+                    base_priority=DISCOVERED_PRIORITY,
+                ).select(*FRONTIER_COLS)
+                t = tick("focus rerank", t)
 
             if self.trap_guard:
                 from ..operators.traps import (
