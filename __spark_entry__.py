@@ -1495,6 +1495,47 @@ def _focus_outlink_scores(spark, sf):
     )
 
 
+def _crawl_scope_filter(spark, sf):
+    """Heritrix-style crawl scope (frontier/scope.py): constructed
+    frontier URLs across four host shapes (ccTLD subdomain / bare
+    ccTLD / gTLD subdomain / bare gTLD) with an excluded /cal/ path
+    class; two literal seeds; the entry unions the host, domain and
+    surt_prefix verdict sets tagged by mode. The twin states each
+    mode's membership analytically from the same moduli (host = exact
+    SURT host, domain = eTLD+1 fold, surt_prefix = path-scoped)."""
+    from hk_housing_datahub_spark.frontier.scope import scope_filter
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    m = F.pmod(did, F.lit(4))
+    k = F.pmod(did, F.lit(7)).cast("string")
+    host = (
+        F.when(m == 0, F.concat(F.lit("a.b.shop"), k, F.lit(".co.uk")))
+        .when(m == 1, F.concat(F.lit("shop"), k, F.lit(".co.uk")))
+        .when(m == 2, F.concat(F.lit("sub.shop"), k, F.lit(".com")))
+        .otherwise(F.concat(F.lit("shop"), k, F.lit(".com")))
+    )
+    path = F.when(
+        F.pmod(did, F.lit(11)) == 0,
+        F.concat(F.lit("/cal/"), did.cast("string")),
+    ).otherwise(F.concat(F.lit("/p/"), did.cast("string")))
+    f = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path).alias("url_canon"),
+    )
+    seeds = spark.createDataFrame(
+        [("https://shop0.co.uk/x/1",), ("https://shop1.com/",)],
+        "url_canon string",
+    )
+    out = None
+    for mode in ("host", "domain", "surt_prefix"):
+        part = scope_filter(
+            f, seeds, mode=mode, exclude_patterns=["/cal/"]
+        ).withColumn("mode", F.lit(mode))
+        out = part if out is None else out.unionByName(part)
+    return out.select("doc_id", "url_canon", "mode")
+
+
 def _streaming_lsh_neardup(spark, sf):
     """Rows-only: streaming NEAR-dup ingestion (streaming/neardup.py) —
     incremental MinHash-LSH across micro-batches: intra-batch
@@ -3436,6 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_wat_records": _wet_wat_records,
         "conditional_refetch": _conditional_refetch,
         "focus_outlink_scores": _focus_outlink_scores,
+        "crawl_scope_filter": _crawl_scope_filter,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -5709,6 +5751,36 @@ def oracle_sql() -> dict[str, str]:
                max(arel) AS best_anchor_rel
         FROM rels
         GROUP BY url
+    """
+    # Crawl scope verdicts stated analytically: host mode = the two
+    # exact seed hosts, domain mode = the two eTLD+1 registrants across
+    # all their subdomain shapes, surt_prefix = seed-2's host any path
+    # (seed-1's /x/1 prefix matches no constructed path); /cal/ rows are
+    # excluded everywhere.
+    d["crawl_scope_filter"] = """
+        WITH f AS (
+          SELECT doc_id,
+                 doc_id % 4 AS m,
+                 doc_id % 7 AS k,
+                 'https://'
+                 || CASE doc_id % 4
+                      WHEN 0 THEN 'a.b.shop' || (doc_id % 7) || '.co.uk'
+                      WHEN 1 THEN 'shop' || (doc_id % 7) || '.co.uk'
+                      WHEN 2 THEN 'sub.shop' || (doc_id % 7) || '.com'
+                      ELSE 'shop' || (doc_id % 7) || '.com' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN '/cal/' || doc_id
+                         ELSE '/p/' || doc_id END AS url_canon
+          FROM documents
+          WHERE doc_id % 11 <> 0)
+        SELECT doc_id, url_canon, 'host' AS mode FROM f
+        WHERE (m = 1 AND k = 0) OR (m = 3 AND k = 1)
+        UNION ALL
+        SELECT doc_id, url_canon, 'domain' FROM f
+        WHERE (m IN (0, 1) AND k = 0) OR (m IN (2, 3) AND k = 1)
+        UNION ALL
+        SELECT doc_id, url_canon, 'surt_prefix' FROM f
+        WHERE m = 3 AND k = 1
     """
     # Seeded global training-order shuffle: the rank definition IS
     # row_number over (md5 order key, tiebreak keys) — the engine-side

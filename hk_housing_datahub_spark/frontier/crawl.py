@@ -114,6 +114,8 @@ class CrawlEngine:
         soft404_guard: bool = False,
         focus_terms: list[str] | None = None,
         focus_params: dict | None = None,
+        scope: str = "open",
+        scope_rules: dict | None = None,
     ):
         # Trap guard (operators/traps.py): per wave, fetched pages land in
         # an accumulated (url_canon, digest) capture log; hosts whose URL
@@ -229,6 +231,27 @@ class CrawlEngine:
                 "focus_terms and rank_priorities both rewrite frontier"
                 " priorities — enable one"
             )
+        # Crawl scope (frontier/scope.py, the Heritrix decide-rule
+        # subset): discovered outlinks outside the declared scope are
+        # rejected BEFORE the seen-set probe and the scheduler — they
+        # never consume seen-set state or politeness budget. Seeds are
+        # in scope by definition (operator-chosen) and exempt.
+        from .scope import SCOPE_MODES
+
+        if scope not in SCOPE_MODES:
+            raise TypeError(
+                f"scope must be one of {SCOPE_MODES}, got {scope!r}"
+            )
+        self.scope_mode = scope
+        self.scope_rules = dict(scope_rules or {})
+        s_unknown = set(self.scope_rules) - {
+            "exclude_patterns",
+            "max_path_segments",
+        }
+        if s_unknown:
+            raise TypeError(
+                f"unknown scope_rules keys: {sorted(s_unknown)}"
+            )
         # >1 → two-phase rank-and-cut (scheduler.schedule_wave): bounds the
         # hot-host politeness sort to salt×budget rows per host at 10^10.
         self.politeness_salt = politeness_salt
@@ -336,6 +359,14 @@ class CrawlEngine:
         after a crash never double-extracts a committed wave.
         """
         m = read_manifest(self.dir)
+        # Scope sets derive from the seed list (tiny by construction) —
+        # computed once per run; resume passes the same seeds, so a
+        # resumed crawl filters by the identical scope.
+        scope_seeds = (
+            with_url_columns(seeds, n_buckets=self.n_buckets)
+            if (self.scope_mode != "open")
+            else None
+        )
         if m is None:
             frontier = self._dedup_frontier(self._seed_frontier(seeds))
             seen = self._new_seen()
@@ -599,6 +630,16 @@ class CrawlEngine:
             out_frontier = with_url_columns(
                 outlinks, n_buckets=self.n_buckets
             ).select(*FRONTIER_COLS)
+            if self.scope_mode != "open" or self.scope_rules:
+                from .scope import scope_filter
+
+                out_frontier = scope_filter(
+                    out_frontier,
+                    scope_seeds,
+                    mode=self.scope_mode,
+                    **self.scope_rules,
+                ).select(*FRONTIER_COLS)
+                t = tick("scope filter", t)
             frontier = self._dedup_frontier(backlog.unionByName(out_frontier))
             frontier = seen.filter_unseen(frontier)
 
