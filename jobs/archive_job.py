@@ -138,6 +138,37 @@ def main() -> None:
         )
     due = due_for_refetch(sched, now_epoch=now)
     due.write.mode("overwrite").parquet(os.path.join(args.out, "due"))
+    due = spark.read.parquet(os.path.join(args.out, "due"))
+
+    # Fetch plans (operators/recrawl.py conditional revalidation): when
+    # the pages corpus carries server validators (etag / last_modified
+    # columns — optional, beyond the minimal input_hint shape), a due
+    # URL whose newest capture has one gets a 'conditional' plan with
+    # the echoed If-None-Match / If-Modified-Since headers — a 304
+    # answer costs headers only and still extends the capture history
+    # (apply_fetch_results). Everything else plans a full fetch.
+    from hk_housing_datahub_spark.functions.urls import with_url_columns
+    from hk_housing_datahub_spark.operators.recrawl import (
+        fetch_plans,
+        latest_validators,
+    )
+
+    if {"etag", "last_modified"} <= set(pages.columns):
+        vcaps = with_url_columns(pages).select(
+            "url_canon",
+            "warc_ts",
+            F.md5("html").alias("digest"),
+            "etag",
+            "last_modified",
+        )
+    else:
+        vcaps = cdxj.select(
+            "url_canon", "warc_ts", "digest",
+            F.lit(None).cast("string").alias("etag"),
+            F.lit(None).cast("string").alias("last_modified"),
+        )
+    plans = fetch_plans(due, latest_validators(vcaps))
+    plans.write.mode("overwrite").parquet(os.path.join(args.out, "plans"))
 
     traps = flag_trap_hosts(
         host_trap_signals(
@@ -150,12 +181,21 @@ def main() -> None:
         os.path.join(args.out, "traps")
     )
 
+    plan_modes = {
+        r["mode"]: r["n"]
+        for r in spark.read.parquet(os.path.join(args.out, "plans"))
+        .groupBy("mode")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     out = {
         "captures": cdxj.count(),
         "urls_scheduled": sched.count(),
         "due_at_now": spark.read.parquet(
             os.path.join(args.out, "due")
         ).count(),
+        "plans_conditional": int(plan_modes.get("conditional", 0)),
+        "plans_full": int(plan_modes.get("full", 0)),
         "trap_hosts": int(
             spark.read.parquet(os.path.join(args.out, "traps"))
             .filter("is_trap_suspect")

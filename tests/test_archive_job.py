@@ -12,10 +12,22 @@ def test_archive_job_cli_end_to_end(spark, tmp_path):
     """The spark-submit deployment path: pages parquet in → CDX index,
     cdxj pointers, recrawl schedule, due seeds, trap flags + catalog
     snapshots out — one subprocess, JSON summary on stdout."""
+    from pyspark.sql import functions as F
+
     from hk_housing_datahub_spark.datagen import generate_pages
 
     pages_path = str(tmp_path / "pages")
-    generate_pages(spark, 800, n_hosts=6).write.parquet(pages_path)
+    # validators on a deterministic half of the corpus — the fetch-plan
+    # output must split conditional/full on exactly this boundary
+    generate_pages(spark, 800, n_hosts=6).withColumn(
+        "etag",
+        F.when(
+            F.pmod(F.xxhash64("url"), F.lit(2)) == 0,
+            F.concat(F.lit('"e-'), F.md5("url"), F.lit('"')),
+        ),
+    ).withColumn(
+        "last_modified", F.lit(None).cast("string")
+    ).write.parquet(pages_path)
     out_dir = str(tmp_path / "arch")
     cat_dir = str(tmp_path / "cat")
 
@@ -43,6 +55,25 @@ def test_archive_job_cli_end_to_end(spark, tmp_path):
     due = spark.read.parquet(os.path.join(out_dir, "due"))
     assert due.columns == ["url", "priority"]
     assert 0 < due.count() <= 800
+
+    # fetch plans: due URLs with a stored validator plan 'conditional'
+    # and echo it verbatim; the rest plan 'full'
+    plans = spark.read.parquet(os.path.join(out_dir, "plans"))
+    assert plans.count() == due.count()
+    assert (
+        summary["plans_conditional"] + summary["plans_full"]
+        == summary["due_at_now"]
+    )
+    assert summary["plans_conditional"] > 0
+    assert summary["plans_full"] > 0
+    cond = plans.filter("mode = 'conditional'")
+    assert cond.filter(F.col("if_none_match").isNull()).count() == 0
+    assert (
+        cond.filter(
+            ~F.col("if_none_match").rlike('^"e-[0-9a-f]{32}"$')
+        ).count()
+        == 0
+    )
     cdxj = spark.read.parquet(os.path.join(out_dir, "cdxj"))
     assert {"surt", "segment", "offset", "length", "digest"} <= set(
         cdxj.columns
