@@ -2223,6 +2223,83 @@ def _hits_rank_sql(iterations: int = 5) -> str:
     )
 
 
+def _harmonic_centrality(spark, sf):
+    """Harmonic centrality (operators/centrality.py
+    harmonic_centrality_exact — the verification twin of the HyperBall
+    scale path) over the same synthetic outlink graph as the other
+    rank entries, truncated at radius 4. The oracle is a recursive-CTE
+    BFS: min-hop per (src, dst) pair under the same radius, then
+    harmonic(v) = sum(1/d) over in-pairs — a REPRESENTATION-opposite
+    computation (pair table vs ball growth) that must agree exactly."""
+    from hk_housing_datahub_spark.operators.centrality import (
+        harmonic_centrality_exact,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    linkers = docs.filter(F.pmod("doc_id", F.lit(11)) != 0)
+    parts = [
+        linkers.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 5), (29, 11))
+    ]
+    edges = parts[0].union(parts[1]).union(parts[2])
+    hc = harmonic_centrality_exact(edges, max_hops=4)
+    return hc.select(
+        F.col("node").alias("doc_id"),
+        F.col("ball_size").cast("long").alias("ball_size"),
+        F.round("harmonic", 6).alias("harmonic"),
+    )
+
+
+def _harmonic_centrality_sql(max_hops: int = 4) -> str:
+    """Recursive-BFS twin of _harmonic_centrality. The recursive
+    member's UNION dedups (src, dst, d) triples so exploration is
+    bounded by pairs × radius; min(d) per pair is the hop distance;
+    self-pairs (possible via (a*x+b)%n == x) are excluded from the
+    harmonic sum and ball count exactly as a node's own presence in
+    its ball contributes no growth on the Spark side."""
+    return f"""
+WITH RECURSIVE
+nd AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id*7+1) % n AS dst
+    FROM documents, nd WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id AS src, (doc_id*13+5) % n AS dst
+    FROM documents, nd WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id AS src, (doc_id*29+11) % n AS dst
+    FROM documents, nd WHERE doc_id % 11 <> 0
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+),
+dist AS (
+  SELECT src, dst, 1 AS d FROM e
+  UNION
+  SELECT p.src, e.dst, p.d + 1 FROM dist p JOIN e ON p.dst = e.src
+   WHERE p.d < {max_hops}
+),
+mind AS (SELECT src, dst, min(d) AS d FROM dist GROUP BY src, dst),
+h AS (
+  SELECT dst AS node,
+         count(*) AS cnt,
+         sum(CAST(1.0 AS DOUBLE) / d) AS harm
+    FROM mind WHERE src <> dst GROUP BY dst
+)
+SELECT n.node AS doc_id,
+       CAST(coalesce(h.cnt, 0) + 1 AS BIGINT) AS ball_size,
+       round(coalesce(h.harm, CAST(0.0 AS DOUBLE)), 6) AS harmonic
+  FROM nodes n LEFT JOIN h ON n.node = h.node
+"""
+
+
 def _opic_importance(spark, sf):
     """OPIC adaptive importance (operators/linkgraph.py opic_init/
     opic_step/opic_importance) over the same synthetic outlink graph as
@@ -3456,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _mirror_hosts,
         "trust_graph_rank": _trust_graph_rank,
         "hits_rank": _hits_rank,
+        "harmonic_centrality": _harmonic_centrality,
         "opic_importance": _opic_importance,
         "dust_rule_mining": _dust_rule_mining,
         "soft404_flags": _soft404_flags,
@@ -4672,6 +4750,7 @@ def oracle_sql() -> dict[str, str]:
     d["link_graph_rank"] = _link_graph_rank_sql()
     d["trust_graph_rank"] = _trust_graph_rank_sql()
     d["hits_rank"] = _hits_rank_sql()
+    d["harmonic_centrality"] = _harmonic_centrality_sql()
     d["opic_importance"] = _opic_importance_sql()
     d["dust_rule_mining"] = _dust_rule_mining_sql()
     d["soft404_flags"] = _soft404_flags_sql()

@@ -608,3 +608,38 @@ def test_soft404_no_forced_broadcast_one_host_digest_exchange(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "hashpartitioning(host" in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_hyperball_round_sketch_agg_combines_map_side(spark):
+    """One HyperBall round at 10^10 edges: the edge-state join keys on
+    the node, and the sketch union is a partial+final aggregate pair
+    (ObjectHashAggregate ×2 around the Exchange) so the shuffle carries
+    one partially-merged sketch per (partition, node) — never one row
+    per edge. Zero Python nodes; no cartesian product."""
+    from hk_housing_datahub_spark.operators.linkgraph import _edge_set
+
+    d = _t(spark, "documents").select("doc_id")
+    e = _edge_set(
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * 7 + 1, F.lit(500)).alias("dst"),
+        ),
+        "src",
+        "dst",
+    )
+    state = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .groupBy("node")
+        .agg(F.hll_sketch_agg("node", 12).alias("sk"))
+    )
+    contrib = (
+        e.join(state, e["src"] == state["node"])
+        .groupBy(e["dst"].alias("node"))
+        .agg(F.hll_union_agg("sk").alias("insk"))
+    )
+    p = plan_of(contrib)
+    assert p.count("ObjectHashAggregate") >= 2  # partial + final
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p

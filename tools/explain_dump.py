@@ -43,6 +43,48 @@ def _search_similar(spark):
     return E.queries()["search_similar"](spark, SF)
 
 
+def _hyperball_round(spark):
+    # one round of the sketch recurrence over the rank-family synthetic
+    # graph — the checkpointed loop would hide the join/agg shape, so
+    # dump exactly one uncheckpointed round
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from hk_housing_datahub_spark.operators.linkgraph import _edge_set
+
+    docs = E._t(spark, SF, "documents").select("doc_id")
+    n = docs.count()
+    linkers = docs.filter(F.pmod("doc_id", F.lit(11)) != 0)
+    parts = [
+        linkers.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 5), (29, 11))
+    ]
+    e = _edge_set(parts[0].union(parts[1]).union(parts[2]), "src", "dst")
+    state = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .groupBy("node")
+        .agg(F.hll_sketch_agg("node", 12).alias("sk"))
+    )
+    contrib = (
+        e.join(state, e["src"] == state["node"])
+        .groupBy(e["dst"].alias("node"))
+        .agg(F.hll_union_agg("sk").alias("insk"))
+    )
+    return state.join(contrib, "node", "left").select(
+        "node",
+        F.hll_sketch_estimate(
+            F.when(F.col("insk").isNull(), F.col("sk")).otherwise(
+                F.hll_union("sk", "insk")
+            )
+        ).alias("est"),
+    )
+
+
 def _wiki_docs(spark):
     import __spark_entry__ as E
 
@@ -437,6 +479,16 @@ def main() -> None:
             "signature verify as a codegen zip_with/aggregate filter (no "
             "Python nodes), and NO scan of committed text anywhere.",
             _neardup_probe(spark),
+        ),
+        (
+            "HyperBall harmonic centrality (one sketch round)",
+            "Look for: the per-round shape PageRank shares — ONE edge-"
+            "state equi-join keyed on the node, then hll_union_agg with "
+            "partial+final HashAggregate pairs (the exchange carries one "
+            "partially-merged sketch per (partition, node), never one per "
+            "edge) — and NO Python nodes; per-round localCheckpoint keeps "
+            "this plan O(1) in rounds.",
+            _hyperball_round(spark),
         ),
         (
             "C4 cleaning rules (map-only line + page policy)",
