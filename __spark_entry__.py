@@ -2223,6 +2223,176 @@ def _hits_rank_sql(iterations: int = 5) -> str:
     )
 
 
+def _structured_listing_fields(spark, sf):
+    """Structured-data extraction (extract/structured.py): schema.org
+    JSON-LD blocks + OpenGraph meta tags with the per-field
+    JSON-LD-first fallback chain, over deterministically constructed
+    html: doc_id%3==0 carries BOTH channels (LD wins; %7==0 slices the
+    LD malformed so the chain falls through, %5==0 makes it partial so
+    price falls through but name doesn't), %3==1 carries OG only,
+    %3==2 neither. The DuckDB twin replays the identical block regex,
+    json_valid-guarded JSON paths, first-occurrence OG lookup and
+    coalesce chain — engine-vs-engine on the actual parsing."""
+    from hk_housing_datahub_spark.extract.structured import (
+        listing_from_structured,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    p = (F.lit(1000000) + F.pmod(F.col("doc_id") * 37, F.lit(900000))).cast(
+        "string"
+    )
+    ogp = (
+        F.lit(1000001) + F.pmod(F.col("doc_id") * 37, F.lit(900000))
+    ).cast("string")
+    addr_no = F.pmod("doc_id", F.lit(999)).cast("string")
+    ld_full = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"Offer","name":"Flat '),
+        sid,
+        F.lit('","offers":{"price":"'),
+        p,
+        F.lit('","priceCurrency":"HKD"},"address":{"streetAddress":"No. '),
+        addr_no,
+        F.lit(' Nathan Road"}}</script>'),
+    )
+    ld_partial = F.concat(
+        F.lit('<script type="application/ld+json">{"@type":"Offer","name":"Flat '),
+        sid,
+        F.lit('"}</script>'),
+    )
+    ld_bad = F.concat(
+        F.lit('<script type="application/ld+json">{"name":"Flat '),
+        sid,
+        F.lit('"</script>'),
+    )
+    ld = F.when(
+        F.pmod("doc_id", F.lit(3)) == 0,
+        F.when(F.pmod("doc_id", F.lit(7)) == 0, ld_bad)
+        .when(F.pmod("doc_id", F.lit(5)) == 0, ld_partial)
+        .otherwise(ld_full),
+    ).otherwise(F.lit(""))
+    og = F.when(
+        F.pmod("doc_id", F.lit(3)) < 2,
+        F.concat(
+            F.lit('<meta property="og:title" content="OG '),
+            sid,
+            F.lit('"/><meta property="product:price:amount" content="'),
+            ogp,
+            F.lit('"/><meta property="product:price:currency" content="HKD"/>'),
+        ),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        F.concat(F.lit("url-"), sid).alias("url_canon"),
+        F.encode(F.concat(F.lit("<html>"), ld, og, F.lit("</html>")), "UTF-8").alias(
+            "html"
+        ),
+    )
+    return listing_from_structured(pages).select(
+        "url",
+        "name",
+        "price",
+        F.round("price_num", 6).alias("price_num"),
+        "currency",
+        "address",
+        "src_jsonld",
+    )
+
+
+def _structured_listing_fields_sql() -> str:
+    """DuckDB twin of _structured_listing_fields: same html bytes via
+    string concat, same block regex (``[^<]*`` body — identical match
+    spans in RE2 and Java), json_valid-guarded JSON paths, OG lookup =
+    list_position on the parallel regexp_extract_all arrays (first
+    occurrence, like the Spark min-by-pos), same coalesce chain."""
+    return r"""
+WITH parts AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS sid,
+         CAST(1000000 + (doc_id*37) % 900000 AS VARCHAR) AS p,
+         CAST(1000001 + (doc_id*37) % 900000 AS VARCHAR) AS ogp,
+         CAST(doc_id % 999 AS VARCHAR) AS addr_no
+    FROM documents
+),
+pages AS (
+  SELECT 'url-' || sid AS url,
+         '<html>'
+         || CASE WHEN doc_id % 3 = 0 THEN
+              CASE
+                WHEN doc_id % 7 = 0 THEN
+                  '<script type="application/ld+json">{"name":"Flat '
+                  || sid || '"</script>'
+                WHEN doc_id % 5 = 0 THEN
+                  '<script type="application/ld+json">{"@type":"Offer","name":"Flat '
+                  || sid || '"}</script>'
+                ELSE
+                  '<script type="application/ld+json">{"@type":"Offer","name":"Flat '
+                  || sid || '","offers":{"price":"' || p
+                  || '","priceCurrency":"HKD"},"address":{"streetAddress":"No. '
+                  || addr_no || ' Nathan Road"}}</script>'
+              END
+            ELSE '' END
+         || CASE WHEN doc_id % 3 < 2 THEN
+              '<meta property="og:title" content="OG ' || sid
+              || '"/><meta property="product:price:amount" content="' || ogp
+              || '"/><meta property="product:price:currency" content="HKD"/>'
+            ELSE '' END
+         || '</html>' AS h
+    FROM parts
+),
+ld AS (
+  SELECT url,
+         unnest(regexp_extract_all(
+           h, '<script type="application/ld\+json">([^<]*)</script>', 1
+         )) AS j
+    FROM pages
+),
+ldf AS (
+  SELECT url,
+         min(CASE WHEN json_valid(j)
+             THEN json_extract_string(j, '$.name') END) AS ld_name,
+         min(CASE WHEN json_valid(j)
+             THEN json_extract_string(j, '$.offers.price') END) AS ld_price,
+         min(CASE WHEN json_valid(j)
+             THEN json_extract_string(j, '$.offers.priceCurrency') END)
+           AS ld_currency,
+         min(CASE WHEN json_valid(j)
+             THEN json_extract_string(j, '$.address.streetAddress') END)
+           AS ld_address
+    FROM ld GROUP BY url
+),
+ogf AS (
+  SELECT url,
+         conts[list_position(props, 'og:title')] AS og_name,
+         conts[list_position(props, 'product:price:amount')] AS og_price,
+         conts[list_position(props, 'product:price:currency')] AS og_currency,
+         conts[list_position(props, 'og:street-address')] AS og_address
+    FROM (
+      SELECT url,
+             regexp_extract_all(
+               h, '<meta property="([^"]*)" content="([^"]*)"\s*/?>', 1
+             ) AS props,
+             regexp_extract_all(
+               h, '<meta property="([^"]*)" content="([^"]*)"\s*/?>', 2
+             ) AS conts
+        FROM pages
+    )
+)
+SELECT pg.url,
+       coalesce(l.ld_name, o.og_name) AS name,
+       coalesce(l.ld_price, o.og_price) AS price,
+       round(TRY_CAST(coalesce(l.ld_price, o.og_price) AS DOUBLE), 6)
+         AS price_num,
+       coalesce(l.ld_currency, o.og_currency) AS currency,
+       coalesce(l.ld_address, o.og_address) AS address,
+       (l.ld_name IS NOT NULL OR l.ld_price IS NOT NULL
+        OR l.ld_currency IS NOT NULL OR l.ld_address IS NOT NULL)
+         AS src_jsonld
+  FROM pages pg
+  LEFT JOIN ldf l ON pg.url = l.url
+  LEFT JOIN ogf o ON pg.url = o.url
+"""
+
+
 def _harmonic_centrality(spark, sf):
     """Harmonic centrality (operators/centrality.py
     harmonic_centrality_exact — the verification twin of the HyperBall
@@ -3534,6 +3704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_graph_rank": _trust_graph_rank,
         "hits_rank": _hits_rank,
         "harmonic_centrality": _harmonic_centrality,
+        "structured_listing_fields": _structured_listing_fields,
         "opic_importance": _opic_importance,
         "dust_rule_mining": _dust_rule_mining,
         "soft404_flags": _soft404_flags,
@@ -4751,6 +4922,7 @@ def oracle_sql() -> dict[str, str]:
     d["trust_graph_rank"] = _trust_graph_rank_sql()
     d["hits_rank"] = _hits_rank_sql()
     d["harmonic_centrality"] = _harmonic_centrality_sql()
+    d["structured_listing_fields"] = _structured_listing_fields_sql()
     d["opic_importance"] = _opic_importance_sql()
     d["dust_rule_mining"] = _dust_rule_mining_sql()
     d["soft404_flags"] = _soft404_flags_sql()
