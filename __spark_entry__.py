@@ -2393,6 +2393,80 @@ SELECT pg.url,
 """
 
 
+def _host_communities(spark, sf):
+    """Deterministic label propagation (operators/communities.py) over
+    the same synthetic outlink graph as the rank entries, symmetrized,
+    3 synchronous rounds — tie-breaks to the smallest label, so the
+    labeling is reproducible engine-to-engine; the oracle unrolls the
+    identical vote/argmin recurrence with a row_number argmin."""
+    from hk_housing_datahub_spark.operators.communities import (
+        label_propagation,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    linkers = docs.filter(F.pmod("doc_id", F.lit(11)) != 0)
+    parts = [
+        linkers.select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") * a + b, F.lit(n)).alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 5), (29, 11))
+    ]
+    edges = parts[0].union(parts[1]).union(parts[2])
+    labels = label_propagation(edges, rounds=3)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "label",
+        F.col("n_changed").cast("long").alias("n_changed"),
+    )
+
+
+def _host_communities_sql(rounds: int = 3) -> str:
+    """Unrolled LPA twin of _host_communities: symmetrize + dedup +
+    drop self-loops, then per round one vote count and one
+    (cnt DESC, label ASC) row_number argmin; n_changed = last-round
+    label diffs, broadcast onto every row like the Spark constant."""
+    ctes = [
+        "nd AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n"
+        " FROM documents)",
+        "raw AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id AS src, (doc_id*{a}+{b}) % n AS dst"
+            " FROM documents, nd WHERE doc_id % 11 <> 0"
+            for a, b in ((7, 1), (13, 5), (29, 11))
+        )
+        + ")",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM"
+        " (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e))",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"v{i} AS (SELECT u.src AS node, l.label,"
+            f" count(*) AS cnt FROM und u JOIN l{i - 1} l"
+            f" ON u.dst = l.node GROUP BY u.src, l.label)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER ("
+            f"PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn"
+            f" FROM v{i}) WHERE rn = 1)"
+        )
+    ctes.append(
+        f"ch AS (SELECT count(*) AS c FROM l{rounds} a"
+        f" JOIN l{rounds - 1} b ON a.node = b.node"
+        f" AND a.label <> b.label)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.node AS doc_id, a.label,"
+        f" CAST(ch.c AS BIGINT) AS n_changed FROM l{rounds} a, ch"
+    )
+
+
 def _harmonic_centrality(spark, sf):
     """Harmonic centrality (operators/centrality.py
     harmonic_centrality_exact — the verification twin of the HyperBall
@@ -3704,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_graph_rank": _trust_graph_rank,
         "hits_rank": _hits_rank,
         "harmonic_centrality": _harmonic_centrality,
+        "host_communities": _host_communities,
         "structured_listing_fields": _structured_listing_fields,
         "opic_importance": _opic_importance,
         "dust_rule_mining": _dust_rule_mining,
@@ -4922,6 +4997,7 @@ def oracle_sql() -> dict[str, str]:
     d["trust_graph_rank"] = _trust_graph_rank_sql()
     d["hits_rank"] = _hits_rank_sql()
     d["harmonic_centrality"] = _harmonic_centrality_sql()
+    d["host_communities"] = _host_communities_sql()
     d["structured_listing_fields"] = _structured_listing_fields_sql()
     d["opic_importance"] = _opic_importance_sql()
     d["dust_rule_mining"] = _dust_rule_mining_sql()
