@@ -113,26 +113,122 @@ def discover_sitemap_seeds(
 
 
 def sitemap_entries(xml: Column) -> Column:
-    """array<struct<loc, lastmod>> of a sitemap's ``<url>`` entries —
-    ``<lastmod>`` (sitemaps.org optional W3C datetime) rides along so
-    freshness decisions can use the SITE's own change claim. Entries
-    without a ``<lastmod>`` get NULL. Pure regex HOFs."""
+    """array<struct<loc, lastmod, changefreq, sm_priority>> of a
+    sitemap's ``<url>`` entries — the sitemaps.org optional fields ride
+    along so freshness decisions can use the SITE's own claims:
+    ``<lastmod>`` (W3C datetime), ``<changefreq>`` (lower-cased
+    keyword), ``<priority>`` (0.0–1.0, NULL when absent or junk via
+    try_cast). Absent elements yield NULL. Pure regex HOFs."""
     blocks = F.regexp_extract_all(
         xml, F.lit("(?is)<url>(.*?)</url>"), 1
     )
+
+    def field(b: Column, tag: str) -> Column:
+        return F.nullif(
+            F.regexp_extract(
+                b, f"(?is)<{tag}>\\s*(.*?)\\s*</{tag}>", 1
+            ),
+            F.lit(""),
+        )
+
     return F.transform(
         blocks,
         lambda b: F.struct(
             F.regexp_extract(
                 b, "(?is)<loc>\\s*(.*?)\\s*</loc>", 1
             ).alias("loc"),
-            F.nullif(
-                F.regexp_extract(
-                    b, "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>", 1
-                ),
-                F.lit(""),
-            ).alias("lastmod"),
+            field(b, "lastmod").alias("lastmod"),
+            F.lower(field(b, "changefreq")).alias("changefreq"),
+            field(b, "priority").try_cast("double").alias("sm_priority"),
         ),
+    )
+
+
+# sitemaps.org <changefreq> keyword → seconds. "always" floors at an
+# hour (a crawler that refetches tighter than hourly on a free-text
+# claim is a DoS); "never" carries NO interval — it means archived, so
+# it must never TIGHTEN a schedule, and loosening is the estimator's
+# call, not the site's.
+CHANGEFREQ_INTERVAL_S = {
+    "always": 3600,
+    "hourly": 3600,
+    "daily": 86400,
+    "weekly": 604800,
+    "monthly": 2592000,
+    "yearly": 31536000,
+}
+
+
+def changefreq_interval(changefreq: Column) -> Column:
+    """Keyword → claimed interval seconds (double); NULL for never /
+    unknown / absent."""
+    expr = F.lit(None).cast("double")
+    for kw, secs in CHANGEFREQ_INTERVAL_S.items():
+        expr = F.when(changefreq == kw, F.lit(float(secs))).otherwise(expr)
+    return expr
+
+
+def apply_sitemap_hints(
+    schedule: DataFrame,
+    sitemap_docs: DataFrame,
+    min_interval_s: int = 3600,
+    body_col: str = "_body",
+) -> DataFrame:
+    """Tighten the CGM schedule with the site's own ``<changefreq>``
+    claims: a URL whose sitemap claims e.g. ``daily`` is refetched at
+    least daily — ``least(cgm_interval, claimed_interval)``, floored at
+    ``min_interval_s`` (politeness beats any claim). Claims can only
+    TIGHTEN: a site claiming ``yearly`` on a page we MEASURED changing
+    hourly keeps the measured schedule (sites understate change to
+    save crawl budget; the estimator's evidence wins on that side),
+    and ``never``/junk claims change nothing. Multiple entries for one
+    URL take the most urgent claim (min interval, max sm_priority).
+
+    Output = the schedule with ``refetch_interval_s`` /
+    ``next_fetch_epoch`` rewritten (epoch re-anchored on the same last
+    capture: old epoch − old floor(interval) + new floor(interval))
+    plus ``hint_interval_s`` and ``sm_priority`` for audit.
+
+    One explode + one url-keyed claim agg + one equi-join — the claim
+    side is O(sitemap entries), the corpus never rescans."""
+    claims = (
+        sitemap_docs.select(
+            F.explode(sitemap_entries(F.col(body_col))).alias("e")
+        )
+        .select(
+            canonicalize_url(F.col("e.loc")).alias("url"),
+            changefreq_interval(F.col("e.changefreq")).alias("hint"),
+            F.col("e.sm_priority").alias("smp"),
+        )
+        .groupBy("url")
+        .agg(
+            F.min("hint").alias("hint_interval_s"),
+            F.max("smp").alias("sm_priority"),
+        )
+    )
+    joined = schedule.join(claims, "url", "left")
+    new_interval = F.when(
+        F.col("hint_interval_s").isNotNull(),
+        F.greatest(
+            F.least(F.col("refetch_interval_s"), F.col("hint_interval_s")),
+            F.lit(float(min_interval_s)),
+        ),
+    ).otherwise(F.col("refetch_interval_s"))
+    keep = [
+        c
+        for c in schedule.columns
+        if c not in ("refetch_interval_s", "next_fetch_epoch")
+    ]
+    return joined.select(
+        *keep,
+        new_interval.alias("refetch_interval_s"),
+        (
+            F.col("next_fetch_epoch")
+            - F.floor("refetch_interval_s").cast("long")
+            + F.floor(new_interval).cast("long")
+        ).alias("next_fetch_epoch"),
+        "hint_interval_s",
+        "sm_priority",
     )
 
 

@@ -192,3 +192,78 @@ def test_sitemap_entries_and_lastmod_due_seeds(spark):
     # only the URL whose site-claimed change postdates our capture
     assert got == {"https://a.com/fresh"}
     assert due.columns == ["url", "priority"]
+
+
+def test_apply_sitemap_hints_tighten_only(spark):
+    """<changefreq> claims tighten the CGM schedule, never loosen it;
+    'always' floors at the politeness minimum; 'never'/junk/absent
+    change nothing; duplicate entries take the most urgent claim."""
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.functions.sitemaps import (
+        apply_sitemap_hints,
+        changefreq_interval,
+    )
+
+    xml = (
+        "<urlset>"
+        # weekly-measured page the site claims changes daily -> tighten
+        "<url><loc>https://a.com/daily</loc>"
+        "<changefreq>DAILY</changefreq><priority>0.9</priority></url>"
+        # hot page the site claims yearly -> measured evidence wins
+        "<url><loc>https://a.com/hot</loc>"
+        "<changefreq>yearly</changefreq></url>"
+        # 'always' floors at min_interval_s
+        "<url><loc>https://a.com/always</loc>"
+        "<changefreq>always</changefreq></url>"
+        # 'never' carries no interval -> unchanged
+        "<url><loc>https://a.com/never</loc>"
+        "<changefreq>never</changefreq><priority>abc</priority></url>"
+        # duplicate entries -> most urgent claim (daily beats monthly)
+        "<url><loc>https://a.com/dup</loc>"
+        "<changefreq>monthly</changefreq><priority>0.2</priority></url>"
+        "<url><loc>https://a.com/dup</loc>"
+        "<changefreq>daily</changefreq><priority>0.7</priority></url>"
+        "</urlset>"
+    )
+    docs = spark.createDataFrame([(xml,)], ["_body"])
+    t0 = 1_700_000_000
+    sched = spark.createDataFrame(
+        [
+            ("https://a.com/daily", 604800.0),
+            ("https://a.com/hot", 7200.0),
+            ("https://a.com/always", 86400.0),
+            ("https://a.com/never", 86400.0),
+            ("https://a.com/dup", 2592000.0),
+            ("https://a.com/unlisted", 86400.0),
+        ],
+        "url string, refetch_interval_s double",
+    ).select(
+        "url",
+        "refetch_interval_s",
+        (F.lit(t0) + F.floor("refetch_interval_s").cast("long")).alias(
+            "next_fetch_epoch"
+        ),
+    )
+
+    out = apply_sitemap_hints(sched, docs, min_interval_s=3600)
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["https://a.com/daily"]["refetch_interval_s"] == 86400.0
+    assert rows["https://a.com/daily"]["sm_priority"] == 0.9
+    # epoch re-anchored on the same last capture
+    assert rows["https://a.com/daily"]["next_fetch_epoch"] == t0 + 86400
+    assert rows["https://a.com/hot"]["refetch_interval_s"] == 7200.0
+    assert rows["https://a.com/always"]["refetch_interval_s"] == 3600.0
+    assert rows["https://a.com/never"]["refetch_interval_s"] == 86400.0
+    assert rows["https://a.com/never"]["hint_interval_s"] is None
+    assert rows["https://a.com/never"]["sm_priority"] is None
+    assert rows["https://a.com/dup"]["refetch_interval_s"] == 86400.0
+    assert rows["https://a.com/dup"]["sm_priority"] == 0.7
+    assert rows["https://a.com/unlisted"]["refetch_interval_s"] == 86400.0
+    assert rows["https://a.com/unlisted"]["next_fetch_epoch"] == t0 + 86400
+
+    # keyword mapping is total: unknown keywords yield NULL
+    kw = spark.createDataFrame(
+        [("daily",), ("never",), ("sometimes",), (None,)], ["k"]
+    ).select(changefreq_interval(F.col("k")).alias("s"))
+    assert [r["s"] for r in kw.collect()] == [86400.0, None, None, None]
