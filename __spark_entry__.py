@@ -1160,6 +1160,30 @@ def _sitemap_discovery(spark, sf):
     return discover_sitemap_seeds(robots, pages, priority=1).orderBy("url")
 
 
+def _fetch_shard_assign(spark, sf):
+    """Rendezvous host->fetcher-shard ownership (frontier/shards.py,
+    UbiCrawler's consistent-hash agent assignment): per host, the owning
+    shard is argmax_s md5(host:s:seed) — a pure map-only codegen
+    projection every executor computes locally (no coordination, no
+    shuffle beyond the audit rollup). The DuckDB twin replays the exact
+    md5 argmax, so the hash check pins engine-for-engine agreement on
+    who owns what — the property a fetcher fleet relies on."""
+    from hk_housing_datahub_spark.frontier.shards import assign_fetch_shards
+
+    o = _t(spark, sf, "orders")
+    urls = o.select(
+        F.concat(
+            F.lit("h"), F.pmod("o_custkey", F.lit(40)), F.lit(".example.com")
+        ).alias("host")
+    )
+    return (
+        assign_fetch_shards(urls, n_shards=8)
+        .groupBy("host", "fetch_shard")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("host")
+    )
+
+
 def _span_dedup_profile(spark, sf):
     """Per-doc duplicated-substring coverage (operators/spandedup.py,
     Lee et al. 2022 suffix-array dedup as rolling 8-gram hashing);
@@ -3802,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_refetch": _conditional_refetch,
         "focus_outlink_scores": _focus_outlink_scores,
         "crawl_scope_filter": _crawl_scope_filter,
+        "fetch_shard_assign": _fetch_shard_assign,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -6232,5 +6257,23 @@ def oracle_sql() -> dict[str, str]:
                '0,' || string_agg(CAST(cum AS VARCHAR), ','
                                   ORDER BY doc_id) AS offsets_csv
         FROM cums GROUP BY bucket, bin_id
+    """
+    # Rendezvous shard ownership: the exact md5 argmax the Spark
+    # expression computes, per distinct host, re-joined to the url rows.
+    d["fetch_shard_assign"] = """
+        WITH u AS (
+          SELECT 'h' || (o_custkey % 40) || '.example.com' AS host
+          FROM orders),
+        w AS (
+          SELECT host, CAST(s AS INT) AS s,
+                 md5(host || ':' || s || ':0') AS wt
+          FROM (SELECT DISTINCT host FROM u)
+          CROSS JOIN range(8) t(s)),
+        own AS (
+          SELECT host, arg_max(s, wt) AS fetch_shard FROM w GROUP BY host)
+        SELECT u.host, own.fetch_shard, count(*) AS n_urls
+        FROM u JOIN own USING (host)
+        GROUP BY u.host, own.fetch_shard
+        ORDER BY u.host
     """
     return d
