@@ -1184,6 +1184,57 @@ def _fetch_shard_assign(spark, sf):
     )
 
 
+def _adaptive_politeness(spark, sf):
+    """Heritrix-style adaptive per-host politeness (frontier/adaptive.py):
+    delay = floor(clamp(2 x mean observed latency, [100, 5000])) per host
+    from the fetch log, merged with the robots Crawl-delay dimension by
+    ``greatest`` (whichever asks for MORE politeness wins; the reference
+    hard-codes its sleeps at /root/reference/src/orchestrators/agency.py:139).
+    One compact-key exchange over the log; the robots side is a dimension.
+    The DuckDB twin replays sum/count/clamp/greatest bit-for-bit (integer
+    latencies keep the per-host sum exact, so the one double division is
+    IEEE-identical in both engines)."""
+    from hk_housing_datahub_spark.frontier.adaptive import (
+        adaptive_crawl_delay,
+        merge_crawl_delays,
+    )
+
+    e = _t(spark, sf, "events")
+    log = e.select(
+        F.concat(
+            F.lit("h"), F.pmod("event_id", F.lit(37)), F.lit(".example.com")
+        ).alias("host"),
+        (F.pmod(F.col("event_id") * 7919, F.lit(1900)) + 20).alias(
+            "latency_ms"
+        ),
+    )
+    robots = (
+        spark.range(37)
+        .filter(F.pmod("id", F.lit(5)) == 0)
+        .select(
+            F.concat(F.lit("h"), F.col("id"), F.lit(".example.com")).alias(
+                "host"
+            ),
+            (F.lit(500) + F.col("id") * 40).cast("int").alias(
+                "crawl_delay_ms"
+            ),
+        )
+        .unionAll(
+            spark.range(1).select(
+                F.lit("h99.example.com").alias("host"),
+                F.lit(700).cast("int").alias("crawl_delay_ms"),
+            )
+        )
+    )
+    adaptive = adaptive_crawl_delay(
+        log, delay_factor=2.0, min_delay_ms=100, max_delay_ms=5000
+    )
+    merged = merge_crawl_delays(robots, adaptive)
+    return merged.join(
+        adaptive.select("host", "n_fetches", "avg_latency_ms"), "host", "left"
+    ).select("host", "n_fetches", "avg_latency_ms", "crawl_delay_ms")
+
+
 def _span_dedup_profile(spark, sf):
     """Per-doc duplicated-substring coverage (operators/spandedup.py,
     Lee et al. 2022 suffix-array dedup as rolling 8-gram hashing);
@@ -3724,7 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal_probe; pure renames, every row/column still hash-checked)
     so the window stays all-oracle, with the composed corpus funnel
     (prepare_corpus) and the bigram-LM scorer (lm_perplexity_quality)
-    inside it. The 34 oracle-backed entries after the window (▲ in
+    inside it. The 35 oracle-backed entries after the window (▲ in
     COVERAGE.md — the round-4 web-archive/selection battery) are
     hash-checked by the same comparator via tools/check_oracles.py."""
     return {
@@ -3827,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focus_outlink_scores": _focus_outlink_scores,
         "crawl_scope_filter": _crawl_scope_filter,
         "fetch_shard_assign": _fetch_shard_assign,
+        "adaptive_politeness": _adaptive_politeness,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -6275,5 +6327,33 @@ def oracle_sql() -> dict[str, str]:
         FROM u JOIN own USING (host)
         GROUP BY u.host, own.fetch_shard
         ORDER BY u.host
+    """
+    # Adaptive politeness: sum/count mean (exact integer sum, one double
+    # division), x2 clamp to [100, 5000], floor, then the greatest-merge
+    # with the robots directive over a FULL OUTER host join.
+    d["adaptive_politeness"] = """
+        WITH log AS (
+          SELECT 'h' || (event_id % 37) || '.example.com' AS host,
+                 (event_id * 7919) % 1900 + 20 AS latency_ms
+          FROM events),
+        robots AS (
+          SELECT 'h' || i || '.example.com' AS host,
+                 CAST(500 + 40 * i AS INT) AS r_ms
+          FROM range(37) t(i) WHERE i % 5 = 0
+          UNION ALL
+          SELECT 'h99.example.com', CAST(700 AS INT)),
+        a AS (
+          SELECT host, count(latency_ms) AS n_fetches,
+                 sum(latency_ms) / count(latency_ms) AS avg_latency_ms,
+                 CAST(floor(least(5000.0, greatest(100.0,
+                   2.0 * (sum(latency_ms) / count(latency_ms))))) AS BIGINT)
+                   AS adaptive_ms
+          FROM log GROUP BY host)
+        SELECT coalesce(a.host, robots.host) AS host,
+               a.n_fetches, a.avg_latency_ms,
+               CAST(greatest(coalesce(r_ms, 100),
+                             coalesce(adaptive_ms, 0)) AS INT)
+                 AS crawl_delay_ms
+        FROM a FULL OUTER JOIN robots ON a.host = robots.host
     """
     return d
