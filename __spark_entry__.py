@@ -1235,6 +1235,40 @@ def _adaptive_politeness(spark, sf):
     ).select("host", "n_fetches", "avg_latency_ms", "crawl_delay_ms")
 
 
+def _paragraph_dedup(spark, sf):
+    """CCNet cross-corpus exact paragraph dedup (operators/textops.py
+    dedup_paragraphs, Wenzek et al. 2020 §3.1): multi-paragraph pages are
+    built by sandwiching each document between a class-shared header
+    (7 classes) and a class-shared footer (3 classes); only the
+    globally-first (doc_id, pos) copy of each normalized paragraph
+    survives. The DuckDB twin replays the split / CCNet hash
+    normalization (lower, collapse whitespace, digits→0) / first-copy
+    window / ordered rebuild byte-for-byte, so the hash check pins the
+    reconstructed TEXT bytes, not just counts."""
+    from hk_housing_datahub_spark.operators.textops import dedup_paragraphs
+
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.concat(
+                F.lit("shared header class "),
+                F.expr("substring('abcdefg', cast(doc_id % 7 as int) + 1, 1)"),
+                F.lit(" for every page in this class"),
+            ),
+            F.col("text"),
+            F.concat(
+                F.lit("shared footer variant "),
+                F.expr("substring('xyz', cast(doc_id % 3 as int) + 1, 1)"),
+            ),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(pages).select(
+        "doc_id", "text", "n_paras", "n_dropped_paras"
+    )
+
+
 def _span_dedup_profile(spark, sf):
     """Per-doc duplicated-substring coverage (operators/spandedup.py,
     Lee et al. 2022 suffix-array dedup as rolling 8-gram hashing);
@@ -3879,6 +3913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_scope_filter": _crawl_scope_filter,
         "fetch_shard_assign": _fetch_shard_assign,
         "adaptive_politeness": _adaptive_politeness,
+        "paragraph_dedup": _paragraph_dedup,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -6355,5 +6390,50 @@ def oracle_sql() -> dict[str, str]:
                              coalesce(adaptive_ms, 0)) AS INT)
                  AS crawl_delay_ms
         FROM a FULL OUTER JOIN robots ON a.host = robots.host
+    """
+    # CCNet paragraph dedup: split on blank lines, normalize (lower /
+    # collapse whitespace / digits->0), keep only the globally-first
+    # (doc_id, pos) copy of each normalized paragraph, rebuild in order.
+    # The first-copy window runs over COUNTABLE rows only (short
+    # structural paragraphs are kept unconditionally and must not steal
+    # the window's first slot from an equal-norm long paragraph).
+    d["paragraph_dedup"] = """
+        WITH pages AS (
+          SELECT doc_id,
+                 'shared header class '
+                   || substring('abcdefg', CAST(doc_id % 7 AS INT) + 1, 1)
+                   || ' for every page in this class'
+                   || chr(10) || chr(10) || text || chr(10) || chr(10)
+                   || 'shared footer variant '
+                   || substring('xyz', CAST(doc_id % 3 AS INT) + 1, 1)
+                   AS text
+          FROM documents),
+        p AS (
+          SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, parts[g.i] AS para
+          FROM (SELECT doc_id,
+                       string_split(text, chr(10) || chr(10)) AS parts
+                FROM pages),
+               unnest(generate_series(1, len(parts))) g(i)),
+        n AS (
+          SELECT *,
+                 regexp_replace(regexp_replace(trim(lower(para)),
+                                '\\s+', ' ', 'g'), '[0-9]', '0', 'g') AS norm,
+                 len(trim(para)) >= 10 AS countable
+          FROM p),
+        w AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY norm
+                                    ORDER BY doc_id, pos) AS rn
+          FROM n WHERE countable),
+        k AS (
+          SELECT n.doc_id, n.pos, n.para,
+                 (NOT n.countable) OR w.rn = 1 AS keep
+          FROM n LEFT JOIN w ON n.doc_id = w.doc_id AND n.pos = w.pos)
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN keep THEN para END,
+                        chr(10) || chr(10) ORDER BY pos), '') AS text,
+               count(*) AS n_paras,
+               sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped_paras
+        FROM k GROUP BY doc_id
     """
     return d

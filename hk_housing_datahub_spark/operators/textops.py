@@ -189,6 +189,97 @@ def drop_boilerplate_lines(
     )
 
 
+def dedup_paragraphs(
+    docs: DataFrame,
+    keep: str = "first",
+    min_chars: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style CROSS-CORPUS exact paragraph dedup (Wenzek et al.
+    2020 §3.1; the stage before line-DF boilerplate removal): a
+    paragraph whose normalized form appears at more than one
+    ``(doc, position)`` in the corpus is a duplicate. ``keep="first"``
+    keeps only the globally-first occurrence (min ``(doc_id, pos)`` —
+    deterministic under any partitioning); ``keep="none"`` drops every
+    copy. Normalization mirrors CCNet's hash key: lowercase, collapsed
+    whitespace, digits squashed to ``0``. Paragraphs shorter than
+    ``min_chars`` are structure, not content — kept unconditionally and
+    never counted. Paragraph = a ``\\n\\n``-separated span; the rebuild
+    normalizes separators to ``\\n\\n``.
+
+    Differs from :func:`drop_boilerplate_lines` (DF-threshold LINE
+    removal, drops from every doc including the first) — this is the
+    exact-duplicate stage: content seen once survives exactly once.
+
+    Shape at 100 TB: posexplode → xxhash64 over the normalized span (the
+    8-byte hash is the only wide-exchange key) → one map-combined
+    aggregate per hash carrying ``count`` + ``min_by struct(doc_id,
+    pos)`` → equi-join the verdict back on hash → regroup by doc with
+    order restored. Two text exchanges total (hash join, doc regroup),
+    identical to the boilerplate pass it composes with. Collision note:
+    a 64-bit hash over 10^12 paragraphs expects ~0.03 false merges —
+    the standard CCNet trade (their sha1[:8] is the same 64 bits).
+
+    Funnel accounting: adds ``n_paras`` / ``n_dropped_paras`` columns
+    (docs whose every paragraph was dropped keep their row with empty
+    text, same contract as the boilerplate pass).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.trim(F.lower(F.col("para"))), r"\s+", " "),
+        r"[0-9]",
+        "0",
+    )
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n\n")).alias("pos", "para"),
+    ).withColumn("phash", F.xxhash64(norm))
+    countable = paras.filter(F.length(F.trim("para")) >= min_chars)
+    verdict = countable.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "winner"
+        ),
+    )
+    joined = paras.join(verdict, "phash", "left")
+    short = F.length(F.trim("para")) < min_chars
+    if keep == "first":
+        keep_cond = short | (
+            (F.col(f"winner.d") == F.col(id_col))
+            & (F.col("winner.p") == F.col("pos"))
+        )
+    else:
+        keep_cond = short | (F.col("n_copies") == 1)
+    flagged = joined.withColumn("_keep", keep_cond)
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"), F.struct("pos", "para")
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias(
+            "n_dropped_paras"
+        ),
+    )
+    return docs.drop(text_col).join(rebuilt, id_col, "left").select(
+        *[c for c in docs.columns if c != text_col],
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+        F.coalesce("n_dropped_paras", F.lit(0)).alias("n_dropped_paras"),
+    )
+
+
 def _bound(col, fn):
     """Bind ``col`` through a lambda variable so ``fn``'s body evaluates it
     ONCE. Referencing an outer expression inside a higher-order-function

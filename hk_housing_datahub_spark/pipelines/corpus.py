@@ -54,6 +54,10 @@ class CorpusRecipe:
     gopher: bool = False  # apply the Gopher-rules gate (drops flag cols)
     gopher_repetition: bool = False  # full Table-A1 repetition battery
     boilerplate_max_df: int | None = None  # line-DF cap (CCNet line dedup)
+    paragraph_dedup: str | None = None  # CCNet exact cross-corpus
+    # paragraph dedup: "first" keeps the globally-first copy, "none"
+    # drops every copy of a duplicated paragraph
+    paragraph_min_chars: int = 10  # shorter paragraphs are structure
     sample_rate: float = 1.0
     mixture: dict[str, float] | None = None  # source -> target weight
     mixture_total: int | None = None
@@ -171,6 +175,16 @@ def prepare_training_corpus(
             out, benchmark, n=r.decontaminate_n, id_col=id_col,
             text_col=text_col,
         )
+    if r.paragraph_dedup is not None:
+        # exact cross-corpus paragraph dedup (CCNet §3.1) runs before
+        # the line-DF pass: a paragraph that survives here exactly once
+        # can still be convicted as boilerplate by document frequency
+        from ..operators.textops import dedup_paragraphs
+
+        out = dedup_paragraphs(
+            out, keep=r.paragraph_dedup, min_chars=r.paragraph_min_chars,
+            id_col=id_col, text_col=text_col,
+        ).drop("n_paras", "n_dropped_paras")
     if r.boilerplate_max_df is not None:
         # line-level cleanup BEFORE doc-level dedup (the CCNet order):
         # shared footers otherwise make distinct docs look like near-dups

@@ -193,6 +193,100 @@ def test_recipe_boilerplate_stage(spark):
     assert all(f"number {r.doc_id}" in r.text for r in rows)
 
 
+def test_paragraph_dedup_keep_first(spark):
+    from hk_housing_datahub_spark.operators.textops import dedup_paragraphs
+
+    shared = "this exact promotional paragraph appears on many pages"
+    docs = spark.createDataFrame(
+        [
+            (0, f"unique opener zero\n\n{shared}\n\nunique closer zero"),
+            (1, f"{shared}\n\nunique middle one"),
+            # intra-doc duplicate: second copy must also drop
+            (2, f"{shared}\n\n{shared}\n\nunique tail two"),
+            (3, "entirely original paragraph three"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    # globally-first copy = (doc 0, pos 1): survives there, nowhere else
+    assert shared in out[0].text
+    assert shared not in out[1].text and shared not in out[2].text
+    assert out[0].n_dropped_paras == 0
+    assert out[1].n_dropped_paras == 1
+    assert out[2].n_dropped_paras == 2
+    assert out[1].text == "unique middle one"
+    assert out[2].text == "unique tail two"
+    assert out[3].text == "entirely original paragraph three"
+    # deterministic under any layout
+    again = {
+        r.doc_id: r.text
+        for r in dedup_paragraphs(docs.repartition(7)).collect()
+    }
+    assert again == {k: v.text for k, v in out.items()}
+
+
+def test_paragraph_dedup_keep_none_and_normalization(spark):
+    from hk_housing_datahub_spark.operators.textops import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            # normalization: case/whitespace/digit differences still match
+            (0, "Visit Page 17 For   More\n\nalpha original paragraph"),
+            (1, "visit page 99 for more\n\nbeta original paragraph"),
+            # short paragraphs are structure: kept even when repeated
+            (2, "- - -\n\ngamma original paragraph"),
+            (3, "- - -\n\ndelta original paragraph"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs, keep="none").collect()}
+    assert out[0].text == "alpha original paragraph"
+    assert out[1].text == "beta original paragraph"
+    assert out[2].text == "- - -\n\ngamma original paragraph"
+    assert out[3].text == "- - -\n\ndelta original paragraph"
+    # a doc that is ALL duplicates keeps its row with empty text
+    alldup = spark.createDataFrame(
+        [(0, "the same paragraph everywhere"),
+         (1, "the same paragraph everywhere")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dedup_paragraphs(alldup, keep="none").collect()}
+    assert rows[0].text == "" and rows[1].text == ""
+    assert rows[0].n_dropped_paras == 1
+    with pytest.raises(ValueError):
+        dedup_paragraphs(alldup, keep="last")
+
+
+def test_recipe_paragraph_dedup_stage(spark):
+    shared = "subscribe to our newsletter for weekly property updates"
+    # letters, not digits: the CCNet hash key squashes digits to 0, so
+    # numeric suffixes would make every opener a cross-corpus duplicate
+    words = ("harbour kowloon tower", "garden estate midlevels",
+             "peak mansion central", "bay court aberdeen",
+             "terrace villa stanley", "plaza block mongkok",
+             "residence square wanchai", "house lane taipo")
+    docs = spark.createDataFrame(
+        [
+            # unique paragraphs share NO tokens across docs, or the
+            # funnel's near-dup stage would (correctly) collapse them
+            # once the shared paragraph is deduplicated away
+            (i, f"{w} spacious bright airy"
+                .replace(" ", f" {'abcdefgh'[i]}") + f"\n\n{shared}")
+            for i, w in enumerate(words)
+        ],
+        ["doc_id", "text"],
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("web"))
+    out = prepare_training_corpus(
+        docs,
+        CorpusRecipe(dedup="exact", paragraph_dedup="first", pack_budget=64),
+    )
+    rows = out.collect()
+    assert len(rows) == 8
+    kept_with_shared = [r for r in rows if shared in r.text]
+    assert len(kept_with_shared) == 1  # exactly the globally-first copy
+    assert all(f"{'abcdefgh'[r.doc_id]}airy" in r.text for r in rows)
+
+
 def test_recipe_span_dedup_stage(spark, docs):
     """The substring-dedup gate slots after doc-level dedup: survivors are
     exactly the doc-dedup survivors whose duplicated-span coverage (counted
