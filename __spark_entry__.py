@@ -1269,6 +1269,19 @@ def _paragraph_dedup(spark, sf):
     )
 
 
+def _tfidf_keywords(spark, sf):
+    """Per-document top-5 smoothed-TF-IDF keywords
+    (operators/keywords.py): the single corpus-sized shuffle is the
+    (doc, token) tf aggregate; df and N derive from that compact table;
+    rank compares round(score, 9) with (tf desc, df asc, token asc)
+    tie-breaks so last-ulp ln() differences between engines cannot flip
+    the selected rows. Hash-checked against a DuckDB twin replaying the
+    identical tokenization, smoothing and window."""
+    from hk_housing_datahub_spark.operators.keywords import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf, "documents"), k=5)
+
+
 def _span_dedup_profile(spark, sf):
     """Per-doc duplicated-substring coverage (operators/spandedup.py,
     Lee et al. 2022 suffix-array dedup as rolling 8-gram hashing);
@@ -3914,6 +3927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_shard_assign": _fetch_shard_assign,
         "adaptive_politeness": _adaptive_politeness,
         "paragraph_dedup": _paragraph_dedup,
+        "tfidf_keywords": _tfidf_keywords,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -6435,5 +6449,35 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_paras,
                sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped_paras
         FROM k GROUP BY doc_id
+    """
+    # TF-IDF keywords: same tokenization as token_vocab_top, smoothed
+    # idf = ln((1+N)/(1+df)) + 1, rank over round(score, 9) with
+    # (tf desc, df asc, token asc) tie-breaks — the rounding makes the
+    # selection immune to last-ulp ln() differences between engines.
+    d["tfidf_keywords"] = """
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(string_split(t, ' ')) AS token
+          FROM norm WHERE t <> ''),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                 tf.tf * (ln((1 + n.n_docs) / (1.0 + dfreq.df)) + 1)
+                   AS score
+          FROM tf, dfreq, n WHERE tf.token = dfreq.token),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY round(score, 9) DESC, tf DESC, df ASC,
+                            token ASC) AS rank
+          FROM scored)
+        SELECT doc_id, rank, token, tf, df, round(score, 6) AS score
+        FROM ranked WHERE rank <= 5
     """
     return d
