@@ -1282,6 +1282,75 @@ def _tfidf_keywords(spark, sf):
     return tfidf_keywords(_t(spark, sf, "documents"), k=5)
 
 
+def _publish_dates(spark, sf):
+    """Publish-date extraction chain (extract/dates.py, the
+    htmldate/trafilatura recipe): jsonld > meta > url-path > text, each
+    candidate try_to_date-validated so impossible dates fall through.
+    Pages are deterministically constructed from doc_id — channel class
+    c = doc_id%5: 0 = jsonld AND a decoy meta (precedence), 1 = invalid
+    jsonld 2021-02-30 + valid meta (in-data fall-through), 2 = url-path
+    date (day-less when doc_id%10==7 → defaults to 01), 3 = text date,
+    4 = nothing (NULL row). The DuckDB twin replays the identical
+    regexes and try_cast validation — engine-vs-engine on the parse."""
+    from hk_housing_datahub_spark.extract.dates import extract_publish_date
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    y = (F.lit(2000) + F.pmod("doc_id", F.lit(20))).cast("int")
+    mo = (F.lit(1) + F.pmod("doc_id", F.lit(12))).cast("int")
+    dd = (F.lit(1) + F.pmod("doc_id", F.lit(28))).cast("int")
+    dd2 = (F.lit(1) + F.pmod(F.col("doc_id") + 7, F.lit(28))).cast("int")
+    iso = F.format_string("%04d-%02d-%02d", y, mo, dd)
+    iso2 = F.format_string("%04d-%02d-%02d", y, mo, dd2)
+    c = F.pmod("doc_id", F.lit(5))
+    html = (
+        F.when(
+            c == 0,
+            F.concat(
+                F.lit('<script type="application/ld+json">{"datePublished":"'),
+                iso,
+                F.lit('"}</script><meta property="article:published_time" content="'),
+                iso2,
+                F.lit('"/>'),
+            ),
+        )
+        .when(
+            c == 1,
+            F.concat(
+                F.lit('<script type="application/ld+json">{"datePublished":"2021-02-30"}</script>'),
+                F.lit('<meta property="article:published_time" content="'),
+                iso,
+                F.lit('"/>'),
+            ),
+        )
+        .otherwise(F.lit("<p>no structured date</p>"))
+    )
+    path_date = F.when(
+        F.pmod("doc_id", F.lit(10)) == 7, F.format_string("%04d/%02d", y, mo)
+    ).otherwise(F.format_string("%04d/%02d/%02d", y, mo, dd))
+    host = F.pmod("doc_id", F.lit(50)).cast("int")
+    url = F.when(
+        c == 2,
+        F.concat(
+            F.format_string("http://h%d.example/", host),
+            path_date,
+            F.lit("/post"),
+        ),
+    ).otherwise(F.format_string("http://h%d.example/page/%d", host, F.col("doc_id")))
+    text = F.when(c == 3, F.concat(F.lit("updated "), iso, F.lit(" end"))).otherwise(
+        F.lit("no date text")
+    )
+    pages = d.select(
+        url.alias("url_canon"),
+        F.encode(html, "UTF-8").alias("html"),
+        text.alias("text"),
+    )
+    # ISO string for the driver compare: a NULL DATE round-trips as
+    # pandas NaT on the DuckDB side and would miscanonicalize
+    return extract_publish_date(pages).withColumn(
+        "publish_date", F.col("publish_date").cast("string")
+    )
+
+
 def _span_dedup_profile(spark, sf):
     """Per-doc duplicated-substring coverage (operators/spandedup.py,
     Lee et al. 2022 suffix-array dedup as rolling 8-gram hashing);
@@ -3928,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_politeness": _adaptive_politeness,
         "paragraph_dedup": _paragraph_dedup,
         "tfidf_keywords": _tfidf_keywords,
+        "publish_dates": _publish_dates,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -6479,5 +6549,76 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         SELECT doc_id, rank, token, tf, df, round(score, 6) AS score
         FROM ranked WHERE rank <= 5
+    """
+    # Publish-date chain: same deterministic page construction, same
+    # RE2-safe regexes, try_cast validation per channel, coalesce +
+    # winning-channel label — engine-vs-engine on the actual parse.
+    d["publish_dates"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 2000 + doc_id % 20 AS y,
+                 1 + doc_id % 12 AS mo,
+                 1 + doc_id % 28 AS dd,
+                 1 + (doc_id + 7) % 28 AS dd2,
+                 doc_id % 5 AS c
+          FROM documents),
+        b1 AS (
+          SELECT *, printf('%04d-%02d-%02d', y, mo, dd) AS iso,
+                 printf('%04d-%02d-%02d', y, mo, dd2) AS iso2
+          FROM base),
+        b2 AS (
+          SELECT doc_id,
+            CASE WHEN c = 0 THEN
+                   '<script type="application/ld+json">{"datePublished":"'
+                   || iso || '"}</script>'
+                   || '<meta property="article:published_time" content="'
+                   || iso2 || '"/>'
+                 WHEN c = 1 THEN
+                   '<script type="application/ld+json">'
+                   || '{"datePublished":"2021-02-30"}</script>'
+                   || '<meta property="article:published_time" content="'
+                   || iso || '"/>'
+                 ELSE '<p>no structured date</p>' END AS html,
+            CASE WHEN c = 2 THEN
+                   'http://h' || (doc_id % 50) || '.example/'
+                   || (CASE WHEN doc_id % 10 = 7
+                            THEN printf('%04d/%02d', y, mo)
+                            ELSE printf('%04d/%02d/%02d', y, mo, dd) END)
+                   || '/post'
+                 ELSE 'http://h' || (doc_id % 50) || '.example/page/'
+                      || doc_id END AS url,
+            CASE WHEN c = 3 THEN 'updated ' || iso || ' end'
+                 ELSE 'no date text' END AS text
+          FROM b1),
+        g AS (
+          SELECT url,
+            regexp_extract(url,
+              '/((?:19|20)\\d{2})/(\\d{2})(?:/(\\d{2}))?/', 1) AS uy,
+            regexp_extract(url,
+              '/((?:19|20)\\d{2})/(\\d{2})(?:/(\\d{2}))?/', 2) AS um,
+            regexp_extract(url,
+              '/((?:19|20)\\d{2})/(\\d{2})(?:/(\\d{2}))?/', 3) AS ud,
+            try_cast(nullif(regexp_extract(html,
+              '"datePublished"\\s*:\\s*"((?:19|20)\\d{2}-\\d{2}-\\d{2})', 1),
+              '') AS DATE) AS c1,
+            try_cast(nullif(regexp_extract(html,
+              '<meta property="article:published_time" content="((?:19|20)\\d{2}-\\d{2}-\\d{2})',
+              1), '') AS DATE) AS c2,
+            try_cast(nullif(regexp_extract(text,
+              '((?:19|20)\\d{2}-\\d{2}-\\d{2})', 1), '') AS DATE) AS c4
+          FROM b2),
+        ext AS (
+          SELECT url, c1, c2, c4,
+            try_cast(nullif(CASE WHEN uy <> '' THEN uy || '-' || um || '-'
+                   || (CASE WHEN ud = '' THEN '01' ELSE ud END)
+                 ELSE '' END, '') AS DATE) AS c3
+          FROM g)
+        SELECT url,
+               CAST(coalesce(c1, c2, c3, c4) AS VARCHAR) AS publish_date,
+               CASE WHEN c1 IS NOT NULL THEN 'jsonld'
+                    WHEN c2 IS NOT NULL THEN 'meta'
+                    WHEN c3 IS NOT NULL THEN 'url'
+                    WHEN c4 IS NOT NULL THEN 'text' END AS date_source
+        FROM ext
     """
     return d
