@@ -1351,6 +1351,36 @@ def _publish_dates(spark, sf):
     )
 
 
+# shared by _mixture_upsample and its oracle so the arithmetic can't drift
+_UPSAMPLE_W = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "src3": 0.04}
+_UPSAMPLE_TOTAL = 150
+
+
+def _mixture_upsample(spark, sf):
+    """Epoch-aware mixture resampling (operators/sampling.py
+    upsample_to_mixture, the LLaMA/Gopher repeat-small-sources recipe):
+    strata whose target exceeds supply get floor(r) full epochs plus a
+    deterministically md5-sampled extra epoch; unweighted strata drop;
+    repetition caps at 4 epochs. The DuckDB twin recomputes the
+    identical rate arithmetic from its own counts (shares embedded as
+    exact repr literals), the identical rate_to_hex threshold
+    (trunc(frac·16^8) → %08x) and the identical md5 predicate."""
+    from hk_housing_datahub_spark.operators.sampling import (
+        upsample_to_mixture,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return upsample_to_mixture(
+        d,
+        "source",
+        _UPSAMPLE_W,
+        total=_UPSAMPLE_TOTAL,
+        key_cols=["doc_id"],
+        max_epochs=4,
+        salt="r4",
+    )
+
+
 def _span_dedup_profile(spark, sf):
     """Per-doc duplicated-substring coverage (operators/spandedup.py,
     Lee et al. 2022 suffix-array dedup as rolling 8-gram hashing);
@@ -3998,6 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _paragraph_dedup,
         "tfidf_keywords": _tfidf_keywords,
         "publish_dates": _publish_dates,
+        "mixture_upsample": _mixture_upsample,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -6620,5 +6651,47 @@ def oracle_sql() -> dict[str, str]:
                     WHEN c3 IS NOT NULL THEN 'url'
                     WHEN c4 IS NOT NULL THEN 'text' END AS date_source
         FROM ext
+    """
+    # Epoch-aware mixture upsampling: shares are embedded as exact
+    # repr() doubles so (share*total)/count reproduces the engine's
+    # Python arithmetic bit-for-bit; threshold = trunc(frac*16^8) as
+    # %08x (rate_to_hex), membership = the same md5(salt, key) prefix
+    # compare; epochs = generate_series explode.
+    _ws = sum(_UPSAMPLE_W.values())
+    _cfg = ", ".join(
+        f"('{k}', {v / _ws!r})" for k, v in _UPSAMPLE_W.items()
+    )
+    d["mixture_upsample"] = f"""
+        WITH cnt AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        cfg(source, share) AS (VALUES {_cfg}),
+        rates AS (
+          SELECT c.source, (cfg.share * {_UPSAMPLE_TOTAL}) / c.n AS r
+          FROM cnt c JOIN cfg ON c.source = cfg.source),
+        plan AS (
+          SELECT source,
+                 CASE WHEN floor(r) >= 4 THEN 4
+                      ELSE CAST(floor(r) AS INT) END AS n_full,
+                 CASE WHEN floor(r) >= 4 THEN 0.0
+                      ELSE r - floor(r) END AS frac
+          FROM rates),
+        thr AS (
+          SELECT source, n_full,
+                 CASE WHEN CAST(trunc(frac * 4294967296.0) AS BIGINT)
+                           >= 4294967296 THEN 'gggggggg'
+                      ELSE printf('%08x',
+                             CAST(trunc(frac * 4294967296.0) AS BIGINT))
+                 END AS hexthr
+          FROM plan),
+        m AS (
+          SELECT d.doc_id, d.source,
+                 t.n_full
+                 + CASE WHEN substr(md5(concat_ws(chr(31), 'r4:extra',
+                            CAST(d.doc_id AS VARCHAR))), 1, 8) < t.hexthr
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM documents d JOIN thr t ON d.source = t.source)
+        SELECT doc_id, source, CAST(g.epoch AS INT) AS epoch
+        FROM m, unnest(generate_series(0, n_copies - 1)) g(epoch)
+        WHERE n_copies > 0
     """
     return d

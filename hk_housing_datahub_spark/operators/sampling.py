@@ -177,6 +177,75 @@ def stratified_hash_sample(
     return df.where(_key_hash(keys, salt) < thr)
 
 
+def upsample_to_mixture(
+    df: DataFrame,
+    strata_col: str,
+    target_weights: dict[str, float],
+    total: int,
+    key_cols: list[str],
+    max_epochs: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Epoch-aware mixture resampling: like :func:`mixture_sample`, but a
+    stratum whose target EXCEEDS its supply is repeated — multiple
+    epochs, the LLaMA/Gopher recipe where small high-quality sources
+    (wiki, books) go around more than once while web is sampled down.
+    Adds an ``epoch`` column (0-based copy index) so downstream
+    shuffling/packing can key on ``(id, epoch)`` and spread the copies.
+
+    Per stratum: rate ``r = target / count`` (one tiny count aggregate,
+    same driver-map contract as ``mixture_sample``). Every member row
+    gets ``floor(r)`` full epochs; membership in the single extra epoch
+    is the same deterministic md5 predicate as :func:`hash_sample`
+    under an epoch-distinct salt. ``max_epochs`` bounds repetition
+    (beyond ~4 epochs repetition stops helping — Muennighoff et al.
+    2023, "Scaling Data-Constrained Language Models"); a capped stratum
+    contributes exactly ``max_epochs`` epochs, reported honestly rather
+    than silently re-normalized. Strata without a target weight are
+    dropped (rate 0), like ``mixture_sample``.
+
+    Scale: one count aggregate, then a scan-side CASE + sequence/explode
+    — no shuffle; output size = sum of achieved targets.
+    """
+    if not key_cols:
+        raise ValueError("upsampling needs row-identifying key_cols")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    weights = {k: float(v) for k, v in target_weights.items()}
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_full_expr: Column = F.lit(0)
+    thr_expr: Column = F.lit(rate_to_hex(0.0))
+    for value in sorted(weights):
+        if not counts.get(value):
+            continue
+        rate = (weights[value] / wsum) * total / counts[value]
+        n_full = int(rate)
+        if n_full >= max_epochs:
+            n_full, frac = max_epochs, 0.0
+        else:
+            frac = rate - n_full
+        is_v = F.col(strata_col) == value
+        n_full_expr = F.when(is_v, F.lit(n_full)).otherwise(n_full_expr)
+        thr_expr = F.when(is_v, F.lit(rate_to_hex(frac))).otherwise(thr_expr)
+    extra = F.when(
+        _key_hash(key_cols, f"{salt}:extra") < thr_expr, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("_n_copies", n_full_expr + extra)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .drop("_n_copies")
+    )
+
+
 def cap_per_group(
     df,
     group_cols: list[str],

@@ -454,3 +454,81 @@ def test_funnel_cap_per_source_stage(spark, sf_small):
         .collect()[0][0]
     )
     assert worst <= 3
+
+
+def test_upsample_exact_integer_rate_repeats_without_extra(spark):
+    from hk_housing_datahub_spark.operators.sampling import (
+        upsample_to_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "wiki" if i < 10 else "web") for i in range(110)],
+        ["doc_id", "source"],
+    )
+    # wiki: 10 rows, target 0.3/1.0*100 = 30 -> r=3.0 exactly: every row
+    # appears 3 times (epochs 0,1,2), never 4
+    out = upsample_to_mixture(
+        df, "source", {"wiki": 0.3, "web": 0.7}, total=100,
+        key_cols=["doc_id"],
+    )
+    wiki = [r for r in out.collect() if r.source == "wiki"]
+    assert len(wiki) == 30
+    by_doc = {}
+    for r in wiki:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(v) == [0, 1, 2] for v in by_doc.values())
+    # web: 100 rows, target 70 -> r=0.7 downsample, epoch always 0
+    web = [r for r in out.collect() if r.source == "web"]
+    assert all(r.epoch == 0 for r in web)
+    assert 0 < len(web) < 100
+
+
+def test_upsample_fractional_epoch_and_epoch_cap(spark):
+    from hk_housing_datahub_spark.operators.sampling import (
+        upsample_to_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "books") for i in range(100)], ["doc_id", "source"]
+    )
+    # target 180 over 100 rows -> r=1.8: every row >=1 epoch, ~80% get 2
+    out = upsample_to_mixture(
+        df, "source", {"books": 1.0}, total=180, key_cols=["doc_id"]
+    ).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert len(per_doc) == 100  # every row survives an upsampled stratum
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+    n_two = sum(1 for v in per_doc.values() if len(v) == 2)
+    assert 60 <= n_two <= 95  # ~80 expected
+    # cap: target 1000 -> r=10 but max_epochs=4 wins, frac dropped
+    capped = upsample_to_mixture(
+        df, "source", {"books": 1.0}, total=1000, key_cols=["doc_id"],
+        max_epochs=4,
+    ).collect()
+    assert len(capped) == 400
+    assert max(r.epoch for r in capped) == 3
+
+
+def test_upsample_drops_unweighted_and_is_partition_invariant(spark):
+    from hk_housing_datahub_spark.operators.sampling import (
+        upsample_to_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "junk") for i in range(60)],
+        ["doc_id", "source"],
+    )
+    out = upsample_to_mixture(
+        df, "source", {"a": 1.0}, total=45, key_cols=["doc_id"]
+    )
+    rows = out.collect()
+    assert all(r.source == "a" for r in rows)  # junk has no target
+    again = upsample_to_mixture(
+        df.repartition(7), "source", {"a": 1.0}, total=45,
+        key_cols=["doc_id"],
+    ).collect()
+    assert sorted((r.doc_id, r.epoch) for r in rows) == sorted(
+        (r.doc_id, r.epoch) for r in again
+    )
