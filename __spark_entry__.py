@@ -1381,6 +1381,25 @@ def _mixture_upsample(spark, sf):
     )
 
 
+def _temperature_mixture(spark, sf):
+    """Temperature-smoothed multilingual rebalancing (operators/sampling.py
+    temperature_mixture, the XLM alpha=0.5 rule): stratum share is
+    sqrt(n_lang)/sum sqrt — English samples down, tail languages get
+    epoch-upsampled. alpha=0.5 is chosen for the oracle because IEEE
+    sqrt is correctly rounded, so the DuckDB twin recomputes the
+    IDENTICAL doubles (weights summed in sorted-stratum order on both
+    sides) — the epoch plan and md5 thresholds match bit-for-bit."""
+    from hk_housing_datahub_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return temperature_mixture(
+        d, "lang", alpha=0.5, total=600, key_cols=["doc_id"],
+        max_epochs=4, salt="r4t",
+    )
+
+
 def _span_dedup_profile(spark, sf):
     """Per-doc duplicated-substring coverage (operators/spandedup.py,
     Lee et al. 2022 suffix-array dedup as rolling 8-gram hashing);
@@ -4029,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _tfidf_keywords,
         "publish_dates": _publish_dates,
         "mixture_upsample": _mixture_upsample,
+        "temperature_mixture": _temperature_mixture,
         # rows-only (pytest-verified)
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
@@ -6691,6 +6711,47 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS n_copies
           FROM documents d JOIN thr t ON d.source = t.source)
         SELECT doc_id, source, CAST(g.epoch AS INT) AS epoch
+        FROM m, unnest(generate_series(0, n_copies - 1)) g(epoch)
+        WHERE n_copies > 0
+    """
+    # Temperature mixture, alpha=0.5: weight = sqrt(n) (IEEE-exact on
+    # both engines), normalization = left-to-right fold in sorted-lang
+    # order (list_sum over an ORDER BY list == Python sum over sorted
+    # dict), then the identical rate -> epochs -> md5-threshold chain
+    # as mixture_upsample. total=600, max_epochs=4, salt='r4t'.
+    d["temperature_mixture"] = """
+        WITH cnt AS (
+          SELECT lang AS s, count(*) AS n FROM documents
+          WHERE lang IS NOT NULL GROUP BY 1),
+        tot AS (
+          SELECT list_sum(list(sqrt(n::DOUBLE) ORDER BY s)) AS wsum
+          FROM cnt),
+        rates AS (
+          SELECT c.s, ((sqrt(c.n::DOUBLE) / t.wsum) * 600) / c.n AS r
+          FROM cnt c, tot t),
+        plan AS (
+          SELECT s,
+                 CASE WHEN floor(r) >= 4 THEN 4
+                      ELSE CAST(floor(r) AS INT) END AS n_full,
+                 CASE WHEN floor(r) >= 4 THEN 0.0
+                      ELSE r - floor(r) END AS frac
+          FROM rates),
+        thr AS (
+          SELECT s, n_full,
+                 CASE WHEN CAST(trunc(frac * 4294967296.0) AS BIGINT)
+                           >= 4294967296 THEN 'gggggggg'
+                      ELSE printf('%08x',
+                             CAST(trunc(frac * 4294967296.0) AS BIGINT))
+                 END AS hexthr
+          FROM plan),
+        m AS (
+          SELECT d.doc_id, d.lang,
+                 t.n_full
+                 + CASE WHEN substr(md5(concat_ws(chr(31), 'r4t:extra',
+                            CAST(d.doc_id AS VARCHAR))), 1, 8) < t.hexthr
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM documents d JOIN thr t ON d.lang = t.s)
+        SELECT doc_id, lang, CAST(g.epoch AS INT) AS epoch
         FROM m, unnest(generate_series(0, n_copies - 1)) g(epoch)
         WHERE n_copies > 0
     """

@@ -17,6 +17,8 @@ this is part of the training-data battery the engine adds on top.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -185,6 +187,7 @@ def upsample_to_mixture(
     key_cols: list[str],
     max_epochs: int = 4,
     salt: str = "",
+    counts: dict | None = None,
 ) -> DataFrame:
     """Epoch-aware mixture resampling: like :func:`mixture_sample`, but a
     stratum whose target EXCEEDS its supply is repeated — multiple
@@ -206,6 +209,10 @@ def upsample_to_mixture(
 
     Scale: one count aggregate, then a scan-side CASE + sequence/explode
     — no shuffle; output size = sum of achieved targets.
+
+    ``counts`` lets a caller that already aggregated the strata (e.g.
+    :func:`temperature_mixture`, which derives the weights FROM the
+    counts) pass them in and skip the second count job.
     """
     if not key_cols:
         raise ValueError("upsampling needs row-identifying key_cols")
@@ -215,10 +222,13 @@ def upsample_to_mixture(
     wsum = sum(weights.values())
     if wsum <= 0:
         raise ValueError("target_weights must sum to a positive value")
-    counts = {
-        r[strata_col]: r["n"]
-        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    if counts is None:
+        counts = {
+            r[strata_col]: r["n"]
+            for r in df.groupBy(strata_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     n_full_expr: Column = F.lit(0)
     thr_expr: Column = F.lit(rate_to_hex(0.0))
     for value in sorted(weights):
@@ -243,6 +253,65 @@ def upsample_to_mixture(
             "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
         )
         .drop("_n_copies")
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    total: int,
+    key_cols: list[str],
+    max_epochs: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-smoothed mixture: target share of stratum ``i`` is
+    ``n_i^alpha / sum_j n_j^alpha`` — the multilingual/multi-source
+    rebalancing rule of XLM (Conneau & Lample 2019, alpha=0.5) and mT5
+    (Xue et al. 2021, alpha=0.3). ``alpha=1`` keeps the natural
+    distribution; ``alpha=0`` forces uniform shares; in between, head
+    strata (English, Common Crawl) are sampled down while tail strata
+    (low-resource languages, curated sources) are sampled up — with
+    :func:`upsample_to_mixture` epoch semantics when a tail target
+    exceeds its supply, capped at ``max_epochs``.
+
+    Determinism note for cross-engine replay: ``alpha=0.5`` uses
+    ``math.sqrt``, which IEEE 754 requires to be CORRECTLY ROUNDED —
+    so the per-stratum weights (and therefore every epoch count and
+    md5 threshold) are bit-identical in any compliant engine (the
+    DuckDB oracle twin reproduces them exactly; proven in
+    ``tests/test_sampling_packing.py``). Generic ``alpha`` goes through
+    libm ``pow``, which is only faithfully rounded — same rows in
+    practice, but the last ulp of a rate is implementation-defined.
+    Weight summation is in sorted-stratum order on both sides.
+
+    Scale: ONE count aggregate (reused for the epoch plan — ``counts``
+    is passed through), then a scan-side CASE + explode; no shuffle.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:  # empty input: empty output with the epoch column
+        return df.withColumn("epoch", F.lit(0)).where(F.lit(False))
+    weights = {
+        k: (math.sqrt(counts[k]) if alpha == 0.5 else float(counts[k]) ** alpha)
+        for k in sorted(counts, key=str)
+        if k is not None
+    }
+    return upsample_to_mixture(
+        df,
+        strata_col,
+        weights,
+        total=total,
+        key_cols=key_cols,
+        max_epochs=max_epochs,
+        salt=salt,
+        counts=counts,
     )
 
 

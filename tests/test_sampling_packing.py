@@ -511,6 +511,76 @@ def test_upsample_fractional_epoch_and_epoch_cap(spark):
     assert max(r.epoch for r in capped) == 3
 
 
+def test_temperature_alpha_one_keeps_natural_shares(spark):
+    from hk_housing_datahub_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 400 else "fr") for i in range(500)],
+        ["doc_id", "lang"],
+    )
+    # alpha=1: shares stay natural (0.8/0.2); total == supply -> r = 1.0
+    # for both strata, so the output is exactly one epoch of everything
+    out = temperature_mixture(
+        df, "lang", alpha=1.0, total=500, key_cols=["doc_id"]
+    ).collect()
+    assert len(out) == 500
+    assert all(r.epoch == 0 for r in out)
+
+
+def test_temperature_smoothing_moves_head_down_tail_up(spark):
+    import math
+
+    from hk_housing_datahub_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 900 else "yo") for i in range(1000)],
+        ["doc_id", "lang"],
+    )
+    out = temperature_mixture(
+        df, "lang", alpha=0.5, total=1000, key_cols=["doc_id"]
+    ).collect()
+    n_en = sum(1 for r in out if r.lang == "en")
+    n_yo = sum(1 for r in out if r.lang == "yo")
+    # alpha=0.5 shares: sqrt(900)=30, sqrt(100)=10 -> en 750, yo 250
+    ws = 30.0 + 10.0
+    assert abs(n_en - (30.0 / ws) * 1000) < 40  # downsampled from 900
+    exp_yo = (10.0 / ws) * 1000  # 250 = 2 full epochs + 50% extra
+    assert abs(n_yo - exp_yo) < 25
+    yo_epochs = [r.epoch for r in out if r.lang == "yo"]
+    assert max(yo_epochs) == 2 and min(yo_epochs) == 0
+    # the weights are literally sqrt(n): correctly-rounded IEEE doubles
+    assert math.sqrt(900) == 30.0 and math.sqrt(100) == 10.0
+
+
+def test_temperature_alpha_zero_is_uniform_and_empty_in_empty_out(spark):
+    from hk_housing_datahub_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        ["doc_id", "lang"],
+    )
+    # alpha=0: both weights 1.0 -> 50/50 target. small (10 rows) needs
+    # 50 -> capped at max_epochs=4 -> exactly 40 rows; big ~50 of 90.
+    out = temperature_mixture(
+        df, "lang", alpha=0.0, total=100, key_cols=["doc_id"]
+    ).collect()
+    n_small = sum(1 for r in out if r.lang == "small")
+    assert n_small == 40
+    n_big = sum(1 for r in out if r.lang == "big")
+    assert 35 <= n_big <= 65
+    empty = temperature_mixture(
+        df.where("doc_id < 0"), "lang", alpha=0.5, total=10,
+        key_cols=["doc_id"],
+    )
+    assert empty.count() == 0 and "epoch" in empty.columns
+
+
 def test_upsample_drops_unweighted_and_is_partition_invariant(spark):
     from hk_housing_datahub_spark.operators.sampling import (
         upsample_to_mixture,
