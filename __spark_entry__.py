@@ -1381,6 +1381,61 @@ def _mixture_upsample(spark, sf):
     )
 
 
+_BPE_MERGES = 10  # shared by _bpe_learn/_bpe_vocab and their oracles
+
+
+def _bpe_learn(spark, sf):
+    """Full distributed BPE merge loop (operators/bpe.py learn_bpe,
+    Sennrich et al. 2016): 10 merges over the documents word-frequency
+    table, tie-broken (count desc, left, right). The DuckDB twin
+    unrolls the 10 iterations (_bpe_sql): words as \\x1f-wrapped symbol
+    strings, each merge replayed as one left-to-right non-overlapping
+    replace — exactly the engine's greedy fold — so ranks, pairs AND
+    frequencies hash-match."""
+    from hk_housing_datahub_spark.operators.bpe import (
+        learn_bpe,
+        merges_to_df,
+    )
+
+    d = _t(spark, sf, "documents")
+    merges = learn_bpe(d, num_merges=_BPE_MERGES)
+    return merges_to_df(spark, merges)
+
+
+def _bpe_vocab(spark, sf):
+    """Final BPE symbolization of the 300 most frequent words after the
+    10 learned merges (same loop as bpe_learn, return_vocab=True) —
+    the oracle twin reads the unrolled loop's final word table, so the
+    per-word symbol sequences are compared byte-for-byte."""
+    from hk_housing_datahub_spark.operators.bpe import learn_bpe
+
+    d = _t(spark, sf, "documents")
+    _, wf = learn_bpe(d, num_merges=_BPE_MERGES, return_vocab=True)
+    return (
+        wf.orderBy(F.desc("cnt"), "token")
+        .limit(300)
+        .select("token", "cnt", F.concat_ws(" ", "syms").alias("syms"))
+    )
+
+
+def _bpe_encode_tokens(spark, sf):
+    """Corpus tokenization with the learned merge table
+    (operators/bpe.py encode_bpe, pandas mode — the production path for
+    real 32k-merge tables; bit-equality with the pure-JVM chained-fold
+    path and the learn-time symbolization is pinned in test_bpe.py).
+    Rows-only driver check; the learn loop itself is hash-checked via
+    bpe_learn/bpe_vocab."""
+    from hk_housing_datahub_spark.operators.bpe import encode_bpe, learn_bpe
+
+    d = _t(spark, sf, "documents")
+    merges = learn_bpe(d, num_merges=_BPE_MERGES)
+    return encode_bpe(d, merges, mode="pandas").select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(F.concat_ws("\x1f", "bpe_tokens")).alias("tokens_md5"),
+    )
+
+
 def _temperature_mixture(spark, sf):
     """Temperature-smoothed multilingual rebalancing (operators/sampling.py
     temperature_mixture, the XLM alpha=0.5 rule): stratum share is
@@ -4049,7 +4104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publish_dates": _publish_dates,
         "mixture_upsample": _mixture_upsample,
         "temperature_mixture": _temperature_mixture,
+        "bpe_learn": _bpe_learn,
+        "bpe_vocab": _bpe_vocab,
         # rows-only (pytest-verified)
+        "bpe_encode_tokens": _bpe_encode_tokens,
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
         "crawl_frontier_run": _crawl_frontier_run,
@@ -4627,6 +4685,84 @@ def _prepare_corpus_sql() -> str:
                     - n_tokens) / 512.0) AS BIGINT) AS bin_id
         FROM fin
     """
+
+
+def _bpe_sql(
+    k: int,
+    min_word_count: int = 2,
+    min_pair_count: int = 2,
+    final_vocab: bool = False,
+) -> str:
+    """Unrolled DuckDB twin of operators/bpe.py learn_bpe: each word is
+    a \\x1f-wrapped symbol string (``\\x1f s1 \\x1f \\x1f s2 \\x1f ...``),
+    pair counts come from the un-wrapped symbol list via a lateral
+    generate_series, the argmax pair is (count desc, left, right)
+    LIMIT 1, and the merge pass is ONE plain ``replace`` — SQL replace
+    scans left-to-right non-overlapping, which is exactly the engine's
+    greedy fold. Early stop falls out structurally: an empty best CTE
+    left-joins as NULL (word table passes through unchanged) and every
+    later best CTE is then empty too, so the union of best rows IS the
+    merge table. With ``final_vocab`` the query instead returns the
+    top-300 words' final symbolization after the k merges."""
+    parts = [
+        """
+        toks AS (
+          SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS token
+          FROM documents
+          WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''),
+        freq AS (
+          SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        w0 AS (
+          SELECT token, cnt,
+                 chr(31) || array_to_string(
+                     string_split_regex(token, ''), chr(31) || chr(31))
+                 || chr(31) || chr(31) || '</w>' || chr(31) AS s
+          FROM freq
+          WHERE cnt >= %(minw)d AND NOT contains(token, chr(31)))"""
+        % {"minw": min_word_count}
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""
+        p{i} AS (
+          SELECT syms[j] AS l, syms[j + 1] AS r,
+                 CAST(sum(cnt) AS BIGINT) AS c
+          FROM (SELECT cnt,
+                       string_split(substr(s, 2, length(s) - 2),
+                                    chr(31) || chr(31)) AS syms
+                FROM w{i - 1}),
+               unnest(generate_series(1, len(syms) - 1)) AS u(j)
+          GROUP BY 1, 2),
+        b{i} AS (
+          SELECT l, r, c FROM p{i} WHERE c >= {min_pair_count}
+          ORDER BY c DESC, l, r LIMIT 1),
+        w{i} AS (
+          SELECT w.token, w.cnt,
+                 CASE WHEN b.l IS NULL THEN w.s
+                      ELSE replace(w.s,
+                             chr(31) || b.l || chr(31) || chr(31)
+                                     || b.r || chr(31),
+                             chr(31) || b.l || b.r || chr(31))
+                 END AS s
+          FROM w{i - 1} w LEFT JOIN b{i} b ON TRUE)"""
+        )
+    if final_vocab:
+        tail = f"""
+        SELECT token, cnt,
+               replace(substr(s, 2, length(s) - 2),
+                       chr(31) || chr(31), ' ') AS syms
+        FROM w{k} ORDER BY cnt DESC, token LIMIT 300"""
+    else:
+        union = "\n          UNION ALL ".join(
+            f"SELECT {i - 1} AS merge_rank, l AS lhs, r AS rhs, "
+            f"c AS freq FROM b{i}"
+            for i in range(1, k + 1)
+        )
+        tail = f"""
+        SELECT * FROM (
+          {union})"""
+    return "WITH " + ",".join(parts) + tail
 
 
 def _semdedup_sql(k: int = 8, iters: int = 2, tau: float = 0.3) -> str:
@@ -6755,4 +6891,9 @@ def oracle_sql() -> dict[str, str]:
         FROM m, unnest(generate_series(0, n_copies - 1)) g(epoch)
         WHERE n_copies > 0
     """
+    # Distributed BPE: the twin unrolls the 10 merge iterations
+    # (_bpe_sql) — wrapped-symbol strings + one replace per merge ==
+    # the engine's greedy fold, argmax under the identical tie-break.
+    d["bpe_learn"] = _bpe_sql(_BPE_MERGES)
+    d["bpe_vocab"] = _bpe_sql(_BPE_MERGES, final_vocab=True)
     return d

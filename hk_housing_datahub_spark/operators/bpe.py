@@ -1,0 +1,305 @@
+"""Distributed BPE tokenizer training — the full merge loop at scale.
+
+Sennrich et al. 2016 ("Neural Machine Translation of Rare Words with
+Subword Units"): start from characters, repeatedly merge the most
+frequent adjacent symbol pair. ``operators/vocab.py`` provides the two
+corpus-scale aggregates (word-frequency table; first-iteration pair
+counts); this module runs the LOOP and the encoder.
+
+Scale shape — why this is tractable at 100 TB:
+
+- The corpus is touched ONCE (``token_vocabulary``'s explode+groupBy).
+  Every merge iteration runs over the word-frequency table, which is
+  Heaps'-law small (10^7..10^9 rows for 100 TB of text) but still far
+  too big to collect — so pair counting stays a distributed map-side
+  combined aggregate and the merge application stays a pure-JVM
+  ``aggregate`` (fold) expression over the symbols array. The ONLY
+  per-iteration driver traffic is the argmax pair: ``orderBy(...)
+  .limit(1)`` executes as TakeOrdered (per-partition top-1, 1-row
+  driver merge).
+- Plan depth is bounded: the symbols column is localCheckpoint()ed
+  every ``checkpoint_every`` merges, so lineage/codegen depth never
+  exceeds a constant regardless of vocabulary size or merge count.
+- No Python UDF in the learn loop. The encoder offers a chained-fold
+  pure-JVM path for small merge tables and an Arrow-batched pandas
+  path (classic rank-priority encode with an LRU word cache) for
+  production-size merge tables — both bit-identical (pinned in
+  tests/test_bpe.py).
+
+Greedy-merge semantics: one merge pass rewrites each word left to
+right, non-overlapping — ``a a a`` under merge (a,a) becomes
+``aa a`` — exactly Python's ``str.replace`` / SQL ``replace`` order,
+which is what makes the DuckDB oracle twin expressible (the twin
+represents a word as ``\\x1f``-wrapped symbols and replays each merge
+as a plain ``replace``; __spark_entry__._bpe_sql unrolls the
+iterations). Words containing the ``\\x1f`` wrapper byte are dropped
+from the vocabulary on both sides (a deterministic, documented rule —
+real corpora contain essentially none).
+
+Reference semantic target: the reference has no tokenizer
+(/root/reference is a crawler); this is part of the training-data
+battery the engine adds, sitting on vocab.py's statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # symbol wrapper in the oracle twin; banned from words
+END_MARKER = "</w>"
+
+
+def word_symbols(token: Column, end_marker: str = END_MARKER) -> Column:
+    """Initial symbol sequence: one element per character, then the
+    end-of-word marker (one atomic symbol, per Sennrich)."""
+    return F.concat(F.split(token, ""), F.array(F.lit(end_marker)))
+
+
+def merge_pair(syms: Column, left: str, right: str) -> Column:
+    """One greedy left-to-right non-overlapping merge pass: every
+    adjacent (left, right) becomes one ``left+right`` symbol. Pure JVM
+    fold (``aggregate`` higher-order function) — no UDF, no shuffle.
+
+    A symbol produced by THIS pass never participates again in the same
+    pass (its string is ``left+right``, which cannot equal ``left``),
+    matching the reference greedy semantics and SQL ``replace``."""
+    merged = F.lit(left + right)
+    first = F.slice(syms, 1, 1)
+    rest = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        first,
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == left) & (x == right),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def symbol_pair_counts(
+    wf: DataFrame, syms_col: str = "syms", weight_col: str = "cnt"
+) -> DataFrame:
+    """(left, right, count) adjacent-pair frequencies over the current
+    symbol sequences, weighted by word frequency. Generalizes
+    vocab.bpe_pair_counts to ANY iteration's symbols. One explode +
+    map-side combined groupBy over the vocabulary table."""
+    s = F.col(syms_col)
+    pairs = F.filter(
+        F.transform(
+            s,
+            lambda x, i: F.struct(
+                x.alias("left"),
+                F.try_element_at(s, i + 2).alias("right"),
+            ),
+        ),
+        lambda p: p["right"].isNotNull(),
+    )
+    return (
+        wf.select(F.explode(pairs).alias("p"), F.col(weight_col))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum(weight_col).alias("count"))
+    )
+
+
+def _symbolized_vocab(
+    docs: DataFrame,
+    text_col: str,
+    min_count: int,
+    end_marker: str,
+) -> DataFrame:
+    from .vocab import token_vocabulary
+
+    vocab = token_vocabulary(docs, text_col=text_col, min_count=min_count)
+    return vocab.where(~F.col("token").contains(SEP)).select(
+        "token",
+        F.col("count").alias("cnt"),
+        word_symbols(F.col("token"), end_marker).alias("syms"),
+    )
+
+
+def learn_bpe(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_word_count: int = 2,
+    min_pair_count: int = 2,
+    end_marker: str = END_MARKER,
+    checkpoint_every: int = 4,
+    return_vocab: bool = False,
+):
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns a list of ``(rank, left, right, freq)`` tuples in merge
+    order (the merge table IS the tokenizer — tiny driver state, like
+    every published BPE trainer). With ``return_vocab`` also returns
+    the final symbolized vocabulary DataFrame ``(token, cnt, syms)``.
+
+    Ties break deterministically: highest count, then lexicographically
+    smallest (left, right) — UTF-8 byte order equals code-point order,
+    so Spark, Python and DuckDB agree. Stops early when no pair reaches
+    ``min_pair_count``.
+    """
+    wf = _symbolized_vocab(docs, text_col, min_word_count, end_marker)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        best = (
+            symbol_pair_counts(wf)
+            .where(F.col("count") >= min_pair_count)
+            .orderBy(F.desc("count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, freq = best[0]["left"], best[0]["right"], best[0]["count"]
+        merges.append((rank, left, right, int(freq)))
+        wf = wf.withColumn("syms", merge_pair(F.col("syms"), left, right))
+        if (rank + 1) % checkpoint_every == 0:
+            wf = wf.localCheckpoint(eager=False)
+    if return_vocab:
+        return merges, wf
+    return merges
+
+
+def merges_to_df(spark, merges) -> DataFrame:
+    """Merge table as a DataFrame: (merge_rank, lhs, rhs, freq)."""
+    return spark.createDataFrame(
+        [(r, l, rr, f) for r, l, rr, f in merges],
+        "merge_rank int, lhs string, rhs string, freq bigint",
+    )
+
+
+def encode_word_expr(
+    token: Column, merges, end_marker: str = END_MARKER
+) -> Column:
+    """Encode one word column with a learned merge table: the initial
+    character symbols, then each merge's fold pass IN RANK ORDER —
+    sequential application in rank order is exactly the classic
+    rank-priority encode (a later merge's parts exist only after the
+    earlier merges that build them ran). Pure JVM; plan depth grows
+    with the merge count, so this path is for small merge tables (the
+    pandas path below handles production sizes)."""
+    syms = word_symbols(token, end_marker)
+    for _, left, right, _ in merges:
+        syms = merge_pair(syms, left, right)
+    return syms
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    end_marker: str = END_MARKER,
+    mode: str = "expr",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table: adds ``bpe_tokens``
+    (array<string>, per-word symbol sequences flattened in document
+    order) and ``n_bpe_tokens``. Words are the same whitespace tokens
+    the trainer saw.
+
+    ``mode='expr'``: chained fold expressions (pure JVM codegen) —
+    right for merge tables up to a few dozen ranks.
+    ``mode='pandas'``: one Arrow-batched pandas UDF applying the merge
+    ranks with the classic lowest-rank-pair loop and an LRU word cache
+    — right for real 32k-merge tokenizers; bit-identical to the expr
+    path (pinned in tests/test_bpe.py).
+    Both are scan-local: no shuffle, no driver traffic."""
+    from ..functions.text import tokens
+
+    words = tokens(F.col(text_col))
+    if mode == "expr":
+        per_word = F.transform(
+            words, lambda w: encode_word_expr(w, merges, end_marker)
+        )
+        toks = F.flatten(per_word)
+    elif mode == "pandas":
+        toks = _encode_pandas_col(words, merges, end_marker)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return docs.withColumn("bpe_tokens", toks).withColumn(
+        "n_bpe_tokens", F.size("bpe_tokens").cast("long")
+    )
+
+
+def _encode_pandas_col(words: Column, merges, end_marker: str) -> Column:
+    """Sequential-by-rank encode, skip-listed: instead of k full passes
+    (k = merge count, 32k for a real tokenizer), jump straight to the
+    smallest not-yet-processed rank whose pair is PRESENT in the word.
+    One merge pass per visited rank is complete (the merged symbol is
+    strictly longer than either part, so a pass cannot recreate its own
+    pair), and ranks are visited in increasing order exactly like the
+    chained-fold expr path — bit-identical by construction, including
+    on merge tables where the same pair appears at two ranks (a later
+    merge CAN recreate an earlier merge's pair; sequential semantics
+    say it stays unmerged, so the classic lowest-rank-present loop is
+    deliberately NOT used here). Per uncached word: O(len) dict probes
+    per visited rank, <= len visited ranks."""
+    from bisect import bisect_left
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks_of: dict[tuple[str, str], list[int]] = {}
+    for i, l, r, _ in merges:
+        ranks_of.setdefault((l, r), []).append(i)
+    pair_by_rank = {i: (l, r) for i, l, r, _ in merges}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def enc(batch):  # pd.Series -> pd.Series (no hints: PEP 563 strings
+        # would not resolve the function-local pandas import)
+        cache: dict[str, list[str]] = {}
+
+        def next_rank(pair, floor: int):
+            ranks = ranks_of.get(pair)
+            if not ranks:
+                return None
+            j = bisect_left(ranks, floor)
+            return ranks[j] if j < len(ranks) else None
+
+        def encode_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [end_marker]
+            floor = 0
+            while len(syms) > 1:
+                cand = min(
+                    (
+                        r
+                        for r in (
+                            next_rank(p, floor)
+                            for p in zip(syms, syms[1:])
+                        )
+                        if r is not None
+                    ),
+                    default=None,
+                )
+                if cand is None:
+                    break
+                l, r = pair_by_rank[cand]
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                floor = cand + 1
+            if len(cache) < 65536:
+                cache[w] = syms
+            return syms
+
+        # Arrow hands list columns over as numpy arrays: no truthiness,
+        # so test None explicitly rather than `ws or []`
+        return batch.map(
+            lambda ws: [
+                s
+                for w in (ws if ws is not None else [])
+                for s in encode_word(w)
+            ]
+        )
+
+    return enc(words)
