@@ -34,10 +34,23 @@ one id-keyed sum, identical shape to ``importance_weights``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 INTERCEPT_BUCKET = -1
+
+
+def _exact_sum(addend: Column) -> Column:
+    """Order-independent float sum: round each double addend to
+    decimal(38,18) (a pure per-value function), sum EXACTLY in decimal
+    (exact addition is associative, so shuffle/combine order cannot
+    change the result), cast back. Plain double sums re-associate with
+    task completion order — two identical fits could differ in the last
+    ulp depending on executor load, which breaks the pure-function
+    contract the tests and cross-run audits pin. Decimal aggregation
+    costs ~2-3x a double sum, negligible against the joins around it;
+    the 1e-18 quantization is far below the gradient noise floor."""
+    return F.sum(addend.cast("decimal(38,18)")).cast("double")
 
 
 def _with_intercept(feats: DataFrame) -> DataFrame:
@@ -87,7 +100,7 @@ def fit_quality_classifier(
         margins = (
             xy.join(F.broadcast(w), "bucket")
             .groupBy("id")
-            .agg(F.sum(F.col("x") * F.col("weight")).alias("m"))
+            .agg(_exact_sum(F.col("x") * F.col("weight")).alias("m"))
         )
         err = labels.join(margins, "id", "left").select(
             "id",
@@ -99,7 +112,7 @@ def fit_quality_classifier(
         grad = (
             xy.join(err, "id")
             .groupBy("bucket")
-            .agg((F.sum(F.col("x") * F.col("e")) / n_l).alias("g"))
+            .agg((_exact_sum(F.col("x") * F.col("e")) / n_l).alias("g"))
         )
         w = (
             w.join(grad, "bucket", "left")
@@ -132,7 +145,7 @@ def score_quality(feats: DataFrame, model: DataFrame) -> DataFrame:
         _with_intercept(feats)
         .join(F.broadcast(model), "bucket")
         .groupBy("id")
-        .agg(F.sum(F.col("x") * F.col("weight")).alias("m"))
+        .agg(_exact_sum(F.col("x") * F.col("weight")).alias("m"))
     )
     return margins.select(
         "id",
