@@ -1471,6 +1471,30 @@ def _span_dedup_profile(spark, sf):
     )
 
 
+def _span_dedup_removal(spark, sf):
+    """Span surgery (operators/spandedup.py remove_duplicated_spans,
+    Lee et al. 2022 remove-all policy): every token inside a duplicated
+    >=8-gram span is cut and the survivors re-joined. The DuckDB twin
+    replays gram->count>=2->island-merge, then anti-joins token
+    positions against the merged intervals and string_aggs the
+    survivors in position order — the rebuilt text is md5-compared
+    byte-for-byte."""
+    from hk_housing_datahub_spark.operators.spandedup import (
+        remove_duplicated_spans,
+    )
+
+    out = remove_duplicated_spans(_t(spark, sf, "documents"), k=8)
+    return out.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("text_deduped") == "", F.lit(0)
+        ).otherwise(F.size(F.split("text_deduped", " "))).cast("long")
+        .alias("n_kept"),
+        F.md5("text_deduped").alias("dedup_md5"),
+    )
+
+
 def _streaming_corpus_ingest(spark, sf):
     """Rows-only: streaming corpus ingestion (streaming/corpus.py) — two
     arrival waves with overlapping texts drive foreachBatch intra-batch
@@ -4085,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _bm25_search,
         "packed_sequences": _packed_sequences,
         "span_dedup_profile": _span_dedup_profile,
+        "span_dedup_removal": _span_dedup_removal,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -6555,6 +6580,61 @@ def oracle_sql() -> dict[str, str]:
                           ELSE coalesce(c.dup_tokens, 0) * 1.0 / len(t.t)
                      END, 6) AS dup_frac
         FROM toks t LEFT JOIN cov c USING (doc_id)
+    """
+    # Span REMOVAL twin: same gram/island CTEs, then token positions
+    # anti-joined against merged intervals and re-joined in order;
+    # md5 of the rebuilt text compared byte-for-byte. A fully-duplicated
+    # doc rebuilds to '' (md5('') on both engines); n_kept counts the
+    # survivors (0 for empty rebuilds, matching the engine's
+    # size(split('',' ')) guard).
+    d["span_dedup_removal"] = """
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ',
+                                               'g')) = ''
+                      THEN [] :: varchar[]
+                      ELSE string_split(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ')
+                 END AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, i - 1 AS s,
+                 array_to_string(t[i:i+7], chr(31)) AS gram
+          FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, s, s + 8 AS e FROM g JOIN dup USING (gram)),
+        isl AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                      THEN 1 ELSE 0 END AS brk
+          FROM hits),
+        isl2 AS (
+          SELECT doc_id, s, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+          FROM isl),
+        merged AS (
+          SELECT doc_id, min(s) AS s, max(e) AS e
+          FROM isl2 GROUP BY doc_id, island),
+        pos AS (
+          SELECT doc_id, i - 1 AS p, t[i] AS tok
+          FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        kept AS (
+          SELECT p.doc_id, p.p, p.tok
+          FROM pos p LEFT JOIN merged m
+            ON p.doc_id = m.doc_id AND p.p >= m.s AND p.p < m.e
+          WHERE m.doc_id IS NULL),
+        reb AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY p) AS txt
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, t.lang,
+               coalesce(r.n_kept, 0) :: BIGINT AS n_kept,
+               md5(coalesce(r.txt, '')) AS dedup_md5
+        FROM toks t LEFT JOIN reb r USING (doc_id)
     """
     # RFC 9309 rules + politeness scheduler, analytic oracle: even hosts
     # carry Disallow:/ with an Allow:/listing/ carve-out (longest match
