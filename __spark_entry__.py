@@ -261,6 +261,17 @@ def _ngram_jaccard_pairs(spark, sf):
     )
 
 
+def _ngram_containment_pairs(spark, sf):
+    """Directed shingle containment (operators/dedup.py
+    ngram_containment_pairs, Broder 1997): |src∩dst|/|src| >= 0.6 —
+    the asymmetric measure that catches a short doc quoted inside a
+    long one. Twin reuses the jaccard oracle's inverted index and
+    derives both directions from the undirected intersection."""
+    return DD.ngram_containment_pairs(
+        _t(spark, sf, "documents"), threshold=0.6, max_shingle_df=50
+    )
+
+
 def _dedup_clusters(spark, sf):
     """Near-dup cluster canonicalization: Jaccard pairs → connected
     components (iterative min-label propagation) → keep-lowest-id
@@ -4043,6 +4054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline battery
         "corpus_lang_profile": _corpus_lang_profile,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "ngram_containment_pairs": _ngram_containment_pairs,
         "dedup_clusters": _dedup_clusters,
         "drop_dup_filters": _drop_dup_filters,
         "sample_pack_corpus": _sample_pack_corpus,
@@ -5059,6 +5071,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
             FROM co JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
             WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        """,
+        "ngram_containment_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+                   FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                   WHERE len(t) >= 3),
+            sh AS (SELECT doc_id, s FROM sh0
+                   QUALIFY count(*) OVER (PARTITION BY s) <= 50),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            co AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+                   FROM sh l JOIN sh r USING (s) WHERE l.doc_id < r.doc_id
+                   GROUP BY 1, 2),
+            dirs AS (
+                SELECT a AS src, b AS dst,
+                       round(inter * 1.0 / sa.n, 6) AS containment
+                FROM co JOIN sz sa ON sa.doc_id = a
+                UNION ALL
+                SELECT b AS src, a AS dst,
+                       round(inter * 1.0 / sb.n, 6) AS containment
+                FROM co JOIN sz sb ON sb.doc_id = b)
+            SELECT src, dst, containment FROM dirs
+            WHERE containment >= 0.6
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

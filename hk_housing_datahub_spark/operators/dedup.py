@@ -126,6 +126,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Directed containment pairs: (src, dst, containment) where
+    containment = |shingles(src) ∩ shingles(dst)| / |shingles(src)| —
+    Broder 1997's asymmetric resemblance. Catches what Jaccard
+    structurally cannot: a short doc quoted wholesale inside a long one
+    has containment ≈ 1 but Jaccard ≈ |short|/|long| ≈ 0, so
+    quote-level duplication (syndicated paragraphs, scraped excerpts,
+    license boilerplate) never crosses a symmetric threshold.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` — identical
+    self-join and intersection aggregate (one shuffle pair), the two
+    directions then derived from the ONE undirected intersection row
+    (explode of two structs, no second join). ``max_shingle_df`` is the
+    same hot-posting-list guard, and clipping it changes the measured
+    universe identically for both operators."""
+    sh = _capped_shingles(docs, id_col, text_col, n, max_shingle_df)
+    co = (
+        sh.alias("l")
+        .join(sh.alias("r"), "shingle")
+        .filter(F.col("l.did") < F.col("r.did"))
+        .groupBy(
+            F.col("l.did").alias("a"),
+            F.col("r.did").alias("b"),
+            F.col("l.sz").alias("sza"),
+            F.col("r.sz").alias("szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    both = co.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.round(F.col("inter") / F.col("sza"), 6).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.round(F.col("inter") / F.col("szb"), 6).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("p")
+    )
+    return both.select("p.src", "p.dst", "p.containment").filter(
+        F.col("containment") >= threshold
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -270,3 +270,40 @@ def test_cc_method_rejects_unknown(spark, docs):
         DD._components(
             spark.createDataFrame([(1, 2)], "a bigint, b bigint"), "bogus"
         )
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        short
+        + " "
+        + " ".join(f"filler{i} unique{i} word{i}" for i in range(30))
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different text entirely here")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r.src, r.dst): r.containment
+        for r in DD.ngram_containment_pairs(df, threshold=0.5).collect()
+    }
+    # every shingle of the short doc appears in the long one
+    assert cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # long doc is NOT contained in the short
+    assert (3, 2) not in cont and (3, 1) not in cont
+    # symmetric Jaccard stays under any useful threshold for this pair
+    jac = DD.ngram_jaccard_pairs(df, threshold=0.05).collect()
+    assert all(r.jaccard < 0.5 for r in jac if {r.a, r.b} == {1, 2})
+
+
+def test_containment_direction_pairs_share_one_intersection(spark):
+    # identical docs contain each other at exactly 1.0 both ways
+    df = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    rows = DD.ngram_containment_pairs(df, threshold=0.9).collect()
+    assert {(r.src, r.dst, r.containment) for r in rows} == {
+        (1, 2, 1.0),
+        (2, 1, 1.0),
+    }
