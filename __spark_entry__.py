@@ -1482,6 +1482,17 @@ def _span_dedup_profile(spark, sf):
     )
 
 
+def _script_profile(spark, sf):
+    """Per-doc Unicode-script mix (operators/textops.py script_profile,
+    the CCNet script-vs-language garbage check): per-script counts via
+    the length-difference regex trick, dominant script with a fixed
+    tie-break order. The DuckDB twin uses RE2's \\p{Script} classes —
+    identical membership to Java's \\p{IsScript} (probed in tests)."""
+    from hk_housing_datahub_spark.operators.textops import script_profile
+
+    return script_profile(_t(spark, sf, "documents"))
+
+
 def _span_dedup_removal(spark, sf):
     """Span surgery (operators/spandedup.py remove_duplicated_spans,
     Lee et al. 2022 remove-all policy): every token inside a duplicated
@@ -4122,6 +4133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _packed_sequences,
         "span_dedup_profile": _span_dedup_profile,
         "span_dedup_removal": _span_dedup_removal,
+        "script_profile": _script_profile,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -7004,6 +7016,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, CAST(g.epoch AS INT) AS epoch
         FROM m, unnest(generate_series(0, n_copies - 1)) g(epoch)
         WHERE n_copies > 0
+    """
+    # Script profile: RE2 \p{Script} classes == Java \p{IsScript}
+    # (membership probed in tests); same length-difference counting,
+    # same fixed dominant-script tie-break order.
+    _scr = [
+        "latin", "cyrillic", "greek", "arabic",
+        "han", "hangul", "hiragana", "katakana",
+    ]
+    _cnts = ",\n                 ".join(
+        f"length(text) - length(regexp_replace(text, '\\p{{{s.title()}}}',"
+        f" '', 'g')) AS n_{s}"
+        for s in _scr
+    )
+    _tot = " + ".join(f"n_{s}" for s in _scr)
+    _mx = "greatest(" + ", ".join(f"n_{s}" for s in _scr) + ")"
+    _dom = "CASE\n                 " + "\n                 ".join(
+        f"WHEN {_mx} > 0 AND n_{s} = {_mx} THEN '{s}'" for s in _scr
+    ) + "\n                 ELSE 'none' END"
+    d["script_profile"] = f"""
+        WITH c AS (
+          SELECT doc_id, length(text) :: BIGINT AS n_chars,
+                 {_cnts}
+          FROM documents)
+        SELECT doc_id, n_chars,
+               {", ".join(f"n_{s} :: BIGINT AS n_{s}" for s in _scr)},
+               ({_tot}) :: BIGINT AS n_script_chars,
+               {_dom} AS dominant_script,
+               CASE WHEN ({_tot}) <= 0 THEN 0.0
+                    ELSE round({_mx} * 1.0 / ({_tot}), 6) END
+                   AS dominant_frac
+        FROM c
     """
     # Distributed BPE: the twin unrolls the 10 merge iterations
     # (_bpe_sql) — wrapped-symbol strings + one replace per merge ==

@@ -463,3 +463,72 @@ def gopher_repetition_flags(
         c = ~F.col(f"flag_{name}")
         gate = c if gate is None else gate & c
     return out.withColumn("rep_pass", gate)
+
+
+_SCRIPTS = [
+    # (name, Java-regex class, RE2/DuckDB class) — Unicode Script
+    # properties, identical membership in both engines (probed in
+    # test_textops_scripts.py); ORDER is the deterministic dominant-
+    # script tie-break.
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("greek", r"\p{IsGreek}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("han", r"\p{IsHan}"),
+    ("hangul", r"\p{IsHangul}"),
+    ("hiragana", r"\p{IsHiragana}"),
+    ("katakana", r"\p{IsKatakana}"),
+]
+
+
+def script_profile(
+    docs: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-document Unicode-script mix: counts and fractions per script
+    plus the dominant script — the cheap signal behind garbage/mixed-
+    script filtering (CCNet drops pages whose script disagrees with the
+    predicted language; mojibake and binary-spill pages show up as
+    script soup with a low dominant fraction).
+
+    Everything is the length-difference regex trick (one codegen
+    projection, zero shuffles, zero UDFs). ``dominant_script`` is the
+    FIRST script in the fixed ``_SCRIPTS`` order reaching the max count
+    ('none' when no script char occurs); ``dominant_frac`` is its share
+    of all script characters (not of raw length, so punctuation/digits
+    don't dilute it).
+    """
+    t = F.col(text_col)
+    counts = {
+        name: (
+            F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+        ).cast("long")
+        for name, cls in _SCRIPTS
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    mx = F.greatest(*counts.values())
+    dom = F.lit("none")
+    for name, _ in reversed(_SCRIPTS):
+        dom = F.when((mx > 0) & (counts[name] == mx), F.lit(name)).otherwise(
+            dom
+        )
+    out = docs.select(
+        *(id_cols or ("doc_id",)),
+        F.length(t).cast("long").alias("n_chars"),
+        *(counts[name].alias(f"n_{name}") for name, _ in _SCRIPTS),
+        total.cast("long").alias("n_script_chars"),
+        dom.alias("dominant_script"),
+    )
+    return out.withColumn(
+        "dominant_frac",
+        F.when(F.col("n_script_chars") <= 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.greatest(
+                    *(F.col(f"n_{name}") for name, _ in _SCRIPTS)
+                )
+                / F.col("n_script_chars"),
+                6,
+            )
+        ),
+    )

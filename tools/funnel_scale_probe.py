@@ -415,6 +415,21 @@ def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
 
     stage("neardup_probe", neardupify, docs_path)
 
+    # BPE trainer: 10 merges over the corpus word-frequency table. The
+    # corpus-scale cost is the ONE vocabulary aggregate; the loop then
+    # runs over the vocab, which Heaps'-law grows SUBLINEARLY (the
+    # near-dup half shares its whole vocabulary with the base), so the
+    # expected ratio is well under the corpus multiplier.
+    from hk_housing_datahub_spark.operators.bpe import (
+        learn_bpe,
+        merges_to_df,
+    )
+
+    def bpeify(d):
+        return merges_to_df(spark, learn_bpe(d, num_merges=10))
+
+    stage("bpe_learn10", bpeify, docs_path)
+
     # the composed funnel, unstaged (what a user actually calls)
     df = spark.read.parquet(docs_path)
     t0 = time.perf_counter()
