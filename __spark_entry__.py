@@ -3215,6 +3215,23 @@ def _bm25_search(spark, sf):
     return bm25_search(docs, qs, k=5)
 
 
+_PHRASE = "table table"  # repeated term exercises multi-offset votes
+
+
+def _phrase_search(spark, sf):
+    """Exact phrase matching over the positional inverted index
+    (operators/bm25.py phrase_search, Lucene's proximity algorithm
+    relationally): the i-th phrase term at position p votes for anchor
+    p-i; anchors collecting all distinct offsets are hits. The DuckDB
+    twin replays the identical votes/anchor algebra from the same
+    tokenization."""
+    from hk_housing_datahub_spark.operators.bm25 import phrase_search
+
+    return phrase_search(
+        _t(spark, sf, "documents").select("doc_id", "text"), _PHRASE
+    )
+
+
 def _semdedup_drop(spark, sf):
     """SemDeDup (operators/semdedup.py, Abbas et al. 2023): distributed
     full-corpus Lloyd's (k=8, 2 iterations, md5-order seeds) over the
@@ -4130,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_budget_schedule": _domain_budget_schedule,
         "canonical_url_per_digest": _canonical_url_per_digest,
         "bm25_search": _bm25_search,
+        "phrase_search": _phrase_search,
         "packed_sequences": _packed_sequences,
         "span_dedup_profile": _span_dedup_profile,
         "span_dedup_removal": _span_dedup_removal,
@@ -5544,6 +5562,33 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
         )
         SELECT qid, doc_id, score, rank FROM r WHERE rank <= 5
+    """
+    # Phrase search: i-th phrase token at position p votes anchor p-i;
+    # an anchor with all distinct offsets is one (overlap-counting) hit.
+    _off = ", ".join(
+        f"('{t}', {i})" for i, t in enumerate(_PHRASE.split())
+    )
+    _m = len(_PHRASE.split())
+    d["phrase_search"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                               '[^a-z0-9]+'), t -> t <> '') AS t
+            FROM documents),
+        post AS (
+            SELECT doc_id, i - 1 AS pos, t[i] AS term
+            FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+        off(term, i) AS (VALUES {_off}),
+        votes AS (
+            SELECT p.doc_id, p.pos - o.i AS anchor, o.i
+            FROM post p JOIN off o ON p.term = o.term
+            WHERE p.pos - o.i >= 0),
+        hits AS (
+            SELECT doc_id, anchor FROM votes
+            GROUP BY doc_id, anchor HAVING count(DISTINCT i) = {_m})
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(min(anchor) AS INT) AS first_pos
+        FROM hits GROUP BY doc_id
     """
     d["domain_budget_schedule"] = """
         WITH f AS (

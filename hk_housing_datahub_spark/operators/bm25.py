@@ -170,3 +170,63 @@ def bm25_search(
         .where(F.col("rank") <= k)
         .drop("r0")
     )
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, pos): the positional inverted index — what turns
+    the bag-of-words index above into a PHRASE-capable one (Lucene's
+    proximity data, re-expressed). One posexplode projection; the index
+    is written partitioned/sorted by term so a phrase query's scan
+    prunes to exactly its terms."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    ).select("doc_id", "term", "pos")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching: (doc_id, n_hits, first_pos) for documents
+    containing the token sequence of ``phrase`` contiguously
+    (overlapping occurrences each count — 'x x x' contains 'x x'
+    twice).
+
+    The classic positional-index algorithm, relationally: a posting of
+    the i-th phrase term at position p votes for anchor p - i; an
+    anchor collecting ALL m distinct phrase offsets is a hit. The
+    (term, i) phrase table is a literal — it BROADCASTS and restricts
+    the postings scan to the queried terms (predicate pushdown on the
+    term column), so corpus cost is the postings of the phrase's terms
+    only, then ONE compact (doc, anchor) shuffle. A phrase with
+    repeated terms simply contributes several offsets per term — the
+    distinct-offset count handles it with no special case."""
+    terms = [t for t in phrase.lower().split() if t]
+    import re as _re
+
+    terms = [t for t in _re.split("[^a-z0-9]+", " ".join(terms)) if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    m = len(terms)
+    spark = docs.sparkSession
+    offsets = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "term string, i int"
+    )
+    post = positional_postings(docs, id_col, text_col)
+    votes = post.join(F.broadcast(offsets), "term").select(
+        "doc_id", (F.col("pos") - F.col("i")).alias("anchor"), "i"
+    ).where(F.col("anchor") >= 0)
+    hits = (
+        votes.groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("i").alias("got"))
+        .where(F.col("got") == m)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("anchor").alias("first_pos"),
+    )

@@ -130,3 +130,40 @@ def test_plan_broadcasts_query_side_only(spark):
     # postings (corpus) side must never be broadcast
     assert "BroadcastHashJoin" in plan
     assert plan.count("BroadcastExchange") >= 1
+
+
+def test_phrase_search_overlaps_and_duplicate_terms(spark):
+    from hk_housing_datahub_spark.operators.bm25 import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x x y"),          # 'x x' occurs twice (overlapping)
+            (2, "a x b x"),          # never contiguous
+            (3, "x x"),              # exactly once, at 0
+            (4, "y x, x! z"),        # punctuation splits, still adjacent
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.first_pos)
+        for r in phrase_search(df, "x x").collect()
+    }
+    assert got == {1: (2, 0), 3: (1, 0), 4: (1, 1)}
+
+
+def test_phrase_search_three_gram_and_no_false_positive(spark):
+    from hk_housing_datahub_spark.operators.bm25 import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick the brown fox"),   # all terms, wrong order
+            (3, "THE Quick  BROWN dog"),  # case/space-insensitive hit
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.first_pos
+        for r in phrase_search(df, "the quick brown").collect()
+    }
+    assert got == {1: 0, 3: 0}
