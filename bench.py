@@ -240,6 +240,13 @@ def main() -> None:
             # jusText-style main-content extraction
             "streaming_lsh_neardup",
             "main_content_extract",
+            # round-4 session C: tokenizer training + text/search battery
+            "bpe_learn",
+            "phrase_search",
+            "script_profile",
+            "span_dedup_removal",
+            "ngram_containment_pairs",
+            "temperature_mixture",
         ]
         qs = E.queries()
         for name in bench_queries:

@@ -643,3 +643,48 @@ def test_hyperball_round_sketch_agg_combines_map_side(spark):
     assert p.count("ObjectHashAggregate") >= 2  # partial + final
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bpe_pair_counts_partial_then_final_all_jvm(spark):
+    """One BPE iteration's pair counting: partial+final HashAggregate
+    around one exchange keyed on the pair (at vocab scale the shuffle
+    carries one row per distinct pair per partition), fold/transform
+    all JVM — no Python eval anywhere in the learn loop."""
+    from hk_housing_datahub_spark.operators.bpe import (
+        merge_pair,
+        symbol_pair_counts,
+        word_symbols,
+    )
+
+    wf = _t(spark, "documents").selectExpr(
+        "doc_id", "text"
+    ).limit(50).select(
+        F.col("doc_id"),
+        F.lit(1).alias("cnt"),
+        word_symbols(F.col("text")).alias("syms"),
+    ).withColumn("syms", merge_pair(F.col("syms"), "a", "b"))
+    p = plan_of(symbol_pair_counts(wf))
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_phrase_search_broadcasts_offsets_restricts_postings(spark):
+    """The phrase-offset table must broadcast (it is bounded by the
+    QUERY, never the corpus) and the only wide shuffle keys on the
+    compact (doc, anchor) aggregate."""
+    from hk_housing_datahub_spark.operators.bm25 import phrase_search
+
+    p = plan_of(phrase_search(_t(spark, "documents"), "table table"))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_script_profile_is_map_only(spark):
+    """The full per-script battery is ONE projection over the scan —
+    no Exchange, no join, no Python eval at any corpus size."""
+    from hk_housing_datahub_spark.operators.textops import script_profile
+
+    p = plan_of(script_profile(_t(spark, "documents")))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -239,6 +239,36 @@ def _neardup_probe(spark):
     )
 
 
+def _bpe_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.bpe import (
+        merge_pair,
+        symbol_pair_counts,
+        word_symbols,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    wf = docs.select(
+        F.lit(1).alias("cnt"), word_symbols(F.col("text")).alias("syms")
+    ).withColumn("syms", merge_pair(F.col("syms"), "a", "b"))
+    return symbol_pair_counts(wf)
+
+
+def _phrase(spark):
+    from hk_housing_datahub_spark.operators.bm25 import phrase_search
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    return phrase_search(docs, "table table")
+
+
+def _script(spark):
+    from hk_housing_datahub_spark.operators.textops import script_profile
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    return script_profile(docs)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -497,6 +527,30 @@ def main() -> None:
             "and every page gate (badword regex, lorem, brace, sentence "
             "count) ride one whole-stage-codegen projection over the scan.",
             _c4(spark),
+        ),
+        (
+            "BPE pair counting (one merge iteration's distributed half)",
+            "Look for: partial+final HashAggregate around ONE Exchange "
+            "keyed on the (left, right) pair — the shuffle carries one row "
+            "per distinct pair per partition, never per occurrence — and "
+            "the char-split/fold/transform symbol work as codegen "
+            "Generate/Project with NO Python nodes.",
+            _bpe_pairs(spark),
+        ),
+        (
+            "Exact phrase search (positional index votes/anchor)",
+            "Look for: the phrase-offset VALUES side under "
+            "BroadcastExchange (bounded by the query), the postings "
+            "restricted by the broadcast join BEFORE any wide shuffle, and "
+            "one hashpartitioning(doc_id, anchor…) aggregate pair.",
+            _phrase(spark),
+        ),
+        (
+            "Unicode script profile (pure projection)",
+            "Look for: ZERO Exchange and no Python nodes — eight "
+            "length-difference regex counts, the dominant-script CASE and "
+            "the fraction all inside one whole-stage-codegen Project.",
+            _script(spark),
         ),
     ]
 
