@@ -1482,6 +1482,45 @@ def _span_dedup_profile(spark, sf):
     )
 
 
+def _incremental_rollup(spark, sf):
+    """Incremental materialized-rollup maintenance
+    (sources/rollup.py IncrementalRollup): documents appended to a
+    catalog table in three batches; the per-lang aggregate is refreshed
+    delta-only (one refresh deliberately folds TWO snapshots, plus a
+    trailing no-op refresh proving idempotence) — the final state must
+    equal the plain GROUP BY over everything, which is exactly the
+    DuckDB twin. The applied-source-snapshot watermark rides the state
+    rows, so it commits atomically with the data."""
+    import tempfile
+
+    from hk_housing_datahub_spark.sources import TableCatalog
+    from hk_housing_datahub_spark.sources.rollup import (
+        IncrementalRollup,
+        Measure,
+    )
+
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="hk_rollup_"))
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    r = IncrementalRollup(
+        cat,
+        src="docs",
+        dst="docs_by_lang",
+        group_cols=["lang"],
+        measures={
+            "n_docs": Measure("count"),
+            "total_chars": Measure("sum", "n_chars"),
+            "min_doc": Measure("min", "doc_id"),
+            "max_doc": Measure("max", "doc_id"),
+        },
+    )
+    for i in range(3):
+        cat.append("docs", d.where(F.pmod("doc_id", F.lit(3)) == i))
+        if i != 1:  # batch 1 stays pending; batch 2's refresh folds both
+            r.refresh()
+    r.refresh()  # no-op: nothing new, state unchanged
+    return r.read()
+
+
 def _script_profile(spark, sf):
     """Per-doc Unicode-script mix (operators/textops.py script_profile,
     the CCNet script-vs-language garbage check): per-script counts via
@@ -4152,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_profile": _span_dedup_profile,
         "span_dedup_removal": _span_dedup_removal,
         "script_profile": _script_profile,
+        "incremental_rollup": _incremental_rollup,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -7061,6 +7101,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, CAST(g.epoch AS INT) AS epoch
         FROM m, unnest(generate_series(0, n_copies - 1)) g(epoch)
         WHERE n_copies > 0
+    """
+    # Incremental rollup: three delta refreshes (one folding two
+    # snapshots, one a no-op) must land exactly on the full GROUP BY.
+    d["incremental_rollup"] = """
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM documents GROUP BY lang
     """
     # Script profile: RE2 \p{Script} classes == Java \p{IsScript}
     # (membership probed in tests); same length-difference counting,
