@@ -1482,6 +1482,43 @@ def _span_dedup_profile(spark, sf):
     )
 
 
+def _host_boilerplate_strip(spark, sf):
+    """Per-site template removal (operators/textops.py
+    drop_boilerplate_lines with per_col — trafilatura's per-site dedup
+    semantics): pages carry a per-source nav header and footer (hot
+    WITHIN the source → dropped) plus a bucket-marker line that is
+    common ACROSS sources but rare within each one (≈13 global copies,
+    ≈1 per source → kept, the line a corpus-global pass would wrongly
+    strip). The DuckDB twin replays the per-(source, line) DF count and
+    the ordered rebuild; text bytes are md5-compared."""
+    from hk_housing_datahub_spark.operators.textops import (
+        drop_boilerplate_lines,
+    )
+
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("shared navigation menu for "), F.col("source")),
+            F.concat(
+                F.lit("bucket marker line number "),
+                (F.col("doc_id") % 37).cast("string"),
+                F.lit(" padding"),
+            ),
+            F.col("text"),
+            F.concat(F.lit("copyright footer of site "), F.col("source")),
+        ).alias("text"),
+    )
+    out = drop_boilerplate_lines(
+        pages, max_line_df=3, per_col="source"
+    )
+    return out.select(
+        "doc_id", "source", F.md5("text").alias("text_md5")
+    )
+
+
 def _incremental_rollup(spark, sf):
     """Incremental materialized-rollup maintenance
     (sources/rollup.py IncrementalRollup): documents appended to a
@@ -4192,6 +4229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_removal": _span_dedup_removal,
         "script_profile": _script_profile,
         "incremental_rollup": _incremental_rollup,
+        "host_boilerplate_strip": _host_boilerplate_strip,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -7101,6 +7139,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, CAST(g.epoch AS INT) AS epoch
         FROM m, unnest(generate_series(0, n_copies - 1)) g(epoch)
         WHERE n_copies > 0
+    """
+    # Per-site boilerplate: per-(source, normalized line) DF > 3 drops;
+    # the cross-source bucket-marker line survives (df ~1 per source);
+    # ordered rebuild md5-compared byte-for-byte.
+    d["host_boilerplate_strip"] = """
+        WITH pages AS (
+          SELECT doc_id, source,
+                 concat_ws(chr(10),
+                   'shared navigation menu for ' || source,
+                   'bucket marker line number '
+                       || CAST(doc_id % 37 AS VARCHAR) || ' padding',
+                   text,
+                   'copyright footer of site ' || source) AS text
+          FROM documents),
+        lines AS (
+          SELECT doc_id, source, i - 1 AS pos, l[i] AS line
+          FROM (SELECT doc_id, source,
+                       string_split(text, chr(10)) AS l FROM pages),
+               unnest(generate_series(1, len(l))) AS u(i)),
+        hot AS (
+          SELECT source, trim(lower(line)) AS nline
+          FROM lines WHERE length(trim(line)) >= 10
+          GROUP BY 1, 2 HAVING count(DISTINCT doc_id) > 3),
+        kept AS (
+          SELECT li.doc_id, li.source, li.pos, li.line
+          FROM lines li LEFT JOIN hot h
+            ON li.source = h.source AND trim(lower(li.line)) = h.nline
+          WHERE h.nline IS NULL OR length(trim(li.line)) < 10),
+        reb AS (
+          SELECT doc_id, source,
+                 string_agg(line, chr(10) ORDER BY pos) AS text
+          FROM kept GROUP BY 1, 2)
+        SELECT p.doc_id, p.source, md5(coalesce(r.text, '')) AS text_md5
+        FROM pages p LEFT JOIN reb r USING (doc_id, source)
     """
     # Incremental rollup: three delta refreshes (one folding two
     # snapshots, one a no-op) must land exactly on the full GROUP BY.

@@ -130,6 +130,7 @@ def drop_boilerplate_lines(
     min_line_chars: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    per_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style line-level dedup: a line appearing (normalized) in more
     than ``max_line_df`` documents is boilerplate — navigation, footers,
@@ -152,20 +153,34 @@ def drop_boilerplate_lines(
     broadcast join for free, a huge one falls back to one compact-key
     shuffle on ``lhash`` (8-byte key; the line text rides the exchange
     exactly once, into the same partitioning the regroup reuses).
+
+    ``per_col`` scopes the whole mechanism to a grouping column (host,
+    source): document frequency is counted WITHIN the group and a hot
+    line drops only from that group's documents — the site-template
+    semantics (trafilatura's per-site dedup; CCNet dedups per shard for
+    the same reason). The distinction matters in both directions: a
+    navigation line on one 10k-page site is template noise there but
+    must not be stripped from a blog that quotes it once, and a
+    sentence that is common ACROSS the web while rare on each single
+    site is content, not template. Cost is identical — the DF aggregate
+    and the hot join just carry the group key alongside the 8-byte line
+    hash.
     """
+    group = [per_col] if per_col else []
     lines = docs.select(
         F.col(id_col),
+        *group,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("lhash", F.xxhash64(F.trim(F.lower(F.col("line")))))
     countable = lines.filter(F.length(F.trim("line")) >= min_line_chars)
     hot = (
-        countable.groupBy("lhash")
+        countable.groupBy(*group, "lhash")
         .agg(F.countDistinct(id_col).alias("df"))
         .filter(F.col("df") > max_line_df)
-        .select("lhash")
+        .select(*group, "lhash")
     )
     kept = lines.join(
-        hot.withColumn("_hot", F.lit(True)), "lhash", "left"
+        hot.withColumn("_hot", F.lit(True)), group + ["lhash"], "left"
     ).filter(
         F.col("_hot").isNull()
         | (F.length(F.trim("line")) < min_line_chars)

@@ -602,3 +602,35 @@ def test_upsample_drops_unweighted_and_is_partition_invariant(spark):
     assert sorted((r.doc_id, r.epoch) for r in rows) == sorted(
         (r.doc_id, r.epoch) for r in again
     )
+
+
+def test_per_host_boilerplate_scopes_the_hot_set(spark):
+    from hk_housing_datahub_spark.operators.textops import (
+        drop_boilerplate_lines,
+    )
+
+    nav = "site navigation header line"
+    rows = []
+    # host A: 5 docs sharing a nav line (hot within A at max_line_df=3)
+    for i in range(5):
+        rows.append((i, "a", f"{nav}\nunique content line {i} aaaa"))
+    # host B: 2 docs with the SAME nav line (cold within B)
+    for i in range(5, 7):
+        rows.append((i, "b", f"{nav}\nother content line {i} bbbb"))
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    out = {
+        r.doc_id: r.text
+        for r in drop_boilerplate_lines(
+            df, max_line_df=3, per_col="host"
+        ).collect()
+    }
+    for i in range(5):  # stripped on host A
+        assert out[i] == f"unique content line {i} aaaa"
+    for i in range(5, 7):  # kept on host B — per-site scoping
+        assert out[i].startswith(nav)
+    # corpus-global mode would strip it everywhere (7 > 3)
+    glob = {
+        r.doc_id: r.text
+        for r in drop_boilerplate_lines(df, max_line_df=3).collect()
+    }
+    assert all(not t.startswith(nav) for t in glob.values())
