@@ -1447,6 +1447,33 @@ def _bpe_encode_tokens(spark, sf):
     )
 
 
+def _bpe_fertility(spark, sf):
+    """Tokenizer fertility by language (tokens per character — the
+    standard multilingual tokenizer-evaluation metric): the 10 learned
+    merges applied to the WHOLE corpus (OOV words included) via the
+    Arrow-batched sequential encoder (the production path for real
+    merge-table sizes; bit-equal to the chained-fold expr path per
+    test_bpe.py — at 10 chained folds inside a transform the expr
+    plan's ANALYSIS cost already dominates, which is exactly why the
+    pandas path exists), then one per-lang aggregate. The
+    DuckDB twin pushes every distinct word through the identical
+    unrolled replace chain and folds counts back through each doc's
+    word list — totals and the ratio hash-match."""
+    from hk_housing_datahub_spark.operators.bpe import encode_bpe, learn_bpe
+
+    d = _t(spark, sf, "documents")
+    merges = learn_bpe(d, num_merges=_BPE_MERGES)
+    enc = encode_bpe(d, merges, mode="pandas")
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            F.sum("n_bpe_tokens") / F.sum("n_chars"), 6
+        ).alias("tokens_per_char"),
+    )
+
+
 def _temperature_mixture(spark, sf):
     """Temperature-smoothed multilingual rebalancing (operators/sampling.py
     temperature_mixture, the XLM alpha=0.5 rule): stratum share is
@@ -4251,6 +4278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": _temperature_mixture,
         "bpe_learn": _bpe_learn,
         "bpe_vocab": _bpe_vocab,
+        "bpe_fertility": _bpe_fertility,
         # rows-only (pytest-verified)
         "bpe_encode_tokens": _bpe_encode_tokens,
         "crawl_sketch_stats": _crawl_sketch_stats,
@@ -4892,6 +4920,63 @@ def _bpe_sql(
                  END AS s
           FROM w{i - 1} w LEFT JOIN b{i} b ON TRUE)"""
         )
+    if final_vocab == "fertility":
+        # Encode ALL words (no min-count filter — OOV words of the
+        # trained vocab still encode) through the same b{i} merge chain,
+        # then fold per-word token counts back through each document's
+        # word list: tokens-per-char by language.
+        aw = [
+            """
+        aw0 AS (
+          SELECT token,
+                 chr(31) || array_to_string(
+                     string_split_regex(token, ''), chr(31) || chr(31))
+                 || chr(31) || chr(31) || '</w>' || chr(31) AS s
+          FROM (SELECT DISTINCT token FROM toks)
+          WHERE NOT contains(token, chr(31)))"""
+        ]
+        for i in range(1, k + 1):
+            aw.append(
+                f"""
+        aw{i} AS (
+          SELECT w.token,
+                 CASE WHEN b.l IS NULL THEN w.s
+                      ELSE replace(w.s,
+                             chr(31) || b.l || chr(31) || chr(31)
+                                     || b.r || chr(31),
+                             chr(31) || b.l || b.r || chr(31))
+                 END AS s
+          FROM aw{i - 1} w LEFT JOIN b{i} b ON TRUE)"""
+            )
+        tail = (
+            ","
+            + ",".join(aw)
+            + f""",
+        wl AS (
+          SELECT token,
+                 len(string_split(substr(s, 2, length(s) - 2),
+                                  chr(31) || chr(31))) AS n_toks
+          FROM aw{k}),
+        per_doc AS (
+          SELECT d.doc_id, d.lang, sum(wl.n_toks) AS n_bpe
+          FROM (SELECT doc_id, lang, unnest(
+                    string_split(trim(regexp_replace(lower(text), '\\s+',
+                        ' ', 'g')), ' ')) AS token
+                FROM documents
+                WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                      <> '') d
+          JOIN wl ON d.token = wl.token
+          GROUP BY 1, 2)
+        SELECT doc.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(p.n_bpe, 0)) AS BIGINT) AS total_tokens,
+               CAST(sum(doc.n_chars) AS BIGINT) AS total_chars,
+               round(sum(coalesce(p.n_bpe, 0)) * 1.0
+                     / sum(doc.n_chars), 6) AS tokens_per_char
+        FROM documents doc LEFT JOIN per_doc p USING (doc_id)
+        GROUP BY 1"""
+        )
+        return "WITH " + ",".join(parts) + tail
     if final_vocab:
         tail = f"""
         SELECT token, cnt,
@@ -7220,4 +7305,5 @@ def oracle_sql() -> dict[str, str]:
     # the engine's greedy fold, argmax under the identical tie-break.
     d["bpe_learn"] = _bpe_sql(_BPE_MERGES)
     d["bpe_vocab"] = _bpe_sql(_BPE_MERGES, final_vocab=True)
+    d["bpe_fertility"] = _bpe_sql(_BPE_MERGES, final_vocab="fertility")
     return d

@@ -191,19 +191,23 @@ def encode_bpe(
     merges,
     text_col: str = "text",
     end_marker: str = END_MARKER,
-    mode: str = "expr",
+    mode: str = "pandas",
 ) -> DataFrame:
     """Tokenize the corpus with a learned merge table: adds ``bpe_tokens``
     (array<string>, per-word symbol sequences flattened in document
     order) and ``n_bpe_tokens``. Words are the same whitespace tokens
     the trainer saw.
 
-    ``mode='expr'``: chained fold expressions (pure JVM codegen) —
-    right for merge tables up to a few dozen ranks.
-    ``mode='pandas'``: one Arrow-batched pandas UDF applying the merge
-    ranks with the classic lowest-rank-pair loop and an LRU word cache
-    — right for real 32k-merge tokenizers; bit-identical to the expr
-    path (pinned in tests/test_bpe.py).
+    ``mode='pandas'`` (default): one Arrow-batched pandas UDF applying
+    the merges sequentially by rank with a skip-list and a per-batch
+    word cache — the production path; merge-table size only affects
+    Python-side dict work, so real 32k-merge tokenizers are fine.
+    ``mode='expr'``: chained fold expressions (pure JVM codegen, zero
+    Python) — bit-identical (pinned in tests/test_bpe.py) but Catalyst
+    ANALYSIS cost grows exponentially in the chain depth (measured on
+    this repo's corpus schema: 0.6 s at 4 merges, 8 s at 8, 56 s at
+    10), so it is only for single-digit merge tables where "no Python
+    anywhere" is worth more than generality.
     Both are scan-local: no shuffle, no driver traffic."""
     from ..functions.text import tokens
 
