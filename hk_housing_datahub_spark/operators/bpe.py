@@ -226,75 +226,89 @@ def encode_bpe(
     )
 
 
-def _encode_pandas_col(words: Column, merges, end_marker: str) -> Column:
-    """Sequential-by-rank encode, skip-listed: instead of k full passes
-    (k = merge count, 32k for a real tokenizer), jump straight to the
-    smallest not-yet-processed rank whose pair is PRESENT in the word.
-    One merge pass per visited rank is complete (the merged symbol is
-    strictly longer than either part, so a pass cannot recreate its own
-    pair), and ranks are visited in increasing order exactly like the
-    chained-fold expr path — bit-identical by construction, including
-    on merge tables where the same pair appears at two ranks (a later
-    merge CAN recreate an earlier merge's pair; sequential semantics
-    say it stays unmerged, so the classic lowest-rank-present loop is
-    deliberately NOT used here). Per uncached word: O(len) dict probes
-    per visited rank, <= len visited ranks."""
-    from bisect import bisect_left
-
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, StringType
-
+def _merge_index(merges):
+    """(pair -> sorted rank list, rank -> pair) lookup tables."""
     ranks_of: dict[tuple[str, str], list[int]] = {}
     for i, l, r, _ in merges:
         ranks_of.setdefault((l, r), []).append(i)
-    pair_by_rank = {i: (l, r) for i, l, r, _ in merges}
+    return ranks_of, {i: (l, r) for i, l, r, _ in merges}
+
+
+def encode_word_sequential(
+    w: str, ranks_of, pair_by_rank, end_marker: str = END_MARKER
+) -> list[str]:
+    """Sequential-by-rank encode of one word, skip-listed: instead of k
+    full passes (k = merge count, 32k for a real tokenizer), jump
+    straight to the smallest not-yet-processed rank whose pair is
+    PRESENT in the word. One merge pass per visited rank is complete
+    (the merged symbol is strictly longer than either part, so a pass
+    cannot recreate its own pair), and ranks are visited in increasing
+    order exactly like the chained-fold expr path — bit-identical by
+    construction, including on merge tables where the same pair appears
+    at two ranks (a later merge CAN recreate an earlier merge's pair;
+    sequential semantics say it stays unmerged, so the classic
+    lowest-rank-present loop is deliberately NOT used here).
+    Hypothesis-swept against the brute one-pass-per-rank reference in
+    tests/test_bpe.py. Per word: O(len) dict probes per visited rank,
+    <= len visited ranks."""
+    from bisect import bisect_left
+
+    def next_rank(pair, floor: int):
+        ranks = ranks_of.get(pair)
+        if not ranks:
+            return None
+        j = bisect_left(ranks, floor)
+        return ranks[j] if j < len(ranks) else None
+
+    syms = list(w) + [end_marker]
+    floor = 0
+    while len(syms) > 1:
+        cand = min(
+            (
+                r
+                for r in (next_rank(p, floor) for p in zip(syms, syms[1:]))
+                if r is not None
+            ),
+            default=None,
+        )
+        if cand is None:
+            break
+        l, r = pair_by_rank[cand]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+        floor = cand + 1
+    return syms
+
+
+def _encode_pandas_col(words: Column, merges, end_marker: str) -> Column:
+    """Arrow-batched wrapper over :func:`encode_word_sequential` with a
+    per-batch word cache (web text repeats words heavily; the cache
+    bound keeps executor memory flat)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks_of, pair_by_rank = _merge_index(merges)
 
     @F.pandas_udf(ArrayType(StringType()))
     def enc(batch):  # pd.Series -> pd.Series (no hints: PEP 563 strings
-        # would not resolve the function-local pandas import)
+        # would not resolve a function-local pandas import)
         cache: dict[str, list[str]] = {}
-
-        def next_rank(pair, floor: int):
-            ranks = ranks_of.get(pair)
-            if not ranks:
-                return None
-            j = bisect_left(ranks, floor)
-            return ranks[j] if j < len(ranks) else None
 
         def encode_word(w: str) -> list[str]:
             got = cache.get(w)
-            if got is not None:
-                return got
-            syms = list(w) + [end_marker]
-            floor = 0
-            while len(syms) > 1:
-                cand = min(
-                    (
-                        r
-                        for r in (
-                            next_rank(p, floor)
-                            for p in zip(syms, syms[1:])
-                        )
-                        if r is not None
-                    ),
-                    default=None,
+            if got is None:
+                got = encode_word_sequential(
+                    w, ranks_of, pair_by_rank, end_marker
                 )
-                if cand is None:
-                    break
-                l, r = pair_by_rank[cand]
-                out, i = [], 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
-                        out.append(l + r)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-                floor = cand + 1
-            if len(cache) < 65536:
-                cache[w] = syms
-            return syms
+                if len(cache) < 65536:
+                    cache[w] = got
+            return got
 
         # Arrow hands list columns over as numpy arrays: no truthiness,
         # so test None explicitly rather than `ws or []`

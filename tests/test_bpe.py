@@ -203,3 +203,36 @@ def test_learn_on_documents_table_checkpoints_stay_bounded(spark, sf_small):
     # frequencies are non-increasing in rank... not guaranteed in BPE
     # generally (merges change counts), but each freq is >= min_pair
     assert all(m[3] >= 2 for m in merges)
+
+
+def test_skip_list_encoder_equals_brute_sequential_hypothesis():
+    """Pure-Python sweep (no Spark): the skip-listed sequential encoder
+    must equal brute one-pass-per-rank application for arbitrary words
+    and merge tables — including duplicate pairs at multiple ranks and
+    merged symbols whose strings collide with later pairs' parts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hk_housing_datahub_spark.operators.bpe import (
+        _merge_index,
+        encode_word_sequential,
+    )
+
+    sym = st.text(alphabet="ab", min_size=1, max_size=2)
+    merge_tables = st.lists(
+        st.tuples(sym, sym), min_size=0, max_size=12
+    ).map(
+        lambda ps: [(i, l, r, 1) for i, (l, r) in enumerate(ps)]
+    )
+    words = st.text(alphabet="ab", min_size=0, max_size=14)
+
+    @settings(max_examples=300, deadline=None)
+    @given(words, merge_tables)
+    def check(w, merges):
+        ranks_of, pair_by_rank = _merge_index(merges)
+        got = encode_word_sequential(w, ranks_of, pair_by_rank)
+        want = _encode_seq(w, merges)
+        assert got == want, (w, merges)
+        assert "".join(got) == w + "</w>"  # lossless
+
+    check()
