@@ -4185,7 +4185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline battery
         "corpus_lang_profile": _corpus_lang_profile,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "ngram_containment_pairs": _ngram_containment_pairs,
         "dedup_clusters": _dedup_clusters,
         "drop_dup_filters": _drop_dup_filters,
         "sample_pack_corpus": _sample_pack_corpus,
@@ -4254,6 +4253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _packed_sequences,
         "span_dedup_profile": _span_dedup_profile,
         "span_dedup_removal": _span_dedup_removal,
+        "ngram_containment_pairs": _ngram_containment_pairs,
         "script_profile": _script_profile,
         "incremental_rollup": _incremental_rollup,
         "host_boilerplate_strip": _host_boilerplate_strip,
