@@ -127,6 +127,7 @@ def learn_bpe(
     end_marker: str = END_MARKER,
     checkpoint_every: int = 4,
     return_vocab: bool = False,
+    local_threshold: int = 0,
 ):
     """Learn ``num_merges`` BPE merges from the corpus.
 
@@ -139,8 +140,33 @@ def learn_bpe(
     smallest (left, right) — UTF-8 byte order equals code-point order,
     so Spark, Python and DuckDB agree. Stops early when no pair reaches
     ``min_pair_count``.
-    """
+
+    ``local_threshold``: after the (always-distributed) corpus-scale
+    vocabulary aggregate, a word table of at most this many rows is
+    COLLECTED and the merge loop runs driver-local with incremental
+    pair-count maintenance (:func:`_local_merge_loop` — the
+    subword-nmt/HF-tokenizers execution model: one merge touches only
+    the words CONTAINING its pair, so 32k merges cost seconds, not 32k
+    Spark jobs). Output is bit-identical to the distributed rounds
+    (same greedy pass, same tie-break — pinned in test_bpe.py); the
+    distributed path remains for vocabularies past driver memory,
+    where per-round jobs over the Heaps'-law-small table are the honest
+    cost. 0 disables the local path."""
     wf = _symbolized_vocab(docs, text_col, min_word_count, end_marker)
+    if local_threshold and wf.limit(local_threshold + 1).count() <= local_threshold:
+        rows = wf.select("token", "cnt").collect()
+        freqs = {r["token"]: int(r["cnt"]) for r in rows}
+        merges, words = _local_merge_loop(
+            freqs, num_merges, min_pair_count, end_marker
+        )
+        if return_vocab:
+            spark = docs.sparkSession
+            vocab = spark.createDataFrame(
+                [(w, freqs[w], list(words[w])) for w in sorted(words)],
+                "token string, cnt long, syms array<string>",
+            )
+            return merges, vocab
+        return merges
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(num_merges):
         best = (
@@ -160,6 +186,73 @@ def learn_bpe(
     if return_vocab:
         return merges, wf
     return merges
+
+
+def _local_merge_loop(
+    freqs: dict, num_merges: int, min_pair_count: int, end_marker: str
+):
+    """Driver-local exact merge loop with incremental statistics — the
+    subword-nmt optimization: pair counts and a pair→words index are
+    built once; choosing a merge then touches ONLY the words that
+    contain the pair (delta-subtract their old pairs, greedy-rewrite,
+    delta-add the new pairs). The index is maintained lazily (a word
+    is verified to still contain the pair at use time), and the argmax
+    scans live stats with the (count desc, pair asc) tie-break —
+    IDENTICAL results to the distributed rounds and the DuckDB oracle.
+    Returns (merges, final words dict)."""
+    words = {w: list(w) + [end_marker] for w in freqs}
+    stats: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set] = {}
+    for w, syms in words.items():
+        f = freqs[w]
+        for p in zip(syms, syms[1:]):
+            stats[p] = stats.get(p, 0) + f
+            index.setdefault(p, set()).add(w)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        best = None
+        for p, c in stats.items():
+            if c >= min_pair_count and (
+                best is None or (-c, p) < (-best[1], best[0])
+            ):
+                best = (p, c)
+        if best is None:
+            break
+        (left, right), freq = best
+        merges.append((rank, left, right, int(freq)))
+        for w in sorted(index.get((left, right), ())):
+            syms = words[w]
+            # lazy index: the word may have been rewritten since it was
+            # indexed under this pair — verify before touching stats
+            if not any(
+                a == left and b == right for a, b in zip(syms, syms[1:])
+            ):
+                continue
+            f = freqs[w]
+            for p in zip(syms, syms[1:]):
+                left_over = stats[p] - f
+                if left_over > 0:
+                    stats[p] = left_over
+                else:
+                    del stats[p]
+            new = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[w] = new
+            for p in zip(new, new[1:]):
+                stats[p] = stats.get(p, 0) + f
+                index.setdefault(p, set()).add(w)
+    return merges, words
 
 
 def merges_to_df(spark, merges) -> DataFrame:

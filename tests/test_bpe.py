@@ -236,3 +236,62 @@ def test_skip_list_encoder_equals_brute_sequential_hypothesis():
         assert "".join(got) == w + "</w>"  # lossless
 
     check()
+
+
+def test_local_merge_loop_identical_to_distributed(spark, docs):
+    for k in (3, 8):
+        dist = learn_bpe(docs, num_merges=k)
+        loc = learn_bpe(docs, num_merges=k, local_threshold=1_000_000)
+        assert dist == loc
+    # final vocab identical too
+    _, wf_d = learn_bpe(docs, num_merges=8, return_vocab=True)
+    _, wf_l = learn_bpe(
+        docs, num_merges=8, return_vocab=True, local_threshold=1_000_000
+    )
+    d = {r["token"]: (r["cnt"], list(r["syms"])) for r in wf_d.collect()}
+    l = {r["token"]: (r["cnt"], list(r["syms"])) for r in wf_l.collect()}
+    assert d == l
+    # threshold smaller than the vocab: falls back to distributed
+    small = learn_bpe(docs, num_merges=3, local_threshold=2)
+    assert small == learn_bpe(docs, num_merges=3)
+
+
+def test_local_merge_loop_deep_table_on_real_corpus(spark, sf_small):
+    # 64 merges driver-local in one collect — vs 64 distributed rounds;
+    # spot-check the shared prefix against a 6-merge distributed run
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    loc = learn_bpe(docs, num_merges=64, local_threshold=1_000_000)
+    dist6 = learn_bpe(docs, num_merges=6)
+    assert loc[:6] == dist6
+    assert len(loc) == 64
+    assert [m[0] for m in loc] == list(range(64))
+
+
+def test_local_incremental_stats_equal_brute_recount_hypothesis():
+    """The incremental pair-count maintenance (delta subtract/add with a
+    lazy index) must match brute per-round recounting for arbitrary
+    corpora — pure Python on both sides, no Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hk_housing_datahub_spark.operators.bpe import _local_merge_loop
+
+    corpora = st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(corpora, st.integers(min_value=1, max_value=12))
+    def check(corpus, k):
+        want_m, want_words = _ref_learn(corpus, k, min_word_count=1)
+        freqs = {}
+        for t in corpus:
+            for w in _ref_tokenize(t):
+                freqs[w] = freqs.get(w, 0) + 1
+        got_m, got_words = _local_merge_loop(freqs, k, 2, "</w>")
+        assert got_m == want_m, (corpus, k)
+        assert {w: list(s) for w, s in got_words.items()} == want_words
+
+    check()
