@@ -206,21 +206,42 @@ def phrase_search(
     only, then ONE compact (doc, anchor) shuffle. A phrase with
     repeated terms simply contributes several offsets per term — the
     distinct-offset count handles it with no special case."""
-    terms = [t for t in phrase.lower().split() if t]
+    post = positional_postings(docs, id_col, text_col)
+    return phrase_search_postings(post, phrase)
+
+
+def phrase_terms(phrase: str) -> list[str]:
+    """The phrase's token sequence under the index tokenization."""
     import re as _re
 
-    terms = [t for t in _re.split("[^a-z0-9]+", " ".join(terms)) if t]
+    terms = [t for t in _re.split("[^a-z0-9]+", phrase.lower()) if t]
     if not terms:
         raise ValueError("empty phrase")
+    return terms
+
+
+def phrase_search_postings(post: DataFrame, phrase: str) -> DataFrame:
+    """Phrase matching over a PREBUILT positional index — the production
+    path: ``positional_postings`` is written once (partitioned/sorted
+    by term), and each query's term-list filter pushes down to the
+    parquet scan (``PushedFilters: In(term, ...)`` — plan-pinned in
+    test_plans.py), so a query reads the postings of ITS terms only,
+    never the index. Same votes/anchor algebra as :func:`phrase_search`.
+    """
+    terms = phrase_terms(phrase)
     m = len(terms)
-    spark = docs.sparkSession
+    spark = post.sparkSession
     offsets = spark.createDataFrame(
         [(t, i) for i, t in enumerate(terms)], "term string, i int"
     )
-    post = positional_postings(docs, id_col, text_col)
-    votes = post.join(F.broadcast(offsets), "term").select(
-        "doc_id", (F.col("pos") - F.col("i")).alias("anchor"), "i"
-    ).where(F.col("anchor") >= 0)
+    votes = (
+        post.where(F.col("term").isin(terms))
+        .join(F.broadcast(offsets), "term")
+        .select(
+            "doc_id", (F.col("pos") - F.col("i")).alias("anchor"), "i"
+        )
+        .where(F.col("anchor") >= 0)
+    )
     hits = (
         votes.groupBy("doc_id", "anchor")
         .agg(F.countDistinct("i").alias("got"))

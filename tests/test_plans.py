@@ -688,3 +688,20 @@ def test_script_profile_is_map_only(spark):
     p = plan_of(script_profile(_t(spark, "documents")))
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_phrase_query_term_filter_pushes_to_postings_scan(spark, tmp_path):
+    """A phrase query over the PERSISTED positional index must read only
+    its own terms' postings: the In(term, ...) filter reaches the
+    parquet scan as a pushed filter."""
+    from hk_housing_datahub_spark.operators.bm25 import (
+        phrase_search_postings,
+        positional_postings,
+    )
+
+    idx = str(tmp_path / "postings")
+    positional_postings(_t(spark, "documents")).write.parquet(idx)
+    post = spark.read.parquet(idx)
+    p = plan_of(phrase_search_postings(post, "table table value"))
+    pushed = p.split("PushedFilters")[1][:300] if "PushedFilters" in p else ""
+    assert "term" in pushed and "In" in pushed, p
