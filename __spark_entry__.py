@@ -1509,6 +1509,49 @@ def _span_dedup_profile(spark, sf):
     )
 
 
+def _streaming_matview(spark, sf):
+    """Streaming materialized view (streaming/matview.py): documents
+    arrive as three parquet waves, each micro-batch lands exactly-once
+    via CatalogStreamSink and the per-source rollup is refreshed
+    delta-only after every batch — the final view state must equal the
+    plain GROUP BY over all documents, which IS the DuckDB twin (the
+    streaming machinery is additionally pinned by test_matview.py:
+    per-batch freshness, replay no-ops, resume)."""
+    import tempfile
+
+    from hk_housing_datahub_spark.sources import TableCatalog
+    from hk_housing_datahub_spark.sources.rollup import (
+        IncrementalRollup,
+        Measure,
+    )
+    from hk_housing_datahub_spark.streaming.matview import (
+        stream_materialized_rollup,
+    )
+
+    root = tempfile.mkdtemp(prefix="hk_matview_")
+    src = os.path.join(root, "src")
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    for i in range(3):
+        d.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.parquet(
+            os.path.join(src, f"w{i}")
+        )
+    cat = TableCatalog(spark, os.path.join(root, "cat"))
+    r = IncrementalRollup(
+        cat,
+        src="docs",
+        dst="docs_by_source",
+        group_cols=["source"],
+        measures={
+            "n_docs": Measure("count"),
+            "total_chars": Measure("sum", "n_chars"),
+        },
+    )
+    stream_materialized_rollup(
+        spark, src, cat, "docs", r, checkpoint=os.path.join(root, "ck")
+    )
+    return r.read()
+
+
 def _host_boilerplate_strip(spark, sf):
     """Per-site template removal (operators/textops.py
     drop_boilerplate_lines with per_col — trafilatura's per-site dedup
@@ -4257,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _script_profile,
         "incremental_rollup": _incremental_rollup,
         "host_boilerplate_strip": _host_boilerplate_strip,
+        "streaming_matview": _streaming_matview,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -7258,6 +7302,14 @@ def oracle_sql() -> dict[str, str]:
           FROM kept GROUP BY 1, 2)
         SELECT p.doc_id, p.source, md5(coalesce(r.text, '')) AS text_md5
         FROM pages p LEFT JOIN reb r USING (doc_id, source)
+    """
+    # Streaming matview: three exactly-once waves + per-batch delta
+    # refreshes must land exactly on the full GROUP BY.
+    d["streaming_matview"] = """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source
     """
     # Incremental rollup: three delta refreshes (one folding two
     # snapshots, one a no-op) must land exactly on the full GROUP BY.
