@@ -153,6 +153,18 @@ class IncrementalRollup:
             }
         delta = self.catalog.read_changes(self.src, since=applied, until=head)
         partial = delta.groupBy(*self.group_cols).agg(*self._partial_aggs())
+        partial = partial.persist()
+        if partial.isEmpty():
+            # snapshots past the watermark carried no rows (empty
+            # appends): nothing to fold, nothing committed — the
+            # watermark honestly stays where it is and the next refresh
+            # re-reads this (zero-file) delta for free
+            partial.unpersist()
+            return {
+                "applied_from": applied,
+                "applied_to": applied,
+                "groups_touched": 0,
+            }
         state_cols = (
             self.group_cols
             + list(self.measures)
@@ -173,6 +185,7 @@ class IncrementalRollup:
             n = merged.count()
             self.catalog.merge_upsert(self.dst, merged, keys=self.group_cols)
             merged.unpersist()
+            partial.unpersist()
         else:
             merged = partial.withColumn(
                 self.WATERMARK, F.lit(head).cast("long")
@@ -181,6 +194,7 @@ class IncrementalRollup:
             n = merged.count()
             self.catalog.append(self.dst, merged, rows=n)
             merged.unpersist()
+            partial.unpersist()
         return {
             "applied_from": applied,
             "applied_to": head,

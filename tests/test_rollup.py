@@ -122,3 +122,17 @@ def test_untouched_groups_not_rewritten(spark, cat):
     out = r.refresh()
     assert out["groups_touched"] == 1  # only the new group
     assert _state(r) == {"a": (1, 1, 1, 1), "zzz": (1, 9, 9, 9)}
+
+
+def test_empty_snapshots_do_not_advance_the_watermark(spark, cat):
+    r = _mk(cat)
+    cat.append("facts", _rows(spark, [("a", 1)]))
+    r.refresh()
+    w = r.applied_snapshot()
+    cat.append("facts", spark.createDataFrame([], "k string, v long"))
+    out = r.refresh()  # nothing to fold, nothing committed
+    assert out["applied_from"] == out["applied_to"] == w
+    assert r.applied_snapshot() == w
+    cat.append("facts", _rows(spark, [("a", 2)]))
+    r.refresh()  # folds past the empty snapshot cleanly
+    assert _state(r) == {"a": (2, 3, 1, 2)}
