@@ -1509,6 +1509,62 @@ def _span_dedup_profile(spark, sf):
     )
 
 
+def _blocklist_gate(spark, sf):
+    """UT1/RefinedWeb domain blocklist gating (frontier/scope.py
+    blocklist_filter): an entry blocks itself and every subdomain at
+    any depth; overlapping entries resolve to the longest match. Hosts
+    are constructed at four depths (deep-subdomain entry, registrable
+    ccTLD entry, nested both-match, clean) — the oracle states the
+    expected category analytically per case."""
+    from hk_housing_datahub_spark.frontier.scope import blocklist_filter
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    m = F.pmod("doc_id", F.lit(4))
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://ads.tracker"),
+                F.pmod("doc_id", F.lit(3)).cast("string"),
+                F.lit(".com/x/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://shop.example.co.uk/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://mail.bad.example.co.uk/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://clean.site"),
+                F.pmod("doc_id", F.lit(5)).cast("string"),
+                F.lit(".org/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+    )
+    urls = d.select("doc_id", url.alias("url_canon"))
+    bl = spark.createDataFrame(
+        [
+            ("tracker0.com", "ads"),
+            ("example.co.uk", "commerce"),
+            ("bad.example.co.uk", "malware"),
+        ],
+        "domain string, category string",
+    )
+    return blocklist_filter(urls, bl, annotate=True)
+
+
 def _streaming_matview(spark, sf):
     """Streaming materialized view (streaming/matview.py): documents
     arrive as three parquet waves, each micro-batch lands exactly-once
@@ -4301,6 +4357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": _incremental_rollup,
         "host_boilerplate_strip": _host_boilerplate_strip,
         "streaming_matview": _streaming_matview,
+        "blocklist_gate": _blocklist_gate,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -7302,6 +7359,27 @@ def oracle_sql() -> dict[str, str]:
           FROM kept GROUP BY 1, 2)
         SELECT p.doc_id, p.source, md5(coalesce(r.text, '')) AS text_md5
         FROM pages p LEFT JOIN reb r USING (doc_id, source)
+    """
+    # Blocklist gate, analytic oracle: the nested host matches BOTH
+    # entries -> longest (malware) wins; the ccTLD entry blocks its
+    # subdomain; the deep entry blocks only its own id%3 slice.
+    d["blocklist_gate"] = """
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://ads.tracker' || (doc_id % 3)
+                             || '.com/x/' || doc_id
+                 WHEN 1 THEN 'https://shop.example.co.uk/' || doc_id
+                 WHEN 2 THEN 'https://mail.bad.example.co.uk/' || doc_id
+                 ELSE 'https://clean.site' || (doc_id % 5) || '.org/'
+                          || doc_id
+               END AS url_canon,
+               CASE
+                 WHEN doc_id % 4 = 2 THEN 'malware'
+                 WHEN doc_id % 4 = 1 THEN 'commerce'
+                 WHEN doc_id % 4 = 0 AND doc_id % 3 = 0 THEN 'ads'
+                 ELSE NULL
+               END AS blocked_category
+        FROM documents
     """
     # Streaming matview: three exactly-once waves + per-batch delta
     # refreshes must land exactly on the full GROUP BY.

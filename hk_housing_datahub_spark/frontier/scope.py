@@ -136,3 +136,71 @@ def scope_filter(
         )
         .drop("__scope")
     )
+
+
+def host_suffixes(host: Column) -> Column:
+    """array<string> of the host's dot-suffix chain, longest first:
+    'a.b.example.com' -> [a.b.example.com, b.example.com, example.com,
+    com]. Bounded by the label count (hosts have a handful), pure
+    codegen."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(
+            F.slice(labels, i, n - i + F.lit(1)), "."
+        ),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url_canon",
+    annotate: bool = False,
+) -> DataFrame:
+    """UT1/RefinedWeb-style domain blocklist gating: a row is blocked
+    when ANY dot-suffix of its URL's host appears in ``blocklist``
+    (domain string, category string) — so an entry blocks itself and
+    every subdomain, at ANY depth (`ads.example.com` entries work, not
+    just registrable domains). Ties (a host matching several entries)
+    resolve to the LONGEST matching domain, then lexicographic
+    category — the most specific listing wins, deterministically.
+
+    ``annotate=False`` drops blocked rows; ``annotate=True`` keeps all
+    rows and adds ``blocked_category`` (NULL = clean) for audit
+    funnels.
+
+    Scale: the suffix chain is a per-row codegen array (≤ label
+    count); the match is ONE equi-join keyed on the suffix string.
+    The blocklist side carries NO broadcast hint — real lists (UT1
+    adult ≈ 4M domains) sit at the broadcast boundary, so AQE decides
+    from its actual size, exactly the drop_boilerplate_lines lesson."""
+    from ..functions.urls import url_host
+
+    u = F.col(url_col)
+    with_sfx = df.select(u.alias("_u")).distinct().withColumn(
+        "_sfx", F.explode(host_suffixes(url_host(F.col("_u"))))
+    )
+    bl = blocklist.select(
+        F.col("domain").alias("_sfx"), F.col("category").alias("_cat")
+    )
+    # verdict per distinct URL (the natural key — duplicate rows share
+    # it, NULL urls produce no suffixes and stay clean)
+    hits = (
+        with_sfx.join(bl, "_sfx")
+        .groupBy("_u")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.length("_sfx")).alias("neg_len"),
+                    F.col("_cat").alias("cat"),
+                )
+            )["cat"].alias("blocked_category")
+        )
+    )
+    if annotate:
+        return df.join(
+            hits, u == hits["_u"], "left"
+        ).drop("_u")
+    return df.join(hits, u == hits["_u"], "left_anti")

@@ -194,3 +194,45 @@ def test_crawl_engine_scope_rules_reject_patterns(spark, tmp_path):
         )
     with pytest.raises(TypeError, match="scope must be"):
         CrawlEngine(spark, pages, None, str(tmp_path / "bad2"), scope="si")
+
+
+def test_host_suffix_chain(spark):
+    from hk_housing_datahub_spark.frontier.scope import host_suffixes
+
+    [r] = spark.range(1).select(
+        host_suffixes(F.lit("a.b.example.com")).alias("s")
+    ).collect()
+    assert list(r["s"]) == [
+        "a.b.example.com", "b.example.com", "example.com", "com",
+    ]
+
+
+def test_blocklist_filter_depth_inheritance_and_longest_match(spark):
+    from hk_housing_datahub_spark.frontier.scope import blocklist_filter
+
+    rows = [
+        (1, "https://ads.example.com/x"),      # subdomain of entry
+        (2, "https://example.com/y"),           # entry itself
+        (3, "https://notexample.com/z"),        # suffix NOT label-aligned
+        (4, "https://deep.bad.example.com/q"),  # matches two entries
+        (5, None),                               # null url stays clean
+        (6, "https://clean.org/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url_canon string")
+    bl = spark.createDataFrame(
+        [("example.com", "commerce"), ("bad.example.com", "malware")],
+        "domain string, category string",
+    )
+    got = {
+        r.doc_id: r.blocked_category
+        for r in blocklist_filter(df, bl, annotate=True).collect()
+    }
+    assert got == {
+        1: "commerce", 2: "commerce", 3: None, 4: "malware",
+        5: None, 6: None,
+    }
+    kept = {r.doc_id for r in blocklist_filter(df, bl).collect()}
+    assert kept == {3, 5, 6}
+    # duplicate rows share the verdict; row count is preserved
+    dup = df.union(df)
+    assert blocklist_filter(dup, bl, annotate=True).count() == 12
