@@ -116,6 +116,7 @@ class CrawlEngine:
         focus_params: dict | None = None,
         scope: str = "open",
         scope_rules: dict | None = None,
+        blocklist=None,
     ):
         # Trap guard (operators/traps.py): per wave, fetched pages land in
         # an accumulated (url_canon, digest) capture log; hosts whose URL
@@ -244,6 +245,12 @@ class CrawlEngine:
             )
         self.scope_mode = scope
         self.scope_rules = dict(scope_rules or {})
+        # Domain blocklist (frontier/scope.py blocklist_filter): a
+        # (domain, category) DataFrame; discovered outlinks whose host
+        # has ANY listed dot-suffix are dropped before they enter the
+        # frontier. No broadcast hint — AQE sizes the list (UT1-scale
+        # lists sit at the broadcast boundary).
+        self.blocklist = blocklist
         s_unknown = set(self.scope_rules) - {
             "exclude_patterns",
             "max_path_segments",
@@ -640,6 +647,17 @@ class CrawlEngine:
                     **self.scope_rules,
                 ).select(*FRONTIER_COLS)
                 t = tick("scope filter", t)
+            if self.blocklist is not None:
+                # Domain blocklist (scope.py blocklist_filter): discovered
+                # outlinks on listed domains (any depth, subdomains
+                # inherited) never enter the frontier. Seeds are exempt
+                # like scope — operator-chosen.
+                from .scope import blocklist_filter
+
+                out_frontier = blocklist_filter(
+                    out_frontier, self.blocklist
+                ).select(*FRONTIER_COLS)
+                t = tick("blocklist", t)
             frontier = self._dedup_frontier(backlog.unionByName(out_frontier))
             frontier = seen.filter_unseen(frontier)
 

@@ -236,3 +236,24 @@ def test_blocklist_filter_depth_inheritance_and_longest_match(spark):
     # duplicate rows share the verdict; row count is preserved
     dup = df.union(df)
     assert blocklist_filter(dup, bl, annotate=True).count() == 12
+
+
+def test_crawl_engine_blocklist_drops_listed_outlinks(spark, tmp_path):
+    """blocklist= keeps listed domains (and their subdomains) out of
+    wave 1's frontier; the unlisted outlink still schedules."""
+    from hk_housing_datahub_spark.frontier import CrawlEngine
+
+    pages = _scope_corpus(spark).cache()
+    seeds = spark.createDataFrame(
+        [("https://hub.example.com/", 1)], "url string, priority int"
+    )
+    bl = spark.createDataFrame(
+        [("other.org", "spam")], "domain string, category string"
+    )
+    d = str(tmp_path / "bl")
+    CrawlEngine(
+        spark, pages, None, d, wave_ms=300, max_depth=2, blocklist=bl
+    ).run(seeds, max_waves=2)
+    got = _sched(spark, d, 1)
+    assert "https://other.org/p3" not in got
+    assert "https://sub.hub.example.com/p2" in got
