@@ -42,6 +42,12 @@ def main() -> None:
     )
     ap.add_argument("--catalog-table", default="listings")
     ap.add_argument(
+        "--blocklist", default="",
+        help="parquet of (domain, category) rows; outlinks on listed "
+        "domains (subdomains inherited, any depth) never enter the "
+        "frontier",
+    )
+    ap.add_argument(
         "--audit-price-rate",
         type=float,
         default=None,
@@ -78,6 +84,9 @@ def main() -> None:
         max_depth=args.max_depth,
         max_attempts=args.max_attempts,
         politeness_salt=args.politeness_salt,
+        blocklist=(
+            spark.read.parquet(args.blocklist) if args.blocklist else None
+        ),
     )
     out: dict = {}
     if args.catalog:
