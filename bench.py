@@ -247,6 +247,11 @@ def main() -> None:
             "span_dedup_removal",
             "ngram_containment_pairs",
             "temperature_mixture",
+            "bpe_fertility",
+            "host_boilerplate_strip",
+            "blocklist_gate",
+            "incremental_rollup",
+            "streaming_matview",
         ]
         qs = E.queries()
         for name in bench_queries:
