@@ -1509,6 +1509,53 @@ def _span_dedup_profile(spark, sf):
     )
 
 
+def _canonical_links(spark, sf):
+    """rel=canonical extraction + resolution (extract/canonical.py):
+    six constructed page shapes — both attribute orders, both quote
+    styles, absolute / scheme-relative / path-absolute / dir-relative
+    hrefs, an undeclared page and an unresolvable ``..`` href. The
+    oracle states the resolved canonical analytically per case; the
+    engine's regex+CASE chain must land on it byte-for-byte."""
+    from hk_housing_datahub_spark.extract.canonical import canonical_target
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    m = F.pmod("doc_id", F.lit(6))
+    i = F.col("doc_id").cast("string")
+    base = (
+        F.when(m == 3, F.concat(F.lit("https://h3.example.com/dir/page"), i))
+        .otherwise(F.concat(F.lit("https://h"), m.cast("string"),
+                            F.lit(".example.com/a/b"), i))
+    )
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<head><link rel="canonical" href="https://c0.example.com/page'),
+            F.pmod("doc_id", F.lit(7)).cast("string"),
+            F.lit('"></head>'),
+        ))
+        .when(m == 1, F.concat(
+            F.lit("<link href='/canon/"), i,
+            F.lit("' rel='canonical'><p>x</p>"),
+        ))
+        .when(m == 2, F.concat(
+            F.lit('<LINK REL="canonical" HREF="//cdn.example.org/p/'),
+            i, F.lit('">'),
+        ))
+        .when(m == 3, F.concat(
+            F.lit('<link rel="canonical" href="c'), i,
+            F.lit('.html">'),
+        ))
+        .when(m == 4, F.lit("<p>no declaration here</p>"))
+        .otherwise(F.concat(
+            F.lit('<link rel="canonical" href="../up/'), i, F.lit('">'),
+        ))
+    )
+    return d.select(
+        "doc_id",
+        base.alias("url_canon"),
+        canonical_target(html, base).alias("canonical"),
+    )
+
+
 def _blocklist_gate(spark, sf):
     """UT1/RefinedWeb domain blocklist gating (frontier/scope.py
     blocklist_filter): an entry blocks itself and every subdomain at
@@ -4358,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_boilerplate_strip": _host_boilerplate_strip,
         "streaming_matview": _streaming_matview,
         "blocklist_gate": _blocklist_gate,
+        "canonical_links": _canonical_links,
         "robots_rfc_schedule": _robots_rfc_schedule,
         "sitemap_discovery": _sitemap_discovery,
         "token_vocab_top": _token_vocab_top,
@@ -7359,6 +7407,25 @@ def oracle_sql() -> dict[str, str]:
           FROM kept GROUP BY 1, 2)
         SELECT p.doc_id, p.source, md5(coalesce(r.text, '')) AS text_md5
         FROM pages p LEFT JOIN reb r USING (doc_id, source)
+    """
+    # rel=canonical, analytic oracle: expected resolution per case
+    # (absolute pass-through, base scheme for //, base origin for /,
+    # base directory for plain relatives, NULL for none and '..').
+    d["canonical_links"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 3
+                    THEN 'https://h3.example.com/dir/page' || doc_id
+                    ELSE 'https://h' || (doc_id % 6)
+                         || '.example.com/a/b' || doc_id END AS url_canon,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'https://c0.example.com/page' || (doc_id % 7)
+                 WHEN 1 THEN 'https://h1.example.com/canon/' || doc_id
+                 WHEN 2 THEN 'https://cdn.example.org/p/' || doc_id
+                 WHEN 3 THEN 'https://h3.example.com/dir/c' || doc_id
+                             || '.html'
+                 ELSE NULL
+               END AS canonical
+        FROM documents
     """
     # Blocklist gate, analytic oracle: the nested host matches BOTH
     # entries -> longest (malware) wins; the ccTLD entry blocks its
