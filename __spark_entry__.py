@@ -1429,6 +1429,30 @@ def _bpe_vocab(spark, sf):
     )
 
 
+def _kn_perplexity(spark, sf):
+    """Interpolated Kneser–Ney bigram perplexity (the smoothing KenLM
+    actually ships — operators/lm_quality.py fit_kneser_ney /
+    kn_perplexity_score): fit on the even-id half of the corpus, score
+    the odd half. The DuckDB twin recomputes the full KN pipeline (type
+    counts, context/continuation tables, estimated discount, add-k
+    continuation floor) from the same parquet; values rounded to 6 as
+    everywhere floats cross the comparator."""
+    from hk_housing_datahub_spark.operators.lm_quality import (
+        fit_kneser_ney,
+        kn_perplexity_score,
+    )
+
+    d = _t(spark, sf, "documents")
+    lm = fit_kneser_ney(d.filter(F.pmod("doc_id", F.lit(2)) == 0), k=0.5)
+    out = kn_perplexity_score(d.filter(F.pmod("doc_id", F.lit(2)) == 1), lm)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4428,6 +4452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": _bpe_learn,
         "bpe_vocab": _bpe_vocab,
         "bpe_fertility": _bpe_fertility,
+        "kn_perplexity": _kn_perplexity,
         # rows-only (pytest-verified)
         "bpe_encode_tokens": _bpe_encode_tokens,
         "crawl_sketch_stats": _crawl_sketch_stats,
@@ -5776,6 +5801,48 @@ def oracle_sql() -> dict[str, str]:
     # Gopher repetition battery: outside the driver's 50-entry window
     # (rows-only there) but fully oracle-backed — tools/check_oracles.py
     # verifies rows+schema+hash locally like any window entry.
+    # Interpolated Kneser–Ney: the full fit (type/context/continuation
+    # counts, n1/(n1+2·n2) discount) + scoring replayed relationally.
+    d["kn_perplexity"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+               FROM d, unnest(generate_series(1, len(t) - 1)) AS g(i)
+               WHERE len(t) >= 2),
+        ty AS (SELECT w1, w2, count(*) AS c12 FROM bg
+               WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1w1
+                FROM ty GROUP BY 1),
+        cont AS (SELECT w2, count(*) AS n1w2 FROM ty GROUP BY 1),
+        sc0 AS (SELECT count(*) AS t,
+                       sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
+                       sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
+                FROM ty),
+        sc1 AS (SELECT t, CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) AS d
+                FROM sc0),
+        v AS (SELECT count(DISTINCT w1) AS v FROM
+                (SELECT unnest(t) AS w1 FROM d WHERE doc_id % 2 = 0)),
+        sc AS (
+            SELECT b.doc_id,
+                   CASE WHEN c.c1 IS NULL
+                        THEN ln((coalesce(n.n1w2, 0) + 0.5)
+                                / (s.t + 0.5 * v.v))
+                        ELSE ln(
+                          greatest(coalesce(y.c12, 0) - s.d, 0.0) / c.c1
+                          + (s.d * c.n1w1 / c.c1)
+                            * ((coalesce(n.n1w2, 0) + 0.5)
+                               / (s.t + 0.5 * v.v)))
+                   END AS lp
+            FROM bg b
+            LEFT JOIN ty y USING (w1, w2)
+            LEFT JOIN ctx c USING (w1)
+            LEFT JOIN cont n USING (w2)
+            CROSS JOIN sc1 s CROSS JOIN v
+            WHERE b.doc_id % 2 = 1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lp), 6) AS avg_logp,
+               round(exp(-avg(lp)), 6) AS perplexity
+        FROM sc GROUP BY doc_id
+    """
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()
     d["trust_graph_rank"] = _trust_graph_rank_sql()

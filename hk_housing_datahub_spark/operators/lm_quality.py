@@ -170,3 +170,146 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
     )
     return out.withColumn("ppl_bucket", bucket).drop("_th")
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser–Ney — the smoothing KenLM actually ships
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class KneserNeyLM:
+    """Interpolated Kneser–Ney bigram model (Chen & Goodman 1999) —
+    the smoothing family KenLM implements, and therefore the model the
+    CCNet paper's perplexity filter really runs. Unlike add-k (above),
+    KN discounts OBSERVED bigrams by an absolute amount ``d`` and gives
+    the freed mass to a CONTINUATION distribution (how many distinct
+    contexts a word follows — "Francisco" is frequent but only ever
+    follows "San", so its continuation probability is tiny), which is
+    the behaviour add-k cannot express.
+
+    Everything is still two relational aggregates plus scalars:
+
+      ``contexts``: (w1, c1, n1w1) — c1 = Σ c(w1,·) bigram-context total,
+                    n1w1 = N1+(w1,·) distinct continuations of w1
+      ``continuations``: (w2, n1w2) — N1+(·,w2) distinct contexts of w2
+      ``bigrams``: (w1, w2, c12)
+      scalars: ``d`` (absolute discount, estimated n1/(n1+2·n2)),
+               ``t`` = total distinct bigram types, ``v`` = |vocab|,
+               ``k`` = add-k mass on the continuation distribution so
+               OOV words keep a finite floor (documented deviation from
+               textbook KN, which assigns OOV zero mass).
+    """
+
+    bigrams: DataFrame
+    contexts: DataFrame
+    continuations: DataFrame
+    d: float
+    t: int
+    v: int
+    k: float
+
+    def persist(self) -> "KneserNeyLM":
+        self.bigrams = self.bigrams.persist()
+        self.contexts = self.contexts.persist()
+        self.continuations = self.continuations.persist()
+        return self
+
+
+def fit_kneser_ney(
+    reference: DataFrame, text_col: str = "text", k: float = 0.5
+) -> KneserNeyLM:
+    """Fit interpolated-KN count tables on a reference corpus.
+
+    Plan shape: ONE bigram-type aggregate (shuffle on compact (w1, w2)
+    string keys, map-side combined) is the root; the context and
+    continuation tables derive from it with two more small aggregates
+    over the TYPE table (already |types| rows, Zipf-bounded by the
+    reference vocabulary — not the corpus). The discount ``d`` and the
+    type total come from one scalar aggregate over the same type table;
+    V comes from one distinct-count over tokens. Four driver scalars
+    total; no Python in any per-row path.
+    """
+    pairs = reference.select(
+        F.explode(doc_bigrams(F.col(text_col))).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bigrams = bigrams.persist()
+    contexts = bigrams.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1w1")
+    )
+    continuations = bigrams.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1w2")
+    )
+    row = bigrams.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum((F.col("c12") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c12") == 2).cast("long")).alias("n2"),
+    ).collect()[0]
+    t, n1, n2 = int(row["t"]), int(row["n1"] or 0), int(row["n2"] or 0)
+    d = (n1 / (n1 + 2.0 * n2)) if (n1 + 2 * n2) > 0 else 0.5
+    v = reference.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).agg(F.countDistinct("w")).collect()[0][0]
+    return KneserNeyLM(
+        bigrams=bigrams,
+        contexts=contexts,
+        continuations=continuations,
+        d=d,
+        t=max(t, 1),
+        v=max(int(v or 0), 1),
+        k=k,
+    )
+
+
+def kn_perplexity_score(
+    docs: DataFrame,
+    lm: KneserNeyLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``docs`` + ``(n_bigrams, avg_logp, perplexity)`` under
+    interpolated KN:
+
+        Pc(w2)    = (N1+(·,w2) + k) / (T + k·V)     (continuation, add-k
+                                                     floored so OOV > 0)
+        λ(w1)     = d · N1+(w1,·) / c(w1)           (freed mass)
+        P(w2|w1)  = max(c12 − d, 0)/c(w1) + λ(w1)·Pc(w2)   seen context
+        P(w2|w1)  = Pc(w2)                                  unseen context
+
+    Same join shape as the add-k scorer: the corpus explodes once, joins
+    the three Zipf-bounded model tables on compact string keys (AQE
+    broadcasts them when they fit), one per-doc aggregate. Docs with <2
+    tokens score NULL.
+    """
+    d, t, v, k = float(lm.d), float(lm.t), float(lm.v), float(lm.k)
+    ex = docs.select(
+        F.col(id_col), F.explode(doc_bigrams(F.col(text_col))).alias("bg")
+    ).select(id_col, "bg.w1", "bg.w2")
+    joined = (
+        ex.join(lm.bigrams, ["w1", "w2"], "left")
+        .join(lm.contexts, ["w1"], "left")
+        .join(lm.continuations, ["w2"], "left")
+    )
+    pc = (F.coalesce(F.col("n1w2"), F.lit(0)) + F.lit(k)) / F.lit(
+        t + k * v
+    )
+    lam = F.lit(d) * F.col("n1w1") / F.col("c1")
+    seen = (
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        )
+        / F.col("c1")
+        + lam * pc
+    )
+    logp = F.when(F.col("c1").isNull(), F.log(pc)).otherwise(F.log(seen))
+    scores = (
+        joined.select(F.col(id_col), logp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("lp").alias("avg_logp"),
+        )
+        .withColumn("perplexity", F.exp(-F.col("avg_logp")))
+    )
+    return docs.join(scores, id_col, "left")
