@@ -1453,6 +1453,28 @@ def _kn_perplexity(spark, sf):
     )
 
 
+def _nb_langid_confusion(spark, sf):
+    """Trained char-trigram Naive-Bayes language ID
+    (operators/langid_nb.py — the fastText-langid role): fit on the
+    even-id half of the corpus using its lang labels, predict the odd
+    half, report the (true, predicted) confusion rollup. Training AND
+    inference are pure relational algebra, so the DuckDB twin replays
+    the whole classifier end-to-end; the argmax ranks on round(score,6)
+    with a lang tie-break, making the prediction engine-portable.
+    (The synthetic corpus's lang labels are independent of its text, so
+    the matrix mostly reflects priors — exactness, not accuracy, is
+    what this entry pins; accuracy on real multilingual text is pinned
+    by tests/test_langid_nb.py::test_predicts_held_out_sentences.)"""
+    from hk_housing_datahub_spark.operators.langid_nb import (
+        fit_nb_langid,
+        nb_confusion,
+    )
+
+    d = _t(spark, sf, "documents")
+    model = fit_nb_langid(d.filter(F.pmod("doc_id", F.lit(2)) == 0), k=1.0)
+    return nb_confusion(d.filter(F.pmod("doc_id", F.lit(2)) == 1), model)
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4453,6 +4475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _bpe_vocab,
         "bpe_fertility": _bpe_fertility,
         "kn_perplexity": _kn_perplexity,
+        "nb_langid_confusion": _nb_langid_confusion,
         # rows-only (pytest-verified)
         "bpe_encode_tokens": _bpe_encode_tokens,
         "crawl_sketch_stats": _crawl_sketch_stats,
@@ -5842,6 +5865,50 @@ def oracle_sql() -> dict[str, str]:
                round(avg(lp), 6) AS avg_logp,
                round(exp(-avg(lp)), 6) AS perplexity
         FROM sc GROUP BY doc_id
+    """
+    # Trained NB langid: training + inference replayed relationally;
+    # argmax on round(score,6) DESC, lang ASC on both engines.
+    d["nb_langid_confusion"] = f"""
+        WITH d AS (SELECT doc_id, lang, {_NORM} AS t FROM documents),
+        dg AS (SELECT doc_id, lang, substr(t, i, 3) AS gram
+               FROM d, unnest(generate_series(1, len(t) - 2)) AS g(i)
+               WHERE len(t) >= 3),
+        ty AS (SELECT gram, lang, count(*) AS c FROM dg
+               WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        gsz AS (SELECT count(DISTINCT gram) AS g FROM ty),
+        tot AS (SELECT lang, sum(c) AS tot FROM ty GROUP BY 1),
+        pri AS (SELECT lang, count(*) AS n_docs FROM d
+                WHERE doc_id % 2 = 0 GROUP BY 1),
+        prit AS (SELECT sum(n_docs) AS n FROM pri),
+        langs AS (SELECT t.lang, t.tot,
+                         ln(CAST(p.n_docs AS DOUBLE) / prit.n) AS prior_ln,
+                         ln(1.0 / (t.tot + 1.0 * gsz.g)) AS floor_ln
+                  FROM tot t JOIN pri p USING (lang)
+                  CROSS JOIN prit CROSS JOIN gsz),
+        tgt AS (SELECT doc_id, lang AS true_lang,
+                       greatest(len(t) - 2, 0) AS n_grams, t
+                FROM d WHERE doc_id % 2 = 1),
+        tgrams AS (SELECT doc_id, substr(t, i, 3) AS gram
+                   FROM tgt, unnest(generate_series(1, len(t) - 2)) AS g(i)
+                   WHERE len(t) >= 3),
+        mt AS (SELECT m.doc_id, y.lang,
+                      sum(ln((y.c + 1.0) / (o.tot + 1.0 * gsz.g))) AS s,
+                      count(*) AS m
+               FROM tgrams m JOIN ty y USING (gram)
+               JOIN tot o ON y.lang = o.lang CROSS JOIN gsz
+               GROUP BY 1, 2),
+        sc AS (SELECT b.doc_id, b.true_lang, l.lang,
+                      l.prior_ln + coalesce(mt.s, 0.0)
+                      + (b.n_grams - coalesce(mt.m, 0)) * l.floor_ln
+                          AS score
+               FROM tgt b CROSS JOIN langs l
+               LEFT JOIN mt ON mt.doc_id = b.doc_id AND mt.lang = l.lang),
+        pr AS (SELECT doc_id, true_lang, lang AS pred_lang,
+                      row_number() OVER (PARTITION BY doc_id
+                          ORDER BY round(score, 6) DESC, lang) AS rn
+               FROM sc)
+        SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM pr WHERE rn = 1 GROUP BY true_lang, pred_lang
     """
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()

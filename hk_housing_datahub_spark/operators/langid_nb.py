@@ -1,0 +1,214 @@
+"""Trained character-n-gram Naive-Bayes language identifier — the
+fastText-langid role, DataFrame-native and fully SQL-replayable.
+
+The heuristic ``functions.text.lang_id`` is a fixed rule (char-class
+probes). Real pipelines (CCNet, RefinedWeb, FineWeb) use a TRAINED
+classifier over character n-grams; with multinomial Naive Bayes that
+classifier is nothing but count tables and log-sums — plain relational
+algebra, so training AND inference stay JVM-side, and an independent SQL
+engine can replay both exactly (the DuckDB oracle does).
+
+    fit:    labeled docs ──explode char n-grams──► count(gram, lang)
+            + per-lang totals + doc priors + |gram space| G
+            (one compact-key aggregate over (gram, lang); everything
+            else derives from the type table / tiny per-lang rollups)
+    score:  docs ──explode grams──► inner-join model on gram
+            ──► per-(doc, lang) Σ ln((c+k)/(tot_l+k·G)) and match count
+            ──► + (n_grams − matched)·ln(k/(tot_l+k·G)) + ln prior_l
+            (grams unseen for a language hit the smoothing floor; the
+            docs×langs base makes zero-match languages still score)
+    argmax: per-doc rank on (round(score, 6) DESC, lang ASC) — rounding
+            absorbs float re-association across engines; the tie-break
+            is total, so the prediction is deterministic.
+
+Scale shape at 100 TB: the model is |distinct grams|×|langs| rows —
+bounded by the character-trigram space (Heaps/Zipf-bounded, ≈10^5–10^6
+rows), never by the corpus — so AQE broadcasts it into the scoring
+join; the corpus explodes once and shuffles twice on compact keys
+(gram string, then doc id). The per-doc language fan-out is |langs|
+(single digits), and the final argmax is a per-doc window over that
+fan-out, not a global sort. No Python, no UDFs, no driver loop.
+
+Reference role: /root/reference has no trained classifier at all; this
+is the language-ID stage of the training-data battery the brief asks
+for beyond the reference's own operators (axes A: webtext).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """array<string> of all overlapping character ``n``-grams of the
+    normalized text (lowercase, whitespace collapsed). Texts shorter
+    than ``n`` yield an empty array. The normalized string binds through
+    a one-element array + transform so it is computed once per row."""
+
+    def mk(t: Column) -> Column:
+        ln = F.length(t)
+        return F.when(
+            ln < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), ln - n + 1),
+                lambda i: F.substr(t, i, F.lit(n)),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(normalize_text(text)), mk), 1)
+
+
+@dataclass
+class NBLangModel:
+    """``grams``: (gram, lang, c) occurrence counts; ``langs``: per-lang
+    rollup (lang, tot, prior_ln, floor_ln) — tot = Σ c over the lang's
+    grams, floor_ln = ln(k/(tot+k·G)) the unseen-gram log-mass;
+    ``g``: |distinct grams| across all languages; ``k``: add-k mass."""
+
+    grams: DataFrame
+    langs: DataFrame
+    g: int
+    k: float
+
+    def persist(self) -> "NBLangModel":
+        self.grams = self.grams.persist()
+        self.langs = self.langs.persist()
+        return self
+
+
+def fit_nb_langid(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n: int = 3,
+    k: float = 1.0,
+) -> NBLangModel:
+    """Train multinomial NB on (text, lang)-labeled docs. ONE aggregate
+    over exploded (gram, lang) occurrences is the root; per-lang totals
+    and doc priors are tiny rollups; G is one scalar."""
+    ex = labeled.select(
+        F.col(label_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    grams = ex.groupBy("gram", "lang").agg(F.count(F.lit(1)).alias("c"))
+    grams = grams.persist()
+    g = grams.select("gram").distinct().count()
+    g = max(int(g), 1)
+    totals = grams.groupBy("lang").agg(F.sum("c").alias("tot"))
+    docs_per = labeled.groupBy(F.col(label_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_total = labeled.count()
+    langs = totals.join(docs_per, "lang").select(
+        "lang",
+        "tot",
+        F.log(F.col("n_docs") / F.lit(float(max(n_total, 1)))).alias(
+            "prior_ln"
+        ),
+        F.log(F.lit(k) / (F.col("tot") + F.lit(k) * F.lit(g))).alias(
+            "floor_ln"
+        ),
+    )
+    return NBLangModel(grams=grams, langs=langs, g=g, k=k)
+
+
+def nb_language_scores(
+    docs: DataFrame,
+    model: NBLangModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, lang, score) for every document × model language.
+
+    The corpus explodes once; matched gram occurrences inner-join the
+    model (broadcastable — Zipf-bounded) and aggregate per (doc, lang);
+    the docs×langs base (langs is single-digit rows) restores languages
+    with zero matched grams at the pure-floor score. Docs with zero
+    grams (shorter than ``n``) score prior-only."""
+    k, g = float(model.k), float(model.g)
+    ex = docs.select(
+        F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    ngrams_per_doc = docs.select(
+        F.col(id_col),
+        F.size(char_ngrams(F.col(text_col), n)).alias("n_grams"),
+    )
+    matched = (
+        ex.join(model.grams, "gram")
+        .join(model.langs.select("lang", "tot"), "lang")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("c") + F.lit(k))
+                    / (F.col("tot") + F.lit(k) * F.lit(g))
+                )
+            ).alias("s_matched"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    base = ngrams_per_doc.crossJoin(F.broadcast(model.langs))
+    scored = base.join(matched, [id_col, "lang"], "left").select(
+        F.col(id_col),
+        "lang",
+        (
+            F.col("prior_ln")
+            + F.coalesce(F.col("s_matched"), F.lit(0.0))
+            + (F.col("n_grams") - F.coalesce(F.col("n_matched"), F.lit(0)))
+            * F.col("floor_ln")
+        ).alias("score"),
+    )
+    return scored
+
+
+def nb_predict(
+    docs: DataFrame,
+    model: NBLangModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, pred_lang, score): the argmax language per document under a
+    total, engine-portable order — round(score, 6) DESC then lang ASC.
+    The window partitions by doc over the |langs|-row fan-out (never a
+    global sort)."""
+    scores = nb_language_scores(docs, model, id_col, text_col, n)
+    w = Window.partitionBy(id_col).orderBy(
+        F.round("score", 6).desc(), F.col("lang").asc()
+    )
+    return (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("lang").alias("pred_lang"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def nb_confusion(
+    labeled: DataFrame,
+    model: NBLangModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    n: int = 3,
+) -> DataFrame:
+    """(true_lang, pred_lang, n_docs) confusion rollup — the
+    evaluation artifact a corpus-curation run reports. Integral output,
+    so cross-engine comparison is exact."""
+    preds = nb_predict(labeled, model, id_col, text_col, n)
+    return (
+        labeled.select(F.col(id_col), F.col(label_col).alias("true_lang"))
+        .join(preds, id_col)
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
