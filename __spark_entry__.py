@@ -4300,6 +4300,47 @@ def _quality_classifier_gate(spark, sf):
     return quality_gate(docs, scores, 0.5).select("doc_id", "lang")
 
 
+def _unigram_lm_vocab(spark, sf):
+    """Rows-only: unigram-LM (SentencePiece) tokenizer training
+    (operators/unigram_lm.py) — EM over word-segmentation lattices with
+    a distributed Arrow-batched E-step and exact-decimal count sums
+    (bit-deterministic under any partitioning). Not SQL-expressible
+    (iterative forward–backward); the strong checks are
+    tests/test_unigram_lm.py: lattice kernels vs brute enumeration,
+    the full fit vs an independent sequential reference, and bitwise
+    partition invariance."""
+    from hk_housing_datahub_spark.operators.unigram_lm import (
+        learn_unigram_lm,
+    )
+
+    d = _t(spark, sf, "documents")
+    model = learn_unigram_lm(d, vocab_size=64, max_piece_len=4)
+    return spark.createDataFrame(
+        [(p, round(lp, 6)) for p, lp in model], ["piece", "logp"]
+    )
+
+
+def _unigram_encode_pieces(spark, sf):
+    """Rows-only: Viterbi encoding of the corpus under a fitted
+    unigram-LM vocabulary (max total log-probability, deterministic
+    tie-breaks, single-char OOV fallback). Optimality is pinned by the
+    hypothesis sweep against brute segmentation enumeration in
+    tests/test_unigram_lm.py."""
+    from hk_housing_datahub_spark.operators.unigram_lm import (
+        encode_unigram,
+        learn_unigram_lm,
+    )
+
+    d = _t(spark, sf, "documents")
+    model = learn_unigram_lm(d, vocab_size=64, max_piece_len=4)
+    out = encode_unigram(d, model, max_piece_len=4)
+    return out.select(
+        "doc_id",
+        F.size("pieces").alias("n_pieces"),
+        F.md5(F.concat_ws("\x1f", "pieces")).alias("pieces_md5"),
+    )
+
+
 def _crawl_sketch_stats(spark, sf):
     """Rows-only: mergeable crawl statistics (operators/sketches.py) —
     two synthetic capture waves sketched per host (HLL distinct urls,
@@ -4478,6 +4519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid_confusion": _nb_langid_confusion,
         # rows-only (pytest-verified)
         "bpe_encode_tokens": _bpe_encode_tokens,
+        "unigram_lm_vocab": _unigram_lm_vocab,
+        "unigram_encode_pieces": _unigram_encode_pieces,
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
         "crawl_frontier_run": _crawl_frontier_run,

@@ -252,6 +252,9 @@ def main() -> None:
             "blocklist_gate",
             "incremental_rollup",
             "streaming_matview",
+            # round-4 session D: smoothing/classifier/tokenizer additions
+            "kn_perplexity",
+            "nb_langid_confusion",
         ]
         qs = E.queries()
         for name in bench_queries:

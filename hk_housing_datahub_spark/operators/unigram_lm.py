@@ -196,16 +196,13 @@ def learn_unigram_lm(
         .persist()
     )
     spark = docs.sparkSession
-    seed = _seed_pieces(wf, max_piece_len, seed_factor * vocab_size)
+    seed = sorted(_seed_pieces(wf, max_piece_len, seed_factor * vocab_size))
     tot = sum(w for _, w in seed)
     model = {p: math.log(w / tot) for p, w in seed}
 
     def em_round(model: dict) -> dict:
         counts = _expected_counts(spark, wf, model, max_piece_len)
-        z = sum(counts.values())
-        return {
-            p: math.log(c / z) for p, c in counts.items() if c > 0.0
-        }
+        return _m_step(model, counts)
 
     while True:
         for _ in range(em_iters):
@@ -223,6 +220,34 @@ def learn_unigram_lm(
         model = kept
     model = em_round(model)
     return sorted(model.items())
+
+
+# Expected-count quantum: the E-step accumulates in decimal(38,18), so
+# per-word contributions below 10^-18 vanish; the sequential reference
+# applies the same per-addend quantization so both paths drop the same
+# negligible pieces. Single-character pieces NEVER leave the model
+# (SentencePiece's required-char rule — every word must stay
+# segmentable); a char whose expected count quantized to zero re-enters
+# at the fixed floor mass below.
+_E_QUANTUM_DIGITS = 18
+_MIN_CHAR_E = 1e-12
+
+
+def _m_step(model: dict, counts: dict) -> dict:
+    """Shared M-step + survival rule: multi-char pieces with zero
+    (quantized) expected count drop; single-char pieces survive at the
+    ``_MIN_CHAR_E`` floor; everything renormalizes in log space. The
+    normalizer sums in sorted-piece order — collect()/dict order is
+    partition-dependent, and float addition is not associative."""
+    z = sum(c for _, c in sorted(counts.items()))
+    if z <= 0.0:
+        return dict(model)
+    out = {p: math.log(c / z) for p, c in counts.items() if c > 0.0}
+    floor = math.log(_MIN_CHAR_E / z)
+    for p in model:
+        if len(p) == 1 and p not in out:
+            out[p] = floor
+    return out
 
 
 def _expected_counts(spark, wf: DataFrame, model: dict, max_piece_len: int):
@@ -326,7 +351,9 @@ def learn_unigram_lm_sequential(
         ((p, wt) for p, wt in weights.items() if len(p) > 1),
         key=lambda kv: (-kv[1], kv[0]),
     )[: seed_factor * vocab_size]
-    seed = multi + [(p, wt) for p, wt in weights.items() if len(p) == 1]
+    seed = sorted(
+        multi + [(p, wt) for p, wt in weights.items() if len(p) == 1]
+    )
     tot = sum(wt for _, wt in seed)
     model = {p: math.log(wt / tot) for p, wt in seed}
 
@@ -336,9 +363,10 @@ def learn_unigram_lm_sequential(
             exp, _ = _forward_backward(w, model, max_piece_len)
             if exp:
                 for p, e in exp.items():
-                    counts[p] = counts.get(p, 0.0) + e * c
-        z = sum(counts.values())
-        return {p: math.log(cc / z) for p, cc in counts.items() if cc > 0.0}
+                    counts[p] = counts.get(p, 0.0) + round(
+                        e * c, _E_QUANTUM_DIGITS
+                    )
+        return _m_step(model, counts)
 
     while True:
         for _ in range(em_iters):
