@@ -1475,6 +1475,25 @@ def _nb_langid_confusion(spark, sf):
     return nb_confusion(d.filter(F.pmod("doc_id", F.lit(2)) == 1), model)
 
 
+def _bitext_margin_pairs(spark, sf):
+    """CCMatrix-style margin-based bitext mining
+    (operators/similarity.py bitext_margin_mine, Artetxe & Schwenk
+    2019): two disjoint slices of the embeddings table stand in for the
+    two languages' sentence embeddings; each source is matched to its
+    best target by the k-NN-normalized ratio margin and kept above
+    margin 1. The DuckDB twin replays scoring, both k-NN means, and the
+    argmax; ranks break ties on ids and the margin rounds to 6 before
+    ranking on both engines."""
+    from hk_housing_datahub_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    src = e.filter(F.pmod("vec_id", F.lit(10)) == 0)
+    tgt = e.filter(F.pmod("vec_id", F.lit(10)) == 5)
+    return bitext_margin_mine(src, tgt, k=4, margin_threshold=1.0)
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4517,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": _bpe_fertility,
         "kn_perplexity": _kn_perplexity,
         "nb_langid_confusion": _nb_langid_confusion,
+        "bitext_margin_pairs": _bitext_margin_pairs,
         # rows-only (pytest-verified)
         "bpe_encode_tokens": _bpe_encode_tokens,
         "unigram_lm_vocab": _unigram_lm_vocab,
@@ -5952,6 +5972,36 @@ def oracle_sql() -> dict[str, str]:
                FROM sc)
         SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
         FROM pr WHERE rn = 1 GROUP BY true_lang, pred_lang
+    """
+    # CCMatrix margin mining: scoring, both k-NN means and the
+    # per-source argmax replayed on DOUBLE[] lists.
+    d["bitext_margin_pairs"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        s AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE vec_id % 10 = 0),
+        t AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE vec_id % 10 = 5),
+        sc AS (SELECT src_id, tgt_id,
+                      list_dot_product(sv, tv) /
+                      (sqrt(list_dot_product(sv, sv)) *
+                       sqrt(list_dot_product(tv, tv))) AS cs
+               FROM s CROSS JOIN t),
+        rk AS (SELECT *,
+                      row_number() OVER (PARTITION BY src_id
+                          ORDER BY cs DESC, tgt_id) AS rs,
+                      row_number() OVER (PARTITION BY tgt_id
+                          ORDER BY cs DESC, src_id) AS rt
+               FROM sc),
+        ks AS (SELECT src_id, avg(cs) AS ks FROM rk WHERE rs <= 4 GROUP BY 1),
+        kt AS (SELECT tgt_id, avg(cs) AS kt FROM rk WHERE rt <= 4 GROUP BY 1),
+        mg AS (SELECT r.src_id, r.tgt_id, r.cs,
+                      r.cs / ((ks.ks + kt.kt) / 2) AS m
+               FROM rk r JOIN ks USING (src_id) JOIN kt USING (tgt_id)),
+        best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                     ORDER BY round(m, 6) DESC, tgt_id) AS rb
+                 FROM mg)
+        SELECT src_id, tgt_id, round(cs, 6) AS cos_sim,
+               round(m, 6) AS margin
+        FROM best WHERE rb = 1 AND round(m, 6) > 1.0
     """
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()

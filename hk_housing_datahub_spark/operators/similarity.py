@@ -420,3 +420,100 @@ def search_similar(
         .filter(F.col("rnk") <= k)
         .select("qid", corpus_id, F.round("_cs", 6).alias("cos_sim"), "rnk")
     )
+
+
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin_threshold: float = 1.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """CCMatrix-style margin-based bitext mining (Artetxe & Schwenk
+    2019): score every source embedding against target embeddings by
+    the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((knn_x + knn_y) / 2)
+
+    where ``knn_x`` is the mean cosine of x to its k nearest targets
+    and ``knn_y`` the mean of y to its k nearest sources — the
+    normalization that makes cross-lingual mining robust to hubness
+    (a "hub" target close to everything gets a high denominator and
+    stops winning every source). Returns one row per source — its
+    best target by margin — filtered to ``margin > margin_threshold``:
+    (src_id, tgt_id, cos_sim, margin).
+
+    Plan shape: with ``candidates=None`` the pair space is the brute
+    cross join — the exactness baseline, and the oracle twin. At 10^9
+    embeddings pass ``candidates`` (src_id, tgt_id) from the LSH/IVF
+    ladder above; scoring, the two k-NN means, and the final argmax then
+    run over the candidate set only (CCMatrix does exactly this with
+    FAISS shortlists — the margin denominator over the shortlist is the
+    documented approximation). Per-side means are windows partitioned by
+    one id (fan-out = shortlist size, never a global sort); norms hoist
+    out of the pair loop as in brute_force_topk.
+    """
+    sv = src.select(
+        F.col(id_col).alias("src_id"),
+        _to_double(F.col(vec_col)).alias("_sv"),
+    ).withColumn("_sn", norm(F.col("_sv")))
+    tv = tgt.select(
+        F.col(id_col).alias("tgt_id"),
+        _to_double(F.col(vec_col)).alias("_tv"),
+    ).withColumn("_tn", norm(F.col("_tv")))
+    if candidates is None:
+        pairs = sv.crossJoin(F.broadcast(tv))
+    else:
+        pairs = candidates.select("src_id", "tgt_id").join(sv, "src_id").join(
+            tv, "tgt_id"
+        )
+    scored = pairs.select(
+        "src_id",
+        "tgt_id",
+        (
+            dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn"))
+        ).alias("_cs"),
+    )
+    ws = W.partitionBy("src_id").orderBy(F.col("_cs").desc(), F.col("tgt_id"))
+    wt = W.partitionBy("tgt_id").orderBy(F.col("_cs").desc(), F.col("src_id"))
+    ranked = scored.withColumn("_rs", F.row_number().over(ws)).withColumn(
+        "_rt", F.row_number().over(wt)
+    )
+    ranked = ranked.persist()
+    knn_s = (
+        ranked.filter(F.col("_rs") <= k)
+        .groupBy("src_id")
+        .agg(F.avg("_cs").alias("_ks"))
+    )
+    knn_t = (
+        ranked.filter(F.col("_rt") <= k)
+        .groupBy("tgt_id")
+        .agg(F.avg("_cs").alias("_kt"))
+    )
+    margined = (
+        ranked.join(knn_s, "src_id")
+        .join(knn_t, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "_cs",
+            (F.col("_cs") / ((F.col("_ks") + F.col("_kt")) / F.lit(2.0))).alias(
+                "_mg"
+            ),
+        )
+    )
+    wbest = W.partitionBy("src_id").orderBy(
+        F.round("_mg", 6).desc(), F.col("tgt_id")
+    )
+    return (
+        margined.withColumn("_rb", F.row_number().over(wbest))
+        .filter((F.col("_rb") == 1) & (F.round("_mg", 6) > margin_threshold))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("_cs", 6).alias("cos_sim"),
+            F.round("_mg", 6).alias("margin"),
+        )
+    )
