@@ -1494,6 +1494,47 @@ def _bitext_margin_pairs(spark, sf):
     return bitext_margin_mine(src, tgt, k=4, margin_threshold=1.0)
 
 
+def _readability_scores(spark, sf):
+    """Flesch / Flesch–Kincaid / type–token-ratio battery
+    (operators/textops.py readability_scores): fixed regex counting
+    rules (vowel-group syllables, [.!?]+ sentences floored at 1) keep
+    the whole battery one codegen projection and make the DuckDB twin
+    exact."""
+    from hk_housing_datahub_spark.operators.textops import (
+        readability_scores,
+    )
+
+    return readability_scores(_t(spark, sf, "documents"))
+
+
+def _badwords_gate(spark, sf):
+    """C4's bad-words gate done relationally (operators/textops.py
+    badwords_filter): explode + semi-join against the term table
+    instead of a giant regex alternation, so corpus cost is independent
+    of blocklist size. A fixed three-term list with max_hits=2 makes
+    the gate demonstrably bite on the synthetic corpus."""
+    from hk_housing_datahub_spark.operators.textops import badwords_filter
+
+    d = _t(spark, sf, "documents")
+    bad = spark.createDataFrame(
+        [("slow",), ("dup",), ("scan",)], ["term"]
+    )
+    out = badwords_filter(d, bad, max_hits=2)
+    return out.select("doc_id", "lang", "source", "n_badword_hits")
+
+
+def _quality_threshold_sweep(spark, sf):
+    """Quality-vs-quantity tradeoff curve in one corpus pass
+    (operators/textops.py quality_threshold_sweep): per quality-bucket
+    lower edge, the docs/tokens/mean-quality surviving a >=threshold
+    gate — one groupBy + a window cumsum over 20 bucket rows."""
+    from hk_housing_datahub_spark.operators.textops import (
+        quality_threshold_sweep,
+    )
+
+    return quality_threshold_sweep(_t(spark, sf, "documents"))
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4537,6 +4578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": _kn_perplexity,
         "nb_langid_confusion": _nb_langid_confusion,
         "bitext_margin_pairs": _bitext_margin_pairs,
+        "readability_scores": _readability_scores,
+        "badwords_gate": _badwords_gate,
+        "quality_threshold_sweep": _quality_threshold_sweep,
         # rows-only (pytest-verified)
         "bpe_encode_tokens": _bpe_encode_tokens,
         "unigram_lm_vocab": _unigram_lm_vocab,
@@ -6002,6 +6046,70 @@ def oracle_sql() -> dict[str, str]:
         SELECT src_id, tgt_id, round(cs, 6) AS cos_sim,
                round(m, 6) AS margin
         FROM best WHERE rb = 1 AND round(m, 6) > 1.0
+    """
+    d["readability_scores"] = f"""
+        WITH d AS (SELECT doc_id, {_NORM} AS t, {_TOKS} AS tk
+                   FROM documents),
+        c AS (SELECT doc_id,
+                     len(tk) AS n_words,
+                     greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+                         AS n_sentences,
+                     len(regexp_extract_all(t, '[aeiouy]+')) AS n_syllables,
+                     len(list_distinct(tk)) AS n_distinct
+              FROM d)
+        SELECT doc_id,
+               CAST(n_words AS INT) AS n_words,
+               CAST(n_sentences AS INT) AS n_sentences,
+               CAST(n_syllables AS INT) AS n_syllables,
+               CASE WHEN n_words > 0 THEN
+                   round(206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+                         / n_sentences)
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+               END AS flesch,
+               CASE WHEN n_words > 0 THEN
+                   round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                       - 15.59, 6)
+               END AS fk_grade,
+               CASE WHEN n_words > 0 THEN
+                   round(CAST(n_distinct AS DOUBLE) / n_words, 6)
+               END AS ttr
+        FROM c
+    """
+    d["badwords_gate"] = f"""
+        WITH ex AS (SELECT doc_id, unnest({_TOKS}) AS term
+                    FROM documents),
+        hits AS (SELECT doc_id, count(*) AS c FROM ex
+                 WHERE term IN ('slow', 'dup', 'scan') GROUP BY 1)
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(coalesce(h.c, 0) AS BIGINT) AS n_badword_hits
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE coalesce(h.c, 0) <= 2
+    """
+    d["quality_threshold_sweep"] = f"""
+        WITH q AS (SELECT
+                round(0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                + 0.3 * least(len(list_filter({_TOKS}, x -> x IN
+                      ('the','a','of','and','to','in','is','for')))
+                      * 5.0 / greatest(len({_TOKS}), 1), 1.0)
+                + 0.3 * (1.0 - least((length(text) - length(regexp_replace(
+                      text, '[.,;:!?''"()-]', '', 'g')))
+                      * 10.0 / greatest(length(text), 1), 1.0)), 6) AS q,
+                len({_TOKS}) AS n_tokens
+            FROM documents),
+        b AS (SELECT least(CAST(floor(q * 20) AS INT), 19) AS bucket,
+                     q, n_tokens FROM q),
+        per AS (SELECT bucket, count(*) AS n_docs,
+                       sum(n_tokens) AS n_tokens, sum(q) AS q_sum
+                FROM b GROUP BY 1)
+        SELECT round(bucket / 20.0, 6) AS threshold,
+               CAST(sum(n_docs) OVER w AS BIGINT) AS surviving_docs,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS surviving_tokens,
+               round(sum(q_sum) OVER w / sum(n_docs) OVER w, 6)
+                   AS mean_quality
+        FROM per
+        WINDOW w AS (ORDER BY bucket DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()

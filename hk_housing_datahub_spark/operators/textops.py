@@ -547,3 +547,137 @@ def script_profile(
             )
         ),
     )
+
+
+def readability_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document readability battery — Flesch reading ease,
+    Flesch–Kincaid grade, and type–token ratio — the curation signals a
+    corpus dashboard reports next to the Gopher gates.
+
+    Counting rules (fixed, regex-portable so the DuckDB twin is exact):
+    words = whitespace tokens of the normalized text; sentences =
+    maximal runs of ``[.!?]`` (floored at 1 — headline-style fragments
+    count as one sentence); syllables = maximal vowel-group runs
+    ``[aeiouy]+`` over the lowercased text (vowel runs never span the
+    spaces between words, so one whole-text count equals the per-word
+    sum); TTR = |distinct tokens| / |tokens|.
+
+    One codegen projection over the corpus scan — no shuffle, no UDF,
+    no join; at 100 TB this is a map-only pass that AQE never has to
+    think about. Docs with zero tokens score NULL (no evidence).
+    """
+    from ..functions.text import normalize_text, tokens
+
+    t = normalize_text(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syll = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0)))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    fk = (
+        F.lit(0.39) * (n_words / n_sent)
+        + F.lit(11.8) * (n_syll / n_words)
+        - F.lit(15.59)
+    )
+    ttr = F.size(F.array_distinct(toks)) / n_words
+    guard = n_words > 0
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.when(guard, F.round(flesch, 6)).alias("flesch"),
+        F.when(guard, F.round(fk, 6)).alias("fk_grade"),
+        F.when(guard, F.round(ttr, 6)).alias("ttr"),
+    )
+
+
+def badwords_filter(
+    docs: DataFrame,
+    badwords: DataFrame,
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4's bad-words gate, relationally: drop documents containing
+    more than ``max_hits`` occurrences of any term from a blocklist
+    (the "List of Dirty, Naughty, Obscene..." role). ``badwords`` is a
+    one-column DataFrame ``term`` of lowercase single words.
+
+    Spark-first shape: NOT a giant regex alternation (which would be a
+    per-row scan whose cost grows with the list) — the corpus explodes
+    to (doc_id, token) once and SEMI-JOINs the term table; per-doc hit
+    counts are one map-side-combined aggregate. The term list is
+    thousands of rows — AQE broadcasts it; corpus cost is one explode +
+    one compact-key join, independent of list size. Returns the
+    surviving docs with an ``n_badword_hits`` column (0 for clean
+    docs)."""
+    from ..functions.text import tokens
+
+    ex = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    hits = (
+        ex.join(badwords.select("term"), "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_badword_hits"))
+    )
+    out = docs.join(hits, "doc_id", "left").withColumn(
+        "n_badword_hits", F.coalesce("n_badword_hits", F.lit(0))
+    )
+    return out.filter(F.col("n_badword_hits") <= max_hits)
+
+
+def quality_threshold_sweep(
+    docs: DataFrame, n_buckets: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """The quality-vs-quantity tradeoff curve in ONE pass: bucket the
+    quality score into ``n_buckets`` equal-width bins, then report per
+    threshold (bucket lower edge) how many documents and tokens SURVIVE
+    a ``quality >= threshold`` gate and their mean quality — the curve
+    a curation run reads before choosing its cutoff.
+
+    Plan: one projection + one tiny groupBy(bucket) + a window cumsum
+    over ≤ ``n_buckets`` rows (driver-scale, never corpus-scale) — the
+    sweep costs one corpus scan regardless of how many thresholds it
+    evaluates, instead of one scan per candidate threshold."""
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score, token_count
+
+    q = quality_score(F.col(text_col))
+    b = F.least(
+        F.floor(q * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    )
+    per = (
+        docs.select(
+            b.alias("bucket"),
+            q.alias("q"),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("q").alias("q_sum"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        F.round(F.col("bucket") / F.lit(float(n_buckets)), 6).alias(
+            "threshold"
+        ),
+        F.sum("n_docs").over(w).alias("surviving_docs"),
+        F.sum("n_tokens").over(w).alias("surviving_tokens"),
+        F.round(
+            F.sum("q_sum").over(w) / F.sum("n_docs").over(w), 6
+        ).alias("mean_quality"),
+    )

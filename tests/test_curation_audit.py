@@ -1,0 +1,100 @@
+"""Curation-audit battery (operators/textops.py): readability goldens,
+bad-words gate semantics, and the one-pass threshold sweep against
+direct per-threshold filters."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hk_housing_datahub_spark.operators.textops import (
+    badwords_filter,
+    quality_threshold_sweep,
+    readability_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_readability_golden(spark):
+    out = {
+        r.doc_id: r
+        for r in readability_scores(
+            _docs(
+                spark,
+                [
+                    (0, "the cat sat. the dog ran!"),
+                    (1, "a b"),
+                ],
+            )
+        ).collect()
+    }
+    r = out[0]
+    # words=6, sentences=2, vowel groups: e,a,a,e,o,a = 6
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    assert r.flesch == pytest.approx(
+        round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    )
+    assert r.fk_grade == pytest.approx(
+        round(0.39 * (6 / 2) + 11.8 * (6 / 6) - 15.59, 6)
+    )
+    # 'the' repeats → 5 distinct of 6
+    assert r.ttr == pytest.approx(round(5 / 6, 6))
+    # no sentence punctuation → floored at one sentence
+    assert out[1].n_sentences == 1
+
+
+def test_badwords_gate_counts_occurrences(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "clean words only here"),
+            (1, "one bad word spam here"),
+            (2, "spam spam spam is too much"),
+        ],
+    )
+    bad = spark.createDataFrame([("spam",)], ["term"])
+    kept = {
+        r.doc_id: r.n_badword_hits
+        for r in badwords_filter(docs, bad, max_hits=1).collect()
+    }
+    assert kept == {0: 0, 1: 1}  # doc 2 (3 hits) dropped
+    strict = badwords_filter(docs, bad, max_hits=0)
+    assert {r.doc_id for r in strict.collect()} == {0}
+
+
+def test_threshold_sweep_matches_direct_filters(spark, sf_small):
+    from hk_housing_datahub_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    sweep = {
+        r.threshold: (r.surviving_docs, r.surviving_tokens)
+        for r in quality_threshold_sweep(docs).collect()
+    }
+    # survivors are cumulative → monotone non-increasing in threshold
+    ordered = [sweep[t] for t in sorted(sweep)]
+    assert all(
+        later[0] <= earlier[0] and later[1] <= earlier[1]
+        for earlier, later in zip(ordered, ordered[1:])
+    )
+    for th, (n_docs, n_toks) in sweep.items():
+        direct = docs.select(
+            quality_score(F.col("text")).alias("q"),
+            token_count(F.col("text")).alias("n"),
+        ).filter(
+            # bucket floor semantics: survivors are docs whose BUCKET edge
+            # >= threshold, i.e. floor(q*20)/20 >= th
+            F.least(
+                F.floor(F.col("q") * 20).cast("int"), F.lit(19)
+            ) / 20.0
+            >= th
+        )
+        row = direct.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("n").alias("s")
+        ).first()
+        assert (row.c, row.s) == (n_docs, n_toks), th
