@@ -252,9 +252,14 @@ def main() -> None:
             "blocklist_gate",
             "incremental_rollup",
             "streaming_matview",
-            # round-4 session D: smoothing/classifier/tokenizer additions
+            # round-4 session D: smoothing/classifier/tokenizer/mining
             "kn_perplexity",
             "nb_langid_confusion",
+            "bitext_margin_pairs",
+            "unigram_lm_vocab",
+            "readability_scores",
+            "badwords_gate",
+            "quality_threshold_sweep",
         ]
         qs = E.queries()
         for name in bench_queries:

@@ -705,3 +705,69 @@ def test_phrase_query_term_filter_pushes_to_postings_scan(spark, tmp_path):
     p = plan_of(phrase_search_postings(post, "table table value"))
     pushed = p.split("PushedFilters")[1][:300] if "PushedFilters" in p else ""
     assert "term" in pushed and "In" in pushed, p
+
+
+def test_readability_is_map_only(spark):
+    """The readability battery is one codegen projection over the scan:
+    no Exchange, no Python eval, no join — a pure map pass at any
+    corpus size."""
+    from hk_housing_datahub_spark.operators.textops import (
+        readability_scores,
+    )
+
+    p = plan_of(readability_scores(_t(spark, "documents")))
+    assert "Exchange" not in p, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Join" not in p
+
+
+def test_badwords_gate_no_forced_broadcast_all_jvm(spark):
+    """The bad-words gate joins the exploded corpus against the term
+    table with NO forced broadcast hint (a blocklist can be UT1-scale;
+    AQE decides) and stays fully JVM-side."""
+    from hk_housing_datahub_spark.operators.textops import badwords_filter
+
+    d = _t(spark, "documents")
+    bad = d.sparkSession.createDataFrame([("slow",), ("dup",)], ["term"])
+    df = badwords_filter(d, bad, max_hits=1)
+    assert "broadcast" not in df._jdf.queryExecution().logical().toString().lower()
+    p = plan_of(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_kn_scoring_all_jvm_compact_joins(spark):
+    """Interpolated-KN fit + score: zero Python eval nodes and no
+    cartesian product — the three model tables join on compact string
+    keys exactly like the add-k scorer."""
+    from hk_housing_datahub_spark.operators.lm_quality import (
+        fit_kneser_ney,
+        kn_perplexity_score,
+    )
+
+    d = _t(spark, "documents")
+    lm = fit_kneser_ney(d.filter(F.col("doc_id") % 2 == 0))
+    p = plan_of(kn_perplexity_score(d.filter(F.col("doc_id") % 2 == 1), lm))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_nb_langid_model_broadcasts_langs_only(spark):
+    """NB language-ID scoring: the only cross join is docs × the
+    |langs|-row rollup (explicitly broadcast); the gram join is a plain
+    equi-join with no forced broadcast (the gram table is Zipf-bounded
+    but corpus-dependent — AQE decides); all JVM."""
+    from hk_housing_datahub_spark.operators.langid_nb import (
+        fit_nb_langid,
+        nb_language_scores,
+    )
+
+    d = _t(spark, "documents")
+    model = fit_nb_langid(d.filter(F.col("doc_id") % 2 == 0))
+    p = plan_of(
+        nb_language_scores(d.filter(F.col("doc_id") % 2 == 1), model)
+    )
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # the langs fan-out is the one nested-loop (broadcast) join; the gram
+    # join must be an equi-join, not a cartesian product
+    assert "CartesianProduct" not in p
