@@ -1453,6 +1453,30 @@ def _kn_perplexity(spark, sf):
     )
 
 
+def _kn3_perplexity(spark, sf):
+    """Trigram interpolated Kneser–Ney — the full KenLM-shaped chain
+    (operators/lm_quality.py fit_kneser_ney3 / kn3_perplexity_score):
+    one trigram-type aggregate roots a count pyramid (contexts, middle
+    continuations, unigram continuations, two estimated discounts);
+    scoring backs off seen-trigram → continuation-bigram → floored
+    continuation-unigram. Fit on even docs, score odd; the DuckDB twin
+    replays the whole pyramid including both discount estimates."""
+    from hk_housing_datahub_spark.operators.lm_quality import (
+        fit_kneser_ney3,
+        kn3_perplexity_score,
+    )
+
+    d = _t(spark, sf, "documents")
+    lm = fit_kneser_ney3(d.filter(F.pmod("doc_id", F.lit(2)) == 0), k=0.5)
+    out = kn3_perplexity_score(d.filter(F.pmod("doc_id", F.lit(2)) == 1), lm)
+    return out.select(
+        "doc_id",
+        "n_trigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
 def _nb_langid_confusion(spark, sf):
     """Trained char-trigram Naive-Bayes language ID
     (operators/langid_nb.py — the fastText-langid role): fit on the
@@ -4576,6 +4600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _bpe_vocab,
         "bpe_fertility": _bpe_fertility,
         "kn_perplexity": _kn_perplexity,
+        "kn3_perplexity": _kn3_perplexity,
         "nb_langid_confusion": _nb_langid_confusion,
         "bitext_margin_pairs": _bitext_margin_pairs,
         "readability_scores": _readability_scores,
@@ -5969,6 +5994,72 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN sc1 s CROSS JOIN v
             WHERE b.doc_id % 2 = 1)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lp), 6) AS avg_logp,
+               round(exp(-avg(lp)), 6) AS perplexity
+        FROM sc GROUP BY doc_id
+    """
+    # Trigram KN: the count pyramid + two discount estimates + the
+    # three-level backoff chain replayed relationally.
+    d["kn3_perplexity"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        tg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+               FROM d, unnest(generate_series(1, len(t) - 2)) AS g(i)
+               WHERE len(t) >= 3),
+        ty AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg
+               WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+        ctx12 AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n3
+                  FROM ty GROUP BY 1, 2),
+        mid AS (SELECT w2, w3, count(*) AS m23 FROM ty GROUP BY 1, 2),
+        ctx2 AS (SELECT w2, sum(m23) AS m2, count(*) AS n3c
+                 FROM mid GROUP BY 1),
+        uni AS (SELECT w3, count(*) AS u3 FROM mid GROUP BY 1),
+        s3 AS (SELECT CAST(sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) AS n1,
+                      sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS n2
+               FROM ty),
+        sm AS (SELECT count(*) AS tm,
+                      CAST(sum(CASE WHEN m23 = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE) AS n1,
+                      sum(CASE WHEN m23 = 2 THEN 1 ELSE 0 END) AS n2
+               FROM mid),
+        sc0 AS (SELECT s3.n1 / (s3.n1 + 2.0 * s3.n2) AS d3,
+                       sm.n1 / (sm.n1 + 2.0 * sm.n2) AS d2,
+                       sm.tm AS tm
+                FROM s3, sm),
+        v AS (SELECT count(DISTINCT w) AS v FROM
+                (SELECT unnest(t) AS w FROM d WHERE doc_id % 2 = 0)),
+        sc AS (
+            SELECT b.doc_id,
+                   ln(CASE WHEN c.c12 IS NULL THEN
+                        CASE WHEN x.m2 IS NULL
+                             THEN (coalesce(u.u3, 0) + 0.5)
+                                  / (s.tm + 0.5 * v.v)
+                             ELSE greatest(coalesce(md.m23, 0) - s.d2, 0.0)
+                                  / x.m2
+                                + (s.d2 * x.n3c / x.m2)
+                                  * ((coalesce(u.u3, 0) + 0.5)
+                                     / (s.tm + 0.5 * v.v)) END
+                      ELSE
+                        greatest(coalesce(y.c123, 0) - s.d3, 0.0) / c.c12
+                        + (s.d3 * c.n3 / c.c12)
+                          * (CASE WHEN x.m2 IS NULL
+                               THEN (coalesce(u.u3, 0) + 0.5)
+                                    / (s.tm + 0.5 * v.v)
+                               ELSE greatest(coalesce(md.m23, 0) - s.d2,
+                                             0.0) / x.m2
+                                  + (s.d2 * x.n3c / x.m2)
+                                    * ((coalesce(u.u3, 0) + 0.5)
+                                       / (s.tm + 0.5 * v.v)) END)
+                      END) AS lp
+            FROM tg b
+            LEFT JOIN ty y USING (w1, w2, w3)
+            LEFT JOIN ctx12 c USING (w1, w2)
+            LEFT JOIN mid md USING (w2, w3)
+            LEFT JOIN ctx2 x USING (w2)
+            LEFT JOIN uni u USING (w3)
+            CROSS JOIN sc0 s CROSS JOIN v
+            WHERE b.doc_id % 2 = 1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
                round(avg(lp), 6) AS avg_logp,
                round(exp(-avg(lp)), 6) AS perplexity
         FROM sc GROUP BY doc_id

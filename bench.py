@@ -254,6 +254,7 @@ def main() -> None:
             "streaming_matview",
             # round-4 session D: smoothing/classifier/tokenizer/mining
             "kn_perplexity",
+            "kn3_perplexity",
             "nb_langid_confusion",
             "bitext_margin_pairs",
             "unigram_lm_vocab",

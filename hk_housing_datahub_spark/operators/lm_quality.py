@@ -313,3 +313,179 @@ def kn_perplexity_score(
         .withColumn("perplexity", F.exp(-F.col("avg_logp")))
     )
     return docs.join(scores, id_col, "left")
+
+
+# --------------------------------------------------------------------------
+# Trigram interpolated Kneser–Ney — the full KenLM-shaped chain
+# --------------------------------------------------------------------------
+
+
+def doc_trigrams(text: Column) -> Column:
+    """array<struct<w1,w2,w3>> of adjacent token triples; <3 tokens →
+    empty array. Tokenizer bound once per row (word_shingles trick)."""
+
+    def mk(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(
+            n < 3,
+            F.array().cast("array<struct<w1:string,w2:string,w3:string>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.struct(
+                    F.element_at(toks, i + 1).alias("w1"),
+                    F.element_at(toks, i + 2).alias("w2"),
+                    F.element_at(toks, i + 3).alias("w3"),
+                ),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), mk), 1)
+
+
+@dataclass
+class KneserNey3LM:
+    """Interpolated trigram KN (Chen & Goodman 1999), all count tables
+    derived from ONE trigram-type aggregate (the convention when only
+    trigram counts are stored — lower orders use CONTINUATION counts):
+
+      ``trigrams``: (w1, w2, w3, c123)
+      ``ctx12``:    (w1, w2, c12, n3)   — Σc and #distinct w3 per context
+      ``mid``:      (w2, w3, m23)       — N1+(·, w2, w3) distinct w1
+      ``ctx2``:     (w2, m2, n3c)       — Σm23 and #distinct w3 per w2
+      ``uni``:      (w3, u3)            — #distinct w2 with (w2,w3) ∈ mid
+      scalars: ``d3``/``d2`` (order discounts, n1/(n1+2·n2) on c123/m23),
+               ``tm`` = |mid| types, ``v`` = |vocab|, ``k`` = add-k
+               floor mass on the unigram continuation (OOV stays finite).
+
+    The probability chain (seen context → discount + freed-mass backoff,
+    unseen → next order down):
+
+      Pc(w3)       = (u3 + k) / (tm + k·v)
+      P2(w3|w2)    = max(m23 − d2, 0)/m2 + (d2·n3c/m2)·Pc(w3)
+      P3(w3|w1w2)  = max(c123 − d3, 0)/c12 + (d3·n3/c12)·P2(w3|w2)
+    """
+
+    trigrams: DataFrame
+    ctx12: DataFrame
+    mid: DataFrame
+    ctx2: DataFrame
+    uni: DataFrame
+    d3: float
+    d2: float
+    tm: int
+    v: int
+    k: float
+
+    def persist(self) -> "KneserNey3LM":
+        for name in ("trigrams", "ctx12", "mid", "ctx2", "uni"):
+            setattr(self, name, getattr(self, name).persist())
+        return self
+
+
+def fit_kneser_ney3(
+    reference: DataFrame, text_col: str = "text", k: float = 0.5
+) -> KneserNey3LM:
+    """Fit the trigram-KN count pyramid. ONE corpus-scale aggregate (the
+    trigram-type table, compact (w1,w2,w3) keys, map-side combined)
+    roots everything; the four derived tables are aggregates OVER the
+    type table (Zipf-bounded by the reference, not the corpus); the two
+    discounts and the type total are one scalar aggregate each. No
+    Python anywhere; driver traffic is four scalars."""
+    ex = reference.select(
+        F.explode(doc_trigrams(F.col(text_col))).alias("tg")
+    ).select("tg.w1", "tg.w2", "tg.w3")
+    ty = ex.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    ty = ty.persist()
+    ctx12 = ty.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n3")
+    )
+    mid = ty.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("m23"))
+    mid = mid.persist()
+    ctx2 = mid.groupBy("w2").agg(
+        F.sum("m23").alias("m2"), F.count(F.lit(1)).alias("n3c")
+    )
+    uni = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("u3"))
+    row3 = ty.agg(
+        F.sum((F.col("c123") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c123") == 2).cast("long")).alias("n2"),
+    ).collect()[0]
+    n1, n2 = int(row3["n1"] or 0), int(row3["n2"] or 0)
+    d3 = (n1 / (n1 + 2.0 * n2)) if (n1 + 2 * n2) > 0 else 0.5
+    rowm = mid.agg(
+        F.count(F.lit(1)).alias("tm"),
+        F.sum((F.col("m23") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("m23") == 2).cast("long")).alias("n2"),
+    ).collect()[0]
+    tm = int(rowm["tm"])
+    n1m, n2m = int(rowm["n1"] or 0), int(rowm["n2"] or 0)
+    d2 = (n1m / (n1m + 2.0 * n2m)) if (n1m + 2 * n2m) > 0 else 0.5
+    v = reference.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).agg(F.countDistinct("w")).collect()[0][0]
+    return KneserNey3LM(
+        trigrams=ty,
+        ctx12=ctx12,
+        mid=mid,
+        ctx2=ctx2,
+        uni=uni,
+        d3=d3,
+        d2=d2,
+        tm=max(tm, 1),
+        v=max(int(v or 0), 1),
+        k=k,
+    )
+
+
+def kn3_perplexity_score(
+    docs: DataFrame,
+    lm: KneserNey3LM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``docs`` + (n_trigrams, avg_logp, perplexity) under the trigram
+    chain. Five left joins of Zipf-bounded model tables on compact
+    string keys (AQE broadcasts what fits), one per-doc mean. Unseen
+    (w1,w2) context backs off to P2; unseen w2 middle backs off to the
+    continuation unigram; docs with <3 tokens score NULL."""
+    d3, d2 = float(lm.d3), float(lm.d2)
+    tm, v, k = float(lm.tm), float(lm.v), float(lm.k)
+    ex = docs.select(
+        F.col(id_col), F.explode(doc_trigrams(F.col(text_col))).alias("tg")
+    ).select(id_col, "tg.w1", "tg.w2", "tg.w3")
+    joined = (
+        ex.join(lm.trigrams, ["w1", "w2", "w3"], "left")
+        .join(lm.ctx12, ["w1", "w2"], "left")
+        .join(lm.mid, ["w2", "w3"], "left")
+        .join(lm.ctx2, ["w2"], "left")
+        .join(lm.uni, ["w3"], "left")
+    )
+    pc = (F.coalesce(F.col("u3"), F.lit(0)) + F.lit(k)) / F.lit(tm + k * v)
+    p2_seen = (
+        F.greatest(
+            F.coalesce(F.col("m23"), F.lit(0)) - F.lit(d2), F.lit(0.0)
+        )
+        / F.col("m2")
+        + (F.lit(d2) * F.col("n3c") / F.col("m2")) * pc
+    )
+    p2 = F.when(F.col("m2").isNull(), pc).otherwise(p2_seen)
+    p3_seen = (
+        F.greatest(
+            F.coalesce(F.col("c123"), F.lit(0)) - F.lit(d3), F.lit(0.0)
+        )
+        / F.col("c12")
+        + (F.lit(d3) * F.col("n3") / F.col("c12")) * p2
+    )
+    logp = F.when(F.col("c12").isNull(), F.log(p2)).otherwise(
+        F.log(p3_seen)
+    )
+    scores = (
+        joined.select(F.col(id_col), logp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.avg("lp").alias("avg_logp"),
+        )
+        .withColumn("perplexity", F.exp(-F.col("avg_logp")))
+    )
+    return docs.join(scores, id_col, "left")

@@ -750,6 +750,15 @@ def test_kn_scoring_all_jvm_compact_joins(spark):
     p = plan_of(kn_perplexity_score(d.filter(F.col("doc_id") % 2 == 1), lm))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+    from hk_housing_datahub_spark.operators.lm_quality import (
+        fit_kneser_ney3,
+        kn3_perplexity_score,
+    )
+
+    lm3 = fit_kneser_ney3(d.filter(F.col("doc_id") % 2 == 0))
+    p3 = plan_of(kn3_perplexity_score(d.filter(F.col("doc_id") % 2 == 1), lm3))
+    assert "ArrowEvalPython" not in p3 and "BatchEvalPython" not in p3
+    assert "CartesianProduct" not in p3
 
 
 def test_nb_langid_model_broadcasts_langs_only(spark):
