@@ -1559,6 +1559,40 @@ def _quality_threshold_sweep(spark, sf):
     return quality_threshold_sweep(_t(spark, sf, "documents"))
 
 
+def _sentence_code_switch(spark, sf):
+    """Sentence-level code-switch profiling (operators/langid_nb.py
+    sentence_code_switch): the NB classifier applied per sentence, with
+    a per-doc rollup (sentence count, distinct predicted langs,
+    adjacent-disagreement switches, dominant lang). Probe docs are
+    stitched deterministically — each odd doc's first 120 chars, a
+    sentence from the NEXT odd doc (lead over doc_id), then its own
+    again — so interleaving demonstrably occurs. The DuckDB twin
+    replays the stitch, the sentence split, classification and the
+    rollup end-to-end."""
+    from hk_housing_datahub_spark.operators.langid_nb import (
+        fit_nb_langid,
+        sentence_code_switch,
+    )
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    model = fit_nb_langid(d.filter(F.pmod("doc_id", F.lit(2)) == 0), k=1.0)
+    odd = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    w = Window.orderBy("doc_id")
+    probes = odd.select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("s1"),
+        F.coalesce(
+            F.lead(F.substring("text", 1, 120)).over(w),
+            F.substring("text", 1, 120),
+        ).alias("s2"),
+    ).select(
+        "doc_id",
+        F.concat_ws(". ", "s1", "s2", "s1").alias("text"),
+    )
+    return sentence_code_switch(probes, model)
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4602,6 +4636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": _kn_perplexity,
         "kn3_perplexity": _kn3_perplexity,
         "nb_langid_confusion": _nb_langid_confusion,
+        "sentence_code_switch": _sentence_code_switch,
         "bitext_margin_pairs": _bitext_margin_pairs,
         "readability_scores": _readability_scores,
         "badwords_gate": _badwords_gate,
@@ -6063,6 +6098,94 @@ def oracle_sql() -> dict[str, str]:
                round(avg(lp), 6) AS avg_logp,
                round(exp(-avg(lp)), 6) AS perplexity
         FROM sc GROUP BY doc_id
+    """
+    # Sentence-level code-switch: the NB model at sentence granularity,
+    # stitched probes, adjacency switches and dominant-lang rollup.
+    d["sentence_code_switch"] = f"""
+        WITH d AS (SELECT doc_id, lang, text, {_NORM} AS t FROM documents),
+        dg AS (SELECT doc_id, lang, substr(t, i, 3) AS gram
+               FROM d, unnest(generate_series(1, len(t) - 2)) AS g(i)
+               WHERE len(t) >= 3),
+        ty AS (SELECT gram, lang, count(*) AS c FROM dg
+               WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        gsz AS (SELECT count(DISTINCT gram) AS g FROM ty),
+        tot AS (SELECT lang, sum(c) AS tot FROM ty GROUP BY 1),
+        pri AS (SELECT lang, count(*) AS n_docs FROM d
+                WHERE doc_id % 2 = 0 GROUP BY 1),
+        prit AS (SELECT sum(n_docs) AS n FROM pri),
+        langs AS (SELECT t.lang, t.tot,
+                         ln(CAST(p.n_docs AS DOUBLE) / prit.n) AS prior_ln,
+                         ln(1.0 / (t.tot + 1.0 * gsz.g)) AS floor_ln
+                  FROM tot t JOIN pri p USING (lang)
+                  CROSS JOIN prit CROSS JOIN gsz),
+        oddd AS (SELECT doc_id, substr(text, 1, 120) AS s1,
+                        coalesce(lead(substr(text, 1, 120))
+                                     OVER (ORDER BY doc_id),
+                                 substr(text, 1, 120)) AS s2
+                 FROM d WHERE doc_id % 2 = 1),
+        probes AS (SELECT doc_id,
+                          {_norm_sql("s1 || '. ' || s2 || '. ' || s1")}
+                              AS t
+                   FROM oddd),
+        raw AS (SELECT doc_id, i, trim(s[i]) AS sent
+                FROM (SELECT doc_id,
+                             string_split_regex(t, '[.!?]+') AS s
+                      FROM probes),
+                     unnest(generate_series(1, len(s))) AS g(i)
+                WHERE trim(s[i]) <> ''),
+        sents AS (SELECT doc_id,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY i) - 1 AS sidx,
+                         sent
+                  FROM raw),
+        sg AS (SELECT doc_id, sidx, substr(sent, i, 3) AS gram
+               FROM sents, unnest(generate_series(1, len(sent) - 2))
+                   AS g(i)
+               WHERE len(sent) >= 3),
+        ng AS (SELECT doc_id, sidx, greatest(len(sent) - 2, 0) AS n_grams
+               FROM sents),
+        mt AS (SELECT m.doc_id, m.sidx, y.lang,
+                      sum(ln((y.c + 1.0) / (o.tot + 1.0 * gsz.g))) AS s,
+                      count(*) AS m
+               FROM sg m JOIN ty y USING (gram)
+               JOIN tot o ON y.lang = o.lang CROSS JOIN gsz
+               GROUP BY 1, 2, 3),
+        sc AS (SELECT b.doc_id, b.sidx, l.lang,
+                      l.prior_ln + coalesce(mt.s, 0.0)
+                      + (b.n_grams - coalesce(mt.m, 0)) * l.floor_ln
+                          AS score
+               FROM ng b CROSS JOIN langs l
+               LEFT JOIN mt ON mt.doc_id = b.doc_id
+                           AND mt.sidx = b.sidx AND mt.lang = l.lang),
+        pr AS (SELECT doc_id, sidx, lang AS pred FROM (
+                   SELECT *, row_number() OVER (
+                       PARTITION BY doc_id, sidx
+                       ORDER BY round(score, 6) DESC, lang) AS rn
+                   FROM sc) WHERE rn = 1),
+        fl AS (SELECT doc_id, sidx, pred,
+                      CASE WHEN lag(pred) OVER (PARTITION BY doc_id
+                               ORDER BY sidx) IS NOT NULL
+                            AND lag(pred) OVER (PARTITION BY doc_id
+                               ORDER BY sidx) <> pred
+                           THEN 1 ELSE 0 END AS sw
+               FROM pr),
+        dom AS (SELECT doc_id, pred AS dominant_lang FROM (
+                    SELECT doc_id, pred, count(*) AS n,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY count(*) DESC, pred) AS rd
+                    FROM fl GROUP BY doc_id, pred)
+                WHERE rd = 1),
+        ru AS (SELECT doc_id, count(*) AS n_sentences,
+                      count(DISTINCT pred) AS n_langs,
+                      sum(sw) AS n_switches
+               FROM fl GROUP BY doc_id)
+        SELECT o.doc_id,
+               CAST(coalesce(ru.n_sentences, 0) AS BIGINT) AS n_sentences,
+               CAST(coalesce(ru.n_langs, 0) AS BIGINT) AS n_langs,
+               CAST(coalesce(ru.n_switches, 0) AS BIGINT) AS n_switches,
+               dom.dominant_lang
+        FROM oddd o LEFT JOIN ru USING (doc_id)
+        LEFT JOIN dom USING (doc_id)
     """
     # Trained NB langid: training + inference replayed relationally;
     # argmax on round(score,6) DESC, lang ASC on both engines.

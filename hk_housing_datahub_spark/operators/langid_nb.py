@@ -212,3 +212,122 @@ def nb_confusion(
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def split_sentences(text: Column) -> Column:
+    """array<string> of sentences of the normalized text: split on
+    ``[.!?]+`` runs, trimmed, empties dropped — the same fixed boundary
+    rule the readability battery uses, so both are SQL-replayable."""
+    return F.filter(
+        F.transform(
+            F.split(normalize_text(text), "[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+
+
+def sentence_code_switch(
+    docs: DataFrame,
+    model: NBLangModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document code-switching profile — the CCNet-style check that
+    a 'single-language' document is not secretly interleaved (boiler-
+    plate in one language wrapping content in another, spam stitching,
+    scraped bilingual pages).
+
+    Each sentence is classified independently with the trained NB model
+    (same rounded argmax as ``nb_predict``), then one per-doc rollup
+    reports: ``n_sentences``, ``n_langs`` (distinct predicted), the
+    ``dominant_lang`` (most sentences; ties → lang ASC) and
+    ``n_switches`` (adjacent sentence pairs that disagree — the signal
+    interleaving produces that a global histogram cannot see).
+
+    Plan shape: sentences explode once (positions ride along), grams
+    explode from sentences, and everything downstream is the same
+    compact-key join + per-key aggregate pyramid as document scoring —
+    sentence count replaces document count in every bound; the final
+    rollup is one aggregate over (doc, sentence) rows. Docs with zero
+    sentences report zeros (no NULL fan-out)."""
+    k, g = float(model.k), float(model.g)
+    sents = docs.select(
+        F.col(id_col),
+        F.posexplode(split_sentences(F.col(text_col))).alias("sidx", "sent"),
+    )
+    grams = sents.select(
+        F.col(id_col),
+        "sidx",
+        F.explode(char_ngrams(F.col("sent"), n)).alias("gram"),
+    )
+    n_grams = sents.select(
+        F.col(id_col),
+        "sidx",
+        F.size(char_ngrams(F.col("sent"), n)).alias("n_grams"),
+    )
+    matched = (
+        grams.join(model.grams, "gram")
+        .join(model.langs.select("lang", "tot"), "lang")
+        .groupBy(id_col, "sidx", "lang")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("c") + F.lit(k))
+                    / (F.col("tot") + F.lit(k) * F.lit(g))
+                )
+            ).alias("s_matched"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    base = n_grams.crossJoin(F.broadcast(model.langs))
+    scored = base.join(matched, [id_col, "sidx", "lang"], "left").select(
+        F.col(id_col),
+        "sidx",
+        "lang",
+        (
+            F.col("prior_ln")
+            + F.coalesce(F.col("s_matched"), F.lit(0.0))
+            + (F.col("n_grams") - F.coalesce(F.col("n_matched"), F.lit(0)))
+            * F.col("floor_ln")
+        ).alias("score"),
+    )
+    wp = Window.partitionBy(id_col, "sidx").orderBy(
+        F.round("score", 6).desc(), F.col("lang").asc()
+    )
+    preds = (
+        scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), "sidx", F.col("lang").alias("pred"))
+    )
+    wl = Window.partitionBy(id_col).orderBy("sidx")
+    flagged = preds.withColumn(
+        "_switch",
+        (F.lag("pred").over(wl).isNotNull()
+         & (F.lag("pred").over(wl) != F.col("pred"))).cast("long"),
+    )
+    per_lang = flagged.groupBy(id_col, "pred").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    wd = Window.partitionBy(id_col).orderBy(
+        F.col("_n").desc(), F.col("pred").asc()
+    )
+    dominant = (
+        per_lang.withColumn("_rd", F.row_number().over(wd))
+        .filter(F.col("_rd") == 1)
+        .select(F.col(id_col), F.col("pred").alias("dominant_lang"))
+    )
+    rollup = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.countDistinct("pred").alias("n_langs"),
+        F.sum("_switch").alias("n_switches"),
+    )
+    out = rollup.join(dominant, id_col)
+    return docs.select(id_col).join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("n_sentences", F.lit(0)).alias("n_sentences"),
+        F.coalesce("n_langs", F.lit(0)).alias("n_langs"),
+        F.coalesce("n_switches", F.lit(0)).alias("n_switches"),
+        "dominant_lang",
+    )

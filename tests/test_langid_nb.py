@@ -171,3 +171,40 @@ def test_partition_invariance(spark):
     assert {(r.doc_id, r.pred_lang, r.score) for r in a} == {
         (r.doc_id, r.pred_lang, r.score) for r in b
     }
+
+
+def test_sentence_code_switch_detects_interleaving(spark):
+    from hk_housing_datahub_spark.operators.langid_nb import (
+        sentence_code_switch,
+    )
+
+    train = [(l, t) for i, (l, t) in enumerate(SAMPLES) if i % 3 != 2]
+    model = fit_nb_langid(_labeled(spark, train))
+    en = "there is nothing better than a quiet walk through the old town"
+    de = "es gibt nichts schöneres als einen spaziergang durch die stadt"
+    probes = spark.createDataFrame(
+        [
+            (0, f"{en}. {en}. {en}."),           # monolingual
+            (1, f"{en}. {de}. {en}. {de}."),     # alternating
+            (2, f"{en}. {en}. {de}. {de}."),     # one block switch
+            (3, ""),                             # no sentences
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in sentence_code_switch(probes, model).collect()}
+    assert (out[0].n_sentences, out[0].n_langs, out[0].n_switches) == (3, 1, 0)
+    assert out[0].dominant_lang == "en"
+    assert (out[1].n_sentences, out[1].n_langs, out[1].n_switches) == (4, 2, 3)
+    assert out[2].n_switches == 1
+    assert out[2].n_langs == 2
+    assert (out[3].n_sentences, out[3].n_langs, out[3].n_switches) == (0, 0, 0)
+    assert out[3].dominant_lang is None
+
+
+def test_sentence_split_rule(spark):
+    from hk_housing_datahub_spark.operators.langid_nb import split_sentences
+
+    got = spark.range(1).select(
+        split_sentences(F.lit("One two!  Three?? Four. ")).alias("s")
+    ).first().s
+    assert got == ["one two", "three", "four"]

@@ -447,6 +447,19 @@ def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
 
     stage("kn_fit_score", knify, docs_path)
 
+    from hk_housing_datahub_spark.operators.lm_quality import (
+        fit_kneser_ney3,
+        kn3_perplexity_score,
+    )
+
+    def kn3ify(d):
+        lm = fit_kneser_ney3(d.filter(F.pmod("doc_id", F.lit(2)) == 0))
+        return kn3_perplexity_score(
+            d.filter(F.pmod("doc_id", F.lit(2)) == 1), lm
+        )
+
+    stage("kn3_fit_score", kn3ify, docs_path)
+
     # NB langid: train + confusion. The gram-type table is bounded by
     # the char-trigram space (saturates long before 10x), so the ratio
     # tracks the linear corpus explode.
