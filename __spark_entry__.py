@@ -1593,6 +1593,23 @@ def _sentence_code_switch(spark, sf):
     return sentence_code_switch(probes, model)
 
 
+def _host_fairness(spark, sf):
+    """Crawl-allocation fairness audit (operators/rollups.py
+    allocation_fairness): Gini + top-share of character volume across
+    (source, lang) cells — the dashboard number that catches a frontier
+    collapsing onto a handful of hosts. The DuckDB twin replays the
+    rank-weighted Gini identity exactly (integer weights, total rank
+    order)."""
+    from hk_housing_datahub_spark.operators.rollups import (
+        allocation_fairness,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        F.concat_ws("/", "source", "lang").alias("cell"), "n_chars"
+    )
+    return allocation_fairness(d, "cell", weight_col="n_chars")
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4637,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn3_perplexity": _kn3_perplexity,
         "nb_langid_confusion": _nb_langid_confusion,
         "sentence_code_switch": _sentence_code_switch,
+        "host_fairness": _host_fairness,
         "bitext_margin_pairs": _bitext_margin_pairs,
         "readability_scores": _readability_scores,
         "badwords_gate": _badwords_gate,
@@ -6186,6 +6204,27 @@ def oracle_sql() -> dict[str, str]:
                dom.dominant_lang
         FROM oddd o LEFT JOIN ru USING (doc_id)
         LEFT JOIN dom USING (doc_id)
+    """
+    d["host_fairness"] = """
+        WITH per AS (
+            SELECT source || '/' || lang AS k, sum(n_chars) AS x
+            FROM documents GROUP BY 1),
+        ranked AS (
+            SELECT k, x, row_number() OVER (ORDER BY x ASC, k ASC) AS i,
+                   row_number() OVER (ORDER BY x DESC, k ASC) AS r
+            FROM per),
+        agg AS (SELECT max(i) AS n_keys, sum(x) AS total,
+                       sum(i * x) AS ix,
+                       sum(CASE WHEN r <= 1 THEN x ELSE 0 END) AS t1,
+                       sum(CASE WHEN r <= 10 THEN x ELSE 0 END) AS t10
+                FROM ranked)
+        SELECT CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(total AS BIGINT) AS total,
+               round((2.0 * ix) / (n_keys * total)
+                     - (n_keys + 1.0) / n_keys, 6) AS gini,
+               round(CAST(t1 AS DOUBLE) / total, 6) AS top1_share,
+               round(CAST(t10 AS DOUBLE) / total, 6) AS top10_share
+        FROM agg
     """
     # Trained NB langid: training + inference replayed relationally;
     # argmax on round(score,6) DESC, lang ASC on both engines.

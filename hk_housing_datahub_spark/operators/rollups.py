@@ -150,3 +150,60 @@ def tumbling_counts(
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+def allocation_fairness(
+    df: DataFrame, key_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """One-row fairness audit of how a resource (URLs fetched, bytes,
+    budget) is spread across keys (hosts, domains): Gini coefficient,
+    top-1/top-10 share, and the count — the crawl-ops dashboard numbers
+    that catch a frontier quietly collapsing onto a handful of hosts.
+
+    Gini over the per-key totals x_(1) ≤ … ≤ x_(n):
+
+        G = (2·Σ i·x_(i)) / (n·Σ x) − (n + 1)/n
+
+    Plan shape: ONE map-side-combined groupBy(key) reduces the corpus
+    to per-key totals (|keys| rows — hosts, not URLs); the rank over
+    those totals is a window over the KEY table (never the corpus) and
+    the final reduction is a single aggregate. Ranking ties break on
+    the key so the rank assignment is total; Σ i·x is invariant under
+    permutations WITHIN a tied total (same x), so the Gini is exact and
+    engine-portable. Output floats round to 6.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(w).alias("x")
+    )
+    ranked = per.withColumn(
+        "i",
+        F.row_number().over(W.orderBy(F.col("x").asc(), F.col("k").asc())),
+    )
+    n = F.max("i")
+    tot = F.sum("x")
+    topw = W.orderBy(F.col("x").desc(), F.col("k").asc())
+    top = per.withColumn("r", F.row_number().over(topw))
+    top1 = top.filter(F.col("r") <= 1).agg(F.sum("x").alias("t1"))
+    top10 = top.filter(F.col("r") <= 10).agg(F.sum("x").alias("t10"))
+    base = ranked.agg(
+        n.alias("n_keys"),
+        tot.alias("total"),
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+    )
+    return (
+        base.crossJoin(top1)
+        .crossJoin(top10)
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("total").cast("long").alias("total"),
+            F.round(
+                (F.lit(2.0) * F.col("ix"))
+                / (F.col("n_keys") * F.col("total"))
+                - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
+                6,
+            ).alias("gini"),
+            F.round(F.col("t1") / F.col("total"), 6).alias("top1_share"),
+            F.round(F.col("t10") / F.col("total"), 6).alias("top10_share"),
+        )
+    )

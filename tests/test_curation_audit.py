@@ -98,3 +98,29 @@ def test_threshold_sweep_matches_direct_filters(spark, sf_small):
             F.count(F.lit(1)).alias("c"), F.sum("n").alias("s")
         ).first()
         assert (row.c, row.s) == (n_docs, n_toks), th
+
+
+def test_allocation_fairness_golden(spark):
+    from hk_housing_datahub_spark.operators.rollups import (
+        allocation_fairness,
+    )
+
+    # perfectly equal: Gini = 0
+    eq = spark.createDataFrame(
+        [(f"h{i}", 1) for i in range(4) for _ in range(5)], ["host", "w"]
+    )
+    r = allocation_fairness(eq, "host").first()
+    assert (r.n_keys, r.total, r.gini) == (4, 20, 0.0)
+    assert r.top1_share == pytest.approx(0.25)
+    # maximally unequal (one key holds everything): Gini = (n-1)/n
+    hot = spark.createDataFrame(
+        [("h0", 100), ("h1", 0), ("h2", 0), ("h3", 0)], ["host", "w"]
+    )
+    r = allocation_fairness(hot, "host", weight_col="w").first()
+    assert r.gini == pytest.approx((4 - 1) / 4)
+    assert r.top1_share == pytest.approx(1.0)
+    # hand case: x = [1, 2, 3, 4] → G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    mid = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)], ["host", "w"]
+    )
+    assert allocation_fairness(mid, "host", "w").first().gini == pytest.approx(0.25)
