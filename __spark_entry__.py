@@ -1610,6 +1610,23 @@ def _host_fairness(spark, sf):
     return allocation_fairness(d, "cell", weight_col="n_chars")
 
 
+def _winnow_overlaps(spark, sf):
+    """Winnowing overlap detection (operators/dedup.py
+    winnow_fingerprints / winnow_overlap_pairs — Schleimer et al. 2003,
+    the MOSS algorithm): window-min k-gram fingerprints with the
+    shared-passage guarantee, DF-capped inverted-index pair join. All
+    selection happens inside the row (array expressions over md5
+    strings — lexicographic min is engine-portable), so the DuckDB
+    twin replays fingerprint selection and the pair join exactly."""
+    from hk_housing_datahub_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    return winnow_overlap_pairs(
+        _t(spark, sf, "documents"), k=5, w=4, max_fp_df=50
+    )
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4655,6 +4672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid_confusion": _nb_langid_confusion,
         "sentence_code_switch": _sentence_code_switch,
         "host_fairness": _host_fairness,
+        "winnow_overlaps": _winnow_overlaps,
         "bitext_margin_pairs": _bitext_margin_pairs,
         "readability_scores": _readability_scores,
         "badwords_gate": _badwords_gate,
@@ -6225,6 +6243,27 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(t1 AS DOUBLE) / total, 6) AS top1_share,
                round(CAST(t10 AS DOUBLE) / total, 6) AS top10_share
         FROM agg
+    """
+    d["winnow_overlaps"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        kg AS (SELECT doc_id, i,
+                      md5(array_to_string(t[i:i+4], ' ')) AS h,
+                      len(t) - 5 + 1 AS m
+               FROM d, unnest(generate_series(1, len(t) - 4)) AS g(i)
+               WHERE len(t) >= 5),
+        wm AS (SELECT doc_id,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                      i, m
+               FROM kg),
+        fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= m - 4 + 1),
+        capped AS (SELECT doc_id, fp FROM fps
+                   QUALIFY count(*) OVER (PARTITION BY fp) <= 50)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM capped a JOIN capped b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
     """
     # Trained NB langid: training + inference replayed relationally;
     # argmax on round(score,6) DESC, lang ASC on both engines.

@@ -261,6 +261,9 @@ def main() -> None:
             "readability_scores",
             "badwords_gate",
             "quality_threshold_sweep",
+            "sentence_code_switch",
+            "host_fairness",
+            "winnow_overlaps",
         ]
         qs = E.queries()
         for name in bench_queries:

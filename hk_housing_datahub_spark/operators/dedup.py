@@ -646,3 +646,84 @@ def minhash_lsh_dedup(
         F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
     ).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every token ``k``-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's MINIMUM.
+    The selection guarantee fixed-stride shingle sampling cannot give:
+    any shared passage of ≥ ``w + k − 1`` tokens produces at least one
+    SHARED fingerprint, while the kept-fingerprint density stays ~2/(w+1)
+    — local plagiarism/quotation detection at a fraction of full-shingle
+    cost.
+
+    Hashes are md5 hex strings (lexicographic min — portable across
+    engines, so the DuckDB twin is exact). The k-gram hashing, window
+    minima and dedup all happen INSIDE the row as array expressions —
+    the only shuffle is the caller's downstream use. Returns distinct
+    (id, fp)."""
+    toks = tokens(F.col(text_col))
+
+    def fps(ts: Column) -> Column:
+        n = F.size(ts)
+        m = n - k + 1  # number of k-grams
+        hs = F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, k))),
+        )
+        nw = m - w + 1  # number of windows
+        return F.when(nw < 1, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(nw, F.lit(1))),
+                    lambda j: F.array_min(F.slice(hs, j, w)),
+                )
+            )
+        )
+
+    arr = F.element_at(F.transform(F.array(toks), fps), 1)
+    return docs.select(
+        F.col(id_col), F.explode(arr).alias("fp")
+    ).distinct()
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    max_fp_df: int | None = 50,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(a, b, n_shared) pairs of documents sharing ≥ ``min_shared``
+    winnowing fingerprints — ordered pairs a < b. Same inverted-index
+    plan as the Jaccard operator: fingerprints with document frequency
+    above ``max_fp_df`` are dropped before the self-join (boilerplate
+    minima would otherwise create quadratic hot keys at web scale; the
+    cap bounds per-key join fan-out, and genuinely-overlapping pairs
+    keep their rarer shared minima)."""
+    from pyspark.sql import Window as W
+
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    if max_fp_df is not None:
+        wdf = W.partitionBy("fp")
+        fps = fps.withColumn("_df", F.count(F.lit(1)).over(wdf)).filter(
+            F.col("_df") <= max_fp_df
+        ).drop("_df")
+    a = fps.select(F.col(id_col).alias("a"), "fp")
+    b = fps.select(F.col(id_col).alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

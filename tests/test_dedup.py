@@ -307,3 +307,98 @@ def test_containment_direction_pairs_share_one_intersection(spark):
         (1, 2, 1.0),
         (2, 1, 1.0),
     }
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003)
+# --------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_passage_detected(spark):
+    """The winnowing guarantee: a shared passage of >= w + k - 1 tokens
+    yields at least one shared fingerprint, wherever it sits."""
+    from hk_housing_datahub_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= 4+5-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} completely different tail words here"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.a, r.b)
+        for r in winnow_overlap_pairs(docs, k=5, w=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_density_and_short_docs(spark):
+    """Fingerprint count is far below k-gram count (~2/(w+1) density);
+    docs shorter than w + k - 1 tokens yield no fingerprints."""
+    from hk_housing_datahub_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    long_text = " ".join(f"tok{i % 13}x{i % 7}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "too short here")], ["doc_id", "text"]
+    )
+    fps = winnow_fingerprints(docs, k=5, w=4).collect()
+    per = {}
+    for r in fps:
+        per[r.doc_id] = per.get(r.doc_id, 0) + 1
+    n_kgrams = 200 - 5 + 1
+    assert 0 < per[1] < n_kgrams * 0.75  # windows collapse to shared minima
+    assert 2 not in per
+
+
+def test_winnow_duckdb_parity(spark, sf_small):
+    """Window-min fingerprints and the overlap pairs replayed in DuckDB
+    (md5 strings compare identically on both engines)."""
+    import duckdb
+
+    from hk_housing_datahub_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = sorted(
+        map(tuple, winnow_overlap_pairs(
+            docs, k=5, w=4, max_fp_df=50
+        ).collect())
+    )
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    toks = f"string_split({norm}, ' ')"
+    want = sorted(
+        duckdb.sql(
+            f"""
+        WITH d AS (SELECT doc_id, {toks} AS t
+                   FROM '{sf_small}/documents.parquet'),
+        kg AS (SELECT doc_id, i,
+                      md5(array_to_string(t[i:i+4], ' ')) AS h,
+                      len(t) - 5 + 1 AS m
+               FROM d, unnest(generate_series(1, len(t) - 4)) AS g(i)
+               WHERE len(t) >= 5),
+        wm AS (SELECT doc_id,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                      i, m
+               FROM kg),
+        fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= m - 4 + 1),
+        capped AS (SELECT doc_id, fp FROM fps
+                   QUALIFY count(*) OVER (PARTITION BY fp) <= 50)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM capped a JOIN capped b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        """
+        ).fetchall()
+    )
+    assert got == want
