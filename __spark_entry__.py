@@ -1627,6 +1627,29 @@ def _winnow_overlaps(spark, sf):
     )
 
 
+def _format_profile(spark, sf):
+    """Format-shape profiling (operators/textops.py format_profile):
+    code/table/bullet line fractions over raw newline structure. Probe
+    docs are built deterministically (four lines per doc: prose, a
+    bullet line, a ``;``-terminated line, a ``|``-delimited line) so
+    every classifier demonstrably fires; the DuckDB twin replays the
+    construction and the line classifiers."""
+    from hk_housing_datahub_spark.operators.textops import format_profile
+
+    d = _t(spark, sf, "documents")
+    probes = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 60),
+            F.concat(F.lit("- "), F.substring("text", 61, 60)),
+            F.concat(F.substring("text", 121, 60), F.lit(";")),
+            F.concat(F.lit("a | b | "), F.substring("text", 181, 20)),
+        ).alias("text"),
+    )
+    return format_profile(probes)
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4673,6 +4696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_code_switch": _sentence_code_switch,
         "host_fairness": _host_fairness,
         "winnow_overlaps": _winnow_overlaps,
+        "format_profile": _format_profile,
         "bitext_margin_pairs": _bitext_margin_pairs,
         "readability_scores": _readability_scores,
         "badwords_gate": _badwords_gate,
@@ -6264,6 +6288,35 @@ def oracle_sql() -> dict[str, str]:
         FROM capped a JOIN capped b USING (fp)
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2
+    """
+    d["format_profile"] = """
+        WITH probes AS (
+            SELECT doc_id,
+                   substr(text, 1, 60) || chr(10) ||
+                   '- ' || substr(text, 61, 60) || chr(10) ||
+                   substr(text, 121, 60) || ';' || chr(10) ||
+                   'a | b | ' || substr(text, 181, 20) AS t
+            FROM documents),
+        ln AS (SELECT doc_id,
+                      list_filter(list_transform(string_split(t, chr(10)),
+                          x -> trim(x)), x -> x <> '') AS ls
+               FROM probes)
+        SELECT doc_id,
+               CAST(len(ls) AS INT) AS n_lines,
+               CASE WHEN len(ls) > 0 THEN round(
+                   CAST(len(list_filter(ls, l -> regexp_matches(l,
+                       '[{};]|=>|\\bdef\\b|\\bvoid\\b'))) AS DOUBLE)
+                   / len(ls), 6) END AS code_frac,
+               CASE WHEN len(ls) > 0 THEN round(
+                   CAST(len(list_filter(ls, l ->
+                       length(l) - length(replace(l, '|', '')) >= 2
+                       OR length(l) - length(replace(l, chr(9), '')) >= 2))
+                       AS DOUBLE) / len(ls), 6) END AS table_frac,
+               CASE WHEN len(ls) > 0 THEN round(
+                   CAST(len(list_filter(ls, l -> regexp_matches(l,
+                       '^([-*\u2022]|[0-9]+[.)]) '))) AS DOUBLE)
+                   / len(ls), 6) END AS bullet_frac
+        FROM ln
     """
     # Trained NB langid: training + inference replayed relationally;
     # argmax on round(score,6) DESC, lang ASC on both engines.

@@ -264,6 +264,7 @@ def main() -> None:
             "sentence_code_switch",
             "host_fairness",
             "winnow_overlaps",
+            "format_profile",
         ]
         qs = E.queries()
         for name in bench_queries:

@@ -681,3 +681,47 @@ def quality_threshold_sweep(
             F.sum("q_sum").over(w) / F.sum("n_docs").over(w), 6
         ).alias("mean_quality"),
     )
+
+
+def format_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document format-shape profile: the fraction of lines that
+    look like code, tables, or bullet lists — the signals RefinedWeb /
+    Gopher use to drop pages that are markup rather than prose (and
+    that a code-corpus recipe uses with the OPPOSITE sign).
+
+    Fixed line classifiers (documented, regex-portable):
+      code:   contains ``{``, ``}``, ``;`` or ``=>``, or a ``def``/
+              ``void`` keyword token
+      table:  ≥ 2 ``|`` delimiters or ≥ 2 tab characters
+      bullet: starts (after indent) with ``-``, ``*``, ``•`` or a
+              number + ``.``/``)`` followed by a space
+
+    Lines are raw ``\\n`` splits of the UNnormalized text (format lives
+    in the line structure normalization destroys); blank lines drop
+    from the denominator. One codegen projection — no shuffle, no UDF.
+    Zero-line docs profile NULL fractions."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+    def frac(pred) -> Column:
+        return F.size(F.filter(lines, pred)) / F.size(lines)
+
+    n = F.size(lines)
+    code = frac(lambda l: l.rlike("[{};]|=>|\\bdef\\b|\\bvoid\\b"))
+    table = frac(
+        lambda l: (
+            F.length(l) - F.length(F.regexp_replace(l, "[|]", "")) >= 2
+        )
+        | (F.length(l) - F.length(F.regexp_replace(l, "\t", "")) >= 2)
+    )
+    bullet = frac(lambda l: l.rlike("^([-*•]|[0-9]+[.)]) "))
+    guard = n > 0
+    return docs.select(
+        "doc_id",
+        n.alias("n_lines"),
+        F.when(guard, F.round(code, 6)).alias("code_frac"),
+        F.when(guard, F.round(table, 6)).alias("table_frac"),
+        F.when(guard, F.round(bullet, 6)).alias("bullet_frac"),
+    )

@@ -124,3 +124,24 @@ def test_allocation_fairness_golden(spark):
         [("a", 1), ("b", 2), ("c", 3), ("d", 4)], ["host", "w"]
     )
     assert allocation_fairness(mid, "host", "w").first().gini == pytest.approx(0.25)
+
+
+def test_format_profile_golden(spark):
+    from hk_housing_datahub_spark.operators.textops import format_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "plain prose here\n- a bullet\nx = f(y);\na | b | c"),
+            (1, "1. numbered\n2) also numbered\nprose"),
+            (2, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in format_profile(docs).collect()}
+    r = out[0]
+    assert r.n_lines == 4
+    assert r.code_frac == pytest.approx(0.25)   # the ';' line
+    assert r.table_frac == pytest.approx(0.25)  # two '|' delimiters
+    assert r.bullet_frac == pytest.approx(0.25)
+    assert out[1].bullet_frac == pytest.approx(round(2 / 3, 6))
+    assert out[2].n_lines == 0 and out[2].code_frac is None
