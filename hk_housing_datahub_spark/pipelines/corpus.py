@@ -65,8 +65,12 @@ class CorpusRecipe:
     decontaminate_n: int = 13  # n-gram length for the benchmark screen
     max_dup_span_frac: float | None = None  # substring-dedup doc gate
     span_k: int = 15  # duplicated-span window (tokens, Lee et al. use 50)
-    max_perplexity: float | None = None  # bigram-LM gate (needs lm_reference)
-    lm_k: float = 0.5  # add-k smoothing for the LM gate
+    max_perplexity: float | None = None  # LM gate (needs lm_reference)
+    lm: str = "bigram"  # perplexity model: "bigram" (add-k) | "kn"
+    # (interpolated Kneser-Ney bigram) | "kn3" (trigram KN chain)
+    lm_k: float = 0.5  # add-k / continuation-floor mass for the LM gate
+    max_bullet_frac: float | None = None  # RefinedWeb list-page drop
+    max_code_frac: float | None = None  # prose recipes drop code-shaped docs
     dsir_top_k: int | None = None  # DSIR selection size (needs dsir_reference)
     dsir_dim: int = 4096  # hashed n-gram buckets for the DSIR model
     dsir_seed: int = 0  # Gumbel resampling seed
@@ -232,18 +236,63 @@ def prepare_training_corpus(
 
         flagged = gopher_repetition_flags(out, text_col)
         out = flagged.filter(F.col("rep_pass")).select(*out.columns)
+    if r.max_bullet_frac is not None or r.max_code_frac is not None:
+        # format-shape gate (RefinedWeb): line-structure fractions are a
+        # map-only projection; NULL fractions (no lines) pass — absence
+        # of structure is not evidence of markup
+        from ..operators.textops import format_profile
+
+        cols = out.columns
+        prof = format_profile(
+            out.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        ).withColumnRenamed("doc_id", id_col)
+        out = out.join(prof, id_col)
+        if r.max_bullet_frac is not None:
+            out = out.filter(
+                F.col("bullet_frac").isNull()
+                | (F.col("bullet_frac") <= r.max_bullet_frac)
+            )
+        if r.max_code_frac is not None:
+            out = out.filter(
+                F.col("code_frac").isNull()
+                | (F.col("code_frac") <= r.max_code_frac)
+            )
+        out = out.select(*cols)
     if r.max_perplexity is not None:
         if lm_reference is None:
             raise ValueError("max_perplexity needs lm_reference")
-        from ..operators.lm_quality import fit_bigram_lm, perplexity_score
+        from ..operators.lm_quality import (
+            fit_bigram_lm,
+            fit_kneser_ney,
+            fit_kneser_ney3,
+            kn3_perplexity_score,
+            kn_perplexity_score,
+            perplexity_score,
+        )
 
         cols = out.columns
         # the model tables feed every downstream action of the returned
         # corpus — persist them or each count()/write re-aggregates the
         # whole reference corpus
-        lm = fit_bigram_lm(lm_reference, text_col=text_col, k=r.lm_k).persist()
+        if r.lm == "bigram":
+            model = fit_bigram_lm(
+                lm_reference, text_col=text_col, k=r.lm_k
+            ).persist()
+            scorer = perplexity_score
+        elif r.lm == "kn":
+            model = fit_kneser_ney(
+                lm_reference, text_col=text_col, k=r.lm_k
+            ).persist()
+            scorer = kn_perplexity_score
+        elif r.lm == "kn3":
+            model = fit_kneser_ney3(
+                lm_reference, text_col=text_col, k=r.lm_k
+            ).persist()
+            scorer = kn3_perplexity_score
+        else:
+            raise ValueError(f"unknown lm family {r.lm!r}")
         out = (
-            perplexity_score(out, lm, id_col=id_col, text_col=text_col)
+            scorer(out, model, id_col=id_col, text_col=text_col)
             .filter(
                 F.col("perplexity").isNull()
                 | (F.col("perplexity") <= r.max_perplexity)

@@ -53,7 +53,19 @@ def main() -> None:
     )
     ap.add_argument(
         "--max-perplexity", type=float, default=None,
-        help="bigram-LM perplexity cap (requires --lm-reference)",
+        help="LM perplexity cap (requires --lm-reference)",
+    )
+    ap.add_argument(
+        "--lm", default="bigram", choices=["bigram", "kn", "kn3"],
+        help="perplexity model family for --max-perplexity",
+    )
+    ap.add_argument(
+        "--max-bullet-frac", type=float, default=None,
+        help="drop docs whose bullet-line fraction exceeds this",
+    )
+    ap.add_argument(
+        "--max-code-frac", type=float, default=None,
+        help="drop docs whose code-shaped-line fraction exceeds this",
     )
     ap.add_argument(
         "--lm-reference", default="",
@@ -129,6 +141,9 @@ def main() -> None:
         sample_rate=args.sample_rate,
         pack_budget=args.budget,
         max_perplexity=args.max_perplexity,
+        lm=args.lm,
+        max_bullet_frac=args.max_bullet_frac,
+        max_code_frac=args.max_code_frac,
         dsir_top_k=args.dsir_top_k,
         dsir_seed=args.dsir_seed,
         clf_threshold=args.clf_threshold,

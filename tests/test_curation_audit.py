@@ -145,3 +145,61 @@ def test_format_profile_golden(spark):
     assert r.bullet_frac == pytest.approx(0.25)
     assert out[1].bullet_frac == pytest.approx(round(2 / 3, 6))
     assert out[2].n_lines == 0 and out[2].code_frac is None
+
+
+def test_funnel_format_gate_and_lm_families(spark, sf_small):
+    from hk_housing_datahub_spark.pipelines.corpus import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    base = prepare_training_corpus(
+        docs, CorpusRecipe(dedup="exact", min_quality=0.3)
+    ).count()
+    # format gate: corpus text has no newlines → single prose line per
+    # doc → fractions 0 → a permissive cap drops nothing
+    fmt = prepare_training_corpus(
+        docs,
+        CorpusRecipe(
+            dedup="exact", min_quality=0.3,
+            max_bullet_frac=0.5, max_code_frac=0.5,
+        ),
+    ).count()
+    assert fmt == base
+    # a zero cap on code_frac only drops docs with code-shaped lines —
+    # plant some
+    from pyspark.sql import functions as F
+
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\nx = f(y);")),
+        ).otherwise(F.col("text")),
+    )
+    strict = prepare_training_corpus(
+        planted,
+        CorpusRecipe(dedup="exact", min_quality=0.3, max_code_frac=0.0),
+    )
+    assert strict.filter(F.col("doc_id") % 7 == 0).count() == 0
+    # kn / kn3 perplexity families plug into the same gate
+    for fam in ("kn", "kn3"):
+        loose = prepare_training_corpus(
+            docs,
+            CorpusRecipe(
+                dedup="exact", min_quality=0.3,
+                max_perplexity=1e9, lm=fam,
+            ),
+            lm_reference=docs,
+        ).count()
+        assert loose == base, fam
+        harsh = prepare_training_corpus(
+            docs,
+            CorpusRecipe(
+                dedup="exact", min_quality=0.3,
+                max_perplexity=20.0, lm=fam,
+            ),
+            lm_reference=docs,
+        ).count()
+        assert harsh < base, fam
