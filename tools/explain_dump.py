@@ -269,6 +269,48 @@ def _script(spark):
     return script_profile(docs)
 
 
+def _kn3(spark):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.lm_quality import (
+        fit_kneser_ney3,
+        kn3_perplexity_score,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    lm = fit_kneser_ney3(docs.filter(F.pmod("doc_id", F.lit(2)) == 0))
+    return kn3_perplexity_score(
+        docs.filter(F.pmod("doc_id", F.lit(2)) == 1), lm
+    )
+
+
+def _nb(spark):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.langid_nb import (
+        fit_nb_langid,
+        nb_language_scores,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    m = fit_nb_langid(docs.filter(F.pmod("doc_id", F.lit(2)) == 0))
+    return nb_language_scores(docs.filter(F.pmod("doc_id", F.lit(2)) == 1), m)
+
+
+def _winnow(spark):
+    from hk_housing_datahub_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    return winnow_overlap_pairs(docs, k=5, w=4)
+
+
+def _readability(spark):
+    from hk_housing_datahub_spark.operators.textops import readability_scores
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    return readability_scores(docs)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -551,6 +593,33 @@ def main() -> None:
             "length-difference regex counts, the dominant-script CASE and "
             "the fraction all inside one whole-stage-codegen Project.",
             _script(spark),
+        ),
+        (
+            "Trigram Kneser–Ney scoring (compact-key model joins)",
+            "Look for: five left joins on (w1,w2,w3)/(w1,w2)/(w2,w3)/(w2)/"
+            "(w3) string keys — every model side a pre-aggregated "
+            "Zipf-bounded table — no CartesianProduct, no Python nodes.",
+            _kn3(spark),
+        ),
+        (
+            "NB language-ID scoring (gram equi-join + langs fan-out)",
+            "Look for: a plain equi-join on gram (no forced broadcast — "
+            "AQE decides), one (id,lang)-keyed aggregate, and the tiny "
+            "langs-rollup broadcast for the fan-out base.",
+            _nb(spark),
+        ),
+        (
+            "Winnowing fingerprints (in-row selection, one pair join)",
+            "Look for: the k-gram hashing and window minima as array "
+            "expressions inside a Project (no per-fingerprint shuffle "
+            "until the inverted-index groupBy/join).",
+            _winnow(spark),
+        ),
+        (
+            "Readability battery (map-only projection)",
+            "Look for: ZERO Exchange, no joins — words/sentences/"
+            "syllables/TTR all in one codegen Project over the scan.",
+            _readability(spark),
         ),
     ]
 
