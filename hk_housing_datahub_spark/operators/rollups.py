@@ -170,7 +170,8 @@ def allocation_fairness(
     the final reduction is a single aggregate. Ranking ties break on
     the key so the rank assignment is total; Σ i·x is invariant under
     permutations WITHIN a tied total (same x), so the Gini is exact and
-    engine-portable. Output floats round to 6.
+    engine-portable. Output floats round to 6. Weights are COUNT-like
+    (URLs, bytes — integral): ``n_keys``/``total`` report as longs.
     """
     w = F.col(weight_col) if weight_col else F.lit(1)
     per = df.groupBy(F.col(key_col).alias("k")).agg(
