@@ -36,7 +36,19 @@ def main() -> None:
     )
     ap.add_argument("--catalog", default="", help="table-catalog root")
     ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument(
+        "--family", default="bpe", choices=["bpe", "unigram"],
+        help="tokenizer model family: BPE merge loop or unigram-LM EM",
+    )
     ap.add_argument("--merges", type=int, default=1000)
+    ap.add_argument(
+        "--vocab-size", type=int, default=8000,
+        help="unigram family: target piece-vocabulary size",
+    )
+    ap.add_argument(
+        "--max-piece-len", type=int, default=8,
+        help="unigram family: maximum piece length in characters",
+    )
     ap.add_argument("--min-word-count", type=int, default=2)
     ap.add_argument("--min-pair-count", type=int, default=2)
     ap.add_argument(
@@ -73,6 +85,36 @@ def main() -> None:
         docs = TableCatalog(spark, args.catalog).read(args.input_table)
     else:
         docs = spark.read.parquet(args.input)
+
+    if args.family == "unigram":
+        from hk_housing_datahub_spark.operators.unigram_lm import (
+            learn_unigram_lm,
+        )
+
+        model = learn_unigram_lm(
+            docs,
+            vocab_size=args.vocab_size,
+            text_col=args.text_col,
+            min_count=args.min_word_count,
+            max_piece_len=args.max_piece_len,
+        )
+        os.makedirs(args.output, exist_ok=True)
+        spark.createDataFrame(model, ["piece", "logp"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.output, "unigram.parquet")
+        )
+        txt = os.path.join(args.output, "unigram_vocab.txt")
+        with open(txt + ".tmp", "w") as f:
+            for piece, logp in model:  # SentencePiece .vocab format
+                f.write(f"{piece}\t{logp:.6f}\n")
+        os.replace(txt + ".tmp", txt)
+        print(json.dumps({
+            "family": "unigram",
+            "pieces": len(model),
+            "requested": args.vocab_size,
+        }))
+        return
 
     merges = learn_bpe(
         docs,

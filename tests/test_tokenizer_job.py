@@ -44,3 +44,44 @@ def test_tokenizer_job_end_to_end(spark, tmp_path, sf_small):
     fert = spark.read.parquet(os.path.join(out_dir, "fertility.parquet"))
     got = {r.lang: r.tokens_per_char for r in fert.collect()}
     assert got and all(0 < v < 2 for v in got.values())
+
+
+def test_tokenizer_job_unigram_family(spark, tmp_path, sf_small):
+    """--family unigram: corpus → unigram.parquet + SentencePiece-style
+    vocab file; CLI output equals the in-process fit exactly."""
+    out_dir = str(tmp_path / "utok")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "tokenizer_job.py"),
+            "--input", f"{sf_small}/documents.parquet",
+            "--output", out_dir,
+            "--family", "unigram",
+            "--vocab-size", "64", "--max-piece-len", "4",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = sorted(
+        (r.piece, round(r.logp, 9))
+        for r in spark.read.parquet(
+            os.path.join(out_dir, "unigram.parquet")
+        ).collect()
+    )
+    from hk_housing_datahub_spark.operators.unigram_lm import (
+        learn_unigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    want = sorted(
+        (p, round(lp, 9))
+        for p, lp in learn_unigram_lm(docs, vocab_size=64, max_piece_len=4)
+    )
+    assert got == want
+    with open(os.path.join(out_dir, "unigram_vocab.txt")) as f:
+        lines = f.read().splitlines()
+    assert len(lines) == len(want)
+    assert all("\t" in ln for ln in lines)
