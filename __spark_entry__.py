@@ -1650,6 +1650,37 @@ def _format_profile(spark, sf):
     return format_profile(probes)
 
 
+def _confusable_dedup(spark, sf):
+    """Homoglyph-robust exact dedup (functions/text.py
+    fold_confusables, UTS #39 subset): every fifth document gets a
+    Cyrillic-spoofed twin (Latin aeopcyx → visually-identical Cyrillic
+    аеорсух) appended under a shifted id; dedup keys on
+    md5(normalize(fold(text))), keep-lowest-id. Every spoof collapses
+    onto its original — plain normalized-hash dedup would keep all of
+    them. The DuckDB twin replays the spoof construction, the fold and
+    the keep rule with its own translate()."""
+    from hk_housing_datahub_spark.functions.text import (
+        fold_confusables,
+        normalize_text,
+    )
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    spoof = d.filter(F.pmod("doc_id", F.lit(5)) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.translate("text", "aeopcyx", "аеорсух").alias("text"),
+    )
+    allrows = d.unionByName(spoof)
+    key = F.md5(normalize_text(fold_confusables(F.col("text"))))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        allrows.withColumn("fp", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "fp")
+    )
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4697,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_fairness": _host_fairness,
         "winnow_overlaps": _winnow_overlaps,
         "format_profile": _format_profile,
+        "confusable_dedup": _confusable_dedup,
         "bitext_margin_pairs": _bitext_margin_pairs,
         "readability_scores": _readability_scores,
         "badwords_gate": _badwords_gate,
@@ -6317,6 +6349,27 @@ def oracle_sql() -> dict[str, str]:
                        '^([-*\u2022]|[0-9]+[.)]) '))) AS DOUBLE)
                    / len(ls), 6) END AS bullet_frac
         FROM ln
+    """
+    from hk_housing_datahub_spark.functions.text import (
+        CONFUSABLE_DST as _CF_DST,
+        CONFUSABLE_SRC as _CF_SRC,
+    )
+
+    d["confusable_dedup"] = f"""
+        WITH base AS (SELECT doc_id, text FROM documents),
+        spoof AS (SELECT doc_id + 1000000 AS doc_id,
+                         translate(text, 'aeopcyx', 'аеорсух') AS text
+                  FROM base WHERE doc_id % 5 = 0),
+        allrows AS (SELECT * FROM base UNION ALL SELECT * FROM spoof),
+        keyed AS (SELECT doc_id,
+                         md5({_norm_sql(f"translate(text, '{_CF_SRC}', '{_CF_DST}')")})
+                             AS fp
+                  FROM allrows)
+        SELECT doc_id, fp FROM (
+            SELECT doc_id, fp, row_number() OVER (
+                PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM keyed)
+        WHERE rn = 1
     """
     # Trained NB langid: training + inference replayed relationally;
     # argmax on round(score,6) DESC, lang ASC on both engines.

@@ -125,3 +125,20 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 # wiki-markup cleaning lives in functions/wikitables.py (clean_wiki_markup),
 # next to the table parser that consumes it — one copy, one contract.
+
+
+# Unicode confusables (Cyrillic/Greek lookalikes of Latin letters) — the
+# characters spam uses to slip duplicates past exact-hash dedup. A fixed,
+# documented subset of UTS #39; ``translate`` maps 1:1 so the fold is a
+# single codegen pass and is replayable by any engine with translate().
+CONFUSABLE_SRC = "аеорсухіАВЕКМНОРСТХаοеΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+CONFUSABLE_DST = "aeopcyxiABEKMHOPCTXaoeABEZHIKMNOPTYX"
+
+
+def fold_confusables(text: Column) -> Column:
+    """Fold common Cyrillic/Greek homoglyphs onto their Latin
+    lookalikes — run BEFORE normalize/fingerprint when dedup must be
+    robust to visual-spoof duplicates ("аbс" vs "abc"). Deliberately
+    NOT part of ``normalize_text``: language-ID and tokenizer training
+    need the real scripts; only adversarial-dedup keys want the fold."""
+    return F.translate(text, CONFUSABLE_SRC, CONFUSABLE_DST)

@@ -203,3 +203,35 @@ def test_funnel_format_gate_and_lm_families(spark, sf_small):
             lm_reference=docs,
         ).count()
         assert harsh < base, fam
+
+
+def test_confusable_fold_collapses_spoofs(spark):
+    from hk_housing_datahub_spark.functions.text import (
+        fold_confusables,
+        normalize_text,
+    )
+
+    rows = [
+        (0, "abc example offer"),
+        (1, "аbс example offer"),   # Cyrillic а and с
+        (2, "abc ехаmple offer"),   # Cyrillic е, х, а
+        (3, "genuinely different"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    keys = {
+        r.doc_id: r.k
+        for r in d.select(
+            "doc_id",
+            F.md5(normalize_text(fold_confusables(F.col("text")))).alias("k"),
+        ).collect()
+    }
+    assert keys[0] == keys[1] == keys[2]
+    assert keys[3] != keys[0]
+    # plain normalized hashing does NOT collapse them
+    plain = {
+        r.doc_id: r.k
+        for r in d.select(
+            "doc_id", F.md5(normalize_text(F.col("text"))).alias("k")
+        ).collect()
+    }
+    assert plain[0] != plain[1]
