@@ -35,11 +35,25 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def drop_exact_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep the lowest-id doc per normalized fingerprint (deterministic)."""
+def drop_exact_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fold_spoofs: bool = False,
+) -> DataFrame:
+    """Keep the lowest-id doc per normalized fingerprint (deterministic).
+    ``fold_spoofs=True`` folds Unicode confusables (UTS #39 subset,
+    functions/text.py fold_confusables) into the key first, so
+    Cyrillic/Greek-homoglyph spoofs collapse onto their originals —
+    same plan, one extra codegen translate()."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
+    from ..functions.text import fold_confusables
+
+    t = F.col(text_col)
+    if fold_spoofs:
+        t = fold_confusables(t)
+    w = W.partitionBy(fingerprint(t)).orderBy(id_col)
     return (
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -82,6 +82,7 @@ class CorpusRecipe:
     # fit's negative class — the fit must cost iterations x 2 shuffles
     # over a LABELED SAMPLE, not the corpus (set so rate x |corpus| is
     # on the order of |clf_positive|); scoring still covers every doc
+    fold_confusables: bool = False  # homoglyph-robust exact-dedup keys
     cap_per_source: int | None = None  # RefinedWeb/C4 per-domain cap
     cap_group_col: str = "source"  # the domain/host column to cap on
     badwords: tuple[str, ...] | None = None  # C4 page-drop lexicon
@@ -198,7 +199,9 @@ def prepare_training_corpus(
             out, max_line_df=r.boilerplate_max_df,
             id_col=id_col, text_col=text_col,
         )
-    out = drop_exact_dups(out, id_col, text_col)
+    out = drop_exact_dups(
+        out, id_col, text_col, fold_spoofs=r.fold_confusables
+    )
     if r.dedup == "lsh":
         out = minhash_lsh_dedup(
             out, id_col, text_col,

@@ -235,3 +235,36 @@ def test_confusable_fold_collapses_spoofs(spark):
         ).collect()
     }
     assert plain[0] != plain[1]
+
+
+def test_funnel_fold_confusables_knob(spark):
+    from hk_housing_datahub_spark.pipelines.corpus import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(i, base_text + f"tail{i}") for i in range(8)]
+    # spoofed twin of doc 0 (Cyrillic а/е/о) under a higher id
+    spoofed = (
+        rows[0][1]
+        .replace("a", "а")
+        .replace("e", "е")
+        .replace("o", "о")
+    )
+    rows.append((100, spoofed))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = prepare_training_corpus(
+        docs, CorpusRecipe(dedup="exact", dedup_threshold=1.01)
+    )
+    folded = prepare_training_corpus(
+        docs,
+        CorpusRecipe(
+            dedup="exact", dedup_threshold=1.01, fold_confusables=True
+        ),
+    )
+    plain_ids = {r.doc_id for r in plain.select("doc_id").collect()}
+    folded_ids = {r.doc_id for r in folded.select("doc_id").collect()}
+    assert 100 in plain_ids       # plain hashing misses the spoof
+    assert 100 not in folded_ids  # folded key collapses it onto doc 0
+    assert 0 in folded_ids
