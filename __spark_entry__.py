@@ -4547,6 +4547,30 @@ def _unigram_encode_pieces(spark, sf):
     )
 
 
+def _unigram_fertility(spark, sf):
+    """Rows-only: per-language fertility of the trained unigram-LM
+    tokenizer (pieces per character over the Viterbi encoding) —
+    the vocabulary-coverage audit bpe_fertility provides for the merge
+    family, for the EM family. Encoder optimality is pinned by the
+    hypothesis sweep in tests/test_unigram_lm.py."""
+    from hk_housing_datahub_spark.operators.unigram_lm import (
+        encode_unigram,
+        learn_unigram_lm,
+    )
+
+    d = _t(spark, sf, "documents")
+    model = learn_unigram_lm(d, vocab_size=64, max_piece_len=4)
+    enc = encode_unigram(d, model, max_piece_len=4)
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("pieces")).alias("total_pieces"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(
+            F.sum(F.size("pieces")) / F.sum(F.length("text")), 6
+        ).alias("pieces_per_char"),
+    )
+
+
 def _crawl_sketch_stats(spark, sf):
     """Rows-only: mergeable crawl statistics (operators/sketches.py) —
     two synthetic capture waves sketched per host (HLL distinct urls,
@@ -4737,6 +4761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_tokens": _bpe_encode_tokens,
         "unigram_lm_vocab": _unigram_lm_vocab,
         "unigram_encode_pieces": _unigram_encode_pieces,
+        "unigram_fertility": _unigram_fertility,
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
         "crawl_frontier_run": _crawl_frontier_run,
