@@ -285,6 +285,24 @@ def _dedup_clusters(spark, sf):
     )
 
 
+def _dedup_cluster_sizes(spark, sf):
+    """Near-dup cluster-size histogram (size → clusters → docs): the
+    dedup-audit number a curation run reports — how much mass the
+    near-dup pass removes and whether one mega-cluster dominates
+    (template families). Two tiny aggregates over the cluster
+    assignment; oracle composes the recursive-CTE closure twin."""
+    out = DD.dedup_clusters(
+        _t(spark, sf, "documents"), threshold=0.5, max_shingle_df=50
+    )
+    sizes = out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
 def _drop_exact_dups(spark, sf):
     """Corpus filter twin of dedup_exact_stats: keep the lowest-id document
     per normalized fingerprint."""
@@ -4750,6 +4768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid_confusion": _nb_langid_confusion,
         "sentence_code_switch": _sentence_code_switch,
         "host_fairness": _host_fairness,
+        "dedup_cluster_sizes": _dedup_cluster_sizes,
         "winnow_overlaps": _winnow_overlaps,
         "format_profile": _format_profile,
         "confusable_dedup": _confusable_dedup,
@@ -6534,6 +6553,16 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (ORDER BY bucket DESC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
+    # cluster-size histogram: two aggregates over the closure twin
+    # (the inner query keeps its own WITH RECURSIVE inside the derived
+    # table — DuckDB scopes nested CTEs per subquery)
+    d["dedup_cluster_sizes"] = (
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, "
+        "CAST(sum(cluster_size) AS BIGINT) AS n_docs FROM ("
+        "SELECT cluster_id, count(*) AS cluster_size FROM ("
+        + d["dedup_clusters"]
+        + ") GROUP BY cluster_id) GROUP BY cluster_size"
+    )
     d["gopher_repetition"] = _gopher_repetition_sql()
     d["link_graph_rank"] = _link_graph_rank_sql()
     d["trust_graph_rank"] = _trust_graph_rank_sql()
