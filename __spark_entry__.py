@@ -4589,6 +4589,35 @@ def _unigram_fertility(spark, sf):
     )
 
 
+def _cdc_payload_dedup(spark, sf):
+    """Rows-only: content-defined chunking over binary payloads
+    (multimodal/cdc.py, FastCDC-style gear hash): every fifth document
+    gets a byte-shifted twin of its payload (4 bytes prepended), and
+    the chunk-level audit shows the shifted copies deduplicating —
+    fixed-offset chunking would share nothing. Kernel coverage/shift
+    properties and Spark≡sequential parity are pinned in
+    tests/test_cdc.py."""
+    from hk_housing_datahub_spark.multimodal.cdc import (
+        cdc_chunk_table,
+        cdc_dedup_stats,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.encode(F.repeat(F.col("text"), 3), "utf-8").alias("payload"),
+    )
+    spoof = d.filter(F.pmod("doc_id", F.lit(5)) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.encode(F.lit("PAD!"), "utf-8"), F.col("payload")).alias(
+            "payload"
+        ),
+    )
+    tbl = cdc_chunk_table(
+        d.unionByName(spoof), min_size=64, avg_size=256, max_size=1024
+    )
+    return cdc_dedup_stats(tbl)
+
+
 def _crawl_sketch_stats(spark, sf):
     """Rows-only: mergeable crawl statistics (operators/sketches.py) —
     two synthetic capture waves sketched per host (HLL distinct urls,
@@ -4781,6 +4810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_vocab": _unigram_lm_vocab,
         "unigram_encode_pieces": _unigram_encode_pieces,
         "unigram_fertility": _unigram_fertility,
+        "cdc_payload_dedup": _cdc_payload_dedup,
         "crawl_sketch_stats": _crawl_sketch_stats,
         "quality_classifier_gate": _quality_classifier_gate,
         "crawl_frontier_run": _crawl_frontier_run,

@@ -265,6 +265,9 @@ def main() -> None:
             "host_fairness",
             "winnow_overlaps",
             "format_profile",
+            "confusable_dedup",
+            "dedup_cluster_sizes",
+            "cdc_payload_dedup",
         ]
         qs = E.queries()
         for name in bench_queries:

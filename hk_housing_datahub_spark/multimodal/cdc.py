@@ -1,0 +1,176 @@
+"""Content-defined chunking over binary payload columns — blob-level
+dedup that survives byte shifts.
+
+Fixed-offset chunking breaks the moment one byte is inserted upstream
+(every later chunk's bytes move); content-defined chunking (Muthitacharoen
+et al. 2001 LBFS; Xia et al. 2016 FastCDC) cuts at positions determined
+by a rolling hash of the CONTENT, so an insertion only perturbs the
+chunk containing it — the property that lets a crawl dedup the same
+image/PDF embedded at different offsets in different containers.
+
+Algorithm (simplified FastCDC, fixed and documented so two runs — and
+the sequential reference in the tests — agree byte-for-byte):
+
+  gear[b]  = first 8 bytes of md5(bytes([b])) as uint64 (a fixed,
+             content-derived table — no RNG, no seed)
+  h        = (h << 1 + gear[byte]) mod 2^64       (per byte)
+  boundary at position p (p ≥ min_size) when h & mask == 0, where
+             mask = avg_size − 1 (avg_size a power of two); forced
+             boundary at max_size; final partial chunk always emitted.
+
+Spark shape: one ``pandas_udf`` over the payload column (bytes are
+opaque — per-byte rolling hashes are the documented case for Arrow-
+batched Python; numpy does the gear lookup + scan per blob), emitting
+``array<struct<off, len, digest>>``. Everything downstream (dedup
+ratios, shared-chunk joins) is plain relational algebra over the
+exploded chunk table, keyed on compact md5 digests. At 10^9 blobs the
+chunk table shuffles once on digest — the classic dedup-index build.
+
+Reference role: /root/reference stores listing photos as opaque URLs;
+chunk-level payload dedup is part of the multimodal battery the brief
+asks for beyond it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_GEAR = [
+    int.from_bytes(hashlib.md5(bytes([b])).digest()[:8], "big")
+    for b in range(256)
+]
+
+CHUNK_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("off", LongType()),
+            StructField("len", IntegerType()),
+            StructField("digest", StringType()),
+        ]
+    )
+)
+
+
+def cdc_chunks_py(
+    payload: bytes, min_size: int, avg_size: int, max_size: int
+) -> list:
+    """Sequential kernel (shared by the UDF and the tests' reference):
+    list of (off, len, md5-digest) covering the blob exactly."""
+    if payload is None:
+        return []
+    mask = avg_size - 1
+    out = []
+    n = len(payload)
+    start = 0
+    h = 0
+    i = 0
+    while i < n:
+        h = ((h << 1) + _GEAR[payload[i]]) & 0xFFFFFFFFFFFFFFFF
+        i += 1
+        ln = i - start
+        if (ln >= min_size and (h & mask) == 0) or ln >= max_size:
+            out.append(
+                (
+                    start,
+                    ln,
+                    hashlib.md5(payload[start:i]).hexdigest(),
+                )
+            )
+            start = i
+            h = 0
+    if start < n:
+        out.append(
+            (start, n - start, hashlib.md5(payload[start:]).hexdigest())
+        )
+    return out
+
+
+def cdc_chunk_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+) -> DataFrame:
+    """(id, off, len, digest) — one row per content-defined chunk.
+    ``avg_size`` must be a power of two (the boundary mask)."""
+    if avg_size & (avg_size - 1):
+        raise ValueError("avg_size must be a power of two")
+
+    @F.pandas_udf(CHUNK_SCHEMA)
+    def chunks(payloads):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                cdc_chunks_py(p, min_size, avg_size, max_size)
+                for p in payloads
+            ]
+        )
+
+    return df.select(
+        F.col(id_col), F.explode(chunks(F.col(payload_col))).alias("c")
+    ).select(id_col, "c.off", "c.len", "c.digest")
+
+
+def cdc_dedup_stats(chunk_table: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One-row dedup audit over the chunk table: total vs distinct
+    chunks and bytes — the 'how much would chunk-level dedup save'
+    number. Distinct bytes count each digest's length once (digest
+    collisions aside, equal digests are equal bytes)."""
+    per = chunk_table.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("refs"), F.first("len").alias("len")
+    )
+    return per.agg(
+        F.sum("refs").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        F.sum(F.col("refs") * F.col("len")).alias("total_bytes"),
+        F.sum("len").alias("distinct_bytes"),
+        F.round(
+            F.lit(1.0) - F.sum("len") / F.sum(F.col("refs") * F.col("len")),
+            6,
+        ).alias("dedup_ratio"),
+    )
+
+
+def cdc_shared_pairs(
+    chunk_table: DataFrame,
+    id_col: str = "doc_id",
+    max_digest_df: int | None = 50,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(a, b, n_shared) blob pairs sharing ≥ ``min_shared`` chunk
+    digests — the same DF-capped inverted-index plan as the winnowing
+    operator, keyed on chunk digests."""
+    from pyspark.sql import Window as W
+
+    fps = chunk_table.select(F.col(id_col), "digest").distinct()
+    if max_digest_df is not None:
+        fps = (
+            fps.withColumn(
+                "_df", F.count(F.lit(1)).over(W.partitionBy("digest"))
+            )
+            .filter(F.col("_df") <= max_digest_df)
+            .drop("_df")
+        )
+    a = fps.select(F.col(id_col).alias("a"), "digest")
+    b = fps.select(F.col(id_col).alias("b"), "digest")
+    return (
+        a.join(b, "digest")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
