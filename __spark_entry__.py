@@ -6132,10 +6132,13 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN ref_u u USING (w1)
                 CROSS JOIN v
                 WHERE b.doc_id % 2 = 1)
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                   round(avg(lp), 6) AS avg_logp,
-                   round(exp(-avg(lp)), 6) AS perplexity
-            FROM sc GROUP BY doc_id
+            SELECT o.doc_id, a.n_bigrams, a.avg_logp, a.perplexity
+            FROM (SELECT doc_id FROM d WHERE doc_id % 2 = 1) o
+            LEFT JOIN (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       round(avg(lp), 6) AS avg_logp,
+                       round(exp(-avg(lp)), 6) AS perplexity
+                FROM sc GROUP BY doc_id) a USING (doc_id)
         """,
         # chunk_documents: the sentence-aware chunk loop as a
         # recursive CTE (template shared with the composed EP2/EP3
@@ -6173,7 +6176,9 @@ def oracle_sql() -> dict[str, str]:
                        sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n1,
                        sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS n2
                 FROM ty),
-        sc1 AS (SELECT t, CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) AS d
+        sc1 AS (SELECT t, CASE WHEN n1 + 2.0 * n2 > 0
+                               THEN CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2)
+                               ELSE 0.5 END AS d
                 FROM sc0),
         v AS (SELECT count(DISTINCT w1) AS v FROM
                 (SELECT unnest(t) AS w1 FROM d WHERE doc_id % 2 = 0)),
@@ -6194,10 +6199,13 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cont n USING (w2)
             CROSS JOIN sc1 s CROSS JOIN v
             WHERE b.doc_id % 2 = 1)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(avg(lp), 6) AS avg_logp,
-               round(exp(-avg(lp)), 6) AS perplexity
-        FROM sc GROUP BY doc_id
+        SELECT o.doc_id, a.n_bigrams, a.avg_logp, a.perplexity
+        FROM (SELECT doc_id FROM d WHERE doc_id % 2 = 1) o
+        LEFT JOIN (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(lp), 6) AS avg_logp,
+                   round(exp(-avg(lp)), 6) AS perplexity
+            FROM sc GROUP BY doc_id) a USING (doc_id)
     """
     # Trigram KN: the count pyramid + two discount estimates + the
     # three-level backoff chain replayed relationally.
@@ -6223,8 +6231,12 @@ def oracle_sql() -> dict[str, str]:
                            AS DOUBLE) AS n1,
                       sum(CASE WHEN m23 = 2 THEN 1 ELSE 0 END) AS n2
                FROM mid),
-        sc0 AS (SELECT s3.n1 / (s3.n1 + 2.0 * s3.n2) AS d3,
-                       sm.n1 / (sm.n1 + 2.0 * sm.n2) AS d2,
+        sc0 AS (SELECT CASE WHEN s3.n1 + 2.0 * s3.n2 > 0
+                            THEN s3.n1 / (s3.n1 + 2.0 * s3.n2)
+                            ELSE 0.5 END AS d3,
+                       CASE WHEN sm.n1 + 2.0 * sm.n2 > 0
+                            THEN sm.n1 / (sm.n1 + 2.0 * sm.n2)
+                            ELSE 0.5 END AS d2,
                        sm.tm AS tm
                 FROM s3, sm),
         v AS (SELECT count(DISTINCT w) AS v FROM
@@ -6260,10 +6272,13 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN uni u USING (w3)
             CROSS JOIN sc0 s CROSS JOIN v
             WHERE b.doc_id % 2 = 1)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-               round(avg(lp), 6) AS avg_logp,
-               round(exp(-avg(lp)), 6) AS perplexity
-        FROM sc GROUP BY doc_id
+        SELECT o.doc_id, a.n_trigrams, a.avg_logp, a.perplexity
+        FROM (SELECT doc_id FROM d WHERE doc_id % 2 = 1) o
+        LEFT JOIN (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   round(avg(lp), 6) AS avg_logp,
+                   round(exp(-avg(lp)), 6) AS perplexity
+            FROM sc GROUP BY doc_id) a USING (doc_id)
     """
     # Sentence-level code-switch: the NB model at sentence granularity,
     # stitched probes, adjacency switches and dominant-lang rollup.
@@ -6279,10 +6294,11 @@ def oracle_sql() -> dict[str, str]:
         pri AS (SELECT lang, count(*) AS n_docs FROM d
                 WHERE doc_id % 2 = 0 GROUP BY 1),
         prit AS (SELECT sum(n_docs) AS n FROM pri),
-        langs AS (SELECT t.lang, t.tot,
+        langs AS (SELECT p.lang, coalesce(t.tot, 0) AS tot,
                          ln(CAST(p.n_docs AS DOUBLE) / prit.n) AS prior_ln,
-                         ln(1.0 / (t.tot + 1.0 * gsz.g)) AS floor_ln
-                  FROM tot t JOIN pri p USING (lang)
+                         ln(1.0 / (coalesce(t.tot, 0) + 1.0 * gsz.g))
+                             AS floor_ln
+                  FROM pri p LEFT JOIN tot t USING (lang)
                   CROSS JOIN prit CROSS JOIN gsz),
         oddd AS (SELECT doc_id, substr(text, 1, 120) AS s1,
                         coalesce(lead(substr(text, 1, 120))
@@ -6362,13 +6378,13 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY x DESC, k ASC) AS r
             FROM per),
         agg AS (SELECT max(i) AS n_keys, sum(x) AS total,
-                       sum(i * x) AS ix,
+                       sum(i * CAST(x AS DOUBLE)) AS ix,
                        sum(CASE WHEN r <= 1 THEN x ELSE 0 END) AS t1,
                        sum(CASE WHEN r <= 10 THEN x ELSE 0 END) AS t10
                 FROM ranked)
         SELECT CAST(n_keys AS BIGINT) AS n_keys,
                CAST(total AS BIGINT) AS total,
-               round((2.0 * ix) / (n_keys * total)
+               round((2.0 * ix) / (CAST(n_keys AS DOUBLE) * total)
                      - (n_keys + 1.0) / n_keys, 6) AS gini,
                round(CAST(t1 AS DOUBLE) / total, 6) AS top1_share,
                round(CAST(t10 AS DOUBLE) / total, 6) AS top10_share
@@ -6459,10 +6475,11 @@ def oracle_sql() -> dict[str, str]:
         pri AS (SELECT lang, count(*) AS n_docs FROM d
                 WHERE doc_id % 2 = 0 GROUP BY 1),
         prit AS (SELECT sum(n_docs) AS n FROM pri),
-        langs AS (SELECT t.lang, t.tot,
+        langs AS (SELECT p.lang, coalesce(t.tot, 0) AS tot,
                          ln(CAST(p.n_docs AS DOUBLE) / prit.n) AS prior_ln,
-                         ln(1.0 / (t.tot + 1.0 * gsz.g)) AS floor_ln
-                  FROM tot t JOIN pri p USING (lang)
+                         ln(1.0 / (coalesce(t.tot, 0) + 1.0 * gsz.g))
+                             AS floor_ln
+                  FROM pri p LEFT JOIN tot t USING (lang)
                   CROSS JOIN prit CROSS JOIN gsz),
         tgt AS (SELECT doc_id, lang AS true_lang,
                        greatest(len(t) - 2, 0) AS n_grams, t
@@ -6548,9 +6565,12 @@ def oracle_sql() -> dict[str, str]:
                END AS ttr
         FROM c
     """
-    d["badwords_gate"] = f"""
-        WITH ex AS (SELECT doc_id, unnest({_TOKS}) AS term
-                    FROM documents),
+    d["badwords_gate"] = """
+        WITH ex AS (SELECT doc_id, t AS term FROM (
+                        SELECT doc_id, unnest(string_split_regex(
+                            lower(text), '[^a-z0-9]+')) AS t
+                        FROM documents)
+                    WHERE t <> ''),
         hits AS (SELECT doc_id, count(*) AS c FROM ex
                  WHERE term IN ('slow', 'dup', 'scan') GROUP BY 1)
         SELECT d.doc_id, d.lang, d.source,

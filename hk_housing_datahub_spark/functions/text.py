@@ -131,7 +131,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 # characters spam uses to slip duplicates past exact-hash dedup. A fixed,
 # documented subset of UTS #39; ``translate`` maps 1:1 so the fold is a
 # single codegen pass and is replayable by any engine with translate().
-CONFUSABLE_SRC = "аеорсухіАВЕКМНОРСТХаοеΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+CONFUSABLE_SRC = "аеорсухіАВЕКМНОРСТХαοεΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
 CONFUSABLE_DST = "aeopcyxiABEKMHOPCTXaoeABEZHIKMNOPTYX"
 
 

@@ -154,23 +154,10 @@ def cdc_shared_pairs(
     """(a, b, n_shared) blob pairs sharing ≥ ``min_shared`` chunk
     digests — the same DF-capped inverted-index plan as the winnowing
     operator, keyed on chunk digests."""
-    from pyspark.sql import Window as W
+    from ..operators.dedup import shared_key_pairs
 
     fps = chunk_table.select(F.col(id_col), "digest").distinct()
-    if max_digest_df is not None:
-        fps = (
-            fps.withColumn(
-                "_df", F.count(F.lit(1)).over(W.partitionBy("digest"))
-            )
-            .filter(F.col("_df") <= max_digest_df)
-            .drop("_df")
-        )
-    a = fps.select(F.col(id_col).alias("a"), "digest")
-    b = fps.select(F.col(id_col).alias("b"), "digest")
-    return (
-        a.join(b, "digest")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    return shared_key_pairs(
+        fps, id_col, "digest", max_key_df=max_digest_df,
+        min_shared=min_shared,
     )

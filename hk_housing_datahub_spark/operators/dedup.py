@@ -708,6 +708,40 @@ def winnow_fingerprints(
     ).distinct()
 
 
+def shared_key_pairs(
+    fps: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_key_df: int | None = 50,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(a, b, n_shared) ordered pairs (a < b) of ids sharing ≥
+    ``min_shared`` distinct keys — THE inverted-index pair join, shared
+    by the winnowing operator and the CDC chunk-overlap operator. Keys
+    with document frequency above ``max_key_df`` drop before the
+    self-join (hot keys create quadratic join fan-out at web scale;
+    genuinely-related pairs keep their rarer shared keys)."""
+    from pyspark.sql import Window as W
+
+    if max_key_df is not None:
+        fps = (
+            fps.withColumn(
+                "_df", F.count(F.lit(1)).over(W.partitionBy(key_col))
+            )
+            .filter(F.col("_df") <= max_key_df)
+            .drop("_df")
+        )
+    a = fps.select(F.col(id_col).alias("a"), key_col)
+    b = fps.select(F.col(id_col).alias("b"), key_col)
+    return (
+        a.join(b, key_col)
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def winnow_overlap_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -724,20 +758,7 @@ def winnow_overlap_pairs(
     minima would otherwise create quadratic hot keys at web scale; the
     cap bounds per-key join fan-out, and genuinely-overlapping pairs
     keep their rarer shared minima)."""
-    from pyspark.sql import Window as W
-
     fps = winnow_fingerprints(docs, id_col, text_col, k, w)
-    if max_fp_df is not None:
-        wdf = W.partitionBy("fp")
-        fps = fps.withColumn("_df", F.count(F.lit(1)).over(wdf)).filter(
-            F.col("_df") <= max_fp_df
-        ).drop("_df")
-    a = fps.select(F.col(id_col).alias("a"), "fp")
-    b = fps.select(F.col(id_col).alias("b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    return shared_key_pairs(
+        fps, id_col, "fp", max_key_df=max_fp_df, min_shared=min_shared
     )

@@ -105,45 +105,50 @@ def fit_nb_langid(
         F.count(F.lit(1)).alias("n_docs")
     )
     n_total = labeled.count()
-    langs = totals.join(docs_per, "lang").select(
+    # priors side drives the join: a language whose training docs are
+    # all shorter than ``n`` has no grams (tot = 0) but must stay
+    # predictable — its floor is ln(1/G) and it scores prior+floors
+    langs = docs_per.join(totals, "lang", "left").select(
         "lang",
-        "tot",
+        F.coalesce("tot", F.lit(0)).alias("tot"),
         F.log(F.col("n_docs") / F.lit(float(max(n_total, 1)))).alias(
             "prior_ln"
         ),
-        F.log(F.lit(k) / (F.col("tot") + F.lit(k) * F.lit(g))).alias(
-            "floor_ln"
-        ),
+        F.log(
+            F.lit(k)
+            / (F.coalesce("tot", F.lit(0)) + F.lit(k) * F.lit(g))
+        ).alias("floor_ln"),
     )
     return NBLangModel(grams=grams, langs=langs, g=g, k=k)
 
 
-def nb_language_scores(
-    docs: DataFrame,
+def _unit_scores(
+    units: DataFrame,
     model: NBLangModel,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
+    id_cols: list,
+    text_col: str,
+    n: int,
 ) -> DataFrame:
-    """(id, lang, score) for every document × model language.
-
-    The corpus explodes once; matched gram occurrences inner-join the
-    model (broadcastable — Zipf-bounded) and aggregate per (doc, lang);
-    the docs×langs base (langs is single-digit rows) restores languages
-    with zero matched grams at the pure-floor score. Docs with zero
-    grams (shorter than ``n``) score prior-only."""
+    """(ids…, lang, score) for every scoring unit × model language —
+    the one scoring pyramid, shared by document scoring (unit = doc)
+    and sentence scoring (unit = (doc, sentence)). The unit table
+    explodes once; matched gram occurrences inner-join the model
+    (broadcastable — Zipf-bounded) and aggregate per (unit, lang); the
+    units×langs base (langs is single-digit rows) restores languages
+    with zero matched grams at the pure-floor score; units with zero
+    grams score prior-only."""
     k, g = float(model.k), float(model.g)
-    ex = docs.select(
-        F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
+    ids = [F.col(c) for c in id_cols]
+    ex = units.select(
+        *ids, F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
     )
-    ngrams_per_doc = docs.select(
-        F.col(id_col),
-        F.size(char_ngrams(F.col(text_col), n)).alias("n_grams"),
+    ngrams_per = units.select(
+        *ids, F.size(char_ngrams(F.col(text_col), n)).alias("n_grams")
     )
     matched = (
         ex.join(model.grams, "gram")
         .join(model.langs.select("lang", "tot"), "lang")
-        .groupBy(id_col, "lang")
+        .groupBy(*id_cols, "lang")
         .agg(
             F.sum(
                 F.log(
@@ -154,9 +159,9 @@ def nb_language_scores(
             F.count(F.lit(1)).alias("n_matched"),
         )
     )
-    base = ngrams_per_doc.crossJoin(F.broadcast(model.langs))
-    scored = base.join(matched, [id_col, "lang"], "left").select(
-        F.col(id_col),
+    base = ngrams_per.crossJoin(F.broadcast(model.langs))
+    return base.join(matched, [*id_cols, "lang"], "left").select(
+        *ids,
         "lang",
         (
             F.col("prior_ln")
@@ -165,7 +170,18 @@ def nb_language_scores(
             * F.col("floor_ln")
         ).alias("score"),
     )
-    return scored
+
+
+def nb_language_scores(
+    docs: DataFrame,
+    model: NBLangModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, lang, score) for every document × model language — see
+    :func:`_unit_scores` for the plan shape."""
+    return _unit_scores(docs, model, [id_col], text_col, n)
 
 
 def nb_predict(
@@ -252,47 +268,11 @@ def sentence_code_switch(
     sentence count replaces document count in every bound; the final
     rollup is one aggregate over (doc, sentence) rows. Docs with zero
     sentences report zeros (no NULL fan-out)."""
-    k, g = float(model.k), float(model.g)
     sents = docs.select(
         F.col(id_col),
         F.posexplode(split_sentences(F.col(text_col))).alias("sidx", "sent"),
     )
-    grams = sents.select(
-        F.col(id_col),
-        "sidx",
-        F.explode(char_ngrams(F.col("sent"), n)).alias("gram"),
-    )
-    n_grams = sents.select(
-        F.col(id_col),
-        "sidx",
-        F.size(char_ngrams(F.col("sent"), n)).alias("n_grams"),
-    )
-    matched = (
-        grams.join(model.grams, "gram")
-        .join(model.langs.select("lang", "tot"), "lang")
-        .groupBy(id_col, "sidx", "lang")
-        .agg(
-            F.sum(
-                F.log(
-                    (F.col("c") + F.lit(k))
-                    / (F.col("tot") + F.lit(k) * F.lit(g))
-                )
-            ).alias("s_matched"),
-            F.count(F.lit(1)).alias("n_matched"),
-        )
-    )
-    base = n_grams.crossJoin(F.broadcast(model.langs))
-    scored = base.join(matched, [id_col, "sidx", "lang"], "left").select(
-        F.col(id_col),
-        "sidx",
-        "lang",
-        (
-            F.col("prior_ln")
-            + F.coalesce(F.col("s_matched"), F.lit(0.0))
-            + (F.col("n_grams") - F.coalesce(F.col("n_matched"), F.lit(0)))
-            * F.col("floor_ln")
-        ).alias("score"),
-    )
+    scored = _unit_scores(sents, model, [id_col, "sidx"], "sent", n)
     wp = Window.partitionBy(id_col, "sidx").orderBy(
         F.round("score", 6).desc(), F.col("lang").asc()
     )

@@ -187,10 +187,15 @@ def allocation_fairness(
     top = per.withColumn("r", F.row_number().over(topw))
     top1 = top.filter(F.col("r") <= 1).agg(F.sum("x").alias("t1"))
     top10 = top.filter(F.col("r") <= 10).agg(F.sum("x").alias("t10"))
+    # Σ i·x and n·Σx overflow 64-bit longs at web scale (10^8 keys ×
+    # 10^12 bytes ≈ 10^20 > 2^63, and Spark's non-ANSI long arithmetic
+    # wraps SILENTLY); accumulate the rank-weighted sum in double —
+    # the Gini rounds to 6, and the DuckDB twin uses the same type so
+    # parity holds.
     base = ranked.agg(
         n.alias("n_keys"),
         tot.alias("total"),
-        F.sum(F.col("i") * F.col("x")).alias("ix"),
+        F.sum(F.col("i") * F.col("x").cast("double")).alias("ix"),
     )
     return (
         base.crossJoin(top1)
@@ -200,7 +205,7 @@ def allocation_fairness(
             F.col("total").cast("long").alias("total"),
             F.round(
                 (F.lit(2.0) * F.col("ix"))
-                / (F.col("n_keys") * F.col("total"))
+                / (F.col("n_keys").cast("double") * F.col("total"))
                 - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
                 6,
             ).alias("gini"),

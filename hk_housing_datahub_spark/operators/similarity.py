@@ -476,25 +476,28 @@ def bitext_margin_mine(
             dot(F.col("_sv"), F.col("_tv")) / (F.col("_sn") * F.col("_tn"))
         ).alias("_cs"),
     )
+    # The k-NN means are WINDOW aggregates over the same ranked frame —
+    # not separate groupBys joined back — so the pair table streams
+    # through three partition-exchanges (src-rank, tgt-rank + tgt-mean,
+    # src-mean + argmax) in ONE linear plan: nothing is consumed twice,
+    # so nothing needs persist() (an earlier draft cached the pair-scale
+    # frame and leaked it for the application lifetime).
     ws = W.partitionBy("src_id").orderBy(F.col("_cs").desc(), F.col("tgt_id"))
     wt = W.partitionBy("tgt_id").orderBy(F.col("_cs").desc(), F.col("src_id"))
     ranked = scored.withColumn("_rs", F.row_number().over(ws)).withColumn(
         "_rt", F.row_number().over(wt)
     )
-    ranked = ranked.persist()
-    knn_s = (
-        ranked.filter(F.col("_rs") <= k)
-        .groupBy("src_id")
-        .agg(F.avg("_cs").alias("_ks"))
-    )
-    knn_t = (
-        ranked.filter(F.col("_rt") <= k)
-        .groupBy("tgt_id")
-        .agg(F.avg("_cs").alias("_kt"))
-    )
+    wsp = W.partitionBy("src_id")
+    wtp = W.partitionBy("tgt_id")
     margined = (
-        ranked.join(knn_s, "src_id")
-        .join(knn_t, "tgt_id")
+        ranked.withColumn(
+            "_kt",
+            F.avg(F.when(F.col("_rt") <= k, F.col("_cs"))).over(wtp),
+        )
+        .withColumn(
+            "_ks",
+            F.avg(F.when(F.col("_rs") <= k, F.col("_cs"))).over(wsp),
+        )
         .select(
             "src_id",
             "tgt_id",

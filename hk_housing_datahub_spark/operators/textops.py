@@ -549,7 +549,9 @@ def script_profile(
     )
 
 
-def readability_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document readability battery — Flesch reading ease,
     Flesch–Kincaid grade, and type–token ratio — the curation signals a
     corpus dashboard reports next to the Gopher gates.
@@ -588,7 +590,7 @@ def readability_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ttr = F.size(F.array_distinct(toks)) / n_words
     guard = n_words > 0
     return docs.select(
-        "doc_id",
+        id_col,
         n_words.alias("n_words"),
         n_sent.alias("n_sentences"),
         n_syll.alias("n_syllables"),
@@ -603,33 +605,31 @@ def badwords_filter(
     badwords: DataFrame,
     text_col: str = "text",
     max_hits: int = 0,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """C4's bad-words gate, relationally: drop documents containing
     more than ``max_hits`` occurrences of any term from a blocklist
     (the "List of Dirty, Naughty, Obscene..." role). ``badwords`` is a
     one-column DataFrame ``term`` of lowercase single words.
 
-    Spark-first shape: NOT a giant regex alternation (which would be a
-    per-row scan whose cost grows with the list) — the corpus explodes
-    to (doc_id, token) once and SEMI-JOINs the term table; per-doc hit
-    counts are one map-side-combined aggregate. The term list is
-    thousands of rows — AQE broadcasts it; corpus cost is one explode +
-    one compact-key join, independent of list size. Returns the
-    surviving docs with an ``n_badword_hits`` column (0 for clean
-    docs)."""
-    from ..functions.text import tokens
+    Tokenization and counting delegate to
+    :func:`..c4filter.badword_hits_join` — the C4 word rule (split on
+    ``[^a-z0-9]+``), so punctuation-adjacent occurrences ("spam." /
+    "spam,") count, exactly as the regex path does. Spark-first shape:
+    NOT a giant regex alternation (which would be a per-row scan whose
+    cost grows with the list) — the corpus explodes once and joins the
+    term table (no forced broadcast — AQE decides; cost independent of
+    list size). Returns the surviving docs with an
+    ``n_badword_hits`` column (0 for clean docs)."""
+    from .c4filter import badword_hits_join
 
-    ex = docs.select(
-        "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
-    )
-    hits = (
-        ex.join(badwords.select("term"), "term")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_badword_hits"))
-    )
-    out = docs.join(hits, "doc_id", "left").withColumn(
-        "n_badword_hits", F.coalesce("n_badword_hits", F.lit(0))
-    )
+    hits = badword_hits_join(
+        docs,
+        badwords.select(F.col("term").alias("word")),
+        id_col=id_col,
+        text_col=text_col,
+    ).withColumnRenamed("badword_hits", "n_badword_hits")
+    out = docs.join(hits, id_col)
     return out.filter(F.col("n_badword_hits") <= max_hits)
 
 
@@ -683,7 +683,9 @@ def quality_threshold_sweep(
     )
 
 
-def format_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def format_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Per-document format-shape profile: the fraction of lines that
     look like code, tables, or bullet lists — the signals RefinedWeb /
     Gopher use to drop pages that are markup rather than prose (and
@@ -719,7 +721,7 @@ def format_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bullet = frac(lambda l: l.rlike("^([-*•]|[0-9]+[.)]) "))
     guard = n > 0
     return docs.select(
-        "doc_id",
+        id_col,
         n.alias("n_lines"),
         F.when(guard, F.round(code, 6)).alias("code_frac"),
         F.when(guard, F.round(table, 6)).alias("table_frac"),

@@ -246,9 +246,7 @@ def prepare_training_corpus(
         from ..operators.textops import format_profile
 
         cols = out.columns
-        prof = format_profile(
-            out.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-        ).withColumnRenamed("doc_id", id_col)
+        prof = format_profile(out, text_col=text_col, id_col=id_col)
         out = out.join(prof, id_col)
         if r.max_bullet_frac is not None:
             out = out.filter(

@@ -216,6 +216,7 @@ def test_confusable_fold_collapses_spoofs(spark):
         (1, "аbс example offer"),   # Cyrillic а and с
         (2, "abc ехаmple offer"),   # Cyrillic е, х, а
         (3, "genuinely different"),
+        (4, "αbc εxample offer"),   # Greek α and ε (lowercase)
     ]
     d = spark.createDataFrame(rows, ["doc_id", "text"])
     keys = {
@@ -225,7 +226,7 @@ def test_confusable_fold_collapses_spoofs(spark):
             F.md5(normalize_text(fold_confusables(F.col("text")))).alias("k"),
         ).collect()
     }
-    assert keys[0] == keys[1] == keys[2]
+    assert keys[0] == keys[1] == keys[2] == keys[4]
     assert keys[3] != keys[0]
     # plain normalized hashing does NOT collapse them
     plain = {

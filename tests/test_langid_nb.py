@@ -208,3 +208,25 @@ def test_sentence_split_rule(spark):
         split_sentences(F.lit("One two!  Three?? Four. ")).alias("s")
     ).first().s
     assert got == ["one two", "three", "four"]
+
+
+def test_zero_gram_language_stays_predictable(spark):
+    """A language whose training docs are all shorter than n chars has
+    no gram counts but must remain in the model — prior + all-floor
+    scores, never silently dropped from the class set."""
+    model = fit_nb_langid(
+        _labeled(spark, [("en", "hello world"), ("xx", "ab")])
+    )
+    langs = {r.lang: r for r in model.langs.collect()}
+    assert set(langs) == {"en", "xx"}
+    assert langs["xx"].tot == 0
+    import math
+
+    assert langs["xx"].floor_ln == pytest.approx(math.log(1.0 / model.g))
+    scores = {
+        r.lang
+        for r in nb_language_scores(
+            _labeled(spark, [("?", "whatever text")]), model
+        ).collect()
+    }
+    assert scores == {"en", "xx"}
