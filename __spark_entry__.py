@@ -2432,11 +2432,11 @@ def _streaming_lsh_neardup(spark, sf):
 
 
 def _lm_perplexity_quality(spark, sf):
-    """Rows-only: bigram-LM perplexity quality scoring (the KenLM role in
-    CCNet's pipeline, operators/lm_quality.py) — fit on the even-id half
-    of the corpus, score the odd half. Exactness is pinned by the DuckDB
-    parity pytest (tests/test_lm_quality.py, rel 1e-9); this entry keeps
-    the fit+score path under the driver's smoke + row check."""
+    """Bigram-LM perplexity quality scoring (the KenLM role in CCNet's
+    pipeline, operators/lm_quality.py) — fit on the even-id half of the
+    corpus, score the odd half; hash-checked against the DuckDB twin
+    (which replays fit + scoring, short docs included as NULL rows) and
+    additionally pinned at rel 1e-9 by tests/test_lm_quality.py."""
     from hk_housing_datahub_spark.operators.lm_quality import (
         fit_bigram_lm,
         perplexity_score,

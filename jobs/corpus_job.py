@@ -60,6 +60,10 @@ def main() -> None:
         help="perplexity model family for --max-perplexity",
     )
     ap.add_argument(
+        "--fold-confusables", action="store_true",
+        help="homoglyph-robust exact-dedup keys (UTS #39 subset)",
+    )
+    ap.add_argument(
         "--max-bullet-frac", type=float, default=None,
         help="drop docs whose bullet-line fraction exceeds this",
     )
@@ -143,6 +147,7 @@ def main() -> None:
         max_perplexity=args.max_perplexity,
         lm=args.lm,
         max_bullet_frac=args.max_bullet_frac,
+        fold_confusables=args.fold_confusables,
         max_code_frac=args.max_code_frac,
         dsir_top_k=args.dsir_top_k,
         dsir_seed=args.dsir_seed,
