@@ -1699,6 +1699,24 @@ def _confusable_dedup(spark, sf):
     )
 
 
+def _novelty_scores(spark, sf):
+    """Per-doc 8-gram novelty vs a reference corpus
+    (operators/decontaminate.py novelty_scores — positive-selection
+    sibling of the contamination screen): reference = even docs, scored
+    = odd docs; raw shingle strings key the join so the DuckDB twin is
+    exact."""
+    from hk_housing_datahub_spark.operators.decontaminate import (
+        novelty_scores,
+    )
+
+    d = _t(spark, sf, "documents")
+    return novelty_scores(
+        d.filter(F.pmod("doc_id", F.lit(2)) == 1),
+        d.filter(F.pmod("doc_id", F.lit(2)) == 0),
+        n=8,
+    )
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4798,6 +4816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_code_switch": _sentence_code_switch,
         "host_fairness": _host_fairness,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
+        "novelty_scores": _novelty_scores,
         "winnow_overlaps": _winnow_overlaps,
         "format_profile": _format_profile,
         "confusable_dedup": _confusable_dedup,
@@ -6460,6 +6479,26 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY fp ORDER BY doc_id) AS rn
             FROM keyed)
         WHERE rn = 1
+    """
+    d["novelty_scores"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        ref AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS sh
+                FROM d, unnest(generate_series(1, len(t) - 7)) AS g(i)
+                WHERE doc_id % 2 = 0 AND len(t) >= 8),
+        ex AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS sh
+               FROM d, unnest(generate_series(1, len(t) - 7)) AS g(i)
+               WHERE doc_id % 2 = 1 AND len(t) >= 8),
+        per AS (SELECT e.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_ngrams,
+                       CAST(sum(CASE WHEN r.sh IS NOT NULL THEN 1
+                                ELSE 0 END) AS BIGINT) AS n_known
+                FROM ex e LEFT JOIN ref r USING (sh)
+                GROUP BY 1)
+        SELECT o.doc_id, per.n_ngrams, per.n_known,
+               round(1.0 - CAST(per.n_known AS DOUBLE) / per.n_ngrams, 6)
+                   AS novelty
+        FROM (SELECT doc_id FROM d WHERE doc_id % 2 = 1) o
+        LEFT JOIN per USING (doc_id)
     """
     # Trained NB langid: training + inference replayed relationally;
     # argmax on round(score,6) DESC, lang ASC on both engines.

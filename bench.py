@@ -268,6 +268,7 @@ def main() -> None:
             "confusable_dedup",
             "dedup_cluster_sizes",
             "cdc_payload_dedup",
+            "novelty_scores",
         ]
         qs = E.queries()
         for name in bench_queries:

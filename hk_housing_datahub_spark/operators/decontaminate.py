@@ -70,3 +70,46 @@ def drop_contaminated(
     """The corpus minus contaminated docs, all columns preserved."""
     bad = contaminated_ids(docs, benchmark, n, id_col, text_col, bench_text_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def novelty_scores(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of the doc's token ``n``-grams (with multiplicity) that
+    the reference has never seen — decontamination's positive-selection
+    sibling (favor documents that ADD information; a doc that is pure
+    recombination of reference n-grams scores 0).
+
+    Same equi-join shape as the contamination screen, but keyed on the
+    RAW shingle strings so an independent SQL engine replays it exactly
+    (xxhash64 is Spark-only): reference shingles deduplicate to a
+    Zipf-bounded set (AQE broadcasts it when it fits), the corpus
+    explodes once, one left join + per-doc aggregate. Docs shorter than
+    ``n`` tokens score NULL (no evidence). Output: (id, n_ngrams,
+    n_known, novelty)."""
+    ref = reference.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    ref = ref.withColumn("_known", F.lit(1))
+    per = (
+        ex.join(ref, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("_known", F.lit(0))).alias("n_known"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.lit(1.0) - F.col("n_known") / F.col("n_ngrams"), 6),
+        )
+    )
+    return docs.select(id_col).join(per, id_col, "left")

@@ -269,3 +269,33 @@ def test_funnel_fold_confusables_knob(spark):
     assert 100 in plain_ids       # plain hashing misses the spoof
     assert 100 not in folded_ids  # folded key collapses it onto doc 0
     assert 0 in folded_ids
+
+
+def test_novelty_scores_semantics(spark):
+    from hk_housing_datahub_spark.operators.decontaminate import (
+        novelty_scores,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame(
+        [
+            # pure recombination: every 8-gram present in the reference
+            (1, "one two three four five six seven eight nine"),
+            # entirely novel
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            # half-and-half: novel prefix then a full reference window
+            (3, "x1 x2 x3 x4 x5 x6 x7 one two three four five six seven eight"),
+            # too short for an 8-gram
+            (4, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in novelty_scores(probes, ref, n=8).collect()}
+    assert out[1].novelty == 0.0
+    assert out[2].novelty == 1.0
+    assert 0 < out[3].novelty < 1
+    assert out[3].n_known == 1  # exactly the aligned reference window
+    assert out[4].n_ngrams is None and out[4].novelty is None
