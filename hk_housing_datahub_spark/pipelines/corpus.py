@@ -71,6 +71,10 @@ class CorpusRecipe:
     lm_k: float = 0.5  # add-k / continuation-floor mass for the LM gate
     max_bullet_frac: float | None = None  # RefinedWeb list-page drop
     max_code_frac: float | None = None  # prose recipes drop code-shaped docs
+    min_novelty: float | None = None  # n-gram novelty floor vs
+    # novelty_reference (positive selection: keep docs that ADD
+    # information; NULL-novelty short docs pass)
+    novelty_n: int = 8  # n-gram length for the novelty screen
     dsir_top_k: int | None = None  # DSIR selection size (needs dsir_reference)
     dsir_dim: int = 4096  # hashed n-gram buckets for the DSIR model
     dsir_seed: int = 0  # Gumbel resampling seed
@@ -137,6 +141,7 @@ def prepare_training_corpus(
     text_col: str = "text",
     benchmark: DataFrame | None = None,
     lm_reference: DataFrame | None = None,
+    novelty_reference: DataFrame | None = None,
     dsir_reference: DataFrame | None = None,
     clf_positive: DataFrame | None = None,
 ) -> DataFrame:
@@ -347,6 +352,24 @@ def prepare_training_corpus(
         scores = score_quality(feats, model)
         out = quality_gate(out, scores, r.clf_threshold, id_col=id_col)
 
+    if r.min_novelty is not None:
+        if novelty_reference is None:
+            raise ValueError("min_novelty needs novelty_reference")
+        from ..operators.decontaminate import novelty_scores
+
+        cols = out.columns
+        nov = novelty_scores(
+            out, novelty_reference, n=r.novelty_n,
+            id_col=id_col, text_col=text_col,
+        )
+        out = (
+            out.join(nov.select(id_col, "novelty"), id_col)
+            .filter(
+                F.col("novelty").isNull()
+                | (F.col("novelty") >= r.min_novelty)
+            )
+            .select(*cols)
+        )
     if r.dsir_top_k is not None:
         if dsir_reference is None:
             raise ValueError("dsir_top_k needs dsir_reference")

@@ -76,6 +76,15 @@ def main() -> None:
         help="parquet of reference texts to fit the perplexity LM on",
     )
     ap.add_argument(
+        "--min-novelty", type=float, default=None,
+        help="keep docs whose n-gram novelty vs --novelty-reference "
+             "is at least this (NULL-novelty short docs pass)",
+    )
+    ap.add_argument(
+        "--novelty-reference", default="",
+        help="parquet of reference texts for the novelty screen",
+    )
+    ap.add_argument(
         "--dsir-top-k", type=int, default=None,
         help="keep the k docs most like --dsir-reference (DSIR)",
     )
@@ -149,6 +158,7 @@ def main() -> None:
         max_bullet_frac=args.max_bullet_frac,
         fold_confusables=args.fold_confusables,
         max_code_frac=args.max_code_frac,
+        min_novelty=args.min_novelty,
         dsir_top_k=args.dsir_top_k,
         dsir_seed=args.dsir_seed,
         clf_threshold=args.clf_threshold,
@@ -157,6 +167,11 @@ def main() -> None:
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     lm_ref = (
         spark.read.parquet(args.lm_reference) if args.lm_reference else None
+    )
+    nov_ref = (
+        spark.read.parquet(args.novelty_reference)
+        if args.novelty_reference
+        else None
     )
     dsir_ref = (
         spark.read.parquet(args.dsir_reference)
@@ -168,7 +183,8 @@ def main() -> None:
     )
     corpus = prepare_training_corpus(
         docs, recipe, id_col=args.id_col, text_col=args.text_col,
-        benchmark=bench, lm_reference=lm_ref, dsir_reference=dsir_ref,
+        benchmark=bench, lm_reference=lm_ref,
+        novelty_reference=nov_ref, dsir_reference=dsir_ref,
         clf_positive=clf_pos,
     ).persist()
     stats = corpus_stats(docs, corpus).first()

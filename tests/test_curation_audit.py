@@ -299,3 +299,39 @@ def test_novelty_scores_semantics(spark):
     assert 0 < out[3].novelty < 1
     assert out[3].n_known == 1  # exactly the aligned reference window
     assert out[4].n_ngrams is None and out[4].novelty is None
+
+
+def test_funnel_novelty_gate(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.pipelines.corpus import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    tgt = docs.filter(F.col("doc_id") % 2 == 1)
+    base = prepare_training_corpus(
+        tgt, CorpusRecipe(dedup="exact", min_quality=0.3)
+    ).count()
+    # zero floor keeps everything the floorless recipe keeps
+    loose = prepare_training_corpus(
+        tgt,
+        CorpusRecipe(dedup="exact", min_quality=0.3, min_novelty=0.0),
+        novelty_reference=ref,
+    ).count()
+    assert loose == base
+    # a near-1 floor strictly shrinks (synthetic docs share vocabulary)
+    harsh = prepare_training_corpus(
+        tgt,
+        CorpusRecipe(dedup="exact", min_quality=0.3, min_novelty=0.999),
+        novelty_reference=ref,
+    ).count()
+    assert harsh < base
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prepare_training_corpus(
+            tgt, CorpusRecipe(dedup="exact", min_novelty=0.5)
+        ).count()
