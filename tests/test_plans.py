@@ -780,3 +780,23 @@ def test_nb_langid_model_broadcasts_langs_only(spark):
     # the langs fan-out is the one nested-loop (broadcast) join; the gram
     # join must be an equi-join, not a cartesian product
     assert "CartesianProduct" not in p
+
+
+def test_bitext_linear_plan_no_cache(spark):
+    """Margin mining streams the pair table through window exchanges in
+    ONE linear plan — no InMemoryRelation (the persisted-cache leak an
+    earlier draft had), no Python eval; the brute path's only nested
+    loop is the documented broadcast cross join of the target side."""
+    from hk_housing_datahub_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+
+    e = _t(spark, "embeddings")
+    df = bitext_margin_mine(
+        e.filter(F.col("vec_id") % 10 == 0),
+        e.filter(F.col("vec_id") % 10 == 5),
+        k=4,
+    )
+    p = plan_of(df)
+    assert "InMemoryRelation" not in p and "InMemoryTableScan" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
