@@ -505,6 +505,50 @@ def run_funnel(spark, docs_path: str, tmp: str, tag: str) -> dict:
 
     stage("badwords_gate", badify, docs_path)
 
+    # winnowing fingerprint pairs: the in-row selection is linear map
+    # work; the pair join is DF-capped, so the ratio tracks corpus size
+    from hk_housing_datahub_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    stage(
+        "winnow_pairs",
+        lambda d: winnow_overlap_pairs(d, k=5, w=4, max_fp_df=50),
+        docs_path,
+    )
+
+    # CDC chunk dedup audit over synthetic payloads (text bytes ×3)
+    from hk_housing_datahub_spark.multimodal.cdc import (
+        cdc_chunk_table,
+        cdc_dedup_stats,
+    )
+
+    def cdcify(d):
+        pay = d.select(
+            "doc_id",
+            F.encode(F.repeat(F.col("text"), 3), "utf-8").alias("payload"),
+        )
+        return cdc_dedup_stats(
+            cdc_chunk_table(pay, min_size=64, avg_size=256, max_size=1024)
+        )
+
+    stage("cdc_dedup_audit", cdcify, docs_path)
+
+    # novelty screen: reference set is Heaps-bounded (near-dup half adds
+    # no new 8-grams), corpus side explodes once
+    from hk_housing_datahub_spark.operators.decontaminate import (
+        novelty_scores,
+    )
+
+    def novify(d):
+        return novelty_scores(
+            d.filter(F.pmod("doc_id", F.lit(2)) == 1),
+            d.filter(F.pmod("doc_id", F.lit(2)) == 0),
+            n=8,
+        )
+
+    stage("novelty_scores", novify, docs_path)
+
     # the composed funnel, unstaged (what a user actually calls)
     df = spark.read.parquet(docs_path)
     t0 = time.perf_counter()
