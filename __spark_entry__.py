@@ -6330,7 +6330,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM oddd),
         raw AS (SELECT doc_id, i, trim(s[i]) AS sent
                 FROM (SELECT doc_id,
-                             string_split_regex(t, '[.!?]+') AS s
+                             string_split_regex(t, '[.!?。！？]+') AS s
                       FROM probes),
                      unnest(generate_series(1, len(s))) AS g(i)
                 WHERE trim(s[i]) <> ''),
@@ -6580,7 +6580,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM documents),
         c AS (SELECT doc_id,
                      len(tk) AS n_words,
-                     greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+                     greatest(len(regexp_extract_all(t, '[.!?。！？]+')), 1)
                          AS n_sentences,
                      len(regexp_extract_all(t, '[aeiouy]+')) AS n_syllables,
                      len(list_distinct(tk)) AS n_distinct

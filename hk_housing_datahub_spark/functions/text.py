@@ -20,6 +20,13 @@ CJK_RE = "[\\u4e00-\\u9fff]"
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
 
 
+# Sentence terminators: ASCII + CJK full-width (。！？) — a web corpus
+# is multilingual, and zh/ja prose never uses ASCII periods. One shared
+# constant so the readability battery, the sentence splitter and their
+# DuckDB twins can never drift apart.
+SENT_BOUNDARY_RE = "[.!?。！？]+"
+
+
 def normalize_text(text: Column) -> Column:
     """Lowercase, collapse all whitespace runs to one space, trim.
 

@@ -41,7 +41,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text
+from ..functions.text import SENT_BOUNDARY_RE, normalize_text
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
@@ -232,11 +232,12 @@ def nb_confusion(
 
 def split_sentences(text: Column) -> Column:
     """array<string> of sentences of the normalized text: split on
-    ``[.!?]+`` runs, trimmed, empties dropped — the same fixed boundary
+    sentence-terminator runs (ASCII + CJK full-width, the shared
+    ``SENT_BOUNDARY_RE``), trimmed, empties dropped — the same boundary
     rule the readability battery uses, so both are SQL-replayable."""
     return F.filter(
         F.transform(
-            F.split(normalize_text(text), "[.!?]+"),
+            F.split(normalize_text(text), SENT_BOUNDARY_RE),
             lambda s: F.trim(s),
         ),
         lambda s: s != "",

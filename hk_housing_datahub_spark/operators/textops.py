@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    SENT_BOUNDARY_RE,
     fingerprint,
     lang_id,
     punct_count,
@@ -558,7 +559,8 @@ def readability_scores(
 
     Counting rules (fixed, regex-portable so the DuckDB twin is exact):
     words = whitespace tokens of the normalized text; sentences =
-    maximal runs of ``[.!?]`` (floored at 1 — headline-style fragments
+    maximal runs of sentence terminators (ASCII ``[.!?]`` plus the CJK
+    full-width 。！？; floored at 1 — headline-style fragments
     count as one sentence); syllables = maximal vowel-group runs
     ``[aeiouy]+`` over the lowercased text (vowel runs never span the
     spaces between words, so one whole-text count equals the per-word
@@ -574,7 +576,10 @@ def readability_scores(
     toks = tokens(F.col(text_col))
     n_words = F.size(toks)
     n_sent = F.greatest(
-        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+        F.size(
+            F.regexp_extract_all(t, F.lit(SENT_BOUNDARY_RE), F.lit(0))
+        ),
+        F.lit(1),
     )
     n_syll = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0)))
     flesch = (

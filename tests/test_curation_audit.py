@@ -335,3 +335,20 @@ def test_funnel_novelty_gate(spark, sf_small):
         prepare_training_corpus(
             tgt, CorpusRecipe(dedup="exact", min_novelty=0.5)
         ).count()
+
+
+def test_cjk_sentence_boundaries(spark):
+    """zh/ja prose uses full-width terminators — both the readability
+    sentence count and the code-switch splitter must see them."""
+    from hk_housing_datahub_spark.operators.langid_nb import (
+        split_sentences,
+    )
+
+    r = readability_scores(
+        _docs(spark, [(0, "你好世界。再见了！真的吗？")])
+    ).first()
+    assert r.n_sentences == 3
+    got = spark.range(1).select(
+        split_sentences(F.lit("第一句。第二句！third one.")).alias("s")
+    ).first().s
+    assert got == ["第一句", "第二句", "third one"]
