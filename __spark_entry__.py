@@ -1717,6 +1717,35 @@ def _novelty_scores(spark, sf):
     )
 
 
+def _bm25f_search(spark, sf):
+    """BM25F fielded ranking (operators/bm25.py bm25f_search): title =
+    first 40 chars, body = full text, title weighted 2.5×; weighted
+    per-field TFs combine BEFORE saturation (the fielded-retrieval
+    property two independent BM25 scores cannot express). Integer
+    tf/df/dl, exact avgdl division, sorted-term left-fold — bit-stable
+    totals, so the DuckDB twin matches ranks exactly."""
+    from hk_housing_datahub_spark.operators.bm25 import bm25f_search
+
+    d = _t(spark, sf, "documents")
+    fields = d.select(
+        "doc_id",
+        F.lit("title").alias("field"),
+        F.substring("text", 1, 40).alias("text"),
+    ).unionByName(
+        d.select("doc_id", F.lit("body").alias("field"), F.col("text"))
+    )
+    queries = spark.createDataFrame(
+        [(0, "table merge join"), (1, "slow scan batch window")],
+        ["qid", "qtext"],
+    )
+    out = bm25f_search(
+        fields, queries, weights={"body": 1.0, "title": 2.5}, k=5
+    )
+    return out.select(
+        "qid", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4817,6 +4846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_fairness": _host_fairness,
         "dedup_cluster_sizes": _dedup_cluster_sizes,
         "novelty_scores": _novelty_scores,
+        "bm25f_search": _bm25f_search,
         "winnow_overlaps": _winnow_overlaps,
         "format_profile": _format_profile,
         "confusable_dedup": _confusable_dedup,
@@ -6499,6 +6529,63 @@ def oracle_sql() -> dict[str, str]:
                    AS novelty
         FROM (SELECT doc_id FROM d WHERE doc_id % 2 = 1) o
         LEFT JOIN per USING (doc_id)
+    """
+    d["bm25f_search"] = """
+        WITH base AS (SELECT doc_id, text FROM documents),
+        fl AS (SELECT doc_id, 'title' AS f, substr(text, 1, 40) AS text
+               FROM base
+               UNION ALL
+               SELECT doc_id, 'body', text FROM base),
+        toks AS (SELECT doc_id, f, t AS term FROM (
+                     SELECT doc_id, f, unnest(string_split_regex(
+                         lower(text), '[^a-z0-9]+')) AS t FROM fl)
+                 WHERE t <> ''),
+        tf AS (SELECT doc_id, term,
+                      sum(CASE WHEN f = 'body' THEN 1 ELSE 0 END) AS tf_0,
+                      sum(CASE WHEN f = 'title' THEN 1 ELSE 0 END) AS tf_1
+               FROM toks GROUP BY 1, 2),
+        dld AS (SELECT doc_id,
+                       sum(CASE WHEN f = 'body' THEN 1 ELSE 0 END) AS dl_0,
+                       sum(CASE WHEN f = 'title' THEN 1 ELSE 0 END) AS dl_1
+                FROM toks GROUP BY 1),
+        st AS (SELECT count(*) AS n,
+                      CAST(sum(dl_0) AS DOUBLE) / count(*) AS avg_0,
+                      CAST(sum(dl_1) AS DOUBLE) / count(*) AS avg_1
+               FROM dld),
+        tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        q AS (SELECT * FROM (VALUES
+                  (0, 'table merge join'),
+                  (1, 'slow scan batch window')) v(qid, qtext)),
+        qt AS (SELECT DISTINCT qid, t AS term FROM (
+                   SELECT qid, unnest(string_split_regex(lower(qtext),
+                       '[^a-z0-9]+')) AS t FROM q)
+               WHERE t <> ''),
+        per AS (SELECT qt.qid, tf.doc_id, tf.term,
+                       ln(1.0 + (st.n - tdf.df + 0.5) / (tdf.df + 0.5))
+                       * (1.0 * tf.tf_0 / (0.25 + 0.75 * dld.dl_0 / st.avg_0)
+                          + 2.5 * tf.tf_1
+                            / (0.25 + 0.75 * dld.dl_1 / st.avg_1))
+                       / (1.2
+                          + (1.0 * tf.tf_0
+                               / (0.25 + 0.75 * dld.dl_0 / st.avg_0)
+                             + 2.5 * tf.tf_1
+                               / (0.25 + 0.75 * dld.dl_1 / st.avg_1)))
+                           AS s
+                FROM qt JOIN tf USING (term)
+                JOIN dld ON dld.doc_id = tf.doc_id
+                JOIN tdf ON tdf.term = tf.term
+                CROSS JOIN st),
+        folded AS (SELECT qid, doc_id,
+                          CAST(list_reduce(list(s ORDER BY term),
+                                           (x, y) -> x + y) AS DOUBLE)
+                              AS score
+                   FROM per GROUP BY qid, doc_id)
+        SELECT qid, doc_id, round(score, 6) AS score,
+               CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, doc_id) AS rank
+            FROM folded)
+        WHERE rank <= 5
     """
     # Trained NB langid: training + inference replayed relationally;
     # argmax on round(score,6) DESC, lang ASC on both engines.

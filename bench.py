@@ -269,6 +269,7 @@ def main() -> None:
             "dedup_cluster_sizes",
             "cdc_payload_dedup",
             "novelty_scores",
+            "bm25f_search",
         ]
         qs = E.queries()
         for name in bench_queries:

@@ -141,7 +141,15 @@ def bm25_search(
         ).alias("s"),
     )
 
-    # Deterministic left-fold in sorted term order -> bit-stable totals.
+    return _fold_and_topk(per_term, k, salts)
+
+
+def _fold_and_topk(per_term: DataFrame, k: int, salts: int) -> DataFrame:
+    """Shared ranking tail: deterministic left-fold of per-term scores
+    in sorted term order (bit-stable totals on both engines), then
+    two-phase top-k — local rank inside a doc-hash salt band first, so
+    a stop-word-hot query never funnels every candidate into one
+    task. Ties break on doc_id ascending."""
     scored = (
         per_term.groupBy("qid", "doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("term", "s"))).alias("ts"))
@@ -155,9 +163,6 @@ def bm25_search(
             ).alias("score"),
         )
     )
-
-    # Two-phase top-k: local rank inside a doc-hash salt band first, so a
-    # stop-word-hot query never funnels every candidate into one task.
     order = [F.col("score").desc(), F.col("doc_id").asc()]
     banded = W.partitionBy("qid", F.pmod(F.col("doc_id"), F.lit(salts))).orderBy(
         *order
@@ -251,3 +256,97 @@ def phrase_search_postings(post: DataFrame, phrase: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         F.min("anchor").alias("first_pos"),
     )
+
+
+def bm25f_search(
+    fields: DataFrame,
+    queries: DataFrame,
+    weights: dict,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    field_col: str = "field",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    salts: int = 64,
+) -> DataFrame:
+    """BM25F fielded ranking (Robertson & Zaragoza 2009 §7): a term hit
+    in the TITLE outweighs one in the body by combining per-field term
+    frequencies BEFORE saturation —
+
+        tf̃(t,d) = Σ_f w_f · tf_f / (1 − b + b · dl_f / avgdl_f)
+        score    = Σ_t idf(t) · tf̃ / (k1 + tf̃)
+
+    (the simple-BM25F form; saturating the weighted sum rather than
+    each field separately is the whole point — two weak field hits
+    don't double-count like two independent BM25 scores would).
+
+    ``fields`` is long-format (id, field, text); ``weights`` maps field
+    name → w_f and FIXES the field set (sorted order makes the combine
+    expression deterministic on both engines). Plan shape mirrors
+    bm25_search: one (doc, term) aggregate with per-field conditional
+    counts (no per-field shuffle), per-doc field lengths ride a doc-
+    keyed rollup, avgdl_f are two integer scalars, the query side
+    broadcasts, and the ranking tail is the shared sorted-term fold +
+    salt-banded top-k."""
+    fnames = sorted(weights)
+    toks = fields.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(field_col).alias("f"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        *[
+            F.sum((F.col("f") == fn).cast("long")).alias(f"tf_{i}")
+            for i, fn in enumerate(fnames)
+        ]
+    )
+    dld = toks.groupBy("doc_id").agg(
+        *[
+            F.sum((F.col("f") == fn).cast("long")).alias(f"dl_{i}")
+            for i, fn in enumerate(fnames)
+        ]
+    )
+    stats = dld.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(f"dl_{i}").alias(f"tot_{i}") for i in range(len(fnames))],
+    ).collect()[0]
+    n_docs = int(stats["n_docs"])
+    avg = [
+        (int(stats[f"tot_{i}"] or 0) / max(n_docs, 1)) or 1.0
+        for i in range(len(fnames))
+    ]
+    term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("qid"),
+            F.explode(tokenize(F.col(qtext_col))).alias("term"),
+        )
+        .distinct()
+    )
+    q_with_df = F.broadcast(qterms.join(term_df, "term"))
+
+    joined = tf.join(dld, "doc_id").join(q_with_df, "term")
+    tfw = None
+    for i, fn in enumerate(fnames):
+        part = (
+            F.lit(float(weights[fn]))
+            * F.col(f"tf_{i}").cast("double")
+            / (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col(f"dl_{i}").cast("double") / F.lit(avg[i])
+            )
+        )
+        tfw = part if tfw is None else tfw + part
+    per_term = joined.select(
+        "qid",
+        "doc_id",
+        "term",
+        (
+            _idf(F.col("df"), F.lit(n_docs)) * tfw / (F.lit(k1) + tfw)
+        ).alias("s"),
+    )
+    return _fold_and_topk(per_term, k, salts)
