@@ -1746,6 +1746,35 @@ def _bm25f_search(spark, sf):
     )
 
 
+def _coherence_scores(spark, sf):
+    """Inter-sentence lexical coherence (operators/textops.py
+    coherence_scores): adjacent-sentence Jaccard over distinct token
+    sets, in-row array algebra. Probe docs stitch each odd doc's prefix
+    with the NEXT odd doc's prefix and its own again (the
+    sentence_code_switch construction) so adjacent pairs mix identical
+    and unrelated sentences; the DuckDB twin replays stitch, split and
+    the ordered pair fold."""
+    from hk_housing_datahub_spark.operators.textops import (
+        coherence_scores,
+    )
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    odd = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    w = Window.orderBy("doc_id")
+    probes = odd.select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("s1"),
+        F.coalesce(
+            F.lead(F.substring("text", 1, 120)).over(w),
+            F.substring("text", 1, 120),
+        ).alias("s2"),
+    ).select(
+        "doc_id", F.concat_ws(". ", "s1", "s2", "s1").alias("text")
+    )
+    return coherence_scores(probes)
+
+
 def _bpe_encode_tokens(spark, sf):
     """Corpus tokenization with the learned merge table
     (operators/bpe.py encode_bpe, pandas mode — the production path for
@@ -4847,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": _dedup_cluster_sizes,
         "novelty_scores": _novelty_scores,
         "bm25f_search": _bm25f_search,
+        "coherence_scores": _coherence_scores,
         "winnow_overlaps": _winnow_overlaps,
         "format_profile": _format_profile,
         "confusable_dedup": _confusable_dedup,
@@ -6586,6 +6616,50 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, doc_id) AS rank
             FROM folded)
         WHERE rank <= 5
+    """
+    d["coherence_scores"] = f"""
+        WITH d AS (SELECT doc_id, text FROM documents),
+        oddd AS (SELECT doc_id, substr(text, 1, 120) AS s1,
+                        coalesce(lead(substr(text, 1, 120))
+                                     OVER (ORDER BY doc_id),
+                                 substr(text, 1, 120)) AS s2
+                 FROM d WHERE doc_id % 2 = 1),
+        probes AS (SELECT doc_id,
+                          {_norm_sql("s1 || '. ' || s2 || '. ' || s1")}
+                              AS t
+                   FROM oddd),
+        raw AS (SELECT doc_id, i, trim(s[i]) AS sent
+                FROM (SELECT doc_id,
+                             string_split_regex(t, '[.!?。！？]+') AS s
+                      FROM probes),
+                     unnest(generate_series(1, len(s))) AS g(i)
+                WHERE trim(s[i]) <> ''),
+        sents AS (SELECT doc_id,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY i) AS sidx,
+                         list_distinct(string_split(sent, ' ')) AS ts
+                  FROM raw),
+        pairs AS (SELECT a.doc_id, a.sidx,
+                         CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.ts, b.ts)))
+                             AS j
+                  FROM sents a JOIN sents b
+                    ON a.doc_id = b.doc_id AND b.sidx = a.sidx + 1),
+        agg AS (SELECT doc_id,
+                       CAST(list_reduce(list(j ORDER BY sidx),
+                                        (x, y) -> x + y) AS DOUBLE)
+                           / count(*) AS mean_j,
+                       min(j) AS min_j,
+                       count(*) AS n_pairs
+                FROM pairs GROUP BY doc_id),
+        ns AS (SELECT doc_id, count(*) AS n_sentences
+               FROM sents GROUP BY doc_id)
+        SELECT o.doc_id,
+               CAST(coalesce(ns.n_sentences, 0) AS INT) AS n_sentences,
+               round(agg.mean_j, 6) AS mean_coherence,
+               round(agg.min_j, 6) AS min_coherence
+        FROM oddd o LEFT JOIN ns USING (doc_id)
+        LEFT JOIN agg USING (doc_id)
     """
     # Trained NB langid: training + inference replayed relationally;
     # argmax on round(score,6) DESC, lang ASC on both engines.

@@ -270,6 +270,7 @@ def main() -> None:
             "cdc_payload_dedup",
             "novelty_scores",
             "bm25f_search",
+            "coherence_scores",
         ]
         qs = E.queries()
         for name in bench_queries:

@@ -732,3 +732,60 @@ def format_profile(
         F.when(guard, F.round(table, 6)).alias("table_frac"),
         F.when(guard, F.round(bullet, 6)).alias("bullet_frac"),
     )
+
+
+def coherence_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical coherence: mean and minimum Jaccard overlap
+    of adjacent sentences' distinct token sets — prose flows (adjacent
+    sentences share referents), while stitched scraper fragments,
+    keyword-stuffed spam and shuffled boilerplate score near zero
+    between every pair. The complement of the repetition gates: those
+    catch TOO MUCH overlap, this catches none at all.
+
+    Sentence boundaries are the shared ``SENT_BOUNDARY_RE`` (ASCII +
+    CJK); tokens are whitespace splits of the already-normalized
+    sentence. Everything is in-row array algebra (split → distinct →
+    intersect/union sizes per adjacent pair) — one codegen projection,
+    no shuffle, no UDF. Docs with <2 sentences score NULL (no pairs)."""
+    from ..functions.text import SENT_BOUNDARY_RE, normalize_text
+
+    sents = F.filter(
+        F.transform(
+            F.split(normalize_text(F.col(text_col)), SENT_BOUNDARY_RE),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+
+    def pair_jaccards(ss: Column) -> Column:
+        toksets = F.transform(ss, lambda s: F.array_distinct(F.split(s, " ")))
+        n = F.size(toksets)
+        return F.when(
+            n < 2, F.array().cast("array<double>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.size(
+                    F.array_intersect(
+                        F.element_at(toksets, i), F.element_at(toksets, i + 1)
+                    )
+                ).cast("double")
+                / F.size(
+                    F.array_union(
+                        F.element_at(toksets, i), F.element_at(toksets, i + 1)
+                    )
+                ),
+            )
+        )
+
+    js = F.element_at(F.transform(F.array(sents), pair_jaccards), 1)
+    has = F.size(js) > 0
+    mean = F.aggregate(js, F.lit(0.0), lambda a, v: a + v) / F.size(js)
+    return docs.select(
+        id_col,
+        F.size(sents).alias("n_sentences"),
+        F.when(has, F.round(mean, 6)).alias("mean_coherence"),
+        F.when(has, F.round(F.array_min(js), 6)).alias("min_coherence"),
+    )

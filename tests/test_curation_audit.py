@@ -352,3 +352,28 @@ def test_cjk_sentence_boundaries(spark):
         split_sentences(F.lit("第一句。第二句！third one.")).alias("s")
     ).first().s
     assert got == ["第一句", "第二句", "third one"]
+
+
+def test_coherence_scores_golden(spark):
+    from hk_housing_datahub_spark.operators.textops import (
+        coherence_scores,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            # identical adjacent sentences → jaccard 1 everywhere
+            (0, "the cat sat here. the cat sat here. the cat sat here."),
+            # zero-overlap fragments → coherence 0
+            (1, "alpha beta gamma. delta epsilon zeta. eta theta iota."),
+            # half overlap: {a,b,c,d} vs {c,d,e,f} → 2/6
+            (2, "a b c d. c d e f."),
+            # single sentence → NULL
+            (3, "no boundary here at all"),
+        ],
+    )
+    out = {r.doc_id: r for r in coherence_scores(docs).collect()}
+    assert out[0].mean_coherence == 1.0 and out[0].min_coherence == 1.0
+    assert out[1].mean_coherence == 0.0
+    assert out[2].mean_coherence == pytest.approx(round(2 / 6, 6))
+    assert out[3].n_sentences == 1 and out[3].mean_coherence is None
