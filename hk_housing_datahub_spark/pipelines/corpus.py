@@ -71,6 +71,9 @@ class CorpusRecipe:
     lm_k: float = 0.5  # add-k / continuation-floor mass for the LM gate
     max_bullet_frac: float | None = None  # RefinedWeb list-page drop
     max_code_frac: float | None = None  # prose recipes drop code-shaped docs
+    min_coherence: float | None = None  # adjacent-sentence Jaccard
+    # floor (stitched-fragment / keyword-stuffing drop; NULL-coherence
+    # single-sentence docs pass)
     min_novelty: float | None = None  # n-gram novelty floor vs
     # novelty_reference (positive selection: keep docs that ADD
     # information; NULL-novelty short docs pass)
@@ -352,6 +355,19 @@ def prepare_training_corpus(
         scores = score_quality(feats, model)
         out = quality_gate(out, scores, r.clf_threshold, id_col=id_col)
 
+    if r.min_coherence is not None:
+        from ..operators.textops import coherence_scores
+
+        cols = out.columns
+        coh = coherence_scores(out, text_col=text_col, id_col=id_col)
+        out = (
+            out.join(coh.select(id_col, "mean_coherence"), id_col)
+            .filter(
+                F.col("mean_coherence").isNull()
+                | (F.col("mean_coherence") >= r.min_coherence)
+            )
+            .select(*cols)
+        )
     if r.min_novelty is not None:
         if novelty_reference is None:
             raise ValueError("min_novelty needs novelty_reference")

@@ -76,6 +76,11 @@ def main() -> None:
         help="parquet of reference texts to fit the perplexity LM on",
     )
     ap.add_argument(
+        "--min-coherence", type=float, default=None,
+        help="drop docs whose adjacent-sentence overlap falls below "
+             "this (single-sentence docs pass)",
+    )
+    ap.add_argument(
         "--min-novelty", type=float, default=None,
         help="keep docs whose n-gram novelty vs --novelty-reference "
              "is at least this (NULL-novelty short docs pass)",
@@ -158,6 +163,7 @@ def main() -> None:
         max_bullet_frac=args.max_bullet_frac,
         fold_confusables=args.fold_confusables,
         max_code_frac=args.max_code_frac,
+        min_coherence=args.min_coherence,
         min_novelty=args.min_novelty,
         dsir_top_k=args.dsir_top_k,
         dsir_seed=args.dsir_seed,

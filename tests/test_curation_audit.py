@@ -377,3 +377,35 @@ def test_coherence_scores_golden(spark):
     assert out[1].mean_coherence == 0.0
     assert out[2].mean_coherence == pytest.approx(round(2 / 6, 6))
     assert out[3].n_sentences == 1 and out[3].mean_coherence is None
+
+
+def test_funnel_coherence_gate(spark):
+    from hk_housing_datahub_spark.pipelines.corpus import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    flowing = (
+        "the old town square fills with people every morning. "
+        "people in the square buy bread and coffee. "
+        "the coffee sellers know the town by name."
+    )
+    stitched = (
+        "alpha beta gamma delta epsilon zeta eta theta. "
+        "completely unrelated fragment about something else. "
+        "yet another disjoint scrap with new words entirely."
+    )
+    docs = spark.createDataFrame(
+        [(i, flowing + f" extra{i}") for i in range(4)]
+        + [(10 + i, stitched + f" tail{i}") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    out = prepare_training_corpus(
+        docs,
+        CorpusRecipe(
+            dedup="exact", dedup_threshold=1.01, min_coherence=0.05
+        ),
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert all(i in ids for i in range(4))         # flowing prose kept
+    assert all(10 + i not in ids for i in range(4))  # fragments dropped
