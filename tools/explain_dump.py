@@ -311,6 +311,31 @@ def _readability(spark):
     return readability_scores(docs)
 
 
+def _bm25f(spark):
+    from pyspark.sql import functions as F
+
+    from hk_housing_datahub_spark.operators.bm25 import bm25f_search
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    fields = docs.select(
+        "doc_id", F.lit("title").alias("field"),
+        F.substring("text", 1, 40).alias("text"),
+    ).unionByName(
+        docs.select("doc_id", F.lit("body").alias("field"), F.col("text"))
+    )
+    q = docs.sparkSession.createDataFrame(
+        [(0, "table merge join")], ["qid", "qtext"]
+    )
+    return bm25f_search(fields, q, weights={"body": 1.0, "title": 2.5})
+
+
+def _coherence(spark):
+    from hk_housing_datahub_spark.operators.textops import coherence_scores
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    return coherence_scores(docs)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -614,6 +639,20 @@ def main() -> None:
             "expressions inside a Project (no per-fingerprint shuffle "
             "until the inverted-index groupBy/join).",
             _winnow(spark),
+        ),
+        (
+            "BM25F fielded ranking (one fielded aggregate + query broadcast)",
+            "Look for: ONE (doc, term) aggregate carrying per-field "
+            "conditional counts (no per-field shuffle), the query-bounded "
+            "term table under BroadcastExchange, and the shared salt-banded "
+            "top-k tail.",
+            _bm25f(spark),
+        ),
+        (
+            "Sentence-coherence scores (map-only array algebra)",
+            "Look for: ZERO Exchange, no joins — sentence split, distinct "
+            "token sets and adjacent-pair Jaccards all inside one Project.",
+            _coherence(spark),
         ),
         (
             "Readability battery (map-only projection)",
