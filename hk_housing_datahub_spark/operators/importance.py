@@ -25,15 +25,14 @@ Everything is JVM Columns (no UDF):
 - scoring: explode doc features, broadcast-join the ``dim``-row
   log-ratio table, one groupBy per doc — a single shuffle keyed on the
   doc id at any corpus size;
-- selection: a literal threshold or per-corpus top-k window over
-  ``w + gumbel``; no driver collect anywhere.
+- selection: banded two-phase Gumbel top-k over ``w + gumbel``
+  (operators/banded.py) — no single-partition window, no data collect.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 DEFAULT_DIM = 4096
 
@@ -161,13 +160,26 @@ def dsir_select(
     id_col: str = "doc_id",
     seed: int = 0,
     temperature: float = 1.0,
+    bands: int = 64,
 ) -> DataFrame:
     """Gumbel top-``k`` resample: keep the k docs with the largest
     ``weight / temperature + Gumbel`` — a without-replacement sample
     proportional to softmax(weight/T), deterministic under ``seed``.
-    Docs with no features (empty text) are never selected. One window
-    over a single ordered key; at 10^10 docs swap the global window for
-    the scheduler's rank-and-cut two-phase top-k (same semantics)."""
+    Docs with no features (empty text) are never selected.
+
+    The top-k is the BANDED two-phase rank (operators/banded.py):
+    quantile-banded key, per-band window, bounded broadcast offsets —
+    no single-partition Exchange/Sort anywhere in the selection plan
+    (pinned in test_plans.py), so the cut over a 10^10-doc weight
+    table distributes across ``bands`` executors instead of one. The
+    selected SET is bit-identical to a global
+    ``row_number() OVER (ORDER BY _gkey DESC, id)`` window. The keyed
+    frame is localCheckpoint-ed inside the helper (it is consumed by
+    the quantile job, the rank window, and the band counts — one
+    2-column materialization instead of three featurize+score passes).
+    """
+    from .banded import banded_topk
+
     keyed = weights.select(
         F.col("id").alias(id_col),
         (
@@ -175,10 +187,7 @@ def dsir_select(
             + gumbel_key(F.col("id"), seed)
         ).alias("_gkey"),
     )
-    w = W.orderBy(F.desc("_gkey"), F.col(id_col))
-    picked = (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_gkey", "_rn")
-    )
+    picked = banded_topk(
+        keyed, "_gkey", [id_col], k, descending=True, bands=bands
+    ).drop("_gkey")
     return docs.join(picked, id_col, "semi")

@@ -153,7 +153,8 @@ def tumbling_counts(
 
 
 def allocation_fairness(
-    df: DataFrame, key_col: str, weight_col: str | None = None
+    df: DataFrame, key_col: str, weight_col: str | None = None,
+    bands: int = 64,
 ) -> DataFrame:
     """One-row fairness audit of how a resource (URLs fetched, bytes,
     budget) is spread across keys (hosts, domains): Gini coefficient,
@@ -165,28 +166,30 @@ def allocation_fairness(
         G = (2·Σ i·x_(i)) / (n·Σ x) − (n + 1)/n
 
     Plan shape: ONE map-side-combined groupBy(key) reduces the corpus
-    to per-key totals (|keys| rows — hosts, not URLs); the rank over
-    those totals is a window over the KEY table (never the corpus) and
-    the final reduction is a single aggregate. Ranking ties break on
-    the key so the rank assignment is total; Σ i·x is invariant under
-    permutations WITHIN a tied total (same x), so the Gini is exact and
-    engine-portable. Output floats round to 6. Weights are COUNT-like
-    (URLs, bytes — integral): ``n_keys``/``total`` report as longs.
+    to per-key totals (|keys| rows — hosts, not URLs); the ascending
+    rank i over those totals is the BANDED two-phase rank
+    (operators/banded.py: quantile bands → per-band window → bounded
+    broadcast offsets), so even a 10^8-key table never sorts in one
+    partition — Σ i·x decomposes over bands exactly because the banded
+    rank IS the global rank. The top-1/top-10 shares reuse the same
+    ranks from the high end (i > n−10) instead of a second descending
+    window. Ranking ties break on the key so the rank assignment is
+    total; Σ i·x is invariant under permutations WITHIN a tied total
+    (same x), so the Gini is exact and engine-portable. Output floats
+    round to 6. Weights are COUNT-like (URLs, bytes — integral):
+    ``n_keys``/``total`` report as longs.
     """
+    from .banded import banded_global_rank
+
     w = F.col(weight_col) if weight_col else F.lit(1)
     per = df.groupBy(F.col(key_col).alias("k")).agg(
         F.sum(w).alias("x")
     )
-    ranked = per.withColumn(
-        "i",
-        F.row_number().over(W.orderBy(F.col("x").asc(), F.col("k").asc())),
+    ranked = banded_global_rank(
+        per, "x", ["k"], descending=False, bands=bands, rank_col="i"
     )
     n = F.max("i")
     tot = F.sum("x")
-    topw = W.orderBy(F.col("x").desc(), F.col("k").asc())
-    top = per.withColumn("r", F.row_number().over(topw))
-    top1 = top.filter(F.col("r") <= 1).agg(F.sum("x").alias("t1"))
-    top10 = top.filter(F.col("r") <= 10).agg(F.sum("x").alias("t10"))
     # Σ i·x and n·Σx overflow 64-bit longs at web scale (10^8 keys ×
     # 10^12 bytes ≈ 10^20 > 2^63, and Spark's non-ANSI long arithmetic
     # wraps SILENTLY); accumulate the rank-weighted sum in double —
@@ -197,9 +200,15 @@ def allocation_fairness(
         tot.alias("total"),
         F.sum(F.col("i") * F.col("x").cast("double")).alias("ix"),
     )
+    nrow = F.broadcast(base.select(F.col("n_keys").alias("_nk")))
+    tops = ranked.crossJoin(nrow).agg(
+        F.sum(F.when(F.col("i") == F.col("_nk"), F.col("x"))).alias("t1"),
+        F.sum(
+            F.when(F.col("i") > F.col("_nk") - 10, F.col("x"))
+        ).alias("t10"),
+    )
     return (
-        base.crossJoin(top1)
-        .crossJoin(top10)
+        base.crossJoin(tops)
         .select(
             F.col("n_keys").cast("long").alias("n_keys"),
             F.col("total").cast("long").alias("total"),

@@ -800,3 +800,59 @@ def test_bitext_linear_plan_no_cache(spark):
     p = plan_of(df)
     assert "InMemoryRelation" not in p and "InMemoryTableScan" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def _global_window_specs(df) -> list[str]:
+    """windowspecdefinition first-args that are SORT specs — i.e. windows
+    with an EMPTY partitionBy: a partitioned window lists its partition
+    columns first (`windowspecdefinition(k#0, x#1 ASC ...)`), a global one
+    leads with the sort order (`windowspecdefinition(x#1 ASC ...)`)."""
+    import re
+
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = []
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", s):
+        first = m.group(1)
+        if " ASC" in first or " DESC" in first:
+            bad.append(first)
+    return bad
+
+
+def test_dsir_selection_no_single_partition_stage(spark):
+    """Round-4 verdict #1: the deployed DSIR Gumbel top-k must not funnel
+    the corpus's weight table through one partition. The banded two-phase
+    cut keeps the selection plan free of Exchange SinglePartition AND of
+    any unpartitioned window."""
+    from hk_housing_datahub_spark.operators.importance import (
+        dsir_select,
+        fit_logratio,
+        hashed_ngram_features,
+        importance_weights,
+    )
+
+    docs = _t(spark, "documents")
+    feats = hashed_ngram_features(docs, dim=256)
+    lr = fit_logratio(
+        hashed_ngram_features(docs.filter(F.col("lang") == "en"), dim=256),
+        feats,
+        dim=256,
+    )
+    sel = dsir_select(docs, importance_weights(feats, lr), k=50, seed=1)
+    assert _global_window_specs(sel) == []
+    p = plan_of(sel)
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_allocation_fairness_windows_all_partitioned(spark):
+    """Round-4 verdict #2: the fairness rank over the key table must be
+    band-partitioned — no unpartitioned window anywhere in the plan. The
+    scalar one-row aggregates still reduce through a bounded
+    SinglePartition exchange (partial -> final over ≤ numPartitions
+    rows), which is the correct shape; the pin is on windows only."""
+    from hk_housing_datahub_spark.operators.rollups import (
+        allocation_fairness,
+    )
+
+    docs = _t(spark, "documents")
+    fa = allocation_fairness(docs, "lang")
+    assert _global_window_specs(fa) == []
