@@ -4357,6 +4357,39 @@ def _warc_cdx_locations(spark, sf):
     return warc_locations(pages, segment_col="seg")
 
 
+def _warc_write_manifest(spark, sf):
+    """Executor-side WARC segment writer (sources/archive_writer.py
+    write_segments): renders every segment's file INSIDE its task (one
+    hash exchange on segment + in-task sort, byte-identical to the
+    driver-side render — pinned in tests/test_archive_writer.py) and
+    returns the write manifest. The oracle recomputes per-segment
+    record counts and byte totals from the same header grammar the
+    cdxj oracle uses — the manifest's n_bytes IS the sum of record
+    lengths, so index and files agree by construction."""
+    import tempfile
+
+    from hk_housing_datahub_spark.sources.archive_writer import (
+        write_segments,
+    )
+
+    d = _t(spark, sf, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
+            F.lit(".example.com/p/"), F.col("doc_id"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id")
+        ).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.pmod("doc_id", F.lit(4)).alias("seg"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="warc_manifest_")
+    return write_segments(pages, out_dir, segment_col="seg").select(
+        "segment", "n_records", "n_bytes"
+    )
+
+
 def _redirect_resolve(spark, sf):
     """Redirect-chain resolution (operators/redirects.py): chains of
     length doc_id%10 down to multiple-of-ten terminals, plus 2-cycles
@@ -4817,6 +4850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trap_signals": _host_trap_signals,
         "per_source_cap": _per_source_cap,
         "warc_cdx_locations": _warc_cdx_locations,
+        "warc_write_manifest": _warc_write_manifest,
         "redirect_resolve": _redirect_resolve,
         "content_type_sniff": _content_type_sniff,
         "cdx_latest": _cdx_latest,
@@ -7325,6 +7359,30 @@ def oracle_sql() -> dict[str, str]:
                ), 0) AS BIGINT) AS offset,
                CAST(length AS BIGINT) AS length
         FROM sized
+    """
+    d["warc_write_manifest"] = """
+        WITH recs AS (
+            SELECT 'https://h' || (doc_id % 10) || '.example.com/p/'
+                       || doc_id AS url,
+                   CAST(doc_id % 4 AS INT) AS segment,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS plen
+            FROM documents
+        ),
+        sized AS (
+            SELECT segment,
+                   strlen(e'WARC/1.0\r\nWARC-Type: response\r\n'
+                          || 'WARC-Target-URI: ' || url || e'\r\n'
+                          || 'WARC-Date: ')
+                   + 20 + 2
+                   + strlen('Content-Length: ' || CAST(plen AS VARCHAR))
+                   + 4 + plen + 4 AS length
+            FROM recs
+        )
+        SELECT segment,
+               COUNT(*) AS n_records,
+               CAST(SUM(length) AS BIGINT) AS n_bytes
+        FROM sized
+        GROUP BY segment
     """
     d["redirect_resolve"] = """
         WITH RECURSIVE e AS (

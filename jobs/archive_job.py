@@ -14,6 +14,9 @@ Outputs under --out:
   due/        (url, priority) seeds for URLs due at --now — feed straight
               back into jobs/crawl_job.py / CrawlEngine.run
   traps/      per-host trap signals + flags over the same capture view
+  segments/   (--write-segment-files) WARC + WET segment files rendered
+              executor-side, plus their write manifests — the cdxj
+              pointers slice into these byte-exactly
 
 With --catalog, cdxj + schedule also commit as catalog tables (snapshot
 isolation, time travel) so downstream consumers read versioned indexes.
@@ -36,6 +39,12 @@ def main() -> None:
     ap.add_argument(
         "--now", type=int, default=None,
         help="epoch seconds for the due-set cut (default: max capture ts)",
+    )
+    ap.add_argument(
+        "--write-segment-files", action="store_true",
+        help="also render the WARC + WET segment FILES executor-side "
+        "(sources/archive_writer.py) under --out/segments/; the cdxj "
+        "pointers index them byte-exactly",
     )
     ap.add_argument("--catalog", default="", help="table-catalog root")
     ap.add_argument(
@@ -74,6 +83,36 @@ def main() -> None:
     cdxj = cdx_records_with_locations(pages, n_segments=args.segments)
     cdxj.write.mode("overwrite").parquet(os.path.join(args.out, "cdxj"))
     cdxj = spark.read.parquet(os.path.join(args.out, "cdxj"))
+
+    seg_manifest = None
+    if args.write_segment_files:
+        # each segment renders INSIDE its task (one hash exchange on
+        # segment, in-task sort, streaming file append) — the manifest
+        # parquet is the lineage record; computing it IS the write
+        from hk_housing_datahub_spark.sources.archive_writer import (
+            write_segments,
+            write_wet_segments,
+        )
+
+        seg_dir = os.path.join(args.out, "segments")
+        warc_man = write_segments(
+            pages, os.path.join(seg_dir, "warc"),
+            n_segments=args.segments,
+        )
+        warc_man.write.mode("overwrite").parquet(
+            os.path.join(seg_dir, "warc_manifest")
+        )
+        if "text" in pages.columns:
+            wet_man = write_wet_segments(
+                pages, os.path.join(seg_dir, "wet"),
+                n_segments=args.segments,
+            )
+            wet_man.write.mode("overwrite").parquet(
+                os.path.join(seg_dir, "wet_manifest")
+            )
+        seg_manifest = spark.read.parquet(
+            os.path.join(seg_dir, "warc_manifest")
+        )
 
     # O(delta) schedule maintenance: with --catalog, the per-URL
     # sufficient statistics live as a catalog table — this run's
@@ -203,6 +242,15 @@ def main() -> None:
         ),
         "now": now,
     }
+    if seg_manifest is not None:
+        agg = seg_manifest.agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum("n_records").alias("recs"),
+            F.sum("n_bytes").alias("bytes"),
+        ).first()
+        out["segment_files"] = int(agg["files"])
+        out["segment_records"] = int(agg["recs"] or 0)
+        out["segment_bytes"] = int(agg["bytes"] or 0)
     if cat is not None:
         out["cdxj_snapshot"] = cat.replace("cdxj", cdxj)
         if merged and args.wave_id:

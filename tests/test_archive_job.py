@@ -37,6 +37,7 @@ def test_archive_job_cli_end_to_end(spark, tmp_path):
             sys.executable, os.path.join(REPO, "jobs", "archive_job.py"),
             "--pages", pages_path, "--out", out_dir,
             "--catalog", cat_dir, "--segments", "4",
+            "--write-segment-files",
         ],
         capture_output=True,
         text=True,
@@ -49,6 +50,27 @@ def test_archive_job_cli_end_to_end(spark, tmp_path):
     assert summary["urls_scheduled"] == 800
     assert summary["cdxj_snapshot"] == 1
     assert summary["schedule_snapshot"] == 1
+
+    # --write-segment-files: the executor-side writer rendered every
+    # WARC segment; the cdxj pointer table tiles the files exactly
+    # (max offset+length per segment == file size) and the manifest
+    # accounts for every capture
+    assert summary["segment_records"] == 800
+    cdxj_rows = spark.read.parquet(os.path.join(out_dir, "cdxj"))
+    ends = {
+        r["segment"]: r["end"]
+        for r in cdxj_rows.groupBy("segment")
+        .agg(F.max(F.col("offset") + F.col("length")).alias("end"))
+        .collect()
+    }
+    from hk_housing_datahub_spark.sources.archive_writer import (
+        segment_path,
+    )
+
+    seg_dir = os.path.join(out_dir, "segments", "warc")
+    assert sum(ends.values()) == summary["segment_bytes"]
+    for seg, end in ends.items():
+        assert os.path.getsize(segment_path(seg_dir, seg)) == end
 
     # the outputs compose: due/ is a CrawlEngine seeds frame; cdxj rows
     # carry the pointer columns; the CDX index is prefix-queryable
