@@ -6515,7 +6515,12 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
                       i, m
                FROM kg),
-        fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= m - 4 + 1),
+        fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= m - 4 + 1
+                UNION
+                -- MOSS short-doc fallback: >=1 k-gram but fewer than w
+                -- windows -> the single min over all k-gram hashes
+                SELECT doc_id, min(h) AS fp FROM kg WHERE m < 4
+                GROUP BY doc_id),
         capped AS (SELECT doc_id, fp FROM fps
                    QUALIFY count(*) OVER (PARTITION BY fp) <= 50)
         SELECT a.doc_id AS a, b.doc_id AS b,

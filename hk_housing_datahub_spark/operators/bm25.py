@@ -292,7 +292,11 @@ def bm25f_search(
     broadcasts, and the ranking tail is the shared sorted-term fold +
     salt-banded top-k."""
     fnames = sorted(weights)
-    toks = fields.select(
+    # fields outside the weighted set carry w_f = 0 by definition — drop
+    # them BEFORE tokenizing: their tokens must not inflate term df
+    # (skewing idf) or emit zero-score (doc, term) rows that occupy
+    # top-k slots, and the filter also prunes their tokenize cost
+    toks = fields.filter(F.col(field_col).isin(fnames)).select(
         F.col(id_col).alias("doc_id"),
         F.col(field_col).alias("f"),
         F.explode(tokenize(F.col(text_col))).alias("term"),

@@ -693,11 +693,20 @@ def winnow_fingerprints(
             lambda i: F.md5(F.concat_ws(" ", F.slice(ts, i, k))),
         )
         nw = m - w + 1  # number of windows
-        return F.when(nw < 1, F.array().cast("array<string>")).otherwise(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(nw, F.lit(1))),
-                    lambda j: F.array_min(F.slice(hs, j, w)),
+        # classic MOSS short-document fallback: a doc with ≥1 k-gram but
+        # fewer than w windows (k ≤ tokens < w+k−1) emits the single
+        # minimum over ALL its k-gram hashes — without it short
+        # duplicated documents have NO fingerprints and are invisible
+        # to winnow_overlap_pairs; only docs under k tokens emit nothing
+        return (
+            F.when(m < 1, F.array().cast("array<string>"))
+            .when(nw < 1, F.array(F.array_min(hs)))
+            .otherwise(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(nw, F.lit(1))),
+                        lambda j: F.array_min(F.slice(hs, j, w)),
+                    )
                 )
             )
         )

@@ -455,19 +455,36 @@ def bitext_margin_mine(
     one id (fan-out = shortlist size, never a global sort); norms hoist
     out of the pair loop as in brute_force_topk.
     """
-    sv = src.select(
-        F.col(id_col).alias("src_id"),
-        _to_double(F.col(vec_col)).alias("_sv"),
-    ).withColumn("_sn", norm(F.col("_sv")))
-    tv = tgt.select(
-        F.col(id_col).alias("tgt_id"),
-        _to_double(F.col(vec_col)).alias("_tv"),
-    ).withColumn("_tn", norm(F.col("_tv")))
+    # zero-norm (all-zero) embeddings drop up front: their cosine is
+    # 0/0 = NaN, and NaN margins silently vanish from (or pollute) the
+    # ranked output — an unminable vector is better absent than NaN
+    sv = (
+        src.select(
+            F.col(id_col).alias("src_id"),
+            _to_double(F.col(vec_col)).alias("_sv"),
+        )
+        .withColumn("_sn", norm(F.col("_sv")))
+        .filter(F.col("_sn") > 0)
+    )
+    tv = (
+        tgt.select(
+            F.col(id_col).alias("tgt_id"),
+            _to_double(F.col(vec_col)).alias("_tv"),
+        )
+        .withColumn("_tn", norm(F.col("_tv")))
+        .filter(F.col("_tn") > 0)
+    )
     if candidates is None:
         pairs = sv.crossJoin(F.broadcast(tv))
     else:
-        pairs = candidates.select("src_id", "tgt_id").join(sv, "src_id").join(
-            tv, "tgt_id"
+        # a duplicated shortlist row would double-count its cosine in
+        # both k-NN means (the rank windows would see the pair twice);
+        # distinct() is one shuffle of the id-pair table only
+        pairs = (
+            candidates.select("src_id", "tgt_id")
+            .distinct()
+            .join(sv, "src_id")
+            .join(tv, "tgt_id")
         )
     scored = pairs.select(
         "src_id",

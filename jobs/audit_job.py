@@ -16,6 +16,12 @@ Writes one parquet per section under --output:
 
 and prints ONE summary JSON line. Every section is a bounded rollup
 (key-table-sized outputs); only the corpus scans are data-scale.
+
+Non-default input schemas map in with --id-col/--lang-col/--source-col/
+--text-col: the frame is renamed to the canonical (doc_id, lang,
+source, text) vocabulary ONCE up front, so every section — including
+the profile/lang rollups — reads the same columns; a missing column
+fails fast at argument time instead of as a mid-job AnalysisException.
 """
 
 from __future__ import annotations
@@ -41,7 +47,15 @@ def main() -> None:
     )
     ap.add_argument("--dedup-threshold", type=float, default=0.5)
     ap.add_argument("--max-shingle-df", type=int, default=50)
+    # input-schema mapping: the sections all speak the canonical
+    # (doc_id, lang, source, text) vocabulary; the input frame is
+    # renamed ONCE up front so a non-default text/id/lang/source column
+    # feeds EVERY section consistently (not just the ones that happened
+    # to take a text_col parameter)
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--lang-col", default="lang")
+    ap.add_argument("--source-col", default="source")
     args = ap.parse_args()
     if bool(args.input) == bool(args.input_table):
         ap.error("pass exactly one of --input / --input-table")
@@ -69,6 +83,20 @@ def main() -> None:
         docs = TableCatalog(spark, args.catalog).read(args.input_table)
     else:
         docs = spark.read.parquet(args.input)
+    for flag, col in (
+        ("--id-col", args.id_col),
+        ("--lang-col", args.lang_col),
+        ("--source-col", args.source_col),
+        ("--text-col", args.text_col),
+    ):
+        if col not in docs.columns:
+            ap.error(f"{flag} {col!r} not in input columns {docs.columns}")
+    docs = docs.select(
+        F.col(args.id_col).alias("doc_id"),
+        F.col(args.lang_col).alias("lang"),
+        F.col(args.source_col).alias("source"),
+        F.col(args.text_col).alias("text"),
+    )
     docs = docs.persist()  # every section scans the same frame once
 
     out = args.output
@@ -91,18 +119,18 @@ def main() -> None:
             F.round(F.avg("quality"), 6).alias("avg_quality"),
         ),
     )
-    section("quality_sweep", quality_threshold_sweep(docs, text_col=args.text_col))
+    section("quality_sweep", quality_threshold_sweep(docs))
     section(
         "fairness",
         allocation_fairness(
-            docs.select("source", F.length(args.text_col).alias("n_bytes")),
+            docs.select("source", F.length("text").alias("n_bytes")),
             "source",
             weight_col="n_bytes",
         ),
     )
     section(
         "readability",
-        readability_scores(docs, text_col=args.text_col)
+        readability_scores(docs)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
         .agg(
@@ -113,7 +141,7 @@ def main() -> None:
     )
     section(
         "format",
-        format_profile(docs, text_col=args.text_col)
+        format_profile(docs)
         .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(

@@ -115,3 +115,49 @@ def test_duckdb_parity_on_embeddings(spark, sf_small):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_zero_norm_vectors_and_duplicate_candidates_are_harmless(spark):
+    """An all-zero embedding must not inject NaN cosines/margins (it is
+    dropped up front), and a caller-supplied shortlist with duplicated
+    pairs must mine identically to the deduplicated shortlist (no
+    double-counting in the k-NN means)."""
+    import math
+
+    src = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.2]),
+            (1, [0.0, 1.0, 0.2]),
+            (9, [0.0, 0.0, 0.0]),  # zero-norm source
+        ],
+    )
+    tgt = _vecs(
+        spark,
+        [
+            (100, [0.9, 0.1, 0.2]),
+            (101, [0.1, 0.9, 0.2]),
+            (200, [0.0, 0.0, 0.0]),  # zero-norm target
+        ],
+    )
+    out = bitext_margin_mine(src, tgt, k=2, margin_threshold=0.0).collect()
+    ids = {(r.src_id, r.tgt_id) for r in out}
+    assert all(9 != s and t != 200 for s, t in ids)
+    assert ids  # real pairs still mined
+    assert all(
+        math.isfinite(r.cos_sim) and math.isfinite(r.margin) for r in out
+    )
+
+    cand = src.select(F.col("vec_id").alias("src_id")).crossJoin(
+        tgt.select(F.col("vec_id").alias("tgt_id"))
+    )
+    doubled = cand.unionByName(cand).unionByName(cand.limit(3))
+    clean = bitext_margin_mine(
+        src, tgt, k=2, margin_threshold=0.0, candidates=cand
+    )
+    noisy = bitext_margin_mine(
+        src, tgt, k=2, margin_threshold=0.0, candidates=doubled
+    )
+    assert sorted(map(tuple, clean.collect())) == sorted(
+        map(tuple, noisy.collect())
+    )

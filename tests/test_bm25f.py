@@ -148,3 +148,37 @@ def test_duckdb_parity_on_corpus(spark, sf_small):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_unweighted_fields_are_ignored_entirely(spark):
+    """Fields absent from ``weights`` carry w_f = 0: their tokens must
+    not count toward term df (skewing idf), emit zero-score candidate
+    rows, or shrink/grow the effective collection — scores with the
+    junk fields present are IDENTICAL to scores without them."""
+    base = [
+        (1, "title", "apple pie recipe"),
+        (1, "body", "flour butter sugar and notes"),
+        (2, "title", "baking basics"),
+        (2, "body", "apple techniques for beginners"),
+    ]
+    junk = [
+        (1, "anchor", "apple apple apple apple apple"),
+        (2, "nav", "apple unrelated boilerplate chrome"),
+        # a doc with ONLY unweighted fields can never match
+        (9, "anchor", "apple apple apple"),
+    ]
+    q = _queries(spark, [(0, "apple")])
+    w = {"title": 3.0, "body": 1.0}
+    clean = {
+        (r.qid, r.doc_id): r.score
+        for r in bm25f_search(_fields(spark, base), q, weights=w, k=5)
+        .collect()
+    }
+    noisy = {
+        (r.qid, r.doc_id): r.score
+        for r in bm25f_search(
+            _fields(spark, base + junk), q, weights=w, k=5
+        ).collect()
+    }
+    assert noisy == clean
+    assert all(doc != 9 for (_, doc) in noisy)

@@ -340,22 +340,37 @@ def test_winnow_guarantee_shared_passage_detected(spark):
 
 def test_winnow_density_and_short_docs(spark):
     """Fingerprint count is far below k-gram count (~2/(w+1) density);
-    docs shorter than w + k - 1 tokens yield no fingerprints."""
+    docs under k tokens yield no fingerprints, and docs with >= 1
+    k-gram but fewer than w windows fall back to ONE fingerprint (the
+    classic MOSS min-over-all-hashes rule) so short duplicates stay
+    visible to the pair join."""
     from hk_housing_datahub_spark.operators.dedup import (
         winnow_fingerprints,
+        winnow_overlap_pairs,
     )
 
     long_text = " ".join(f"tok{i % 13}x{i % 7}" for i in range(200))
     docs = spark.createDataFrame(
-        [(1, long_text), (2, "too short here")], ["doc_id", "text"]
+        [
+            (1, long_text),
+            (2, "too short here"),  # 3 tokens < k: nothing
+            (3, "five tokens right here now"),  # 1 k-gram, < w windows
+            (4, "five tokens right here now"),  # its duplicate
+        ],
+        ["doc_id", "text"],
     )
     fps = winnow_fingerprints(docs, k=5, w=4).collect()
-    per = {}
+    per: dict[int, int] = {}
     for r in fps:
         per[r.doc_id] = per.get(r.doc_id, 0) + 1
     n_kgrams = 200 - 5 + 1
     assert 0 < per[1] < n_kgrams * 0.75  # windows collapse to shared minima
     assert 2 not in per
+    assert per[3] == per[4] == 1  # short-doc fallback fingerprint
+    pairs = {
+        (r.a, r.b) for r in winnow_overlap_pairs(docs, k=5, w=4).collect()
+    }
+    assert (3, 4) in pairs  # short duplicates are no longer invisible
 
 
 def test_winnow_duckdb_parity(spark, sf_small):
@@ -390,7 +405,10 @@ def test_winnow_duckdb_parity(spark, sf_small):
                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
                       i, m
                FROM kg),
-        fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= m - 4 + 1),
+        fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= m - 4 + 1
+                UNION
+                SELECT doc_id, min(h) AS fp FROM kg WHERE m < 4
+                GROUP BY doc_id),
         capped AS (SELECT doc_id, fp FROM fps
                    QUALIFY count(*) OVER (PARTITION BY fp) <= 50)
         SELECT a.doc_id AS a, b.doc_id AS b,
