@@ -965,11 +965,27 @@ def _extract_listings(spark, sf):
 
 
 def _minhash_lsh_candidates(spark, sf):
-    return DD.minhash_lsh_pairs(_t(spark, sf, "documents"))
+    """MinHash-LSH candidate pairs (operators/dedup.py
+    minhash_lsh_pairs) in md5_56 hash mode — the engine-portable twin
+    of the production xxhash64 path (same shingling, min-aggregates,
+    banding and collision join; only the hash function swaps). The
+    DuckDB oracle replays all 64 permutation minima and the 16-band
+    collision join bit-exactly."""
+    return DD.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), hash_mode="md5_56"
+    )
 
 
 def _simhash_neardup(spark, sf):
-    return DD.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+    """SimHash near-dup pairs (operators/dedup.py simhash_pairs) in
+    56-bit md5 hash mode — portable twin of the production xxhash64
+    path. The pigeonhole banding is recall-exact by construction, so
+    the DuckDB oracle checks the brute-force definition instead:
+    all pairs with hamming(fingerprint) ≤ 3 over the same bit votes."""
+    return DD.simhash_pairs(
+        _t(spark, sf, "documents"), max_hamming=3, bits=56,
+        hash_mode="md5_56",
+    )
 
 
 def _lsh_ann_topk(spark, sf):
@@ -1780,8 +1796,10 @@ def _bpe_encode_tokens(spark, sf):
     (operators/bpe.py encode_bpe, pandas mode — the production path for
     real 32k-merge tables; bit-equality with the pure-JVM chained-fold
     path and the learn-time symbolization is pinned in test_bpe.py).
-    Rows-only driver check; the learn loop itself is hash-checked via
-    bpe_learn/bpe_vocab."""
+    The DuckDB twin pushes every distinct word through the unrolled
+    merge chain (the bpe_fertility machinery) and reassembles each
+    document's token stream IN WORD ORDER — per-doc token counts and
+    the \\x1f-joined stream md5 hash-match."""
     from hk_housing_datahub_spark.operators.bpe import encode_bpe, learn_bpe
 
     d = _t(spark, sf, "documents")
@@ -4654,22 +4672,29 @@ def _unigram_lm_vocab(spark, sf):
 
 
 def _unigram_encode_pieces(spark, sf):
-    """Rows-only: Viterbi encoding of the corpus under a fitted
-    unigram-LM vocabulary (max total log-probability, deterministic
-    tie-breaks, single-char OOV fallback). Optimality is pinned by the
-    hypothesis sweep against brute segmentation enumeration in
-    tests/test_unigram_lm.py."""
+    """Viterbi encoding of the corpus under a FIXED literal vocabulary
+    (operators/unigram_lm.py encode_unigram): max total log-probability,
+    ties → fewer pieces → lexicographically greatest piece at the
+    earliest divergence, single-char OOV fallback at min(logp)-20 (the
+    digits are deliberately absent from the vocab so the fallback path
+    is exercised on real corpus words). The DuckDB twin replays the DP
+    position-by-position (unrolled stages, identical float adds and
+    tie-break ordering — _unigram_encode_sql), so per-doc piece counts
+    and the \\x1f-joined stream md5 hash-match. The EM-fitted model
+    remains covered by unigram_lm_vocab/unigram_fertility (rows-only;
+    learn loop pinned by the brute-enumeration and partition-invariance
+    suites in tests/test_unigram_lm.py)."""
     from hk_housing_datahub_spark.operators.unigram_lm import (
         encode_unigram,
-        learn_unigram_lm,
     )
 
     d = _t(spark, sf, "documents")
-    model = learn_unigram_lm(d, vocab_size=64, max_piece_len=4)
-    out = encode_unigram(d, model, max_piece_len=4)
+    out = encode_unigram(
+        d, sorted(_UNI_VOCAB.items()), max_piece_len=4
+    )
     return out.select(
         "doc_id",
-        F.size("pieces").alias("n_pieces"),
+        F.size("pieces").cast("long").alias("n_pieces"),
         F.md5(F.concat_ws("\x1f", "pieces")).alias("pieces_md5"),
     )
 
@@ -4699,13 +4724,15 @@ def _unigram_fertility(spark, sf):
 
 
 def _cdc_payload_dedup(spark, sf):
-    """Rows-only: content-defined chunking over binary payloads
-    (multimodal/cdc.py, FastCDC-style gear hash): every fifth document
-    gets a byte-shifted twin of its payload (4 bytes prepended), and
-    the chunk-level audit shows the shifted copies deduplicating —
-    fixed-offset chunking would share nothing. Kernel coverage/shift
-    properties and Spark≡sequential parity are pinned in
-    tests/test_cdc.py."""
+    """Content-defined chunking over binary payloads (multimodal/cdc.py,
+    FastCDC-style gear hash): every fifth document gets a byte-shifted
+    twin of its payload (4 bytes prepended), and the chunk-level audit
+    shows the shifted copies deduplicating — fixed-offset chunking
+    would share nothing. The DuckDB twin (_cdc_sql) replays the gear
+    boundary test as an 8-byte lag window (mask = 255 sees only the low
+    8 hash bits) plus a per-chunk recursive boundary walk — the stats
+    hash-match. Kernel coverage/shift properties and Spark≡sequential
+    parity are additionally pinned in tests/test_cdc.py."""
     from hk_housing_datahub_spark.multimodal.cdc import (
         cdc_chunk_table,
         cdc_dedup_stats,
@@ -5563,6 +5590,67 @@ def _bpe_sql(
                  END AS s
           FROM w{i - 1} w LEFT JOIN b{i} b ON TRUE)"""
         )
+    if final_vocab == "encode":
+        # Per-document tokenization under the learned chain: every
+        # distinct word runs the same aw{i} unrolled merges, then each
+        # doc's words rejoin IN ORDER — token count and the \x1f-joined
+        # token stream md5 are compared against encode_bpe's output.
+        aw = [
+            """
+        aw0 AS (
+          SELECT token,
+                 chr(31) || array_to_string(
+                     string_split_regex(token, ''), chr(31) || chr(31))
+                 || chr(31) || chr(31) || '</w>' || chr(31) AS s
+          FROM (SELECT DISTINCT token FROM toks)
+          WHERE NOT contains(token, chr(31)))"""
+        ]
+        for i in range(1, k + 1):
+            aw.append(
+                f"""
+        aw{i} AS (
+          SELECT w.token,
+                 CASE WHEN b.l IS NULL THEN w.s
+                      ELSE replace(w.s,
+                             chr(31) || b.l || chr(31) || chr(31)
+                                     || b.r || chr(31),
+                             chr(31) || b.l || b.r || chr(31))
+                 END AS s
+          FROM aw{i - 1} w LEFT JOIN b{i} b ON TRUE)"""
+            )
+        tail = (
+            ","
+            + ",".join(aw)
+            + f""",
+        wl AS (
+          SELECT token,
+                 array_to_string(
+                     string_split(substr(s, 2, length(s) - 2),
+                                  chr(31) || chr(31)), chr(31)) AS tokstr,
+                 len(string_split(substr(s, 2, length(s) - 2),
+                                  chr(31) || chr(31))) AS n_toks
+          FROM aw{k}),
+        dtoks AS (
+          SELECT doc_id, ws[j] AS token, j
+          FROM (SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ') AS ws
+                FROM documents
+                WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                      <> ''),
+               unnest(generate_series(1, len(ws))) AS u(j)),
+        perdoc AS (
+          SELECT d.doc_id,
+                 string_agg(wl.tokstr, chr(31) ORDER BY d.j) AS alltoks,
+                 CAST(sum(wl.n_toks) AS BIGINT) AS n_bpe
+          FROM dtoks d JOIN wl USING (token)
+          GROUP BY 1)
+        SELECT doc.doc_id,
+               CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+               md5(coalesce(p.alltoks, '')) AS tokens_md5
+        FROM documents doc LEFT JOIN perdoc p USING (doc_id)"""
+        )
+        return "WITH " + ",".join(parts) + tail
     if final_vocab == "fertility":
         # Encode ALL words (no min-count filter — OOV words of the
         # trained vocab still encode) through the same b{i} merge chain,
@@ -5635,6 +5723,218 @@ def _bpe_sql(
         tail = f"""
         SELECT * FROM (
           {union})"""
+    return "WITH " + ",".join(parts) + tail
+
+
+def _cdc_sql(min_size: int = 64, avg_size: int = 256,
+             max_size: int = 1024) -> str:
+    """DuckDB twin of the CDC chunk audit (multimodal/cdc.py): the gear
+    rolling hash ``h = (h<<1 + gear[b]) mod 2^64`` is tested against
+    ``mask = avg_size-1`` — with avg_size = 256 only the LOW 8 BITS of
+    h matter, and left-shifts push every byte older than 8 positions
+    out of them, so "h & mask == 0" at position i is a pure function of
+    bytes (i-8, i] — an 8-term lag window over the byte table, no
+    sequential scan. (The kernel's h-reset at each boundary is
+    invisible to the test: boundaries only fire at ln ≥ min_size = 64 >
+    8, so the 8-byte window never spans a chunk start.) Boundary
+    CHAINING (min_size gate + forced max_size cut) is the recursive
+    chunk walk over that candidate set — one recursion step per chunk,
+    not per byte. Chunk identity keys on the hex byte substring itself
+    (DuckDB's md5 takes VARCHAR only; equal hex ⟺ equal bytes, which
+    is all the dedup stats compare)."""
+    from hk_housing_datahub_spark.multimodal.cdc import _GEAR
+
+    gear_vals = ", ".join(f"({b}, {g & 255})" for b, g in enumerate(_GEAR))
+    return f"""
+        WITH RECURSIVE blobs AS (
+          SELECT doc_id, hx, CAST(length(hx) / 2 AS BIGINT) AS n
+          FROM (
+            SELECT doc_id, hex(encode(repeat(text, 3))) AS hx
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   '50414421' || hex(encode(repeat(text, 3))) AS hx
+            FROM documents WHERE doc_id % 5 = 0)),
+        gear(b, g) AS (VALUES {gear_vals}),
+        bytes AS (
+          SELECT bl.doc_id, u.j,
+                 ('0x' || substr(bl.hx, 2 * u.j + 1, 2))::INT AS bv
+          FROM blobs bl, unnest(generate_series(0, bl.n - 1)) AS u(j)),
+        gb AS (
+          SELECT doc_id, j, g FROM bytes JOIN gear ON b = bv),
+        cand AS (
+          SELECT doc_id, j + 1 AS i
+          FROM (
+            SELECT doc_id, j,
+                   (g
+                    + 2 * coalesce(lag(g, 1) OVER w, 0)
+                    + 4 * coalesce(lag(g, 2) OVER w, 0)
+                    + 8 * coalesce(lag(g, 3) OVER w, 0)
+                    + 16 * coalesce(lag(g, 4) OVER w, 0)
+                    + 32 * coalesce(lag(g, 5) OVER w, 0)
+                    + 64 * coalesce(lag(g, 6) OVER w, 0)
+                    + 128 * coalesce(lag(g, 7) OVER w, 0)) % 256 AS wsum
+            FROM gb
+            WINDOW w AS (PARTITION BY doc_id ORDER BY j))
+          WHERE j >= 7 AND wsum = 0),
+        bnds AS (
+          SELECT doc_id, CAST(0 AS BIGINT) AS s FROM blobs
+          UNION ALL
+          SELECT doc_id, nxt FROM (
+            SELECT b.doc_id,
+                   least(coalesce((SELECT min(c.i) FROM cand c
+                                   WHERE c.doc_id = b.doc_id
+                                     AND c.i >= b.s + {min_size}
+                                     AND c.i <  b.s + {max_size}),
+                                  b.s + {max_size}),
+                         b.s + {max_size}) AS nxt,
+                   bl.n AS n
+            FROM bnds b JOIN blobs bl USING (doc_id)
+            WHERE b.s < bl.n
+          ) WHERE nxt <= n),
+        chunks AS (
+          SELECT doc_id, s AS off, e - s AS len, hx
+          FROM (
+            SELECT b.doc_id, b.s,
+                   coalesce(lead(b.s) OVER (PARTITION BY b.doc_id
+                                            ORDER BY b.s), bl.n) AS e,
+                   bl.hx
+            FROM bnds b JOIN blobs bl USING (doc_id))
+          WHERE e > s),
+        per AS (
+          SELECT substr(hx, 2 * off + 1, 2 * len) AS key,
+                 count(*) AS refs, min(len) AS len
+          FROM chunks GROUP BY 1)
+        SELECT CAST(sum(refs) AS BIGINT) AS total_chunks,
+               CAST(count(*) AS BIGINT) AS distinct_chunks,
+               CAST(sum(refs * len) AS BIGINT) AS total_bytes,
+               CAST(sum(len) AS BIGINT) AS distinct_bytes,
+               round(1.0 - sum(len) * 1.0 / sum(refs * len), 6)
+                   AS dedup_ratio
+        FROM per
+    """
+
+
+# Fixed literal unigram-LM vocabulary for the encode oracle: letter
+# singles at one logp tier, common English multi-char pieces at better
+# ones (so real merging happens), NO digit singles (so corpus words with
+# digits exercise the OOV floor fallback). All logps are exact binary
+# doubles → both engines sum identically.
+_UNI_VOCAB: dict[str, float] = {
+    **{c: -6.0 for c in "abcdefghijklmnopqrstuvwxyz"},
+    "th": -3.5, "he": -3.5, "in": -3.5, "er": -3.75, "an": -3.75,
+    "re": -3.75, "on": -4.0, "at": -4.0, "en": -4.0, "es": -4.0,
+    "or": -4.25, "ti": -4.25, "st": -4.25, "ar": -4.25, "nd": -4.25,
+    "the": -4.5, "ing": -4.5, "and": -4.75, "ion": -4.75, "ent": -4.75,
+    "tion": -5.0,
+}
+
+
+def _unigram_encode_sql(
+    vocab: dict, max_piece_len: int = 4, max_word_len: int = 24
+) -> str:
+    """Unrolled DuckDB twin of encode_unigram under a LITERAL vocab.
+
+    Two position-by-position Viterbi DPs over the distinct-word table
+    (word length ≤ 8 in the synthetic corpus; stages unroll to
+    ``max_word_len`` for 3× margin): the BASE DP over the vocab alone
+    (may be infeasible — no row at the final position), and the AUG DP
+    over vocab ∪ {missing single chars at floor} (always feasible) —
+    exactly Python's two-phase fallback. Each stage keeps the per-word
+    argmax by (score DESC, -n_pieces DESC, path DESC); the \\x1f-joined
+    path string compares identically to Python's piece-tuple comparison
+    because chr(31) sorts below every piece character. Stages are
+    MATERIALIZED — each is referenced by up to ``max_piece_len`` later
+    stages and must not re-inline exponentially."""
+    floor = min(vocab.values()) - 20.0
+    vals = ", ".join(
+        f"('{p}', CAST({lp!r} AS DOUBLE))" for p, lp in sorted(vocab.items())
+    )
+
+    def stages(tag: str, model: str, model_on: str) -> list[str]:
+        out = [
+            f"""
+        {tag}0 AS MATERIALIZED (
+          SELECT word, CAST(0 AS DOUBLE) AS sc, 0 AS np, '' AS path
+          FROM w)"""
+        ]
+        for i in range(1, max_word_len + 1):
+            arms = []
+            for j in range(max(0, i - max_piece_len), i):
+                arms.append(
+                    f"""
+              SELECT p.word AS word, p.sc + v.lp AS sc,
+                     p.np - 1 AS np,
+                     CASE WHEN p.path = '' THEN v.piece
+                          ELSE p.path || chr(31) || v.piece END AS path
+              FROM {tag}{j} p JOIN {model} v
+                ON {model_on} v.piece = substr(p.word, {j + 1}, {i - j})
+              WHERE len(p.word) >= {i}"""
+                )
+            body = "\n              UNION ALL".join(arms)
+            out.append(
+                f"""
+        {tag}{i} AS MATERIALIZED (
+          SELECT word, sc, np, path FROM (
+            SELECT word, sc, np, path,
+                   row_number() OVER (PARTITION BY word
+                       ORDER BY sc DESC, np DESC, path DESC) AS rn
+            FROM ({body})
+          ) WHERE rn = 1)"""
+            )
+        return out
+
+    fb = " UNION ALL ".join(
+        f"SELECT word, np, path FROM b{i} WHERE len(word) = {i}"
+        for i in range(1, max_word_len + 1)
+    )
+    fa = " UNION ALL ".join(
+        f"SELECT word, np, path FROM a{i} WHERE len(word) = {i}"
+        for i in range(1, max_word_len + 1)
+    )
+    parts = [
+        f"""
+        vocab(piece, lp) AS (VALUES {vals}),
+        dt AS (
+          SELECT doc_id, ws[j] AS word, j
+          FROM (SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ') AS ws
+                FROM documents
+                WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                      <> ''),
+               unnest(generate_series(1, len(ws))) AS u(j)),
+        w AS MATERIALIZED (SELECT DISTINCT word FROM dt),
+        wchars AS (
+          SELECT DISTINCT word, substr(word, k, 1) AS ch
+          FROM w, unnest(generate_series(1, len(word))) AS u(k)),
+        augm AS MATERIALIZED (
+          SELECT word, ch AS piece, CAST({floor!r} AS DOUBLE) AS lp
+          FROM wchars
+          WHERE ch NOT IN (SELECT piece FROM vocab WHERE len(piece) = 1)
+          UNION ALL
+          SELECT w.word, v.piece, v.lp FROM w CROSS JOIN vocab v)"""
+    ]
+    parts += stages("b", "vocab", "")
+    parts += stages("a", "augm", "v.word = p.word AND")
+    tail = f""",
+        fb AS ({fb}),
+        fa AS ({fa}),
+        wres AS (
+          SELECT w.word,
+                 coalesce(fb.path, fa.path) AS path,
+                 -(coalesce(fb.np, fa.np)) AS n_pieces
+          FROM w LEFT JOIN fb USING (word) LEFT JOIN fa USING (word)),
+        perdoc AS (
+          SELECT d.doc_id,
+                 string_agg(r.path, chr(31) ORDER BY d.j) AS allp,
+                 CAST(sum(r.n_pieces) AS BIGINT) AS n_pieces
+          FROM dt d JOIN wres r USING (word)
+          GROUP BY 1)
+        SELECT doc.doc_id,
+               CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
+               md5(coalesce(p.allp, '')) AS pieces_md5
+        FROM documents doc LEFT JOIN perdoc p USING (doc_id)"""
     return "WITH " + ",".join(parts) + tail
 
 
@@ -8603,4 +8903,46 @@ def oracle_sql() -> dict[str, str]:
     d["bpe_learn"] = _bpe_sql(_BPE_MERGES)
     d["bpe_vocab"] = _bpe_sql(_BPE_MERGES, final_vocab=True)
     d["bpe_fertility"] = _bpe_sql(_BPE_MERGES, final_vocab="fertility")
+    d["bpe_encode_tokens"] = _bpe_sql(_BPE_MERGES, final_vocab="encode")
+    d["minhash_lsh_candidates"] = f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(t[i:i+2], ' ') AS shingle
+               FROM tk, unnest(generate_series(1, len(t) - 2)) AS u(i)
+               WHERE len(t) >= 3),
+        hx AS (SELECT doc_id, j,
+                      min(('0x' || substr(md5(shingle || '#' || j),
+                           1, 14))::BIGINT) AS m
+               FROM sh, unnest(generate_series(0, 63)) AS g(j)
+               GROUP BY 1, 2),
+        bk AS (SELECT doc_id, j // 4 AS band,
+                      string_agg(m::VARCHAR, '#' ORDER BY j) AS key
+               FROM hx GROUP BY doc_id, band)
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bk l JOIN bk r USING (band, key)
+        WHERE l.doc_id < r.doc_id
+    """
+    d["unigram_encode_pieces"] = _unigram_encode_sql(_UNI_VOCAB)
+    d["cdc_payload_dedup"] = _cdc_sql()
+    d["simhash_neardup"] = f"""
+        WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok
+                    FROM documents),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 14))::BIGINT AS hv
+              FROM tk),
+        votes AS (SELECT doc_id, i,
+                         sum(CASE WHEN (hv >> i) & 1 = 1
+                             THEN 1 ELSE -1 END) AS v
+                  FROM h, unnest(generate_series(0, 55)) AS g(i)
+                  GROUP BY 1, 2),
+        fp AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN v > 0
+                           THEN (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS f
+               FROM votes GROUP BY 1)
+        SELECT l.doc_id AS a, r.doc_id AS b,
+               CAST(bit_count(xor(l.f, r.f)) AS INT) AS hamming
+        FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.f, r.f)) <= 3
+    """
     return d

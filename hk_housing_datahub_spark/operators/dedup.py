@@ -200,22 +200,47 @@ def ngram_containment_pairs(
     )
 
 
+def _perm_hash(col: str, j: int, hash_mode: str) -> Column:
+    """Permutation-``j`` 64-bit-ish hash of a string column.
+
+    ``xxhash64`` (default everywhere) is the production path — JVM
+    codegen, full 64 bits. ``md5_56`` is the engine-portable twin (the
+    md5-prefix idiom of operators/importance.py / similarity.py): 56
+    bits so the unsigned value fits a signed long under ANSI casts, and
+    bit-replayable in DuckDB via ('0x' || substr(md5(..), 1, 14)) — the
+    mode the driver's hash oracles run; same operator logic, portable
+    hash."""
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col, F.lit(j))
+    if hash_mode == "md5_56":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(col), F.lit(f"#{j}"))), 1, 14
+            ),
+            16,
+            10,
+        ).cast("long")
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_perm: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-permutation MinHash signatures, fully JVM-side.
 
-    Each "permutation" j is min(xxhash64(shingle, j)) — one exploded pass,
+    Each "permutation" j is min(hash(shingle, j)) — one exploded pass,
     one groupBy with 64 min-aggregates (map-side combined, single shuffle).
-    No Python: this is the 10^10-document scale path.
+    No Python: this is the 10^10-document scale path. ``hash_mode``:
+    see _perm_hash (md5_56 = DuckDB-replayable oracle twin).
     """
     sh = _shingled(docs, id_col, text_col, n)
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"h{j}")
+        F.min(_perm_hash("shingle", j, hash_mode)).alias(f"h{j}")
         for j in range(num_perm)
     ]
     return sh.groupBy("did").agg(*aggs)
@@ -228,13 +253,16 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs by LSH banding over MinHash signatures.
 
     bands×rows = num_perm; a pair collides if any band's row-slice matches
-    exactly. Band keys are hashed to one long → explode(bands) + groupBy-join
-    on (band, key). Candidates are NOT verified here (compose with
-    ngram_jaccard_pairs on the candidate set for verified output).
+    exactly. Band keys compress to one long (xxhash64 mode) or join as
+    the plain '#'-separated min string (md5_56 mode — equality-exact
+    either way, and the string form replays in SQL). Candidates are NOT
+    verified here (compose with ngram_jaccard_pairs on the candidate
+    set for verified output).
     """
     if not (0 < bands <= num_perm and num_perm % bands == 0):
         raise ValueError(
@@ -244,15 +272,17 @@ def minhash_lsh_pairs(
             "collides everything into one O(n^2) bucket)"
         )
     rows = num_perm // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, num_perm)
+    sig = minhash_signatures(docs, id_col, text_col, n, num_perm, hash_mode)
+
+    def band_key(b: int) -> Column:
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        if hash_mode == "xxhash64":
+            return F.xxhash64(*cols)
+        return F.concat_ws("#", *[c.cast("string") for c in cols])
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                ).alias("key"),
-            )
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
             for b in range(bands)
         ]
     )
@@ -270,17 +300,26 @@ def minhash_lsh_pairs(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document, JVM-side.
+            bits: int = 64, hash_mode: str = "xxhash64") -> DataFrame:
+    """``bits``-bit SimHash per document, JVM-side.
 
     Token hash bit votes: per bit i, sum(±1) over tokens; fingerprint bit i
-    set iff the vote is positive. One explode + one groupBy with 64 sums.
+    set iff the vote is positive. One explode + one groupBy with ``bits``
+    sums. ``hash_mode='md5_56'`` (bits ≤ 56) is the DuckDB-replayable
+    twin of the production xxhash64 path — same votes, portable hash.
     """
+    if hash_mode == "md5_56" and bits > 56:
+        raise ValueError("md5_56 provides 56 hash bits; lower `bits`")
     toks = docs.select(
         F.col(id_col).alias("did"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
-    h = F.xxhash64("tok")
+    if hash_mode == "xxhash64":
+        h = F.xxhash64("tok")
+    elif hash_mode == "md5_56":
+        h = F.conv(F.substring(F.md5("tok"), 1, 14), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     votes = toks.groupBy("did").agg(
         *[
             F.sum(
@@ -304,25 +343,31 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Candidate generation by (max_hamming+1)-block banding over the 64 bits
-    (pigeonhole: ≤ max_hamming differing bits cannot touch every block, so
-    at least one block is equal), then exact hamming via bit_count(xor).
-    Sub-quadratic; no Python. Recall is exact for ANY max_hamming because
-    the block count is derived from it; more blocks = smaller keys = more
-    candidate pairs to verify.
+    Candidate generation by (max_hamming+1)-block banding over the
+    ``bits`` fingerprint bits (pigeonhole: ≤ max_hamming differing bits
+    cannot touch every block, so at least one block is equal), then
+    exact hamming via bit_count(xor). Sub-quadratic; no Python. Recall
+    is exact for ANY max_hamming because the block count is derived
+    from it; more blocks = smaller keys = more candidate pairs to
+    verify. ``hash_mode='md5_56'`` (with bits ≤ 56) is the
+    DuckDB-replayable oracle twin.
     """
     n_blocks = max_hamming + 1
-    if not 1 <= n_blocks <= 64:
-        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    # split 64 bits into n_blocks contiguous runs, widths as even as possible
-    base, extra = divmod(64, n_blocks)
+    if not 1 <= n_blocks <= bits:
+        raise ValueError(
+            f"max_hamming must be in [0, {bits - 1}], got {max_hamming}"
+        )
+    # split the bits into n_blocks contiguous runs, widths as even as possible
+    base, extra = divmod(bits, n_blocks)
     widths = [base + (1 if b < extra else 0) for b in range(n_blocks)]
     offsets = [sum(widths[:b]) for b in range(n_blocks)]
 
-    sig = simhash(docs, id_col, text_col)
+    sig = simhash(docs, id_col, text_col, bits, hash_mode)
     blocks = F.array(
         *[
             F.struct(
