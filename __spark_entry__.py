@@ -2506,7 +2506,13 @@ def _streaming_lsh_neardup(spark, sf):
     root = tempfile.mkdtemp(prefix="hk_stream_neardup_")
     src = os.path.join(root, "src")
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    d.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(2).write.parquet(
+    # ONE file per wave: the two waves are the semantic batch
+    # boundaries (wave 2's re-sent texts must hit wave 1's committed
+    # state), and extra part-files would only multiply micro-batch
+    # trigger overhead in the bench without exercising anything new
+    # (the per-file exactly-once machinery is pinned by
+    # test_streaming_neardup.py)
+    d.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(1).write.parquet(
         os.path.join(src, "w1")
     )
     # wave 2 re-sends half of wave 1's TEXTS under new ids (near-dups the
@@ -2516,7 +2522,7 @@ def _streaming_lsh_neardup(spark, sf):
         .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
     )
     d.filter(F.pmod("doc_id", F.lit(2)) == 1).unionByName(resent).coalesce(
-        2
+        1
     ).write.parquet(os.path.join(src, "w2"))
     cat = TableCatalog(spark, os.path.join(root, "cat"))
     stream_neardup_ingest(

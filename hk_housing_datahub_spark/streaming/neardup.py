@@ -266,11 +266,17 @@ def stream_neardup_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     timeout_s: float = 180.0,
+    max_files_per_trigger: int = 1,
     **lsh_kwargs,
 ) -> dict:
     """Run (or resume) near-dup ingestion over a parquet directory of
-    document files — one micro-batch per file — until drained
-    (``availableNow``). Returns {"batches": n, "rows_appended": n}.
+    document files — ``max_files_per_trigger`` files per micro-batch
+    (default 1: the per-file granularity the exactly-once tests pin) —
+    until drained (``availableNow``). Cross-batch dedup state is
+    consulted per BATCH, so callers whose files are not semantic
+    boundaries can raise the trigger size: fewer batches, same final
+    corpus when no near-dup pair spans what used to be two batches of
+    the same wave. Returns {"batches": n, "rows_appended": n}.
     Restart-safe like stream_corpus_ingest: checkpointed delivery x
     batch-id-stamped appends = exactly-once corpus rows."""
     glob = os.path.join(src_dir, "*")
@@ -288,7 +294,7 @@ def stream_neardup_ingest(
 
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(glob)
     )
     q = (
