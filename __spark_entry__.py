@@ -964,6 +964,80 @@ def _extract_listings(spark, sf):
     )
 
 
+def _extract_fields_replay(spark, sf):
+    """The north-rule extractor under the hash oracle: listing pages are
+    constructed from the documents table with pure Column expressions
+    (controlled field presence per doc_id residue — missing price /
+    address / area / INVALID dates all exercised), run through the
+    production Arrow extractor (extract/vectorized.py — the same
+    compiled regexes as extract/reference.py), and compared against a
+    DuckDB twin that rebuilds the identical HTML and replays every
+    field regex in RE2. ``text_md5`` is the byte-identity check the
+    north rule demands (md5 of the extracted text per url);
+    generate_pages-driven extraction stays covered by
+    ``extract_listings`` (rows-only) + the byte-identity pytest corpus."""
+    d = _t(spark, sf, "documents")
+    price_cell = F.format_number(
+        (F.lit(1_000_000) + F.col("doc_id") * 37).cast("long"), 0
+    )
+    html = F.concat(
+        F.lit('<html><body><div id="content">'),
+        F.col("text"),
+        F.lit("</div>"),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(
+                F.lit('<span class="price">HK$ '), price_cell,
+                F.lit("</span>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) != 2,
+            F.concat(
+                F.lit('<span class="address">No. '),
+                (F.pmod("doc_id", F.lit(999)) + 1).cast("string"),
+                F.lit(" Nathan Road</span>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod("doc_id", F.lit(2)) == 0,
+            F.concat(
+                F.lit('<span class="area">'),
+                (F.pmod("doc_id", F.lit(900)) + 100).cast("string"),
+                F.lit(".5 sq.ft</span>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod("doc_id", F.lit(4)) == 1,
+            F.lit('<time class="txdate">17/05/2023</time>'),  # non-ISO
+        ).otherwise(
+            F.concat(
+                F.lit('<time class="txdate">2023-'),
+                F.lpad((F.pmod("doc_id", F.lit(12)) + 1).cast("string"),
+                       2, "0"),
+                F.lit("-"),
+                F.lpad((F.pmod("doc_id", F.lit(28)) + 1).cast("string"),
+                       2, "0"),
+                F.lit("</time>"),
+            )
+        ),
+        F.lit('<a href="/p/'), F.col("doc_id").cast("string"),
+        F.lit('"><a href="https://x.example/'),
+        F.pmod("doc_id", F.lit(7)).cast("string"), F.lit('">'),
+    )
+    pages = d.select("doc_id", F.encode(html, "utf-8").alias("html"))
+    ex = extract_df(pages)
+    return ex.select(
+        "doc_id",
+        F.md5("extracted_text").alias("text_md5"),
+        "price",
+        "address",
+        F.col("floor_area"),
+        F.date_format("transaction_date", "yyyy-MM-dd").alias("tx_date"),
+        F.size("outlinks").alias("n_outlinks"),
+    )
+
+
 def _minhash_lsh_candidates(spark, sf):
     """MinHash-LSH candidate pairs (operators/dedup.py
     minhash_lsh_pairs) in md5_56 hash mode — the engine-portable twin
@@ -1607,24 +1681,10 @@ def _sentence_code_switch(spark, sf):
         fit_nb_langid,
         sentence_code_switch,
     )
-    from pyspark.sql import Window
 
     d = _t(spark, sf, "documents")
     model = fit_nb_langid(d.filter(F.pmod("doc_id", F.lit(2)) == 0), k=1.0)
-    odd = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
-    w = Window.orderBy("doc_id")
-    probes = odd.select(
-        "doc_id",
-        F.substring("text", 1, 120).alias("s1"),
-        F.coalesce(
-            F.lead(F.substring("text", 1, 120)).over(w),
-            F.substring("text", 1, 120),
-        ).alias("s2"),
-    ).select(
-        "doc_id",
-        F.concat_ws(". ", "s1", "s2", "s1").alias("text"),
-    )
-    return sentence_code_switch(probes, model)
+    return sentence_code_switch(_stitched_probes(d), model)
 
 
 def _host_fairness(spark, sf):
@@ -1762,33 +1822,42 @@ def _bm25f_search(spark, sf):
     )
 
 
+def _stitched_probes(d):
+    """Odd docs stitched with the NEXT odd doc's 120-char prefix and
+    their own again — the code-switch / coherence probe corpus. The
+    synthetic doc_ids are dense, so "next odd doc" is doc_id + 2: an
+    EQUI-JOIN, replacing the earlier lead() over an unpartitioned
+    Window that funneled the whole probe table through one partition
+    (the 5.7× sf1 outlier in BENCH/sf1_sample_r5.json). The last odd
+    doc has no successor and reuses its own prefix, exactly like the
+    lead()'s null coalesce — and exactly what the DuckDB twins' lead()
+    computes."""
+    odd = d.filter(F.pmod("doc_id", F.lit(2)) == 1).select(
+        "doc_id", F.substring("text", 1, 120).alias("s1")
+    )
+    nxt = odd.select(
+        (F.col("doc_id") - 2).alias("doc_id"), F.col("s1").alias("s2")
+    )
+    return odd.join(nxt, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(
+            ". ", "s1", F.coalesce("s2", "s1"), "s1"
+        ).alias("text"),
+    )
+
+
 def _coherence_scores(spark, sf):
     """Inter-sentence lexical coherence (operators/textops.py
     coherence_scores): adjacent-sentence Jaccard over distinct token
     sets, in-row array algebra. Probe docs stitch each odd doc's prefix
-    with the NEXT odd doc's prefix and its own again (the
-    sentence_code_switch construction) so adjacent pairs mix identical
-    and unrelated sentences; the DuckDB twin replays stitch, split and
-    the ordered pair fold."""
+    with the NEXT odd doc's prefix and its own again (_stitched_probes)
+    so adjacent pairs mix identical and unrelated sentences; the DuckDB
+    twin replays stitch, split and the ordered pair fold."""
     from hk_housing_datahub_spark.operators.textops import (
         coherence_scores,
     )
-    from pyspark.sql import Window
 
-    d = _t(spark, sf, "documents")
-    odd = d.filter(F.pmod("doc_id", F.lit(2)) == 1)
-    w = Window.orderBy("doc_id")
-    probes = odd.select(
-        "doc_id",
-        F.substring("text", 1, 120).alias("s1"),
-        F.coalesce(
-            F.lead(F.substring("text", 1, 120)).over(w),
-            F.substring("text", 1, 120),
-        ).alias("s2"),
-    ).select(
-        "doc_id", F.concat_ws(". ", "s1", "s2", "s1").alias("text")
-    )
-    return coherence_scores(probes)
+    return coherence_scores(_stitched_probes(_t(spark, sf, "documents")))
 
 
 def _bpe_encode_tokens(spark, sf):
@@ -4884,6 +4953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_cap": _per_source_cap,
         "warc_cdx_locations": _warc_cdx_locations,
         "warc_write_manifest": _warc_write_manifest,
+        "extract_fields_replay": _extract_fields_replay,
         "redirect_resolve": _redirect_resolve,
         "content_type_sniff": _content_type_sniff,
         "cdx_latest": _cdx_latest,
@@ -5730,6 +5800,61 @@ def _bpe_sql(
         SELECT * FROM (
           {union})"""
     return "WITH " + ",".join(parts) + tail
+
+
+def _embed_chunks_sql() -> str:
+    """DuckDB twin of the embed_chunks vector-sink shape: the
+    sentence-aware chunk loop (shared _chunk_cte_sql) feeds the
+    deterministic hashed-n-gram encoder (functions/embedding.py) —
+    FNV-1a over UTF-8 byte trigrams replayed exactly with HUGEINT
+    mod-2^64 arithmetic (the low-byte-xor decomposition: xor with a
+    byte only touches the low 8 bits), ±1 bucket votes from hash bit
+    32, 64 buckets. The entry reports (chunk_id, dim, embedding_norm):
+    the norm of the L2-NORMALIZED float32 vector rounds to 1.0 at 4
+    decimals whenever any bucket vote survives cancellation and 0.0
+    otherwise, so the oracle needs the exact vote table, not the float
+    vector."""
+    P, M, OFF = 1099511628211, 2**64, 14695981039346656037
+
+    def step(h: str, b: str) -> str:
+        return (
+            f"(((({h}) // 256) * 256 + xor(CAST(({h}) % 256 AS BIGINT),"
+            f" {b})) * CAST({P} AS HUGEINT)) % CAST({M} AS HUGEINT)"
+        )
+
+    h = f"CAST({OFF} AS HUGEINT)"
+    for b in ("b0", "b1", "b2"):
+        h = step(h, b)
+    chunk = _chunk_cte_sql("SELECT doc_id, text FROM documents")
+    return f"""
+        WITH chunks AS ({chunk}),
+        cb AS (SELECT chunk_id, hex(encode(chunk)) AS hx,
+                      CAST(length(hex(encode(chunk))) / 2 AS BIGINT) AS n
+               FROM chunks),
+        ng AS (SELECT chunk_id,
+                      CASE WHEN j < n THEN
+                          ('0x' || substr(hx, 2 * j + 1, 2))::BIGINT
+                      ELSE 0 END AS b0,
+                      CASE WHEN j + 1 < n THEN
+                          ('0x' || substr(hx, 2 * j + 3, 2))::BIGINT
+                      ELSE 0 END AS b1,
+                      CASE WHEN j + 2 < n THEN
+                          ('0x' || substr(hx, 2 * j + 5, 2))::BIGINT
+                      ELSE 0 END AS b2
+               FROM cb,
+                    unnest(generate_series(0, greatest(n, 3) - 3)) AS u(j)),
+        hv AS (SELECT chunk_id, {h} AS h3 FROM ng),
+        votes AS (SELECT chunk_id, h3 % 64 AS bucket,
+                         sum(CASE WHEN (h3 // 4294967296) % 2 = 1
+                             THEN -1 ELSE 1 END) AS s
+                  FROM hv GROUP BY 1, 2),
+        nz AS (SELECT chunk_id, max(abs(s)) > 0 AS live
+               FROM votes GROUP BY 1)
+        SELECT c.chunk_id, CAST(64 AS INT) AS dim,
+               CASE WHEN coalesce(nz.live, FALSE) THEN 1.0 ELSE 0.0 END
+                   AS embedding_norm
+        FROM chunks c LEFT JOIN nz USING (chunk_id)
+    """
 
 
 def _cdc_sql(min_size: int = 64, avg_size: int = 256,
@@ -8930,6 +9055,59 @@ def oracle_sql() -> dict[str, str]:
     """
     d["unigram_encode_pieces"] = _unigram_encode_sql(_UNI_VOCAB)
     d["cdc_payload_dedup"] = _cdc_sql()
+    d["embed_chunks"] = _embed_chunks_sql()
+
+    d["extract_fields_replay"] = r"""
+        WITH pg AS (
+          SELECT doc_id,
+            '<html><body><div id="content">' || text || '</div>'
+            || CASE WHEN doc_id % 3 = 0
+                 THEN '<span class="price">HK$ '
+                      || format('{:,}', 1000000 + doc_id * 37) || '</span>'
+                 ELSE '' END
+            || CASE WHEN doc_id % 3 <> 2
+                 THEN '<span class="address">No. ' || (doc_id % 999 + 1)
+                      || ' Nathan Road</span>'
+                 ELSE '' END
+            || CASE WHEN doc_id % 2 = 0
+                 THEN '<span class="area">' || (doc_id % 900 + 100)
+                      || '.5 sq.ft</span>'
+                 ELSE '' END
+            || CASE WHEN doc_id % 4 = 1
+                 THEN '<time class="txdate">17/05/2023</time>'
+                 ELSE '<time class="txdate">2023-'
+                      || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-'
+                      || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                      || '</time>' END
+            || '<a href="/p/' || doc_id
+            || '"><a href="https://x.example/' || (doc_id % 7) || '">'
+            AS html
+          FROM documents),
+        ex AS (
+          SELECT doc_id, html,
+                 NULLIF(regexp_extract(html,
+                     '<time class="txdate">((?s:.*?))</time>', 1), '')
+                     AS draw
+          FROM pg)
+        SELECT doc_id,
+               md5(regexp_extract(html,
+                   '<div id="content">((?s:.*?))</div>', 1)) AS text_md5,
+               CAST(replace(NULLIF(regexp_extract(html,
+                   '<span class="price">HK\$ ([0-9][0-9,]*)</span>', 1),
+                   ''), ',', '') AS DOUBLE) AS price,
+               NULLIF(regexp_extract(html,
+                   '<span class="address">((?s:.*?))</span>', 1), '')
+                   AS address,
+               CAST(NULLIF(regexp_extract(html,
+                   '<span class="area">([0-9]+(?:\.[0-9]+)?) sq\.ft</span>',
+                   1), '') AS DOUBLE) AS floor_area,
+               CASE WHEN regexp_matches(draw, '^\d{4}-\d{2}-\d{2}$')
+                    THEN draw END AS tx_date,
+               CAST(len(regexp_extract_all(html, '<a href="([^"]*)"'))
+                    AS INT) AS n_outlinks
+        FROM ex
+    """
+
     d["simhash_neardup"] = f"""
         WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS tok
                     FROM documents),

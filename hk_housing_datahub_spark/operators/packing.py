@@ -156,18 +156,25 @@ def training_order(
         return out
     w = Window.partitionBy("shuffle_bucket").orderBy("order_key", *key_cols)
     ranked = out.withColumn("_r", F.row_number().over(w))
+    counts = out.groupBy("shuffle_bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # cumulative offsets over the ≤ 16**bucket_hex count rows via a
+    # bounded broadcast theta-join (integer sums — order-free), not an
+    # unpartitioned running-sum window: the row count made the window
+    # SAFE, but the theta-join keeps WindowExec-single-partition out of
+    # the plan entirely (same pattern as operators/banded.py)
+    prior = counts.select(
+        F.col("shuffle_bucket").alias("_pb"), F.col("_n").alias("_pn")
+    )
     counts = (
-        out.groupBy("shuffle_bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_off",
-            F.sum("_n").over(
-                Window.orderBy("shuffle_bucket").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
+        counts.join(
+            F.broadcast(prior),
+            F.col("_pb") < F.col("shuffle_bucket"),
+            "left",
         )
-        .select("shuffle_bucket", F.coalesce("_off", F.lit(0)).alias("_off"))
+        .groupBy("shuffle_bucket")
+        .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias("_off"))
     )
     return (
         ranked.join(F.broadcast(counts), "shuffle_bucket")

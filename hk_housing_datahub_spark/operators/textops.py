@@ -647,12 +647,14 @@ def quality_threshold_sweep(
     a ``quality >= threshold`` gate and their mean quality — the curve
     a curation run reads before choosing its cutoff.
 
-    Plan: one projection + one tiny groupBy(bucket) + a window cumsum
-    over ≤ ``n_buckets`` rows (driver-scale, never corpus-scale) — the
-    sweep costs one corpus scan regardless of how many thresholds it
-    evaluates, instead of one scan per candidate threshold."""
-    from pyspark.sql import Window
-
+    Plan: one projection + one tiny groupBy(bucket), then the
+    descending cumsum runs as an in-row ordered array fold over the
+    ≤ ``n_buckets`` bucket rows (collect_list → reverse-sorted array →
+    per-threshold slice fold) — bit-identical to the former
+    unpartitioned running-sum window (same left-to-right addition
+    order for the float q sums) without ever moving rows through a
+    single-partition WindowExec. The one-row array aggregate is the
+    ordinary partial→final scalar agg, bounded at n_buckets structs."""
     from ..functions.text import quality_score, token_count
 
     q = quality_score(F.col(text_col))
@@ -672,19 +674,32 @@ def quality_threshold_sweep(
             F.sum("q").alias("q_sum"),
         )
     )
-    w = (
-        Window.orderBy(F.col("bucket").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = F.struct(
+        F.col("bucket").alias("b"),
+        F.col("n_docs").alias("d"),
+        F.col("n_tokens").alias("t"),
+        F.col("q_sum").alias("q"),
     )
-    return per.select(
-        F.round(F.col("bucket") / F.lit(float(n_buckets)), 6).alias(
-            "threshold"
-        ),
-        F.sum("n_docs").over(w).alias("surviving_docs"),
-        F.sum("n_tokens").over(w).alias("surviving_tokens"),
-        F.round(
-            F.sum("q_sum").over(w) / F.sum("n_docs").over(w), 6
-        ).alias("mean_quality"),
+    packed = per.agg(
+        F.reverse(F.array_sort(F.collect_list(s))).alias("rs")
+    )
+    ex = packed.select(
+        "rs", F.explode(F.sequence(F.lit(1), F.size("rs"))).alias("i")
+    )
+    pre = F.slice(F.col("rs"), F.lit(1), F.col("i"))
+    dsum = F.aggregate(
+        pre, F.lit(0).cast("long"), lambda a, x: a + x["d"]
+    )
+    tsum = F.aggregate(
+        pre, F.lit(0).cast("long"), lambda a, x: a + x["t"]
+    )
+    qsum = F.aggregate(pre, F.lit(0.0), lambda a, x: a + x["q"])
+    cur = F.element_at(F.col("rs"), F.col("i"))
+    return ex.select(
+        F.round(cur["b"] / F.lit(float(n_buckets)), 6).alias("threshold"),
+        dsum.alias("surviving_docs"),
+        tsum.alias("surviving_tokens"),
+        F.round(qsum / dsum, 6).alias("mean_quality"),
     )
 
 

@@ -856,3 +856,31 @@ def test_allocation_fairness_windows_all_partitioned(spark):
     docs = _t(spark, "documents")
     fa = allocation_fairness(docs, "lang")
     assert _global_window_specs(fa) == []
+
+
+def test_no_global_windows_in_probe_and_sweep_entries(spark):
+    """Round-5 sweep: a full scan of every driver query found exactly
+    four with unpartitioned windows — the stitched-probe builders
+    (lead over doc_id), the threshold sweep's bucket cumsum, and the
+    training-order offsets. All four are rewritten (equi-join probes,
+    ordered array fold, bounded theta-join); this pins the whole
+    query surface stays at zero."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in (
+        "sentence_code_switch",
+        "coherence_scores",
+        "quality_threshold_sweep",
+        "training_order_sample",
+        "prepare_corpus",
+        "dsir_weights",
+        "host_fairness",
+    ):
+        df = qs[name](spark, SF)
+        assert _global_window_specs(df) == [], name
