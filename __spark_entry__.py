@@ -2200,19 +2200,23 @@ def _span_dedup_removal(spark, sf):
 
 
 def _streaming_corpus_ingest(spark, sf):
-    """Rows-only: streaming corpus ingestion (streaming/corpus.py) — two
-    arrival waves with overlapping texts drive foreachBatch intra-batch
-    dedup → committed-fingerprint bloom dedup → quality gate →
-    batch-id-stamped exactly-once appends; output = the committed corpus
-    (fingerprint-unique by construction, pytest-pinned in
-    test_streaming_corpus.py)."""
+    """Streaming corpus ingestion (streaming/corpus.py) — two arrival
+    waves with overlapping texts drive foreachBatch intra-batch dedup →
+    committed-fingerprint bloom dedup (bloom is a PREFILTER: hits
+    exact-verify with an anti-join, so the committed set is EXACT) →
+    quality gate → batch-id-stamped exactly-once appends. One file per
+    wave makes batches ≡ waves, so the final committed corpus is a
+    deterministic function of the two wave sets and the DuckDB twin
+    replays it: per-wave min-doc_id-per-fingerprint survivors, wave 2
+    anti-joined against wave 1's commits. Exactly-once replay/crash
+    machinery stays pinned by tests/test_streaming_corpus.py."""
     from hk_housing_datahub_spark.sources import TableCatalog
     from hk_housing_datahub_spark.streaming.corpus import stream_corpus_ingest
 
     root = tempfile.mkdtemp(prefix="hk_stream_corpus_")
     src = os.path.join(root, "src")
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    d.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(2).write.parquet(
+    d.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(1).write.parquet(
         os.path.join(src, "w1")
     )
     # wave 2 re-sends half of wave 1 under new ids, plus the odd docs
@@ -2221,7 +2225,7 @@ def _streaming_corpus_ingest(spark, sf):
         .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
     )
     d.filter(F.pmod("doc_id", F.lit(2)) == 1).unionByName(resent).coalesce(
-        2
+        1
     ).write.parquet(os.path.join(src, "w2"))
     cat = TableCatalog(spark, os.path.join(root, "cat"))
     stream_corpus_ingest(
@@ -2775,8 +2779,24 @@ def _multimodal_probe(spark, sf):
 
 
 def _streaming_windowed(spark, sf):
-    return run_windowed_counts(
+    """Watermarked tumbling-window streaming aggregation
+    (streaming/events.py) driven to completion in COMPLETE output mode —
+    the watermark is inert there (all window state retained), so the
+    final table must equal the plain batch GROUP BY over all events:
+    that batch query IS the DuckDB oracle (same idiom as the
+    already-oracled tumbling_counts batch twin). Append-mode late-drop
+    and state-eviction semantics stay pinned by
+    run_windowed_counts_append + tests/test_newops.py."""
+    out = run_windowed_counts(
         spark, os.path.join(sf, "events.parquet"), query_name="ev_counts_q"
+    )
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "win_start"
+        ),
+        "event_type",
+        "n",
+        "total_value",
     )
 
 
@@ -2842,15 +2862,20 @@ def _streaming_stateful_dedup(spark, sf):
 
 def _streaming_recrawl(spark, sf):
     """Streaming recrawl scheduler (streaming/recrawl.py): two capture
-    micro-batches a day apart (digests flip on 1/3 of URLs); state =
-    per-URL sufficient statistics in url-hash buckets. Rows-only — the
-    batch twin's math is hash-checked via `recrawl_schedule`, and
-    tests/test_streaming_recrawl.py pins stream≡batch parity."""
+    micro-batches a day apart (digests flip on ~1/3 of URLs, md5-keyed
+    so the oracle can replay the flip); state = per-URL sufficient
+    statistics in url-hash buckets, one schedule row EMITTED per
+    captured URL per batch (update semantics). Batches ≡ waves (one
+    file each), so the emitted row set is the per-URL schedule math at
+    n_captures = 1 and again at 2 — the DuckDB twin replays both
+    snapshots with the recrawl_schedule formulas.
+    tests/test_streaming_recrawl.py additionally pins stream≡batch
+    parity."""
     from hk_housing_datahub_spark.streaming.recrawl import (
         run_streaming_recrawl,
     )
 
-    d = _t(spark, sf, "documents").limit(400)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
     caps = d.select(
         F.concat(
             F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
@@ -2860,20 +2885,37 @@ def _streaming_recrawl(spark, sf):
         (F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
         F.md5(F.col("doc_id").cast("string")).alias("digest"),
     )
+    flip = (
+        F.pmod(
+            F.conv(F.substring(F.md5("url_canon"), 1, 14), 16, 10).cast(
+                "long"
+            ),
+            F.lit(3),
+        )
+        == 0
+    )
     root = tempfile.mkdtemp(prefix="hk_srecrawl_")
     caps.coalesce(1).write.parquet(os.path.join(root, "b1"))
     caps.select(
         "url_canon",
         "bucket",
         (F.col("ts") + F.lit(86_400)).alias("ts"),
-        F.when(
-            F.pmod(F.xxhash64("url_canon"), F.lit(3)) == 0,
-            F.concat("digest", F.lit("x")),
-        ).otherwise(F.col("digest")).alias("digest"),
+        F.when(flip, F.concat("digest", F.lit("x")))
+        .otherwise(F.col("digest"))
+        .alias("digest"),
     ).coalesce(1).write.parquet(os.path.join(root, "b2"))
-    return run_streaming_recrawl(
+    out = run_streaming_recrawl(
         spark, os.path.join(root, "*", "*.parquet"),
         query_name="srecrawl_q",
+    )
+    return out.select(
+        "url",
+        "n_captures",
+        "n_changes",
+        F.round("avg_interval_s", 6).alias("avg_interval_s"),
+        F.round("lambda_per_day", 6).alias("lambda_per_day"),
+        F.round("refetch_interval_s", 6).alias("refetch_interval_s"),
+        "next_fetch_epoch",
     )
 
 
@@ -9055,6 +9097,99 @@ def oracle_sql() -> dict[str, str]:
     """
     d["unigram_encode_pieces"] = _unigram_encode_sql(_UNI_VOCAB)
     d["cdc_payload_dedup"] = _cdc_sql()
+    d["streaming_recrawl"] = """
+        WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+        c1 AS (SELECT 'https://h' || (doc_id % 10) || '.example.com/d/'
+                          || doc_id AS url,
+                      CAST(1700000000 + doc_id AS BIGINT) AS ts,
+                      (('0x' || substr(md5('https://h' || (doc_id % 10)
+                           || '.example.com/d/' || doc_id), 1, 14))::BIGINT
+                       % 3 = 0) AS flip
+               FROM d),
+        k1 AS (SELECT url,
+                      CAST(1 AS BIGINT) AS n_captures,
+                      CAST(0 AS BIGINT) AS n_changes,
+                      CAST(NULL AS DOUBLE) AS avg_interval_s,
+                      CAST(NULL AS DOUBLE) AS lambda_per_day,
+                      CAST(2592000 AS DOUBLE) AS refetch_interval_s,
+                      ts + 2592000 AS next_fetch_epoch
+               FROM c1),
+        k2base AS (SELECT url, ts + 86400 AS last_ts,
+                          CASE WHEN flip THEN 1 ELSE 0 END AS x,
+                          CAST(86400 AS BIGINT)
+                              / CAST(1 AS DOUBLE) AS avg_s
+                   FROM c1),
+        k2lam AS (SELECT *,
+                         -ln((1 - x + CAST(0.5 AS DOUBLE))
+                             / (1 + CAST(0.5 AS DOUBLE))) / avg_s AS lam
+                  FROM k2base),
+        k2 AS (SELECT url,
+                      CAST(2 AS BIGINT) AS n_captures,
+                      CAST(x AS BIGINT) AS n_changes,
+                      avg_s AS avg_interval_s,
+                      lam * 86400.0 AS lambda_per_day,
+                      CASE WHEN lam > 0
+                           THEN least(greatest(1.0 / lam,
+                                               CAST(3600 AS DOUBLE)),
+                                      CAST(2592000 AS DOUBLE))
+                           ELSE CAST(2592000 AS DOUBLE) END
+                          AS refetch_interval_s,
+                      CAST(NULL AS BIGINT) AS next_fetch_epoch,
+                      last_ts
+               FROM k2lam)
+        SELECT url, n_captures, n_changes,
+               round(avg_interval_s, 6) AS avg_interval_s,
+               round(lambda_per_day, 6) AS lambda_per_day,
+               round(refetch_interval_s, 6) AS refetch_interval_s,
+               next_fetch_epoch
+        FROM k1
+        UNION ALL
+        SELECT url, n_captures, n_changes,
+               round(avg_interval_s, 6) AS avg_interval_s,
+               round(lambda_per_day, 6) AS lambda_per_day,
+               round(refetch_interval_s, 6) AS refetch_interval_s,
+               CAST(last_ts + floor(refetch_interval_s) AS BIGINT)
+                   AS next_fetch_epoch
+        FROM k2
+    """
+
+    d["streaming_windowed"] = """
+        SELECT strftime(date_trunc('hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
+    """
+    d["streaming_corpus_ingest"] = f"""
+        WITH d AS (SELECT doc_id, text, md5({_NORM}) AS fp,
+                          round(0.4 * least(len({_TOKS}) / 100.0, 1.0)
+                + 0.3 * least(len(list_filter({_TOKS}, x -> x IN
+                      ('the','a','of','and','to','in','is','for')))
+                      * 5.0 / greatest(len({_TOKS}), 1), 1.0)
+                + 0.3 * (1.0 - least((length(text) - length(regexp_replace(
+                      text, '[.,;:!?''"()-]', '', 'g')))
+                      * 10.0 / greatest(length(text), 1), 1.0)), 6) AS quality
+                   FROM documents),
+        w1 AS (SELECT doc_id, fp, quality FROM d WHERE doc_id % 2 = 0),
+        w2 AS (SELECT doc_id, fp, quality FROM d WHERE doc_id % 2 = 1
+               UNION ALL
+               SELECT doc_id + 1000000 AS doc_id, fp, quality
+               FROM d WHERE doc_id % 4 = 0),
+        s1 AS (SELECT doc_id, fp, quality FROM w1
+               WHERE quality >= 0.0
+               QUALIFY row_number() OVER (PARTITION BY fp
+                   ORDER BY doc_id) = 1),
+        s2 AS (SELECT doc_id, fp, quality FROM w2
+               WHERE quality >= 0.0
+                 AND fp NOT IN (SELECT fp FROM s1)
+               QUALIFY row_number() OVER (PARTITION BY fp
+                   ORDER BY doc_id) = 1)
+        SELECT doc_id, fp, quality FROM s1
+        UNION ALL
+        SELECT doc_id, fp, quality FROM s2
+    """
+
     d["embed_chunks"] = _embed_chunks_sql()
 
     d["extract_fields_replay"] = r"""
