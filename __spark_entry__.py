@@ -1063,11 +1063,19 @@ def _simhash_neardup(spark, sf):
 
 
 def _lsh_ann_topk(spark, sf):
+    """Random-hyperplane LSH ANN (operators/similarity.py lsh_topk) in
+    md5 plane mode — the engine-portable twin of the Gaussian-plane
+    production path (same signature packing, bucket equi-join and
+    cosine rerank; only the plane source swaps to the md5 grid). The
+    DuckDB oracle regenerates all 60 planes, recomputes every
+    signature, replays the bucket collisions and the rerank —
+    candidates AND ranks hash-match. Gaussian-mode recall stays pinned
+    by tests (recall@1 vs brute force)."""
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.pmod("vec_id", F.lit(25)) == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    return SIM.lsh_topk(e, q, dim=64, k=5).select(
+    return SIM.lsh_topk(e, q, dim=64, k=5, plane_mode="md5").select(
         "qid", "nid", "cos_sim", "rnk"
     )
 
@@ -2826,13 +2834,24 @@ def _embed_chunks(spark, sf):
 
 
 def _ivf_ann_topk(spark, sf):
+    """IVF coarse-quantized ANN (operators/similarity.py ivf_topk) with
+    an md5-grid literal centroid matrix — the same cell assignment,
+    nprobe fan-out, candidate join and cosine rerank as the
+    kmeans-fitted path, with a centroid source the DuckDB twin can
+    regenerate (assignment ranks by raw dot against the literal
+    matrix). The Lloyd's fit itself stays pinned by the recall tests."""
+    from hk_housing_datahub_spark.operators.similarity import (
+        md5_grid_values,
+    )
+
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.pmod("vec_id", F.lit(25)) == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    return SIM.ivf_topk(e, q, dim=64, k=5, n_cells=16, nprobe=6).select(
-        "qid", "nid", "cos_sim", "rnk"
-    )
+    cents = md5_grid_values(16, 64)
+    return SIM.ivf_topk(
+        e, q, dim=64, k=5, n_cells=16, nprobe=6, centroids=cents
+    ).select("qid", "nid", "cos_sim", "rnk")
 
 
 def _streaming_stateful_dedup(spark, sf):
@@ -9097,6 +9116,77 @@ def oracle_sql() -> dict[str, str]:
     """
     d["unigram_encode_pieces"] = _unigram_encode_sql(_UNI_VOCAB)
     d["cdc_payload_dedup"] = _cdc_sql()
+    _MD5GRID = ("((('0x' || substr(md5({R} || '#' || d.d), 1, 14))::BIGINT"
+                " % 2001 - 1000) / 1000.0)")
+    d["lsh_ann_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        pl AS (SELECT r.r AS row, list({_MD5GRID.format(R='r.r')}
+                          ORDER BY d.d) AS pv
+               FROM unnest(generate_series(0, 59)) r(r),
+                    unnest(generate_series(0, 63)) d(d)
+               GROUP BY 1),
+        sig AS (SELECT e.vec_id, pl.row // 5 AS tbl,
+                       CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+                                THEN (1 << (pl.row % 5)) ELSE 0 END)
+                            AS BIGINT) AS sig
+                FROM e CROSS JOIN pl
+                GROUP BY 1, 2),
+        cands AS (SELECT DISTINCT qs.vec_id AS qid, vs.vec_id AS nid
+                  FROM sig vs JOIN sig qs USING (tbl, sig)
+                  WHERE qs.vec_id % 25 = 0 AND vs.vec_id <> qs.vec_id),
+        scored AS (SELECT c.qid, c.nid,
+                          round(list_dot_product(q.v, n.v) /
+                                (sqrt(list_dot_product(q.v, q.v)) *
+                                 sqrt(list_dot_product(n.v, n.v))), 6)
+                              AS cos_sim
+                   FROM cands c
+                   JOIN e q ON q.vec_id = c.qid
+                   JOIN e n ON n.vec_id = c.nid)
+        SELECT qid, nid, cos_sim,
+               CAST(rnk AS INT) AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_sim DESC, nid) AS rnk
+              FROM scored)
+        WHERE rnk <= 5
+    """
+    d["ivf_ann_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        ct AS (SELECT r.r AS cell, list({_MD5GRID.format(R='r.r')}
+                          ORDER BY d.d) AS cv
+               FROM unnest(generate_series(0, 15)) r(r),
+                    unnest(generate_series(0, 63)) d(d)
+               GROUP BY 1),
+        sims AS (SELECT e.vec_id, ct.cell,
+                        list_dot_product(e.v, ct.cv) AS s
+                 FROM e CROSS JOIN ct),
+        ranked AS (SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell) AS cr
+                   FROM sims),
+        vcell AS (SELECT vec_id, cell FROM ranked WHERE cr = 1),
+        qcell AS (SELECT vec_id AS qid, cell FROM ranked
+                  WHERE cr <= 6 AND vec_id % 25 = 0),
+        cands AS (SELECT DISTINCT q.qid, v.vec_id AS nid
+                  FROM vcell v JOIN qcell q USING (cell)
+                  WHERE v.vec_id <> q.qid),
+        scored AS (SELECT c.qid, c.nid,
+                          round(list_dot_product(q.v, n.v) /
+                                (sqrt(list_dot_product(q.v, q.v)) *
+                                 sqrt(list_dot_product(n.v, n.v))), 6)
+                              AS cos_sim
+                   FROM cands c
+                   JOIN e q ON q.vec_id = c.qid
+                   JOIN e n ON n.vec_id = c.nid)
+        SELECT qid, nid, cos_sim,
+               CAST(rnk AS INT) AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                  ORDER BY cos_sim DESC, nid) AS rnk
+              FROM scored)
+        WHERE rnk <= 5
+    """
+
     d["streaming_recrawl"] = """
         WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
         c1 AS (SELECT 'https://h' || (doc_id % 10) || '.example.com/d/'

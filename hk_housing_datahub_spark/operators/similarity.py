@@ -89,7 +89,29 @@ def brute_force_topk(
 LSH_SEED = 42
 
 
-def hyperplane_signatures_udf(dim: int, n_tables: int, n_planes: int):
+def md5_grid_values(prefix_rows: int, cols: int) -> np.ndarray:
+    """(rows × cols) matrix of md5-derived values on the 1/1000 grid in
+    [-1, 1]: val(r, d) = (md5("r#d")[:14 hex] % 2001 - 1000) / 1000 —
+    the engine-portable pseudo-random source (DuckDB replays it as
+    ('0x' || substr(md5(r || '#' || d), 1, 14))::BIGINT). Used by the
+    md5 plane/centroid modes of the ANN operators so their candidate
+    sets are hash-checkable; the Gaussian RandomState source stays the
+    production default."""
+    import hashlib
+
+    out = np.empty((prefix_rows, cols), dtype=np.float64)
+    for r in range(prefix_rows):
+        for d in range(cols):
+            h = int(
+                hashlib.md5(f"{r}#{d}".encode()).hexdigest()[:14], 16
+            )
+            out[r, d] = (h % 2001 - 1000) / 1000.0
+    return out
+
+
+def hyperplane_signatures_udf(
+    dim: int, n_tables: int, n_planes: int, plane_mode: str = "gauss"
+):
     """Vectorized multi-table random-hyperplane signatures.
 
     Returns a pandas UDF: array<float> → array<long> of length n_tables; the
@@ -97,12 +119,18 @@ def hyperplane_signatures_udf(dim: int, n_tables: int, n_planes: int):
     np.RandomState(LSH_SEED) — deterministic on every executor, no state to
     broadcast. Dense matmul over the Arrow batch is the one place a pandas
     UDF beats Column expressions (BLAS vs per-element codegen).
+    ``plane_mode='md5'`` swaps the Gaussian planes for the md5-grid
+    source (row index = table * n_planes + plane), which a DuckDB
+    oracle can regenerate bit-for-bit — same signatures, same buckets.
     """
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sigs(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        planes = np.random.RandomState(LSH_SEED).standard_normal(
-            (n_tables * n_planes, dim)
-        )
+        if plane_mode == "md5":
+            planes = md5_grid_values(n_tables * n_planes, dim)
+        else:
+            planes = np.random.RandomState(LSH_SEED).standard_normal(
+                (n_tables * n_planes, dim)
+            )
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         for vecs in it:
             x = np.stack(vecs.to_numpy())  # (batch, dim)
@@ -125,6 +153,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qe",
+    plane_mode: str = "gauss",
     **_compat,
 ) -> DataFrame:
     """Approximate top-k: candidates = union over L hash tables of the
@@ -134,7 +163,7 @@ def lsh_topk(
     near-orthogonal corpora while probing ~⅓ of it — tune (L, m) per data.
     At 10^9 vectors the (table, sig) equi-join replaces the cross product.
     """
-    sig_udf = hyperplane_signatures_udf(dim, n_tables, n_planes)
+    sig_udf = hyperplane_signatures_udf(dim, n_tables, n_planes, plane_mode)
     vb = vectors.select(
         F.col(id_col), F.col(vec_col),
         F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "sig"),
@@ -242,6 +271,7 @@ def ivf_topk(
     qid_col: str = "qid",
     qvec_col: str = "qe",
     fit_centroids: bool = True,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus partitioned into ``n_cells`` coarse cells (each
     vector indexed under its nearest centroid), each query probes its
@@ -254,10 +284,18 @@ def ivf_topk(
     are also the natural storage partitioning (partitionBy("cell") on the
     index table makes the probe a partition-pruned scan, no shuffle).
     """
+    # an explicit ``centroids`` matrix wins over fitting — the oracle
+    # path passes the md5-grid literals so the DuckDB twin can replay
+    # assignment; note the quantizer then ranks by RAW dot (the fit
+    # path L2-normalizes its centroids, an explicit matrix ships as-is)
     cents = (
-        fit_ivf_centroids(vectors, dim, n_cells, vec_col, id_col)
-        if fit_centroids
-        else None
+        centroids
+        if centroids is not None
+        else (
+            fit_ivf_centroids(vectors, dim, n_cells, vec_col, id_col)
+            if fit_centroids
+            else None
+        )
     )
     vcell = vectors.select(
         F.col(id_col), F.col(vec_col),
