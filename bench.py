@@ -271,6 +271,20 @@ def main() -> None:
             "novelty_scores",
             "bm25f_search",
             "coherence_scores",
+            # round-5: extractor replay, archive writer manifest, the
+            # newly oracle-backed ANN/tokenizer/streaming batteries
+            "extract_fields_replay",
+            "warc_write_manifest",
+            "minhash_lsh_candidates",
+            "simhash_neardup",
+            "embed_chunks",
+            "bpe_encode_tokens",
+            "unigram_encode_pieces",
+            "lsh_ann_topk",
+            "ivf_ann_topk",
+            "streaming_windowed",
+            "streaming_corpus_ingest",
+            "streaming_recrawl",
         ]
         qs = E.queries()
         for name in bench_queries:
