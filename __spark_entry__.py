@@ -2572,13 +2572,19 @@ def _crawl_scope_filter(spark, sf):
 
 
 def _streaming_lsh_neardup(spark, sf):
-    """Rows-only: streaming NEAR-dup ingestion (streaming/neardup.py) —
+    """Streaming NEAR-dup ingestion (streaming/neardup.py) —
     incremental MinHash-LSH across micro-batches: intra-batch
     exact-verified LSH dedup, cross-batch signature-estimator dedup
     against catalog-backed (sig, band) state, batch-id-stamped
     exactly-once appends with torn-batch healing (pytest-pinned in
-    test_streaming_neardup.py). Output = the committed near-dup-free
-    corpus ids."""
+    test_streaming_neardup.py). Runs in md5_56 hash mode so the DuckDB
+    twin replays BOTH waves: per-wave survivors via the exact-path twin
+    (LSH recall 1 at bands=32 on this corpus, the lsh_dedup_drop
+    argument), then the cross-batch leg LITERALLY — 64 md5 minima per
+    survivor, 32 band keys (md5 of the '#'-joined row mins), the
+    (band, key) collision join and the matching-positions/64 estimator
+    at the 0.5 threshold. Output = the committed near-dup-free
+    corpus."""
     from hk_housing_datahub_spark.sources import TableCatalog
     from hk_housing_datahub_spark.streaming.neardup import (
         stream_neardup_ingest,
@@ -2607,7 +2613,8 @@ def _streaming_lsh_neardup(spark, sf):
     ).write.parquet(os.path.join(src, "w2"))
     cat = TableCatalog(spark, os.path.join(root, "cat"))
     stream_neardup_ingest(
-        spark, src, cat, "docs", checkpoint=os.path.join(root, "ck")
+        spark, src, cat, "docs", checkpoint=os.path.join(root, "ck"),
+        hash_mode="md5_56",
     )
     return cat.read("docs").select("doc_id", "text")
 
@@ -5918,6 +5925,90 @@ def _embed_chunks_sql() -> str:
     """
 
 
+
+def _stream_neardup_sql() -> str:
+    """DuckDB twin of the streaming near-dup ingest (md5_56 mode).
+
+    Per wave, survivors come from the exact-path near-dup twin
+    (candidates-verified LSH ≡ exact pairs at bands=32 recall — the
+    lsh_dedup_drop oracle's argument); the cross-batch leg then replays
+    the engine LITERALLY: 64 md5-prefix minhash minima per survivor
+    (UNCAPPED shingles — signatures see every shingle, only the exact
+    verifier caps df), 32 band keys (md5-prefix of the '#'-joined row
+    mins — streaming/neardup.py _band_index md5_56), the (band, key)
+    collision join against wave-1's committed state, and the
+    matching-positions/64 estimator at threshold 0.5."""
+
+    def near_drop(src: str, g: str) -> str:
+        return f"""
+        {g}toks AS (SELECT doc_id, text, {_TOKS} AS t FROM ({src})),
+        {g}sh0 AS (SELECT DISTINCT doc_id,
+                          array_to_string(t[i:i+2], ' ') AS s
+               FROM {g}toks,
+                    unnest(generate_series(1, len(t) - 2)) AS gg(i)
+               WHERE len(t) >= 3),
+        {g}shc AS (SELECT doc_id, s FROM {g}sh0
+               QUALIFY count(*) OVER (PARTITION BY s) <= 50),
+        {g}sz AS (SELECT doc_id, count(*) AS n FROM {g}shc
+                  GROUP BY doc_id),
+        {g}co AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+               FROM {g}shc l JOIN {g}shc r USING (s)
+               WHERE l.doc_id < r.doc_id
+               GROUP BY 1, 2),
+        {g}pairs AS (SELECT a, b FROM {g}co
+               JOIN {g}sz sa ON sa.doc_id = a
+               JOIN {g}sz sb ON sb.doc_id = b
+               WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+        {g}edges AS (SELECT a AS s, b AS d FROM {g}pairs
+                  UNION SELECT b, a FROM {g}pairs),
+        {g}reach AS (SELECT s AS nn, d AS m FROM {g}edges
+              UNION
+              SELECT r.nn, e.d FROM {g}reach r
+              JOIN {g}edges e ON r.m = e.s),
+        {g}lbl AS (SELECT nn, min(m) AS mn FROM {g}reach GROUP BY nn),
+        {g}keep AS (SELECT t.doc_id, t.text FROM {g}toks t
+                 LEFT JOIN {g}lbl l ON l.nn = t.doc_id
+                 WHERE coalesce(least(l.nn, l.mn), t.doc_id) = t.doc_id),
+        {g}hx AS (SELECT sh.doc_id, q.j,
+                     min(('0x' || substr(md5(sh.s || '#' || q.j),
+                          1, 14))::BIGINT) AS m
+               FROM {g}sh0 sh
+               JOIN {g}keep USING (doc_id),
+                    unnest(generate_series(0, 63)) AS q(j)
+               GROUP BY 1, 2),
+        {g}bk AS (SELECT a.doc_id, a.j // 2 AS band,
+                     ('0x' || substr(md5(a.m || '#' || b.m),
+                          1, 14))::BIGINT AS key
+               FROM {g}hx a JOIN {g}hx b
+                 ON a.doc_id = b.doc_id AND b.j = a.j + 1
+                    AND a.j % 2 = 0)"""
+
+    w1 = "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0"
+    w2 = ("SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "
+          "UNION ALL "
+          "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+          "WHERE doc_id % 4 = 0")
+    return f"""
+        WITH RECURSIVE {near_drop(w1, "u")},
+        {near_drop(w2, "v")},
+        cand AS (SELECT DISTINCT n.doc_id AS nd, o.doc_id AS od
+                 FROM vbk n JOIN ubk o
+                   ON n.band = o.band AND n.key = o.key),
+        est AS (SELECT c.nd
+                FROM cand c
+                JOIN vhx a ON a.doc_id = c.nd
+                JOIN uhx b ON b.doc_id = c.od AND b.j = a.j
+                GROUP BY c.nd, c.od
+                HAVING sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END)
+                       / 64.0 >= 0.5),
+        dropped AS (SELECT DISTINCT nd AS doc_id FROM est)
+        SELECT doc_id, text FROM ukeep
+        UNION ALL
+        SELECT doc_id, text FROM vkeep
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
 def _cdc_sql(min_size: int = 64, avg_size: int = 256,
              max_size: int = 1024) -> str:
     """DuckDB twin of the CDC chunk audit (multimodal/cdc.py): the gear
@@ -9116,6 +9207,7 @@ def oracle_sql() -> dict[str, str]:
     """
     d["unigram_encode_pieces"] = _unigram_encode_sql(_UNI_VOCAB)
     d["cdc_payload_dedup"] = _cdc_sql()
+    d["streaming_lsh_neardup"] = _stream_neardup_sql()
     _MD5GRID = ("((('0x' || substr(md5({R} || '#' || d.d), 1, 14))::BIGINT"
                 " % 2001 - 1000) / 1000.0)")
     d["lsh_ann_topk"] = f"""

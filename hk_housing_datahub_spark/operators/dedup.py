@@ -672,6 +672,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     max_shingle_df: int | None = 50,
     cc_method: str = "label",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """The documented 100-TB corpus-dedup path, composed end to end:
     MinHash+LSH banding generates candidate pairs sub-quadratically →
@@ -693,7 +694,9 @@ def minhash_lsh_dedup(
     # cache pays a full materialization of the inverted index plus two
     # deserializing reads, and breaks the explode→partial-agg fusion) —
     # ~2× end-to-end. Keep the recompute.
-    cands = minhash_lsh_pairs(docs, id_col, text_col, n, num_perm, bands)
+    cands = minhash_lsh_pairs(
+        docs, id_col, text_col, n, num_perm, bands, hash_mode
+    )
     verified = verify_pairs_jaccard(
         docs, cands, id_col, text_col, n, threshold, max_shingle_df
     )

@@ -70,28 +70,49 @@ def _sig_array(
     text_col: str,
     n: int,
     num_perm: int,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(did, sig array<bigint>) — the state-table shape of the wide
     h0..h{num_perm-1} signature frame."""
-    wide = minhash_signatures(docs, id_col, text_col, n, num_perm)
+    wide = minhash_signatures(docs, id_col, text_col, n, num_perm, hash_mode)
     return wide.select(
         "did", F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("sig")
     )
 
 
-def _band_index(sigs: DataFrame, bands: int, num_perm: int) -> DataFrame:
+def _band_index(
+    sigs: DataFrame, bands: int, num_perm: int,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """(did, band, key) banded index over array signatures — the same
     keying as operators.dedup.minhash_lsh_pairs (xxhash64 of the band's
-    row slice), so batch and streaming paths collide identically."""
+    row slice), so batch and streaming paths collide identically. In
+    ``md5_56`` mode the key is the md5-prefix of the '#'-joined row
+    mins — still a BIGINT (the state-table schema), and regenerable in
+    the DuckDB oracle."""
     rows = num_perm // bands
+
+    def key(b: int):
+        elems = [
+            F.element_at("sig", b * rows + r + 1) for r in range(rows)
+        ]
+        if hash_mode == "xxhash64":
+            return F.xxhash64(*elems)
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("#", *[e.cast("string") for e in elems])
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long")
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                ).alias("key"),
-            )
+            F.struct(F.lit(b).alias("band"), key(b).alias("key"))
             for b in range(bands)
         ]
     )
@@ -120,13 +141,14 @@ def cross_batch_drops(
     num_perm: int,
     bands: int,
     threshold: float,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """The cross-batch convicting set: new dids whose banded keys collide
     with committed state AND whose signature-estimated Jaccard against
     the colliding committed doc clears ``threshold``. One (band, key)
     equi-join + one did-keyed sig join + a codegen array-compare — the
     whole steady-state cost of near-dup checking a batch."""
-    new_bands = _band_index(sigs, bands, num_perm)
+    new_bands = _band_index(sigs, bands, num_perm, hash_mode)
     cand = (
         new_bands.join(
             old_bands.select(F.col("did").alias("_old"), "band", "key"),
@@ -173,6 +195,7 @@ def ingest_neardup_batch(
     max_shingle_df: int | None = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> int:
     """One micro-batch of the near-dup ingestion contract; returns rows
     appended to the corpus table (0 for a replayed or fully-near-dup
@@ -205,19 +228,23 @@ def ingest_neardup_batch(
         batch_df, id_col, text_col,
         n=n, num_perm=num_perm, bands=bands,
         threshold=threshold, max_shingle_df=max_shingle_df,
+        hash_mode=hash_mode,
     ).persist()
 
     # 2-3. cross-batch: band-index probe + signature-estimator verify
     # (an empty state table reads as an empty frame — batch 0 needs no
     # special case, the joins below just produce zero candidates)
-    sigs = _sig_array(local, id_col, text_col, n, num_perm).persist()
+    sigs = _sig_array(
+        local, id_col, text_col, n, num_perm, hash_mode
+    ).persist()
     try:
         # bid filter: a torn batch's own state rows (crash between the
         # state and corpus appends) must not convict its docs on replay
         old_bands = catalog.read(bands_tbl).filter(F.col("bid") != batch_id)
         old_sigs = catalog.read(sigs_tbl).filter(F.col("bid") != batch_id)
         dropped = cross_batch_drops(
-            sigs, old_bands, old_sigs, num_perm, bands, threshold
+            sigs, old_bands, old_sigs, num_perm, bands, threshold,
+            hash_mode,
         )
         keep_ids = sigs.select("did").join(dropped, "did", "left_anti")
 
@@ -238,7 +265,9 @@ def ingest_neardup_batch(
             if batch_id not in _committed_batches(catalog, bands_tbl, sink_id):
                 catalog.append(
                     bands_tbl,
-                    _band_index(kept_sigs, bands, num_perm).withColumn(
+                    _band_index(
+                        kept_sigs, bands, num_perm, hash_mode
+                    ).withColumn(
                         "bid", F.lit(int(batch_id)).cast("bigint")
                     ),
                     rows=n_kept * bands,
