@@ -2862,11 +2862,17 @@ def _ivf_ann_topk(spark, sf):
 
 
 def _streaming_stateful_dedup(spark, sf):
-    """Stateful streaming seen-set: two micro-batches with overlapping URLs;
-    state (per-bucket bloom bytes) persists across batches."""
+    """Stateful streaming seen-set: two micro-batches with overlapping
+    URLs; state (per-bucket bloom bytes) persists across batches. The
+    emitted set is deterministic — batch 1 probes an EMPTY filter (a
+    bloom has no false positives against nothing, so every distinct
+    hash emits) and batch 2 is entirely true-positives (b2 ⊆ b1, blooms
+    have no false negatives) — so the DuckDB twin is the wave-1
+    construction itself; the bloom kernels' bit math is pinned by the
+    frontier/seen property suite."""
     from hk_housing_datahub_spark.streaming import run_streaming_dedup
 
-    d = _t(spark, sf, "documents").limit(400)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
     urls = d.select(
         F.concat(
             F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
@@ -2950,10 +2956,12 @@ def _streaming_tws_dedup(spark, sf):
     arbitrary stateful API): RocksDB state store, per-bucket bloom state,
     warm-startable from a batch crawl checkpoint, TTL-expirable
     (streaming/tws.py; tests/test_tws.py pins parity with the
-    applyInPandasWithState path, warm start, and TTL re-emit)."""
+    applyInPandasWithState path, warm start, and TTL re-emit). Same
+    deterministic two-batch construction as streaming_stateful_dedup,
+    same wave-1 oracle."""
     from hk_housing_datahub_spark.streaming import run_streaming_dedup_tws
 
-    d = _t(spark, sf, "documents").limit(400)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
     urls = d.select(
         F.concat(
             F.lit("https://h"), F.pmod("doc_id", F.lit(10)),
@@ -4742,8 +4750,13 @@ def _quality_classifier_gate(spark, sf):
     — fit hashed-n-gram logistic regression by distributed full-batch
     GD (English docs as the curated positives vs a disjoint raw slice,
     DSIR's framing discriminatively), score every doc, keep ≥ 0.5. The
-    iterative fit is not practically SQL-expressible; its strong check
-    is tests/test_quality_clf.py's 1e-9 numpy-replay parity plus the
+    iterative fit is not hash-replayable in DuckDB — measured (round
+    5): JVM exp() and DuckDB exp() disagree in the last ulp on ~10% of
+    inputs, and Spark's double→decimal(38,18) cast quantizes through
+    the double's SHORTEST string repr while DuckDB expands the full
+    binary value, so even the order-independent decimal gradient sums
+    diverge; 40 iterations compound both. Strong check instead:
+    tests/test_quality_clf.py's 1e-9 numpy-replay parity plus the
     planted-separation and determinism pins."""
     from hk_housing_datahub_spark.operators.importance import (
         hashed_ngram_features,
@@ -9207,6 +9220,16 @@ def oracle_sql() -> dict[str, str]:
     """
     d["unigram_encode_pieces"] = _unigram_encode_sql(_UNI_VOCAB)
     d["cdc_payload_dedup"] = _cdc_sql()
+    _SEEN_URLS_SQL = """
+        SELECT 'https://h' || (doc_id % 10) || '.example.com/d/' || doc_id
+                   AS url_canon,
+               CAST(doc_id * 7919 AS BIGINT) AS url_hash,
+               CAST(doc_id % 8 AS INT) AS bucket
+        FROM documents WHERE doc_id < 400
+    """
+    d["streaming_stateful_dedup"] = _SEEN_URLS_SQL
+    d["streaming_tws_dedup"] = _SEEN_URLS_SQL
+
     d["streaming_lsh_neardup"] = _stream_neardup_sql()
     _MD5GRID = ("((('0x' || substr(md5({R} || '#' || d.d), 1, 14))::BIGINT"
                 " % 2001 - 1000) / 1000.0)")
