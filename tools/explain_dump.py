@@ -336,6 +336,32 @@ def _coherence(spark):
     return coherence_scores(docs)
 
 
+def _dsir_select_plan(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["dsir_weights"](spark, SF)
+
+
+def _fairness_plan(spark):
+    import __spark_entry__ as E
+
+    return E.queries()["host_fairness"](spark, SF)
+
+
+def _archive_writer_plan(spark):
+    import tempfile
+
+    from hk_housing_datahub_spark.datagen import generate_pages
+    from hk_housing_datahub_spark.sources.archive_writer import (
+        write_segments,
+    )
+
+    pages = generate_pages(spark, 500, n_hosts=6)
+    return write_segments(
+        pages, tempfile.mkdtemp(prefix="plansdump_warc_"), n_segments=4
+    )
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -659,6 +685,31 @@ def main() -> None:
             "Look for: ZERO Exchange, no joins — words/sentences/"
             "syllables/TTR all in one codegen Project over the scan.",
             _readability(spark),
+        ),
+        (
+            "Banded DSIR Gumbel top-k selection (round 5: no "
+            "single-partition stage)",
+            "Look for: NO 'Exchange SinglePartition' and NO "
+            "unpartitioned Window anywhere — the selection cut is a "
+            "per-band window over the quantile-banded key plus a "
+            "bounded broadcast offset theta-join (operators/banded.py), "
+            "then a semi-join back to the corpus.",
+            _dsir_select_plan(spark),
+        ),
+        (
+            "Fairness Gini/top-share over banded ranks (round 5)",
+            "Look for: the rank window partitioned by the quantile "
+            "band; the only SinglePartition exchanges are the bounded "
+            "partial->final scalar aggregates of the one-row output.",
+            _fairness_plan(spark),
+        ),
+        (
+            "Executor-side WARC segment writer (round 5)",
+            "Look for: exactly ONE Exchange (hash on segment), an "
+            "in-task Sort reproducing cdxj record order, and the "
+            "MapInPandas writer on top — segments render inside their "
+            "tasks, nothing is collected.",
+            _archive_writer_plan(spark),
         ),
     ]
 
