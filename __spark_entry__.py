@@ -1075,7 +1075,7 @@ def _lsh_ann_topk(spark, sf):
     q = e.filter(F.pmod("vec_id", F.lit(25)) == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
-    return SIM.lsh_topk(e, q, dim=64, k=5, plane_mode="md5").select(
+    return SIM.lsh_topk(e, q, dim=64, k=5, plane_mode="md5_56").select(
         "qid", "nid", "cos_sim", "rnk"
     )
 
@@ -2917,15 +2917,9 @@ def _streaming_recrawl(spark, sf):
         (F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
         F.md5(F.col("doc_id").cast("string")).alias("digest"),
     )
-    flip = (
-        F.pmod(
-            F.conv(F.substring(F.md5("url_canon"), 1, 14), 16, 10).cast(
-                "long"
-            ),
-            F.lit(3),
-        )
-        == 0
-    )
+    from hk_housing_datahub_spark.functions.hash56 import md5_long56
+
+    flip = F.pmod(md5_long56(F.col("url_canon")), F.lit(3)) == 0
     root = tempfile.mkdtemp(prefix="hk_srecrawl_")
     caps.coalesce(1).write.parquet(os.path.join(root, "b1"))
     caps.select(
@@ -9351,7 +9345,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT url, n_captures, n_changes,
                round(avg_interval_s, 6) AS avg_interval_s,
-               round(lambda_per_day, 6) AS lambda_per_day,
+               round(lambda_per_day, 6) + 0.0 AS lambda_per_day,
                round(refetch_interval_s, 6) AS refetch_interval_s,
                CAST(last_ts + floor(refetch_interval_s) AS BIGINT)
                    AS next_fetch_epoch

@@ -42,6 +42,31 @@ from pyspark.sql import functions as F
 DEFAULT_BANDS = 64
 
 
+def cumulative_offsets(
+    counts: DataFrame,
+    key_col: str,
+    count_col: str,
+    out_col: str = "_off",
+) -> DataFrame:
+    """(key, exclusive-prefix-sum-of-count) over a BOUNDED count table,
+    via a broadcast key-inequality theta-join instead of the usual
+    unpartitioned running-sum window — integer sums are order-free, so
+    the result is exact, and the plan stays free of Exchange
+    SinglePartition. Shared by the banded rank below and the packing
+    order (operators/packing.py); the table must be bounded (bands,
+    hex-prefix buckets) or the |keys|² join stops being free."""
+    prior = counts.select(
+        F.col(key_col).alias("_pk"), F.col(count_col).alias("_pn")
+    )
+    return (
+        counts.join(
+            F.broadcast(prior), F.col("_pk") < F.col(key_col), "left"
+        )
+        .groupBy(key_col)
+        .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias(out_col))
+    )
+
+
 def banded_global_rank(
     df: DataFrame,
     value_col: str,
@@ -99,19 +124,10 @@ def banded_global_rank(
     wb = Window.partitionBy("_band").orderBy(*order)
     ranked = banded.withColumn("_bandrank", F.row_number().over(wb))
     counts = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
-    prior = counts.select(
-        F.col("_band").alias("_pband"), F.col("_bn").alias("_pn")
-    )
     # cumulative offsets over ≤ bands rows: bounded theta-join, NOT an
     # unpartitioned running-sum window (keeps SinglePartition out of
-    # the plan); left join so the first band (no prior) keeps offset 0
-    offsets = (
-        counts.join(
-            F.broadcast(prior), F.col("_pband") < F.col("_band"), "left"
-        )
-        .groupBy("_band")
-        .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias("_boff"))
-    )
+    # the plan)
+    offsets = cumulative_offsets(counts, "_band", "_bn", "_boff")
     return (
         ranked.join(F.broadcast(offsets), "_band")
         .withColumn(

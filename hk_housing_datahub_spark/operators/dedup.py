@@ -210,16 +210,12 @@ def _perm_hash(col: str, j: int, hash_mode: str) -> Column:
     bit-replayable in DuckDB via ('0x' || substr(md5(..), 1, 14)) — the
     mode the driver's hash oracles run; same operator logic, portable
     hash."""
+    from ..functions.hash56 import md5_long56
+
     if hash_mode == "xxhash64":
         return F.xxhash64(col, F.lit(j))
     if hash_mode == "md5_56":
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(col), F.lit(f"#{j}"))), 1, 14
-            ),
-            16,
-            10,
-        ).cast("long")
+        return md5_long56(F.concat(F.col(col), F.lit(f"#{j}")))
     raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
 
@@ -314,10 +310,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.col(id_col).alias("did"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
+    from ..functions.hash56 import md5_long56
+
     if hash_mode == "xxhash64":
         h = F.xxhash64("tok")
     elif hash_mode == "md5_56":
-        h = F.conv(F.substring(F.md5("tok"), 1, 14), 16, 10).cast("long")
+        h = md5_long56(F.col("tok"))
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     votes = toks.groupBy("did").agg(

@@ -154,28 +154,18 @@ def training_order(
     )
     if not rank:
         return out
+    from .banded import cumulative_offsets
+
     w = Window.partitionBy("shuffle_bucket").orderBy("order_key", *key_cols)
     ranked = out.withColumn("_r", F.row_number().over(w))
     counts = out.groupBy("shuffle_bucket").agg(
         F.count(F.lit(1)).alias("_n")
     )
-    # cumulative offsets over the ≤ 16**bucket_hex count rows via a
-    # bounded broadcast theta-join (integer sums — order-free), not an
-    # unpartitioned running-sum window: the row count made the window
-    # SAFE, but the theta-join keeps WindowExec-single-partition out of
-    # the plan entirely (same pattern as operators/banded.py)
-    prior = counts.select(
-        F.col("shuffle_bucket").alias("_pb"), F.col("_n").alias("_pn")
-    )
-    counts = (
-        counts.join(
-            F.broadcast(prior),
-            F.col("_pb") < F.col("shuffle_bucket"),
-            "left",
-        )
-        .groupBy("shuffle_bucket")
-        .agg(F.coalesce(F.sum("_pn"), F.lit(0)).alias("_off"))
-    )
+    # cumulative offsets over the ≤ 16**bucket_hex count rows via the
+    # shared bounded theta-join (operators/banded.py): the row count
+    # made a running-sum window SAFE, but the theta-join keeps
+    # WindowExec-single-partition out of the plan entirely
+    counts = cumulative_offsets(counts, "shuffle_bucket", "_n", "_off")
     return (
         ranked.join(F.broadcast(counts), "shuffle_bucket")
         .withColumn("order_rank", (F.col("_off") + F.col("_r") - 1).cast("long"))

@@ -119,18 +119,20 @@ def hyperplane_signatures_udf(
     np.RandomState(LSH_SEED) — deterministic on every executor, no state to
     broadcast. Dense matmul over the Arrow batch is the one place a pandas
     UDF beats Column expressions (BLAS vs per-element codegen).
-    ``plane_mode='md5'`` swaps the Gaussian planes for the md5-grid
+    ``plane_mode='md5_56'`` swaps the Gaussian planes for the md5-grid
     source (row index = table * n_planes + plane), which a DuckDB
     oracle can regenerate bit-for-bit — same signatures, same buckets.
     """
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sigs(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        if plane_mode == "md5":
+        if plane_mode == "md5_56":
             planes = md5_grid_values(n_tables * n_planes, dim)
-        else:
+        elif plane_mode == "gauss":
             planes = np.random.RandomState(LSH_SEED).standard_normal(
                 (n_tables * n_planes, dim)
             )
+        else:  # match _perm_hash: a typo must not silently fall back
+            raise ValueError(f"unknown plane_mode {plane_mode!r}")
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         for vecs in it:
             x = np.stack(vecs.to_numpy())  # (batch, dim)

@@ -683,9 +683,13 @@ def quality_threshold_sweep(
     packed = per.agg(
         F.reverse(F.array_sort(F.collect_list(s))).alias("rs")
     )
-    ex = packed.select(
-        "rs", F.explode(F.sequence(F.lit(1), F.size("rs"))).alias("i")
-    )
+    # guard the empty corpus: sequence(1, 0) DESCENDS in Spark, so an
+    # empty bucket array would explode [1, 0] and element_at would
+    # throw — emit no rows instead (the pre-rewrite behavior)
+    idx = F.when(
+        F.size("rs") >= 1, F.sequence(F.lit(1), F.size("rs"))
+    ).otherwise(F.array().cast("array<int>"))
+    ex = packed.select("rs", F.explode(idx).alias("i"))
     pre = F.slice(F.col("rs"), F.lit(1), F.col("i"))
     dsum = F.aggregate(
         pre, F.lit(0).cast("long"), lambda a, x: a + x["d"]

@@ -98,17 +98,13 @@ def _band_index(
         ]
         if hash_mode == "xxhash64":
             return F.xxhash64(*elems)
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws("#", *[e.cast("string") for e in elems])
-                ),
-                1,
-                14,
-            ),
-            16,
-            10,
-        ).cast("long")
+        if hash_mode != "md5_56":
+            raise ValueError(f"unknown hash_mode {hash_mode!r}")
+        from ..functions.hash56 import md5_long56
+
+        return md5_long56(
+            F.concat_ws("#", *[e.cast("string") for e in elems])
+        )
 
     band_structs = F.array(
         *[

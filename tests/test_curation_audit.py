@@ -409,3 +409,18 @@ def test_funnel_coherence_gate(spark):
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert all(i in ids for i in range(4))         # flowing prose kept
     assert all(10 + i not in ids for i in range(4))  # fragments dropped
+
+
+def test_quality_sweep_empty_and_filtered_input(spark):
+    """Regression (round-5 review): the ordered-array-fold rewrite must
+    return zero rows on an empty corpus — Spark's sequence(1, 0)
+    DESCENDS, so an unguarded explode would index into the empty
+    bucket array and throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT. The
+    audit job runs this section unconditionally over whatever --input
+    points at."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert quality_threshold_sweep(empty).collect() == []
+    one = spark.createDataFrame([(1, "a decent doc with words")],
+                                "doc_id long, text string")
+    rows = quality_threshold_sweep(one).collect()
+    assert len(rows) == 1 and rows[0]["surviving_docs"] == 1

@@ -55,8 +55,12 @@ def decompose(spark, docs_path: str) -> dict:
         "sec": round(time.perf_counter() - t0, 2), "rows": n_sigs
     }
 
+    # persist each leg's output so the next leg's wall clock is ITS
+    # cost, not a recompute of everything upstream — without this the
+    # verify leg re-runs candidate generation inside its own timing and
+    # the per-leg table stops being additive
     t0 = time.perf_counter()
-    cands = minhash_lsh_pairs(docs)
+    cands = minhash_lsh_pairs(docs).persist()
     n_cands = cands.count()
     out["candidate_pairs"] = {
         "sec": round(time.perf_counter() - t0, 2), "rows": n_cands
@@ -86,6 +90,7 @@ def decompose(spark, docs_path: str) -> dict:
     }
     verified.unpersist()
     cc.unpersist()
+    cands.unpersist()
     return out
 
 
