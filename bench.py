@@ -293,6 +293,50 @@ def main() -> None:
             n = df.count()
             timings[name] = round(time.perf_counter() - t0, 3)
 
+        # Production-hash twins of the two md5_56-mode oracle entries:
+        # the driver-checked queries above run the PORTABLE md5 hash so
+        # DuckDB can replay them, which costs ~5x the JVM xxhash64 the
+        # production path uses — time the default-mode operators too so
+        # the engine's real cost stays visible next to the oracle tax.
+        from hk_housing_datahub_spark.operators import dedup as _DD
+
+        docs_prod = spark.read.parquet(
+            os.path.join(SF_DIR, "documents.parquet")
+        )
+        t0 = time.perf_counter()
+        _DD.minhash_lsh_pairs(docs_prod).count()
+        timings["minhash_lsh_candidates_prod"] = round(
+            time.perf_counter() - t0, 3
+        )
+
+        from hk_housing_datahub_spark.sources import TableCatalog as _TC
+        from hk_housing_datahub_spark.streaming.neardup import (
+            stream_neardup_ingest as _sni,
+        )
+
+        _root = os.path.join(tmp_root, "neardup_prod")
+        _src = os.path.join(_root, "src")
+        d2 = docs_prod.select("doc_id", "text")
+        d2.filter(F.pmod("doc_id", F.lit(2)) == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(_src, "w1"))
+        _re = d2.filter(F.pmod("doc_id", F.lit(4)) == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+        d2.filter(F.pmod("doc_id", F.lit(2)) == 1).unionByName(
+            _re
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(_src, "w2")
+        )
+        t0 = time.perf_counter()
+        _sni(
+            spark, _src, _TC(spark, os.path.join(_root, "cat")), "docs",
+            checkpoint=os.path.join(_root, "ck"),
+        )
+        timings["streaming_lsh_neardup_prod"] = round(
+            time.perf_counter() - t0, 3
+        )
+
         # star-schema surface, measured in its two halves: the RENDER
         # (bench harness: base tables → nested JSON response docs,
         # materialized once) and the EXTRACTOR (the product under test:
