@@ -4849,6 +4849,30 @@ def _unigram_encode_pieces(spark, sf):
     )
 
 
+
+def _unigram_fertility_fixed(spark, sf):
+    """Per-language fertility of the FIXED-vocab Viterbi tokenizer
+    (pieces per character) — the hash-checked sibling of
+    unigram_fertility (which audits the EM-trained model, rows-only by
+    nature of the data-dependent prune loop): same encoder, same
+    rollup, a vocabulary the DuckDB twin can replay. Shares the
+    unrolled-DP oracle machinery with unigram_encode_pieces."""
+    from hk_housing_datahub_spark.operators.unigram_lm import (
+        encode_unigram,
+    )
+
+    d = _t(spark, sf, "documents")
+    enc = encode_unigram(d, sorted(_UNI_VOCAB.items()), max_piece_len=4)
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("pieces")).cast("long").alias("total_pieces"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.round(
+            F.sum(F.size("pieces")) / F.sum(F.length("text")), 6
+        ).alias("pieces_per_char"),
+    )
+
+
 def _unigram_fertility(spark, sf):
     """Rows-only: per-language fertility of the trained unigram-LM
     tokenizer (pieces per character over the Viterbi encoding) —
@@ -5100,6 +5124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_tokens": _bpe_encode_tokens,
         "unigram_lm_vocab": _unigram_lm_vocab,
         "unigram_encode_pieces": _unigram_encode_pieces,
+        "unigram_fertility_fixed": _unigram_fertility_fixed,
         "unigram_fertility": _unigram_fertility,
         "cdc_payload_dedup": _cdc_payload_dedup,
         "crawl_sketch_stats": _crawl_sketch_stats,
@@ -6121,7 +6146,8 @@ _UNI_VOCAB: dict[str, float] = {
 
 
 def _unigram_encode_sql(
-    vocab: dict, max_piece_len: int = 4, max_word_len: int = 24
+    vocab: dict, max_piece_len: int = 4, max_word_len: int = 24,
+    fertility: bool = False,
 ) -> str:
     """Unrolled DuckDB twin of encode_unigram under a LITERAL vocab.
 
@@ -6220,7 +6246,20 @@ def _unigram_encode_sql(
                  string_agg(r.path, chr(31) ORDER BY d.j) AS allp,
                  CAST(sum(r.n_pieces) AS BIGINT) AS n_pieces
           FROM dt d JOIN wres r USING (word)
-          GROUP BY 1)
+          GROUP BY 1)"""
+    if fertility:
+        tail += """
+        SELECT doc.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(p.n_pieces, 0)) AS BIGINT)
+                   AS total_pieces,
+               CAST(sum(length(doc.text)) AS BIGINT) AS total_chars,
+               round(sum(coalesce(p.n_pieces, 0)) * 1.0
+                     / sum(length(doc.text)), 6) AS pieces_per_char
+        FROM documents doc LEFT JOIN perdoc p USING (doc_id)
+        GROUP BY 1"""
+    else:
+        tail += """
         SELECT doc.doc_id,
                CAST(coalesce(p.n_pieces, 0) AS BIGINT) AS n_pieces,
                md5(coalesce(p.allp, '')) AS pieces_md5
@@ -9213,6 +9252,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE l.doc_id < r.doc_id
     """
     d["unigram_encode_pieces"] = _unigram_encode_sql(_UNI_VOCAB)
+    d["unigram_fertility_fixed"] = _unigram_encode_sql(
+        _UNI_VOCAB, fertility=True
+    )
     d["cdc_payload_dedup"] = _cdc_sql()
     _SEEN_URLS_SQL = """
         SELECT 'https://h' || (doc_id % 10) || '.example.com/d/' || doc_id
