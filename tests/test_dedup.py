@@ -420,3 +420,39 @@ def test_winnow_duckdb_parity(spark, sf_small):
         ).fetchall()
     )
     assert got == want
+
+
+def test_winnow_xxhash_mode_guarantee_and_type(spark):
+    """The production xxhash64 fingerprint mode keeps the winnowing
+    guarantee (a shared passage of >= w+k-1 tokens shares at least one
+    fingerprint, incl. the short-doc fallback) with long fingerprints
+    instead of md5 strings; unknown modes raise instead of silently
+    falling back."""
+    import pytest as _pt
+
+    from hk_housing_datahub_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail one two three"),
+            (2, f"other head words {shared}"),
+            (3, "five tokens right here now"),
+            (4, "five tokens right here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, k=5, w=4, hash_mode="xxhash64")
+    assert dict(fps.dtypes)["fp"] == "bigint"
+    pairs = {
+        (r.a, r.b)
+        for r in winnow_overlap_pairs(
+            docs, k=5, w=4, hash_mode="xxhash64"
+        ).collect()
+    }
+    assert (1, 2) in pairs and (3, 4) in pairs
+    with _pt.raises(ValueError):
+        winnow_fingerprints(docs, hash_mode="fnv")
